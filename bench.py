@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each headline query is executed twice after a warm-up of the session;
+the reported time is the best of two (steady-state plan execution, which
+is what scales to a cluster — JVM startup is not the thing being
+measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from nyc_data_pipeline_spark import registry
+from nyc_data_pipeline_spark.session import get_spark
+
+# The queries that define the engine's throughput story: scan-agg, multi-
+# way joins, window, dedup, similarity, text analysis.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    registry.load_all()
+    spark = get_spark(app_name="nyc-engine-bench")
+
+    # Warm-up: touch the fact table so the JVM/codegen caches are hot.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry.QUERIES:
+            continue
+        fn = registry.QUERIES[name]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

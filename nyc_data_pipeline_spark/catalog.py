@@ -1,0 +1,59 @@
+"""Catalog: load the warehouse tables and register them as views.
+
+The reference keeps its relational state in four Postgres tables created
+by hand-written DDL (reference database_handler.py:65-195).  The engine
+equivalent is a parquet-backed catalog: every table is a columnar,
+partition-prunable parquet dataset registered as a temp view so both the
+DataFrame DSL and `spark.sql` see the same names the DuckDB oracle uses.
+
+At 100 TB the same function works unchanged: `spark.read.parquet` over a
+partitioned directory tree gives partition pruning + row-group predicate
+pushdown for free; nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table. Filters/projections applied by the
+    caller push down into this scan (verify with .explain: PushedFilters,
+    ReadSchema)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

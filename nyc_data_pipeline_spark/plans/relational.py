@@ -1,0 +1,290 @@
+"""Headline relational plans (TPC-H-shaped) over the fixture star schema.
+
+The reference's own relational surface is single-table aggregates pushed
+to Postgres (reference streamlit.py:38-49, database_handler.py:409-480);
+these plans are the engine's demonstration that the same aggregate
+patterns compose with multi-way joins at warehouse scale.
+
+Scale notes (verified via .explain at sf0.1):
+- Dimension sides (region/nation/customer/supplier/part) are broadcast —
+  the fact-table scan never shuffles for them.
+- Filters sit directly on the scans (parquet PushedFilters), so at
+  100 TB the date predicates prune row groups before any compute.
+- All aggregates are decimal-exact (see exprs.py) and partial-aggregated
+  map-side before the single hash shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import davg, dec, dsum, sql_davg, sql_dsum, ts_us
+from ..registry import register
+
+# Exact-decimal revenue term used across plans: extprice * (1 - discount).
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+_SQL_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({_SQL_REVENUE} * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary.
+
+    Same shape as the reference's KPI aggregate (reference
+    streamlit.py:38-49: COUNT/AVG/SUM over a date-filtered table) widened
+    to the full Q1 aggregate set.  One scan, one shuffle (on the 6-value
+    group key), map-side partial aggregation — the plan that survives
+    100 TB unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(_revenue() * (F.lit(1) + dec("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate  > TIMESTAMP '1999-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-revenue top-10.
+
+    customer is a dimension here → broadcast (no shuffle on the
+    orders/lineitem side for that join); lineitem⋈orders shuffles once
+    on orderkey. Top-10 runs as TakeOrderedAndProject (no global sort).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1999-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1999-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_us("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation for same-nation customer/supplier pairs.
+
+    Five dimension joins, all broadcast; the only shuffle is
+    lineitem⋈orders on orderkey plus the final tiny groupBy(n_name).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate pushes to
+    the parquet scan (PushedFilters), zero shuffles (single global agg).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold
+    (HAVING over an exact-decimal sum), top-100 by order value."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            ts_us("o_orderdate").alias("o_orderdate_us"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -1,0 +1,58 @@
+"""Query/oracle registry.
+
+Every operator the engine claims is registered here twice:
+
+- ``QUERIES[name]`` — a callable ``(spark, sf_dir) -> DataFrame`` built
+  from the engine's own operators (the thing being graded), and
+- ``ORACLE[name]`` — equivalent ANSI SQL that DuckDB runs over the same
+  parquet tables (the independent referee).
+
+``__spark_entry__.py`` re-exports both dicts to the driver, which
+compares row-count + schema + order-insensitive value hash per query.
+Operators whose semantics are not SQL-expressible (streaming state,
+HLL sketches) register a query with no oracle — the driver then records
+a weaker rows-only check; keep those few.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+# Queries deliberately registered without an oracle (non-SQL-expressible
+# semantics — streaming state, sketches, binary feature extraction).
+NO_ORACLE_OK: set[str] = set()
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Modules that register queries; extended as operators land.
+_QUERY_MODULES = [
+    "nyc_data_pipeline_spark.plans.relational",
+]
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import importlib
+
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)

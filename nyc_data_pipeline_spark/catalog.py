@@ -44,6 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ReadSchema)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.ts is a nanosecond parquet timestamp, which Spark's
+        # vectorized reader rejects. Read it as raw nanos and truncate
+        # to a microsecond timestamp — the same truncation DuckDB's
+        # epoch_us applies, so both engines see identical instants.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F  # local: avoid cycle at import
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,333 @@
+"""Aggregation operators: reference dashboard parity (A1-A8) plus the
+[GAP] aggregate surface (A9-A12): distinct/approx-distinct, cube/rollup/
+grouping sets, percentiles/stddev, collect_list/set.
+
+Reference sites:
+- KPI summary (COUNT/AVG/SUM/MIN/MAX over a BETWEEN-filtered table):
+  streamlit.py:38-49, database_handler.py:416-423.
+- Vendor breakdown (GROUP BY + multi-agg): database_handler.py:456-467.
+- Hourly rollup (date x hour): database_handler.py:152-164.
+- Pivoted conditional counts (vendor_1_trips/short_trips...):
+  database_handler.py:124-128.
+
+Every aggregate follows the exact-decimal convention (exprs.py), so the
+DuckDB hashes match bit-for-bit.  All of these are single-shuffle plans
+with map-side partial aggregation — the 100 TB shape is identical, only
+`spark.sql.shuffle.partitions` changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import davg, dsum, sql_davg, sql_dsum, ts_us
+from ..registry import NO_ORACLE_OK, register
+
+_BETWEEN = "(ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')"
+
+
+@register(
+    "ref_kpi_summary",
+    oracle=f"""
+    SELECT COUNT(*) AS total_trips,
+           {sql_davg('value')} AS avg_fare,
+           {sql_dsum('value')} AS total_revenue,
+           COUNT(DISTINCT user_id) AS unique_users,
+           epoch_us(MIN(ts)) AS first_ts_us,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events
+    WHERE {_BETWEEN}
+    """,
+)
+def ref_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 dashboard KPI row: scalar COUNT/AVG/SUM/MIN/MAX over a
+    BETWEEN date window (streamlit.py:38-49 + P6 predicate). The date
+    filter pushes down to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").between("2024-01-05", "2024-01-25")
+    )
+    return ev.agg(
+        F.count("*").alias("total_trips"),
+        davg("value").alias("avg_fare"),
+        dsum("value").alias("total_revenue"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+@register(
+    "ref_vendor_performance",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS trip_count,
+           {sql_davg('value')} AS avg_fare,
+           {sql_davg('value / 10.0')} AS avg_distance,
+           {sql_dsum('value')} AS total_revenue
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ref_vendor_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 vendor comparison: GROUP BY single key + multi-agg
+    (database_handler.py:456-467, vendor_id ≈ event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("trip_count"),
+        davg("value").alias("avg_fare"),
+        davg(F.col("value") / 10.0).alias("avg_distance"),
+        dsum("value").alias("total_revenue"),
+    )
+
+
+@register(
+    "ref_hourly_statistics",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS analysis_date,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS trip_count,
+           {sql_davg('value')} AS avg_fare,
+           {sql_dsum('value')} AS total_revenue
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ref_hourly_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 hourly rollup (hourly_statistics table,
+    database_handler.py:152-164): per analysis_date x hour_of_day.
+    This is the batch materialization the reference populates with a
+    separate job; at scale it writes back partitioned by date."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("analysis_date"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("trip_count"),
+            davg("value").alias("avg_fare"),
+            dsum("value").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "ref_pivoted_counts",
+    oracle="""
+    SELECT
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_trips,
+      SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_trips,
+      SUM(CASE WHEN value <= 50  THEN 1 ELSE 0 END) AS short_trips,
+      SUM(CASE WHEN value > 50 AND value <= 150 THEN 1 ELSE 0 END) AS medium_trips,
+      SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS long_trips
+    FROM events
+    """,
+)
+def ref_pivoted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 denormalized conditional counts — the reference's schema-level
+    pivot (vendor_1_trips / short_trips... database_handler.py:124-128)
+    as one conditional-sum aggregate (no shuffle-per-category)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return ev.agg(
+        cnt(F.col("event_type") == "purchase").alias("purchase_trips"),
+        cnt(F.col("event_type") == "click").alias("click_trips"),
+        cnt(F.col("value") <= 50).alias("short_trips"),
+        cnt((F.col("value") > 50) & (F.col("value") <= 150)).alias("medium_trips"),
+        cnt(F.col("value") > 150).alias("long_trips"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 exact COUNT(DISTINCT): Catalyst expands this to a two-phase
+    aggregate (distinct on (status, custkey) then count) — no driver
+    work, scales with the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 approximate distinct via HyperLogLog++.  No oracle: DuckDB's
+    approx_count_distinct uses a different sketch, so only Spark's
+    deterministic result is recorded (rows-only check); the pytest suite
+    asserts <5% relative error against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+NO_ORACLE_OK.add("agg_approx_count_distinct")
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 hierarchical ROLLUP with GROUPING markers (nulls in group
+    keys are disambiguated by grouping())."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 CUBE: all 2^n grouping-set combinations in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 explicit GROUPING SETS (via Spark SQL — the DataFrame DSL has
+    no direct grouping-sets call; SQL and DSL share Catalyst anyway)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 dispersion statistics. stddev/variance accumulate in floating
+    point (order-dependent merge), so both sides round to 6 dp — the
+    only aggregate family here that needs rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics; rounded to absorb interpolation
+    ulps).  At 100 TB swap to percentile_approx (t-digest) — registered
+    separately below."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+    )
+
+
+@register("agg_percentile_approx")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 approximate percentile — the scale path (bounded-memory
+    sketch, mergeable across partitions).  No oracle (sketch differs
+    from DuckDB); pytest bounds it against the exact percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    )
+
+
+NO_ORACLE_OK.add("agg_percentile_approx")
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 collect_set, emitted as a sorted joined string so the
+    unordered set has one canonical cross-engine form."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,222 @@
+"""Reference-parity trip enrichment (the consumer's transform chain).
+
+The reference's only Spark logic is a 6-step enrichment over parsed
+taxi records (reference spark_consumer.py:61-78):
+
+  P7  duration_min = (unix_timestamp(dropoff) - unix_timestamp(pickup))/60
+  P8  speed_mph    = when(duration>0 AND dist>0, dist/(duration/60)).otherwise(0)
+  F4  pickup_hour  = hour(pickup)
+  P9  trip_category: dist<=2 -> 'short', <=10 -> 'medium', else 'long'
+                     (inclusive upper bounds, spark_consumer.py:71-73)
+  P10 tip_pct      = when(fare>0, tip/fare*100).otherwise(0)
+  P4  filter: dist>=0 AND fare>=0 AND duration>0 AND duration<300
+
+These exact semantics — `otherwise(0)` instead of null, inclusive 2/10
+mile boundaries, the open (0, 300) duration window — are pinned by
+golden tests (tests/test_enrichment.py).
+
+`enrich_trips` is the reusable transform for genuinely taxi-shaped
+frames (batch or streaming — same function works under readStream).
+The registered queries below replay the identical arithmetic over the
+`events` fixture (FIXTURES.md maps ts≈pickup, value≈fare, props.k≈the
+JSON payload) so the DuckDB oracle can referee every formula.
+
+Everything is built-in Catalyst expressions — no UDFs — matching the
+reference's own (correct) choice; at 100 TB this chain is one
+whole-stage-codegen'd projection over the scan, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Reference constants (spark_consumer.py:71-78).
+SHORT_MAX_MILES = 2.0
+MEDIUM_MAX_MILES = 10.0
+MIN_DURATION_MIN = 0.0
+MAX_DURATION_MIN = 300.0
+
+
+def trip_category(distance: Column) -> Column:
+    """CASE chain with the reference's inclusive-left boundaries."""
+    return (
+        F.when(distance <= SHORT_MAX_MILES, "short")
+        .when(distance <= MEDIUM_MAX_MILES, "medium")
+        .otherwise("long")
+    )
+
+
+def enrich_trips(
+    df: DataFrame,
+    pickup: str = "pickup_dt",
+    dropoff: str = "dropoff_dt",
+    distance: str = "trip_distance",
+    fare: str = "fare_amount",
+    tip: str = "tip_amount",
+) -> DataFrame:
+    """The reference's full enrichment + data-quality filter.
+
+    Works identically on batch and Structured Streaming frames (pure
+    stateless projection+filter).
+    """
+    dur = (
+        F.unix_timestamp(F.col(dropoff).cast("timestamp"))
+        - F.unix_timestamp(F.col(pickup).cast("timestamp"))
+    ) / 60.0
+    dist, fr, tp = F.col(distance), F.col(fare), F.col(tip)
+    out = (
+        df.withColumn("duration_min", dur)
+        .withColumn(
+            "speed_mph",
+            F.when(
+                (F.col("duration_min") > 0) & (dist > 0),
+                dist / (F.col("duration_min") / 60.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("pickup_hour", F.hour(F.col(pickup)))
+        .withColumn("trip_category", trip_category(dist))
+        .withColumn(
+            "tip_pct",
+            F.when(fr > 0, tp / fr * 100.0).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.filter(
+        (dist >= 0)
+        & (fr >= 0)
+        & (F.col("duration_min") > MIN_DURATION_MIN)
+        & (F.col("duration_min") < MAX_DURATION_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked replays over the events fixture.
+#
+# Synthesized trip shape (deterministic, arithmetic-only so both engines
+# agree bit-for-bit): pickup=ts, dropoff=ts + k minutes (k from the JSON
+# props), distance=value/10, fare=value, tip=event_id%20.
+# ---------------------------------------------------------------------------
+
+_SQL_K = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+
+
+@register(
+    "ref_trip_enrichment",
+    oracle=f"""
+    WITH trips AS (
+        SELECT event_id,
+               epoch_us(ts) AS pickup_us,
+               epoch_us(ts) + CAST({_SQL_K} AS BIGINT) * 60000000 AS dropoff_us,
+               value / 10.0 AS trip_distance,
+               value AS fare_amount,
+               CAST(event_id % 20 AS DOUBLE) AS tip_amount,
+               CAST({_SQL_K} AS DOUBLE) AS duration_min,
+               CAST(hour(ts) AS INTEGER) AS pickup_hour
+        FROM events
+    )
+    SELECT event_id, pickup_us, dropoff_us, trip_distance, fare_amount,
+           tip_amount, duration_min,
+           CASE WHEN duration_min > 0 AND trip_distance > 0
+                THEN trip_distance / (duration_min / 60.0) ELSE 0.0 END AS speed_mph,
+           pickup_hour,
+           CASE WHEN trip_distance <= 2.0 THEN 'short'
+                WHEN trip_distance <= 10.0 THEN 'medium'
+                ELSE 'long' END AS trip_category,
+           CASE WHEN fare_amount > 0 THEN tip_amount / fare_amount * 100.0
+                ELSE 0.0 END AS tip_pct,
+           'events_fixture' AS source
+    FROM trips
+    WHERE trip_distance >= 0 AND fare_amount >= 0
+      AND duration_min > 0 AND duration_min < 300
+    """,
+)
+def ref_trip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P7-P12 replay: JSON field extraction, duration/speed/hour/
+    category/tip derivations, quality filter, metadata injection —
+    the reference consumer chain (spark_consumer.py:61-78) with the
+    oracle refereeing every formula."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    pickup_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = ev.select(
+        "event_id",
+        pickup_us.alias("pickup_us"),
+        (pickup_us + k.cast("bigint") * F.lit(60000000).cast("bigint")).alias(
+            "dropoff_us"
+        ),
+        (F.col("value") / 10.0).alias("trip_distance"),
+        F.col("value").alias("fare_amount"),
+        (F.col("event_id") % 20).cast("double").alias("tip_amount"),
+        k.cast("double").alias("duration_min"),
+        F.hour("ts").alias("pickup_hour"),
+    )
+    return (
+        t.withColumn(
+            "speed_mph",
+            F.when(
+                (F.col("duration_min") > 0) & (F.col("trip_distance") > 0),
+                F.col("trip_distance") / (F.col("duration_min") / 60.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("trip_category", trip_category(F.col("trip_distance")))
+        .withColumn(
+            "tip_pct",
+            F.when(
+                F.col("fare_amount") > 0,
+                F.col("tip_amount") / F.col("fare_amount") * 100.0,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("source", F.lit("events_fixture"))
+        .filter(
+            (F.col("trip_distance") >= 0)
+            & (F.col("fare_amount") >= 0)
+            & (F.col("duration_min") > 0)
+            & (F.col("duration_min") < 300)
+        )
+        .select(
+            "event_id",
+            "pickup_us",
+            "dropoff_us",
+            "trip_distance",
+            "fare_amount",
+            "tip_amount",
+            "duration_min",
+            "speed_mph",
+            "pickup_hour",
+            "trip_category",
+            "tip_pct",
+            "source",
+        )
+    )
+
+
+@register(
+    "ref_partition_key",
+    oracle=f"""
+    SELECT part_key, COUNT(*) AS n
+    FROM (
+        SELECT CASE WHEN {_SQL_K} <> 0
+                    THEN CAST({_SQL_K} % 1000 AS BIGINT)
+                    ELSE user_id % 100 END AS part_key
+        FROM events
+    )
+    GROUP BY part_key
+    """,
+)
+def ref_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 partition-key precedence: primary key column when usable,
+    else a modulo fallback (reference kafka_producer.py:85-95 branches
+    PULocationID → hash(lon_lat)%1000 → hash(VendorID)%100).  The
+    distribution per key is what a Kafka sink / repartition would see.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    key = (
+        F.when(k != 0, F.pmod(k, F.lit(1000)).cast("bigint"))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(100)))
+        .alias("part_key")
+    )
+    return ev.select(key).groupBy("part_key").agg(F.count("*").alias("n"))

@@ -47,6 +47,8 @@ def register(name: str, oracle: str | None = None):
 # Modules that register queries; extended as operators land.
 _QUERY_MODULES = [
     "nyc_data_pipeline_spark.plans.relational",
+    "nyc_data_pipeline_spark.operators.enrichment",
+    "nyc_data_pipeline_spark.operators.aggregates",
 ]
 
 

@@ -1,0 +1,307 @@
+"""Join operators J1-J7.
+
+The reference implements no joins at all — vendor/category breakdowns
+are denormalized into pivoted count columns (reference
+database_handler.py:124-128), which caps its query surface at one
+table.  The engine supplies the full join algebra, each shape chosen
+for its 100 TB plan:
+
+- equi-joins: Catalyst picks sort-merge vs shuffled-hash; both sides
+  shuffle on the key only when neither fits the broadcast threshold;
+- dimension joins: explicit `F.broadcast` — zero shuffle on the fact
+  side, the single most important join decision at scale;
+- semi/anti: EXISTS/NOT EXISTS without materializing the right side's
+  payload columns;
+- range join: broadcast-nested-loop against a tiny literal dim (never
+  NLJ two big sides — bucketize first if both are large);
+- as-of join: Spark has no native primitive (J7).  Implemented as
+  union + partitioned window scan — one shuffle on the key, linear in
+  rows, no per-group pandas and no range explosion.  DuckDB's native
+  ASOF JOIN referees the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import dsum, sql_dsum
+from ..registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Generic as-of join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (< if ``strict``) and equal key.
+
+    Union + window implementation: tag both sides, sort within key by
+    timestamp, and carry the last-seen right payload forward with
+    ``last(..., ignorenulls)``.  Cost: one hash shuffle on ``key`` and a
+    per-partition sort — the same complexity as a sort-merge join, with
+    no risk of the quadratic blow-up a naive range-join rewrite has.
+    Right rows sort before left rows at equal timestamps (non-strict).
+    """
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in carry])
+    side_order = 1 if not strict else -1
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        F.lit(None).cast("long").alias("__rowid"),
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(side_order).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.monotonically_increasing_id().alias("__rowid"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__rowid").isNotNull())
+    )
+    return matched.select(
+        F.col("__k").alias(key),
+        F.col("__ts").alias(left_ts),
+        F.col("__match.__rts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in carry],
+    )
+
+
+@register(
+    "join_inner_shuffle",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner equi-join with no hints: Catalyst is free to pick
+    broadcast/SMJ/SHJ by size (at 100 TB with a big customer table this
+    becomes a co-partitioned shuffle join on custkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast join: the canonical dim⋈dim — at scale the small
+    side ships to every executor, no shuffle of the large side."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left outer: customers with zero orders survive with count 0
+    (COUNT over the nullable right key)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full outer join (nation ⟗ supplier)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "full")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left semi == EXISTS: right side never contributes columns, so
+    Spark only shuffles its join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left anti == NOT EXISTS (customers who never ordered)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus, COUNT(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cross join — only ever sane when one side is tiny; here it is
+    the 5x3 dimension product."""
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "join_range_tiers",
+    oracle=f"""
+    SELECT tier, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events
+    JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                 (150.0, 1e18, 'high')) AS t(lo, hi, tier)
+      ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+)
+def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 non-equi (range) join: fact rows against value tiers.  The
+    tier table broadcasts, so the physical plan is
+    BroadcastNestedLoopJoin with the fact side streamed once — the only
+    safe NLJ shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e18, "high")],
+        "lo double, hi double, tier string",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(s.ts) AS signup_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join: each purchase matched to the same user's most
+    recent signup at-or-before it.  Union+window implementation (see
+    asof_join docstring); DuckDB's native ASOF JOIN is the oracle.
+    ASOF is inner-flavored: purchases with no prior signup drop out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+
+    p = purchases.select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col("event_id"),
+    )
+    s = signups.select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    # Signup rows sort before purchase rows at equal ts (side 0 < 1), so
+    # the window's last-seen signup implements ts_signup <= ts_purchase.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signup_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+    return (
+        p.unionByName(s)
+        .withColumn("signup_ts", F.last(signup_ts, ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .filter(F.col("signup_ts").isNotNull())
+        .select(
+            F.col("event_id"),
+            F.col("__k").alias("user_id"),
+            F.unix_micros(F.col("__ts").cast("timestamp")).alias("purchase_us"),
+            F.unix_micros(F.col("signup_ts").cast("timestamp")).alias("signup_us"),
+        )
+    )

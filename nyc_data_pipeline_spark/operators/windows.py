@@ -1,0 +1,248 @@
+"""Window functions (SURVEY §2.5 — entirely absent in the reference).
+
+Ranking, analytic (lag/lead, first/last), and aggregates-over-frames.
+Every window here partitions by a real key (priority, user, customer),
+so at 100 TB the plan is one hash shuffle on the partition key plus a
+per-partition sort — no global sort, no driver involvement.  Determinism
+rule: any ORDER BY that feeds row_number/ntile/lag carries a unique
+tiebreak column, otherwise results are legal-but-unstable in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import dec, ts_us
+from ..registry import register
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           rn, rnk, drnk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+        FROM orders
+    )
+    WHERE rn <= 5
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; top-5 rows per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    w_tb = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w_tb).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/§2.5: the canonical top-N-per-group (top-3 orders by value per
+    status) — the pattern the reference would need for 'top trips per
+    hour'."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead: inter-event gap per user (the reference-shaped
+    'time since previous trip') and the following event id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_us("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS running_revenue
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (the reference's 'running revenue
+    per vendor' shape).  Exact-decimal accumulation keeps the running
+    values bit-identical cross-engine at every prefix."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average over an ordered frame (rowsBetween), the
+    'moving average fare' analytic. Decimal sum / count keeps it exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg_price"
+        ),
+    )
+
+
+@register(
+    "window_ntile_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER w AS first_in_priority,
+           last_value(o_orderkey) OVER w AS last_in_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles (global order with tiebreak) + first/last over an
+    unbounded frame per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    w_global = Window.orderBy("o_totalprice", "o_orderkey")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_global).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_in_priority"),
+        F.last("o_orderkey").over(w).alias("last_in_priority"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag + cumulative
+    sum of session-break flags — the classic composition, one shuffle on
+    user_id.  The streaming twin (session_window) lives in
+    streaming/windows.py (T9)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = ts_us("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end_us"),
+        )
+    )

@@ -49,6 +49,10 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.plans.relational",
     "nyc_data_pipeline_spark.operators.enrichment",
     "nyc_data_pipeline_spark.operators.aggregates",
+    "nyc_data_pipeline_spark.operators.joins",
+    "nyc_data_pipeline_spark.operators.windows",
+    "nyc_data_pipeline_spark.operators.setops",
+    "nyc_data_pipeline_spark.operators.scalars",
 ]
 
 

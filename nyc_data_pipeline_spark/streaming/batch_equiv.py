@@ -1,0 +1,106 @@
+"""Oracle-checked batch twins of the streaming operators.
+
+Structured Streaming's core guarantee is that a streaming query is the
+same Catalyst plan as its batch equivalent, executed incrementally.
+These registrations run the *identical* windowing functions from
+streaming/windows.py over the batch events table so DuckDB can referee
+the semantics; tests/test_streaming.py then runs the same functions
+under readStream and asserts stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import sql_davg, sql_dsum
+from ..registry import register
+from .windows import session_counts, sliding_avg, tumbling_counts
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 tumbling windows (epoch-aligned, so Spark's window() and
+    DuckDB's time_bucket agree on boundaries)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_windows",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                    - k * INTERVAL '30 minutes') AS window_start_us,
+           COUNT(*) AS n,
+           {sql_davg('value')} AS avg_value
+    FROM events, (VALUES (0), (1)) AS offsets(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 sliding windows (1 h width / 30 min slide): every event lands
+    in exactly width/slide = 2 windows; the oracle reproduces that by
+    cross-joining each row with offsets {0,1} slides back."""
+    return sliding_avg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/T10 session windows (30-min gap).  Spark's session_window end
+    is last-event-ts + gap; the lag/cumsum oracle reproduces exactly
+    that merge semantics."""
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_replay",
+    oracle="""
+    SELECT DISTINCT event_id, user_id
+    FROM (
+        SELECT event_id, user_id FROM events
+        UNION ALL
+        SELECT event_id, user_id FROM events WHERE event_id % 10 = 0
+    )
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T10: at-least-once replay (10% of events delivered twice)
+    healed by key dedup — the batch shape of
+    dropDuplicatesWithinWatermark and the fix for the reference's
+    duplicate-accepting JDBC sink."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    replayed = ev.filter(F.col("event_id") % 10 == 0)
+    return ev.unionByName(replayed).dropDuplicates(["event_id"])

@@ -1,0 +1,67 @@
+"""Streaming sinks: foreachBatch done right (T2/T3/T5 fixes).
+
+The reference's sink has three production bugs the engine corrects:
+
+1. Double execution (spark_consumer.py:86-106): `batch_df.count()` then
+   `.write` re-computes the whole batch.  Fix: persist once, or derive
+   metrics from the write itself.
+2. Non-durable checkpoints (`/tmp/checkpoints`, spark_consumer.py:130).
+   Fix: caller-supplied durable checkpoint dir is a required argument.
+3. At-least-once duplication into the sink with no idempotence
+   (kafka_producer.py:27-29 retries + JDBC append).  Fix: epoch-keyed
+   writes — each micro-batch lands under its epoch id, so replays of
+   the same epoch overwrite instead of duplicating (the standard
+   exactly-once-to-storage recipe for idempotent targets).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+class EpochIdempotentParquetSink:
+    """foreachBatch target writing each epoch to its own subdirectory.
+
+    Replayed epochs (after failure/restart from the same checkpoint)
+    overwrite their previous partial output — idempotent, hence
+    effectively exactly-once end-to-end when combined with a durable
+    checkpoint.  Reads see only completed epochs (parquet write is
+    atomic-per-directory via _SUCCESS)."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.batches_seen: list[tuple[int, int]] = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()  # metrics pass over the cached batch
+            if n == 0:  # empty-batch guard (spark_consumer.py:86-88)
+                return
+            (
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(self.base_path, f"epoch={epoch_id}")
+                )
+            )
+            self.batches_seen.append((epoch_id, n))
+        finally:
+            batch_df.unpersist()
+
+
+def start_foreach_batch(
+    stream_df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """T1/T2/T3: micro-batch execution with a durable checkpoint.
+    `trigger_seconds=None` means as-fast-as-possible (test mode);
+    production passes the reference's 10 s cadence."""
+    w = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

@@ -1,0 +1,75 @@
+"""Event-time windowing with watermarks (T8/T9 — absent in the
+reference, which only aggregates post-hoc in Postgres by wall-clock).
+
+All three window shapes work identically on batch and streaming frames;
+on streams the watermark bounds state: windows older than
+(max event time - delay) are finalized and evicted, which is the memory
+contract that survives unbounded 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exprs import davg, dsum
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """T8: declare allowed lateness; rows later than the watermark are
+    dropped from stateful aggregations (deterministic late-data policy
+    vs the reference's none)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts", width: str = "1 hour") -> DataFrame:
+    """T9: non-overlapping event-time windows, per event_type."""
+    return (
+        df.groupBy(F.window(ts_col, width), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    df: DataFrame, ts_col: str = "ts", width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """T9: overlapping windows (each event lands in width/slide
+    windows)."""
+    return (
+        df.groupBy(F.window(ts_col, width, slide))
+        .agg(F.count("*").alias("n"), davg("value").alias("avg_value"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias("window_start_us"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
+    """T9/T10: session windows — state merges as events arrive within
+    `gap`; the streaming twin of operators/windows.py::sessionize_events.
+    """
+    return (
+        df.groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

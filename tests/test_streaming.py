@@ -1,0 +1,173 @@
+"""Real Structured Streaming runs (memory sink, processAllAvailable):
+the streamed result of each operator must equal its batch twin, and the
+foreachBatch sink must be idempotent across checkpoint restarts."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from nyc_data_pipeline_spark.catalog import load_table
+from nyc_data_pipeline_spark.operators.enrichment import enrich_trips
+from nyc_data_pipeline_spark.sources.readers import TAXI_TRIP_SCHEMA
+from nyc_data_pipeline_spark.streaming.ingest import (
+    file_json_stream,
+    parse_wire_records,
+    rate_stream,
+    run_to_memory,
+)
+from nyc_data_pipeline_spark.streaming.sinks import (
+    EpochIdempotentParquetSink,
+    start_foreach_batch,
+)
+from nyc_data_pipeline_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+    with_watermark,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_json_dir(spark, sf_dir, tmp_path):
+    """Events fixture re-materialized as JSON files (3 micro-batches)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = tmp_path / "stream_in"
+    ev.repartition(3).write.json(str(out))
+    return str(out)
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir, events_json_dir):
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    agg = tumbling_counts(with_watermark(stream, "ts", "1 hour"))
+    q = run_to_memory(agg, "tumbling_out", output_mode="complete")
+    try:
+        got = {
+            (r.window_start_us, r.event_type): (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_start_us, r.event_type): (r.n, r.total_value)
+        for r in tumbling_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows(spark, sf_dir, events_json_dir):
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    agg = session_counts(with_watermark(stream, "ts", "2 hours"))
+    q = run_to_memory(agg, "session_out", output_mode="complete")
+    try:
+        got_total = spark.sql("SELECT SUM(n_events) s FROM session_out").collect()[0].s
+    finally:
+        q.stop()
+    batch = session_counts(load_table(spark, sf_dir, "events"))
+    assert got_total == batch.agg(F.sum("n_events")).collect()[0][0]
+
+
+def test_wire_parse_chain_streaming(spark, tmp_path):
+    """Kafka wire shape (JSON value strings) parsed + enriched under
+    readStream — the reference consumer end-to-end, broker-less."""
+    rows = [
+        {"VendorID": 1, "tpep_pickup_datetime": "2015-01-01 10:00:00",
+         "tpep_dropoff_datetime": "2015-01-01 10:30:00", "passenger_count": 2,
+         "trip_distance": 6.0, "fare_amount": 20.0, "tip_amount": 5.0,
+         "total_amount": 25.0},
+        {"VendorID": 2, "tpep_pickup_datetime": "2015-01-01 11:00:00",
+         "tpep_dropoff_datetime": "2015-01-01 11:00:00", "passenger_count": 1,
+         "trip_distance": 1.0, "fare_amount": 5.0, "tip_amount": 0.0,
+         "total_amount": 5.0},  # zero duration -> filtered out
+    ]
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "batch0.jsonl").write_text(
+        "\n".join(json.dumps({"value": json.dumps(r)}) for r in rows)
+    )
+    wire_schema = T.StructType([T.StructField("value", T.StringType())])
+    stream = spark.readStream.schema(wire_schema).json(str(src))
+    parsed = parse_wire_records(stream, TAXI_TRIP_SCHEMA)
+    enriched = enrich_trips(
+        parsed.withColumn("pickup_dt", F.to_timestamp("tpep_pickup_datetime"))
+        .withColumn("dropoff_dt", F.to_timestamp("tpep_dropoff_datetime")),
+        pickup="pickup_dt",
+        dropoff="dropoff_dt",
+    )
+    q = run_to_memory(enriched, "wire_out")
+    try:
+        out = spark.sql("SELECT * FROM wire_out").collect()
+    finally:
+        q.stop()
+    assert len(out) == 1
+    r = out[0]
+    assert r.VendorID == 1 and r.trip_category == "medium"
+    assert r.speed_mph == pytest.approx(12.0) and r.tip_pct == pytest.approx(25.0)
+
+
+def test_foreach_batch_sink_idempotent_restart(spark, tmp_path):
+    """Same checkpoint + same source replayed: epochs overwrite, never
+    duplicate (the fix for the reference's at-least-once JDBC dups)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"event_id": i, "value": float(i)}) for i in range(100))
+    )
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    sink = EpochIdempotentParquetSink(out_dir)
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_foreach_batch(stream, sink, ckpt)
+    q.processAllAvailable(); q.stop()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 100
+
+    # Restart from the same checkpoint: processed offsets are remembered,
+    # nothing is re-ingested; a forced replay of epoch 0 would overwrite.
+    sink2 = EpochIdempotentParquetSink(out_dir)
+    q2 = start_foreach_batch(
+        spark.readStream.schema(schema).json(str(src)), sink2, ckpt
+    )
+    q2.processAllAvailable(); q2.stop()
+    assert spark.read.parquet(out_dir).count() == 100
+    assert sink2.batches_seen == []  # checkpoint prevented re-processing
+
+
+def test_rate_source_smoke(spark):
+    """T6: the rate source replaces producer sleep-throttling."""
+    q = (
+        rate_stream(spark, rows_per_second=50)
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) c FROM rate_out").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()

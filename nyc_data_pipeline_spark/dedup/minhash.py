@@ -1,0 +1,155 @@
+"""MinHash + LSH near-duplicate detection (north-star M4) — with a
+real DuckDB oracle.
+
+Pipeline (the standard web-scale dedup recipe):
+
+  1. token-hash sets per doc (portable hash, functions/text.py);
+  2. K=16 MinHash signatures  sig_i = min_t (a_i·t + b_i) mod M
+     (universal-hash family; constants fixed, seeded, embedded
+     identically in the Spark plan and the oracle SQL);
+  3. banding: 4 bands × 4 rows — docs sharing any band key become
+     candidate pairs (probability 1-(1-j^4)^4 of surfacing a pair with
+     Jaccard j);
+  4. exact Jaccard verification on candidates only.
+
+Scale shape: signatures are a projection (no shuffle); candidate
+generation is a self-equi-join on (band, band_key) — the band key is
+a short string, so the shuffle is tiny regardless of document size;
+verification touches only candidates.  This is the n² → n·dup-rate
+cut that makes 100 TB dedup feasible.
+
+Constants use modulus 2^31-1 so a_i·t stays within int64 for token
+hashes < 1e9+7 — both engines do the identical exact integer math.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    duck_token_hashes,
+    duck_tokens,
+    spark_token_hashes,
+    spark_tokens,
+)
+from ..registry import register
+
+K = 16  # signatures
+BANDS = 4
+ROWS = K // BANDS
+M = 2_147_483_647  # 2^31 - 1
+VERIFY_THRESHOLD = 0.5
+
+_rng = random.Random(42)
+PERMS = [(_rng.randrange(1, M), _rng.randrange(0, M)) for _ in range(K)]
+
+
+def _spark_sig(i: int) -> str:
+    a, b = PERMS[i]
+    return (
+        f"array_min(transform(elems, t -> (CAST({a} AS BIGINT) * t + {b}) % {M}))"
+        f" AS sig_{i}"
+    )
+
+
+def _duck_sig(i: int) -> str:
+    a, b = PERMS[i]
+    return (
+        f"list_min(list_transform(elems, t -> (CAST({a} AS BIGINT) * t + {b}) % {M}))"
+        f" AS sig_{i}"
+    )
+
+
+def _band_key(b: int) -> str:
+    cols = ", ".join(f"sig_{b * ROWS + r}" for r in range(ROWS))
+    return f"concat_ws('-', {cols})"
+
+
+def minhash_lsh_pairs(sets: DataFrame, threshold: float = VERIFY_THRESHOLD) -> DataFrame:
+    """Reusable operator over (doc_id, elems bigint-array) sets."""
+    sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = sets.selectExpr("doc_id AS ida", "elems AS ea")
+    tb = sets.selectExpr("doc_id AS idb", "elems AS eb")
+    return (
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ida"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("idb"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(ea, eb)) AS DOUBLE)"
+            " / (size(ea) + size(eb) - size(array_intersect(ea, eb))) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _oracle() -> str:
+    sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, elems,
+               {sig_exprs}
+        FROM th
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta.elems, tb.elems)) AS DOUBLE)
+             / (len(ta.elems) + len(tb.elems) - len(list_intersect(ta.elems, tb.elems)))
+             AS jaccard
+    FROM cand
+    JOIN th ta ON ta.doc_id = doc_a
+    JOIN th tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.elems, tb.elems)) AS DOUBLE)
+             / (len(ta.elems) + len(tb.elems) - len(list_intersect(ta.elems, tb.elems)))
+          >= {VERIFY_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) candidate pairs, exact-Jaccard verified at
+    θ=0.5, over unigram token-hash sets."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    return minhash_lsh_pairs(sets)

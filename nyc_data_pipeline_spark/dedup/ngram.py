@@ -1,0 +1,121 @@
+"""N-gram / token-set Jaccard near-duplicate detection (north-star M4).
+
+Scalable shape — the inverted index join, never the all-pairs cross
+join:
+
+    tokens → explode (doc, token) → self-join on token → count common
+    → |A ∩ B| ; |A ∪ B| = |A| + |B| − |A ∩ B| ; filter jaccard ≥ θ
+
+Cost is Σ_token df(token)² (bounded by dropping ultra-common tokens at
+real scale) instead of n² documents.  MinHash/LSH (dedup/minhash.py) is
+the next cut when even the inverted index is too hot; this operator is
+the exact referee for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    duck_bigrams,
+    duck_token_hashes,
+    duck_tokens,
+    spark_bigrams,
+    spark_token_hashes,
+    spark_tokens,
+)
+from ..registry import register
+
+_JACCARD_UNIGRAM = 0.85
+_JACCARD_BIGRAM = 0.25
+
+
+def _pairs_sql(sets_cte: str, threshold: float) -> str:
+    """DuckDB: inverted-index pair generation over (doc_id, elems)."""
+    return f"""
+    WITH sets AS ({sets_cte}),
+    sizes AS (SELECT doc_id, len(elems) AS sz FROM sets),
+    posting AS (SELECT doc_id, unnest(elems) AS e FROM sets),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.e = b.e AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+def jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Reusable operator: sets = (doc_id, elems array).  Returns doc
+    pairs with Jaccard >= threshold via the inverted-index join."""
+    sizes = sets.select("doc_id", F.size("elems").alias("sz"))
+    posting = sets.select("doc_id", F.explode("elems").alias("e"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.e") == F.col("b.e")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_jaccard_unigram",
+    oracle=_pairs_sql(
+        f"SELECT doc_id, list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems "
+        f"FROM documents",
+        _JACCARD_UNIGRAM,
+    ),
+)
+def dedup_jaccard_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dups (θ=0.85) over portable token hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    return jaccard_pairs(sets, _JACCARD_UNIGRAM)
+
+
+@register(
+    "dedup_jaccard_bigram_shingles",
+    oracle=_pairs_sql(
+        f"SELECT doc_id, list_distinct({duck_bigrams('toks')}) AS elems "
+        f"FROM (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents) "
+        f"WHERE len(toks) >= 2",
+        _JACCARD_BIGRAM,
+    ),
+)
+def dedup_jaccard_bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram shingle Jaccard (θ=0.25): order-sensitive near-dup
+    signal (catches copied passages that unigram sets overrate)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
+        F.size("toks") >= 2
+    )
+    sets = toks.selectExpr(
+        "doc_id", f"array_distinct({spark_bigrams('toks')}) AS elems"
+    )
+    return jaccard_pairs(sets, _JACCARD_BIGRAM)

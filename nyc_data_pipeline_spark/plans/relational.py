@@ -288,3 +288,34 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "order_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           l_returnflag
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: true top-k (ORDER BY ... LIMIT).  Catalyst plans this as
+    TakeOrderedAndProject — each partition keeps a size-k heap and the
+    driver merges P heaps, so cost is O(n) scan + O(P*k) merge with no
+    global sort shuffle; the plan that still works when n is 100 TB.
+    Tie-broken on (l_orderkey, l_linenumber) so the selected rows are a
+    deterministic set for the oracle hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            "l_returnflag",
+        )
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(50)
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..exprs import sql_davg, sql_dsum
 from ..registry import register
-from .windows import session_counts, sliding_avg, tumbling_counts
+from .windows import session_counts, sliding_avg, stream_static_enrich, tumbling_counts
 
 
 @register(
@@ -83,6 +83,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is last-event-ts + gap; the lag/cumsum oracle reproduces exactly
     that merge semantics."""
     return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "join_stream_static",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', e.ts)) AS window_start_us,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 stream-static join: broadcast-dim enrichment + tumbling
+    windows; tests/test_streaming.py runs the identical function with
+    the events side under readStream."""
+    return stream_static_enrich(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
 
 
 @register(

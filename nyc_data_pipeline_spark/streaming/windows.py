@@ -55,6 +55,34 @@ def sliding_avg(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, customers: DataFrame, ts_col: str = "ts", width: str = "1 hour"
+) -> DataFrame:
+    """J8: stream-static join — enrich each event with its customer's
+    market segment, then tumbling-window aggregate per segment.
+
+    The static side is broadcast, so on a stream every micro-batch
+    joins map-side with zero shuffle and zero join state; this is the
+    scale-correct shape for dimension enrichment (the streaming twin of
+    the reference's per-row JDBC lookups it never had — it denormalized
+    instead, reference database_handler.py:124-128).
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "inner")
+        .groupBy(F.window(ts_col, width), "segment")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias("window_start_us"),
+            "segment",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_counts(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
     """T9/T10: session windows — state merges as events arrive within
     `gap`; the streaming twin of operators/windows.py::sessionize_events.

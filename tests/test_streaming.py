@@ -24,6 +24,7 @@ from nyc_data_pipeline_spark.streaming.sinks import (
 )
 from nyc_data_pipeline_spark.streaming.windows import (
     session_counts,
+    stream_static_enrich,
     tumbling_counts,
     with_watermark,
 )
@@ -78,6 +79,29 @@ def test_stream_session_windows(spark, sf_dir, events_json_dir):
         q.stop()
     batch = session_counts(load_table(spark, sf_dir, "events"))
     assert got_total == batch.agg(F.sum("n_events")).collect()[0][0]
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, events_json_dir):
+    """J8: events under readStream joined to the static customer dim
+    must equal the batch twin (join_stream_static registration)."""
+    cust = load_table(spark, sf_dir, "customer")
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    agg = stream_static_enrich(with_watermark(stream, "ts", "1 hour"), cust)
+    q = run_to_memory(agg, "ss_join_out", output_mode="complete")
+    try:
+        got = {
+            (r.window_start_us, r.segment): (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_start_us, r.segment): (r.n, r.total_value)
+        for r in stream_static_enrich(
+            load_table(spark, sf_dir, "events"), cust
+        ).collect()
+    }
+    assert got == want
 
 
 def test_wire_parse_chain_streaming(spark, tmp_path):

@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.setops",
     "nyc_data_pipeline_spark.operators.scalars",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
+    "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.dedup.exact",
     "nyc_data_pipeline_spark.dedup.ngram",

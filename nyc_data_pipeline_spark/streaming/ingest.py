@@ -36,11 +36,20 @@ def parse_wire_records(records: DataFrame, schema: T.StructType | None = None) -
     ).select("data.*")
 
 
+MICROS_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def file_json_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """S10: file-based streaming source — each new file is a micro-batch.
     The broker-less stand-in for the Kafka source with identical
-    downstream semantics."""
-    return spark.readStream.schema(schema).json(path)
+    downstream semantics.  Timestamps use a microsecond format: Spark's
+    default JSON format is millisecond-only, which silently truncates
+    event times on a write→stream-read roundtrip."""
+    return (
+        spark.readStream.schema(schema)
+        .option("timestampFormat", MICROS_TS_FORMAT)
+        .json(path)
+    )
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:

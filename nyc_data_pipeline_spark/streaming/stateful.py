@@ -1,0 +1,139 @@
+"""T10: custom stateful streaming — `applyInPandasWithState` — plus its
+Arrow grouped-map batch twin.
+
+The reference has no stateful operators at all (its only state is the
+Kafka consumer offset, reference spark_consumer.py:130); per-user
+analytics are recomputed post-hoc in Postgres.  This module holds the
+engine's custom-state primitive: a per-user profile that accumulates
+across micro-batches forever (running counts, first/last seen), i.e.
+the thing event-time windows deliberately *cannot* express because it
+never closes.
+
+Scale contract:
+- State is one fixed-size row per user key, partitioned by the
+  groupBy hash across executors and checkpointed by the state store —
+  growth is O(#distinct users), independent of stream length.
+- All inputs are pre-projected JVM-side to integers (`unix_micros`,
+  boolean flag), so the Arrow hop moves 3 narrow int columns, not raw
+  events.
+- Outputs are integer-only, making results bit-exact across engines
+  and arrival orders (no float-sum order sensitivity).
+
+The batch twin runs the same per-user reduction as a grouped-map
+`applyInPandas` (one Arrow batch per user group) and is registered with
+a DuckDB oracle; tests/test_streaming.py replays the events fixture
+through `applyInPandasWithState` and asserts the final state equals the
+batch twin — the streaming guarantee, demonstrated not assumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import load_table
+from ..registry import register
+
+OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, n_purchase BIGINT, "
+    "first_ts_us BIGINT, last_ts_us BIGINT, span_us BIGINT"
+)
+STATE_SCHEMA = "n BIGINT, n_purchase BIGINT, first_us BIGINT, last_us BIGINT"
+
+
+def project_user_events(events: DataFrame) -> DataFrame:
+    """JVM-side pre-projection: narrow integer columns only cross Arrow."""
+    return events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_purchase"),
+    )
+
+
+def _profile_row(user_id: Any, n: int, n_purchase: int, first_us: int, last_us: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "n_purchase": [n_purchase],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+            "span_us": [last_us - first_us],
+        }
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: grouped-map applyInPandas (one Arrow batch per user)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _profile_row(
+            pdf["user_id"].iloc[0],
+            len(pdf),
+            int(pdf["is_purchase"].sum()),
+            int(pdf["us"].min()),
+            int(pdf["us"].max()),
+        )
+
+    return project_user_events(events).groupBy("user_id").applyInPandas(fn, OUT_SCHEMA)
+
+
+def user_profile_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming: per-user state updated every micro-batch, never closed.
+
+    Emits the updated profile row for each user seen in the trigger;
+    downstream (memory/table sink in update mode) the latest row per
+    user is the live profile.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, n_purchase, first_us, last_us = state.get
+        else:
+            n, n_purchase, first_us, last_us = 0, 0, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            n_purchase += int(pdf["is_purchase"].sum())
+            lo, hi = int(pdf["us"].min()), int(pdf["us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, n_purchase, first_us, last_us))
+        yield _profile_row(key[0], n, n_purchase, first_us, last_us)
+
+    return (
+        project_user_events(stream)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+@register(
+    "stateful_user_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           MAX(epoch_us(ts)) AS last_ts_us,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 batch twin: per-user lifetime profile via Arrow grouped-map.
+    (Built-in agg would beat this plan — the registration exists to
+    certify the Arrow grouped-map path against the oracle; the
+    streaming value is in user_profile_stateful.)"""
+    return user_profile_batch(load_table(spark, sf_dir, "events"))

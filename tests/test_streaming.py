@@ -47,7 +47,9 @@ def events_json_dir(spark, sf_dir, tmp_path):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     out = tmp_path / "stream_in"
-    ev.repartition(3).write.json(str(out))
+    from nyc_data_pipeline_spark.streaming.ingest import MICROS_TS_FORMAT
+
+    ev.repartition(3).write.option("timestampFormat", MICROS_TS_FORMAT).json(str(out))
     return str(out)
 
 
@@ -100,6 +102,33 @@ def test_stream_static_join_equals_batch(spark, sf_dir, events_json_dir):
         for r in stream_static_enrich(
             load_table(spark, sf_dir, "events"), cust
         ).collect()
+    }
+    assert got == want
+
+
+def test_stateful_user_profile_stream_equals_batch(spark, sf_dir, events_json_dir):
+    """T10: applyInPandasWithState replay — the latest emitted profile
+    per user must equal the batch grouped-map twin."""
+    from nyc_data_pipeline_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_stateful,
+    )
+
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    q = run_to_memory(user_profile_stateful(stream), "stateful_out", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM stateful_out").collect()
+    finally:
+        q.stop()
+    # update-mode memory sink appends one row per (user, trigger); the
+    # live profile is the one with the highest n_events per user.
+    got = {}
+    for r in rows:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_purchase, r.first_ts_us, r.last_ts_us, r.span_us)
+    want = {
+        r.user_id: (r.n_events, r.n_purchase, r.first_ts_us, r.last_ts_us, r.span_us)
+        for r in user_profile_batch(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
 

@@ -38,6 +38,44 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 @register(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS ds,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/§5 layout: the engine's replacement for the reference's
+    Postgres DDL + B-tree indexes (reference database_handler.py:65-195)
+    is a date-partitioned parquet layout.  Writes events partitioned by
+    `ds`, reads back with a date predicate — Catalyst turns it into
+    PartitionFilters (directory pruning: at 100 TB a one-week query
+    touches 7 directories, not the table; asserted in
+    tests/test_sources.py)."""
+    out = os.path.join(
+        "/tmp", "nyc_engine_partitioned", os.path.basename(sf_dir.rstrip("/"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("ds", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "ds"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("ds") >= "2024-01-08") & (F.col("ds") < "2024-01-15"))
+        .groupBy(F.col("ds").cast("string").alias("ds"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+        )
+    )
+
+
+@register(
     "src_json_scan",
     oracle="""
     SELECT lang, source,

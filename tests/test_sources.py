@@ -90,3 +90,20 @@ def test_jdbc_gate_and_parquet_sink(spark, tmp_path):
     assert back.count() == 2
     # partition column became a directory key (pruning-capable layout)
     assert (tmp_path / "t" / "dt=2024-01-01").exists()
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    """The date predicate must become PartitionFilters (directory
+    pruning), not a post-scan filter."""
+    import io
+    import contextlib
+
+    from nyc_data_pipeline_spark.sources.scans import sink_partitioned_pruning
+
+    df = sink_partitioned_pruning(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "ds" in plan.split("PartitionFilters", 1)[1][:200]

@@ -44,6 +44,7 @@ HEADLINE = [
     # registered for correctness at sf0.01.
     "dedup_minhash_keep_one",
     "sim_topk_bruteforce",
+    "sim_topk_pandas_udf",
     "sim_topk_lsh",
     "text_quality_score",
     "text_token_count",

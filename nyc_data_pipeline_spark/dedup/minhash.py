@@ -107,8 +107,14 @@ def minhash_lsh_pairs(sets: DataFrame, threshold: float = VERIFY_THRESHOLD) -> D
         .selectExpr(
             "doc_a",
             "doc_b",
-            "CAST(size(array_intersect(ea, eb)) AS DOUBLE)"
-            " / (size(ea) + size(eb) - size(array_intersect(ea, eb))) AS jaccard",
+            "size(ea) AS na",
+            "size(eb) AS nb",
+            "size(array_intersect(ea, eb)) AS ni",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(ni AS DOUBLE) / (na + nb - ni) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
     )

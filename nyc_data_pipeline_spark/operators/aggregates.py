@@ -59,6 +59,39 @@ def ref_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_dashboard_kpis",
+    oracle=f"""
+    SELECT COUNT(*) AS total_trips,
+           {sql_davg('value')} AS avg_fare,
+           {sql_dsum('value')} AS total_revenue,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    WHERE {_BETWEEN}
+    """,
+)
+def sql_dashboard_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 read path via the SQL API: the literal dashboard SQL text
+    (reference streamlit.py:38-49 pushed its query to Postgres) runs
+    through spark.sql over the registered views — same engine surface a
+    dashboard would use, same Catalyst plan as the DataFrame twin
+    (ref_kpi_summary)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS total_trips,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+                 AS avg_fare,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events
+        WHERE {_BETWEEN}
+        """
+    )
+
+
+@register(
     "ref_vendor_performance",
     oracle=f"""
     SELECT event_type,

@@ -1,0 +1,67 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+AQE's skew-join splitting handles join-side skew automatically
+(session.py), but a pathologically hot *group key* (one key holding
+10% of 100 TB) still funnels into a single reducer under a plain
+groupBy when map-side partial aggregation can't keep up (e.g.
+high-cardinality aggregation state).  The classic fix is explicit
+salting:
+
+  phase 1: groupBy(key, salt) — the hot key fans out over N_SALTS
+           reducers, each holding 1/N of its rows;
+  phase 2: groupBy(key) over the partial results — at most N_SALTS
+           rows per key.
+
+Both phases are ordinary hash aggregations; with exact-decimal sums
+(exprs.py) the re-aggregation is bit-identical to the single-phase
+plan, which is what the DuckDB oracle certifies.  The salt is
+`pmod(hash(unique_col), N)` — deterministic, uniform, and computed
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import dec, sql_davg, sql_dsum
+from ..registry import register
+
+N_SALTS = 32
+
+
+def salted_agg(df: DataFrame, key: str, value: str, salt_src: str) -> DataFrame:
+    """Two-phase count/sum/avg of `value` per `key`, salted on
+    `salt_src` (any roughly-unique column)."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_src)), F.lit(N_SALTS)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count("*").alias("_n"),
+        F.count(value).alias("_nv"),
+        F.sum(dec(value)).alias("_s"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("total_value"),
+        (F.sum("_s").cast("double") / F.sum("_nv")).alias("avg_value"),
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the (5-key, hence maximally
+    hot) event_type column; oracle is the plain single-phase GROUP BY —
+    proving salting changes the physical distribution, never the
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(ev, "event_type", "value", "event_id")

@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.windows",
     "nyc_data_pipeline_spark.operators.setops",
     "nyc_data_pipeline_spark.operators.scalars",
+    "nyc_data_pipeline_spark.operators.skew",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

@@ -133,6 +133,39 @@ def test_stateful_user_profile_stream_equals_batch(spark, sf_dir, events_json_di
     assert got == want
 
 
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """T10: watermark-bounded streaming dedup — replayed events (every
+    event written twice across two files) collapse to one row each,
+    with state bounded by the watermark instead of growing forever."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    from nyc_data_pipeline_spark.streaming.ingest import MICROS_TS_FORMAT
+
+    src = tmp_path / "dup_stream"
+    ev.coalesce(1).write.option("timestampFormat", MICROS_TS_FORMAT).json(str(src))
+    ev.coalesce(1).write.option("timestampFormat", MICROS_TS_FORMAT).mode(
+        "append"
+    ).json(str(src))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        file_json_stream(spark, str(src), schema)
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = run_to_memory(stream, "wm_dedup_out", output_mode="append")
+    try:
+        n = spark.sql("SELECT COUNT(*) c FROM wm_dedup_out").collect()[0].c
+    finally:
+        q.stop()
+    assert n == ev.count()
+
+
 def test_wire_parse_chain_streaming(spark, tmp_path):
     """Kafka wire shape (JSON value strings) parsed + enriched under
     readStream — the reference consumer end-to-end, broker-less."""

@@ -235,6 +235,42 @@ def test_foreach_batch_sink_idempotent_restart(spark, tmp_path):
     assert sink2.batches_seen == []  # checkpoint prevented re-processing
 
 
+def test_incremental_hourly_rollup(spark, sf_dir, events_json_dir, tmp_path):
+    """Reference summary tables (database_handler.py:112-164) as an
+    incremental streaming rollup: per-epoch partials finalized at read
+    time must equal the batch aggregate over the same events exactly."""
+    from nyc_data_pipeline_spark.streaming.rollup import (
+        HourlyRollupSink,
+        finalize_hourly_rollup,
+    )
+    from nyc_data_pipeline_spark.exprs import dec
+
+    schema = EVENT_SCHEMA
+    out_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    stream = file_json_stream(spark, events_json_dir, schema)
+    q = start_foreach_batch(stream, HourlyRollupSink(out_dir), ckpt)
+    q.processAllAvailable(); q.stop()
+
+    got = {
+        r.hour: (r.trip_count, r.total_value, r.avg_value)
+        for r in finalize_hourly_rollup(spark, out_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.hour: (r.trip_count, r.total_value, r.avg_value)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("trip_count"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            (F.sum(dec("value")).cast("double") / F.count("value")).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_rate_source_smoke(spark):
     """T6: the rate source replaces producer sleep-throttling."""
     q = (

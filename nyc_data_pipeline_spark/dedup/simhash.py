@@ -6,12 +6,14 @@ the fingerprint bit.  Near-duplicates are pairs within a small Hamming
 distance.
 
 Scale shape: fingerprinting is explode → groupBy(doc) — one shuffle of
-(doc_id, hash) pairs.  Pairing here is the exact all-pairs form (fine
-for the fixture corpus and honest for the oracle); at 100 TB the
-standard trick applies unchanged on top of this output: split the
-32-bit fingerprint into 4 byte-blocks, equi-join on any equal block
-(pigeonhole: Hamming ≤ 3 ⇒ some block equal), verify bit_count on
-candidates only — the same band-then-verify shape as MinHash LSH.
+(doc_id, hash) pairs.  Pairing is band-then-verify, never all-pairs:
+the 32-bit fingerprint splits into MAX_HAMMING+1 = 7 blocks, candidates
+equi-join on any equal (block, value) — by pigeonhole, Hamming ≤ 6
+forces at least one of 7 blocks equal, so the banding is lossless and
+the exact all-pairs DuckDB oracle certifies identical output.  Exact
+bit_count verification runs on candidates only.  Same candidate-
+generation cost model as MinHash LSH: O(n·blocks) rows shuffled on
+short keys.
 """
 
 from __future__ import annotations
@@ -32,6 +34,19 @@ from ..registry import register
 
 BITS = 32
 MAX_HAMMING = 6
+
+# Pigeonhole banding: with MAX_HAMMING+1 blocks, any pair within
+# MAX_HAMMING must agree on at least one whole block.
+_WIDTHS = [5, 5, 5, 5, 4, 4, 4]  # sums to BITS; len == MAX_HAMMING + 1
+_OFFSETS = [sum(_WIDTHS[:i]) for i in range(len(_WIDTHS))]
+
+
+def _band_structs() -> str:
+    parts = [
+        f"struct({i} AS blk, (shiftright(simhash, {off}) & {(1 << w) - 1}) AS val)"
+        for i, (off, w) in enumerate(zip(_OFFSETS, _WIDTHS))
+    ]
+    return f"array({', '.join(parts)})"
 
 
 def _spark_bitsums() -> list[str]:
@@ -88,7 +103,8 @@ def simhash_fingerprints(shingle_hashes: DataFrame) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) over bigram shingles; pairs with Hamming ≤ 6."""
+    """SimHash(32) over bigram shingles; pairs with Hamming ≤ 6 via
+    lossless 7-block banding (candidates) + exact bit_count verify."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
         F.size("toks") >= 2
@@ -97,10 +113,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
     )
     fp = simhash_fingerprints(exploded)
-    a = fp.selectExpr("doc_id AS doc_a", "simhash AS ha")
-    b = fp.selectExpr("doc_id AS doc_b", "simhash AS hb")
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .selectExpr("doc_a", "doc_b", "CAST(bit_count(ha ^ hb) AS INT) AS hamming")
-        .filter(F.col("hamming") <= MAX_HAMMING)
+    # fp ends in a groupBy exchange, so both band-join branches read a
+    # ReusedExchange (no fingerprint recompute).
+    bands = fp.selectExpr(
+        "doc_id", "simhash", f"explode({_band_structs()}) AS bk"
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    a = bands.selectExpr("blk", "val", "doc_id AS doc_a", "simhash AS ha")
+    b = bands.selectExpr("blk", "val", "doc_id AS doc_b", "simhash AS hb")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
     )
+    return cand.selectExpr(
+        "doc_a", "doc_b", "CAST(bit_count(ha ^ hb) AS INT) AS hamming"
+    ).filter(F.col("hamming") <= MAX_HAMMING)

@@ -235,6 +235,62 @@ def test_foreach_batch_sink_idempotent_restart(spark, tmp_path):
     assert sink2.batches_seen == []  # checkpoint prevented re-processing
 
 
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """T10: applyInPandasWithState state is checkpoint-durable — after a
+    stop/restart with new input files, emitted profiles must include
+    counts accumulated before the restart."""
+    from nyc_data_pipeline_spark.streaming.ingest import MICROS_TS_FORMAT
+    from nyc_data_pipeline_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first, second = ev.filter(F.col("event_id") % 2 == 0), ev.filter(
+        F.col("event_id") % 2 == 1
+    )
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    first.coalesce(1).write.option("timestampFormat", MICROS_TS_FORMAT).json(str(src))
+
+    def run():
+        updates = []
+        stream = file_json_stream(spark, str(src), EVENT_SCHEMA)
+        q = (
+            user_profile_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _epoch: updates.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return updates
+
+    run()
+    second.coalesce(1).write.option("timestampFormat", MICROS_TS_FORMAT).mode(
+        "append"
+    ).json(str(src))
+    second_updates = run()
+
+    got = {}
+    for r in second_updates:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_purchase, r.first_ts_us, r.last_ts_us)
+    want = {
+        r.user_id: (r.n_events, r.n_purchase, r.first_ts_us, r.last_ts_us)
+        for r in user_profile_batch(ev).collect()
+    }
+    # Users emitted after restart carry their pre-restart state: their
+    # profile equals the batch profile over BOTH halves.
+    assert got, "restart produced no updates"
+    for uid, profile in got.items():
+        assert profile == want[uid], (uid, profile, want[uid])
+
+
 def test_incremental_hourly_rollup(spark, sf_dir, events_json_dir, tmp_path):
     """Reference summary tables (database_handler.py:112-164) as an
     incremental streaming rollup: per-epoch partials finalized at read

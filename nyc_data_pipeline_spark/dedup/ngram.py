@@ -99,6 +99,95 @@ def dedup_jaccard_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sets, _JACCARD_UNIGRAM)
 
 
+_DF_CAP_FRACTION = 0.10  # tokens present in >10% of docs are stop-tokens
+
+
+def jaccard_pairs_df_capped(
+    sets: DataFrame, threshold: float, cap: int
+) -> DataFrame:
+    """Inverted-index Jaccard over the capped vocabulary: tokens with
+    document frequency > cap are dropped from postings AND set sizes
+    (Jaccard is redefined over the kept vocabulary — the crawl-scale
+    practice).  This bounds the join cost at Σ_kept df(token)² ≤
+    #tokens·cap², eliminating the hot-token quadratic; docs left with
+    no kept tokens exit the candidate space entirely."""
+    posting = sets.select("doc_id", F.explode("elems").alias("e"))
+    keep = posting.groupBy("e").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= cap
+    )
+    capped = posting.join(keep.select("e"), "e")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, (F.col("a.e") == F.col("b.e")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _capped_sql(sets_cte: str, threshold: float) -> str:
+    return f"""
+    WITH sets AS ({sets_cte}),
+    cap AS (SELECT CAST(ceil(COUNT(*) * {_DF_CAP_FRACTION}) AS BIGINT) AS c
+            FROM sets),
+    posting0 AS (SELECT doc_id, unnest(elems) AS e FROM sets),
+    keep AS (
+        SELECT e FROM posting0 GROUP BY e
+        HAVING COUNT(*) <= (SELECT c FROM cap)
+    ),
+    posting AS (SELECT doc_id, e FROM posting0 WHERE e IN (SELECT e FROM keep)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.e = b.e AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+@register(
+    "dedup_jaccard_df_capped",
+    oracle=_capped_sql(
+        f"SELECT doc_id, list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems "
+        f"FROM documents",
+        _JACCARD_UNIGRAM,
+    ),
+)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Jaccard (θ=0.85) over the df-capped vocabulary (cap =
+    ceil(10% of corpus)) — the bounded-join form of
+    dedup_jaccard_unigram for hot-token corpora."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    cap = int(math.ceil(sets.count() * _DF_CAP_FRACTION))
+    return jaccard_pairs_df_capped(sets, _JACCARD_UNIGRAM, cap)
+
+
 @register(
     "dedup_jaccard_bigram_shingles",
     oracle=_pairs_sql(

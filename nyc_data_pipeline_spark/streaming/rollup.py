@@ -56,6 +56,57 @@ class HourlyRollupSink:
         )
 
 
+def compact_rollup(spark: SparkSession, base_path: str) -> int:
+    """Merge all closed epoch partials into one `epoch=-1` compact
+    partial (counts and decimal sums re-aggregate exactly), then remove
+    the per-epoch directories.  Keeps the partial count O(1) between
+    compactions instead of O(#epochs) over an unbounded stream; safe to
+    run while new epochs land because only directories that existed at
+    list time are merged and deleted.  In production, compact only
+    epochs at or below the checkpoint's committed offset — an
+    uncommitted epoch merged here and then replayed would double count.
+    Returns #epoch dirs compacted."""
+    import shutil
+
+    epochs = [
+        d
+        for d in os.listdir(base_path)
+        if d.startswith("epoch=") and d != "epoch=-1"
+    ]
+    if not epochs:
+        return 0
+    paths = [os.path.join(base_path, d) for d in epochs]
+    merged = (
+        spark.read.parquet(*paths)
+        .groupBy("hour")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("nv").alias("nv"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    # Fold in a previous compact partial if present.
+    compact_dir = os.path.join(base_path, "epoch=-1")
+    tmp_dir = os.path.join(base_path, "_compacting")
+    if os.path.exists(compact_dir):
+        merged = (
+            merged.unionByName(spark.read.parquet(compact_dir))
+            .groupBy("hour")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("nv").alias("nv"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+        )
+    merged.write.mode("overwrite").parquet(tmp_dir)
+    for p in paths:
+        shutil.rmtree(p)
+    if os.path.exists(compact_dir):
+        shutil.rmtree(compact_dir)
+    os.rename(tmp_dir, compact_dir)
+    return len(epochs)
+
+
 def finalize_hourly_rollup(spark: SparkSession, base_path: str) -> DataFrame:
     """Merge all epoch partials into the live rollup table: exact
     re-aggregation (decimal sums add associatively; counts add)."""

@@ -307,6 +307,17 @@ def test_incremental_hourly_rollup(spark, sf_dir, events_json_dir, tmp_path):
     q = start_foreach_batch(stream, HourlyRollupSink(out_dir), ckpt)
     q.processAllAvailable(); q.stop()
 
+    # Compacting the epoch partials must not change the finalized table.
+    from nyc_data_pipeline_spark.streaming.rollup import compact_rollup
+
+    pre = {r.hour: (r.trip_count, r.total_value) for r in
+           finalize_hourly_rollup(spark, out_dir).collect()}
+    assert compact_rollup(spark, out_dir) > 0
+    post = {r.hour: (r.trip_count, r.total_value) for r in
+            finalize_hourly_rollup(spark, out_dir).collect()}
+    assert pre == post
+    assert compact_rollup(spark, out_dir) == 0  # nothing left to compact
+
     got = {
         r.hour: (r.trip_count, r.total_value, r.avg_value)
         for r in finalize_hourly_rollup(spark, out_dir).collect()

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..exprs import sql_davg, sql_dsum
 from ..registry import register
-from .windows import session_counts, sliding_avg, stream_static_enrich, tumbling_counts
+from .windows import (
+    click_purchase_join,
+    session_counts,
+    sliding_avg,
+    stream_static_enrich,
+    tumbling_counts,
+)
 
 
 @register(
@@ -103,6 +109,33 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events side under readStream."""
     return stream_static_enrich(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "join_stream_stream",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 stream-stream join, batch twin: purchase attribution to a
+    prior click within 1h; tests/test_streaming.py runs the identical
+    function with both sides under readStream + watermarks."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
     )
 
 

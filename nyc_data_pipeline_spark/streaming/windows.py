@@ -83,6 +83,43 @@ def stream_static_enrich(
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "INTERVAL 1 HOUR"
+) -> DataFrame:
+    """J8 stream-stream join: purchases attributed to a prior click by
+    the same user within `within`.
+
+    On streams both sides carry watermarks and the time-bound predicate
+    lets Spark evict join state once the watermark passes click_ts +
+    within — state is bounded by (events in the window), not the stream
+    length.  Identical plan semantics on batch frames, which is what
+    the DuckDB oracle referees.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"click_ts + {within}")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+    )
+
+
 def session_counts(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
     """T9/T10: session windows — state merges as events arrive within
     `gap`; the streaming twin of operators/windows.py::sessionize_events.

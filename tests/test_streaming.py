@@ -106,6 +106,37 @@ def test_stream_static_join_equals_batch(spark, sf_dir, events_json_dir):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_json_dir):
+    """J8: both sides under readStream with watermarks; the attributed
+    (click, purchase) pair set must equal the batch twin."""
+    from nyc_data_pipeline_spark.streaming.windows import click_purchase_join
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = sides(file_json_stream(spark, events_json_dir, EVENT_SCHEMA))
+    joined = click_purchase_join(
+        s_clicks.withWatermark("ts", "2 hours"), s_purch.withWatermark("ts", "2 hours")
+    )
+    q = run_to_memory(joined, "ss_join2_out", output_mode="append")
+    try:
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ss_join2_out").collect()
+        }
+    finally:
+        q.stop()
+    b_clicks, b_purch = sides(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in click_purchase_join(b_clicks, b_purch).collect()
+    }
+    assert got == want
+
+
 def test_stateful_user_profile_stream_equals_batch(spark, sf_dir, events_json_dir):
     """T10: applyInPandasWithState replay — the latest emitted profile
     per user must equal the batch grouped-map twin."""

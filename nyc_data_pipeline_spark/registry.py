@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.brute_force",
     "nyc_data_pipeline_spark.similarity.lsh",
     "nyc_data_pipeline_spark.similarity.pandas_path",
+    "nyc_data_pipeline_spark.similarity.ivf",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
 ]

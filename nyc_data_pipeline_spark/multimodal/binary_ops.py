@@ -103,6 +103,61 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64
+SAMPLE_EVERY = 2
+THUMB_BYTES = 32
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    frames AS (
+        SELECT doc_id, n_bytes, h,
+               unnest(generate_series(0, CAST(ceil(n_bytes / {FRAME_BYTES}.0) AS BIGINT) - 1))
+                 AS fidx
+        FROM b
+    )
+    SELECT doc_id, fidx,
+           CAST(len(substring(h, CAST(fidx * {2 * FRAME_BYTES} + 1 AS BIGINT),
+                              {2 * FRAME_BYTES})) / 2 AS INTEGER) AS frame_len,
+           md5(substring(h, CAST(fidx * {2 * FRAME_BYTES} + 1 AS BIGINT),
+               {2 * FRAME_BYTES})) AS frame_md5,
+           md5(substring(h, 1, {2 * THUMB_BYTES})) AS thumb_md5
+    FROM frames
+    WHERE fidx % {SAMPLE_EVERY} = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + byte-budget 'resize' over the binary payload —
+    the video/audio access pattern: fixed-size byte frames, every
+    SAMPLE_EVERY-th kept, plus a truncated thumbnail digest.  All
+    JVM-side (binary substring + explode; payload bytes never cross to
+    Python); the oracle reproduces the slices over the hex encoding,
+    certifying the binary arithmetic byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    b = attach_binary_payload(d).filter(F.col("meta.n_bytes") > 0)
+    frames = b.selectExpr(
+        "doc_id",
+        "payload",
+        f"explode(sequence(0, CAST(ceil(meta.n_bytes / {FRAME_BYTES}.0) AS BIGINT) - 1))"
+        " AS fidx",
+    ).filter(F.col("fidx") % SAMPLE_EVERY == 0)
+    return frames.selectExpr(
+        "doc_id",
+        "fidx",
+        f"octet_length(substring(payload, CAST(fidx * {FRAME_BYTES} + 1 AS INT), "
+        f"{FRAME_BYTES})) AS frame_len",
+        f"md5(encode(hex(substring(payload, CAST(fidx * {FRAME_BYTES} + 1 AS INT), "
+        f"{FRAME_BYTES})), 'utf-8')) AS frame_md5",
+        f"md5(encode(hex(substring(payload, 1, {THUMB_BYTES})), 'utf-8')) AS thumb_md5",
+    )
+
+
 @register("mm_decode_features")
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode path end-to-end (binary column → Arrow batches →

@@ -89,3 +89,55 @@ def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT / dropDuplicates — hash aggregate on the key columns."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "set_union_schema_drift",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, NULL AS quality_tier FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, NULL AS source, n_chars,
+           CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS quality_tier
+    FROM documents
+    """,
+)
+def set_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): the schema-evolution union
+    a crawl pipeline needs when snapshot N+1 adds/drops columns — missing
+    columns null-fill by NAME, never by position (the positional-union
+    silent-corruption class of bug)."""
+    d = load_table(spark, sf_dir, "documents")
+    old_snapshot = d.select("doc_id", "lang", "source", "n_chars")
+    new_snapshot = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("quality_tier"),
+    )
+    return old_snapshot.unionByName(new_snapshot, allowMissingColumns=True)
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_decile,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 via the real pivot API: groupBy().pivot(values=...).count().
+    Passing explicit pivot values skips the extra distinct-values scan
+    Spark otherwise runs — the required form at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )

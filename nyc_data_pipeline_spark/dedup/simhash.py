@@ -79,6 +79,77 @@ def simhash_fingerprints(shingle_hashes: DataFrame) -> DataFrame:
     return sums.selectExpr("doc_id", f"{_fingerprint_expr()} AS simhash")
 
 
+def _bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
+        F.size("toks") >= 2
+    )
+    exploded = toks.selectExpr(
+        "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
+    )
+    fp = simhash_fingerprints(exploded)
+    return fp.selectExpr(
+        "doc_id", "simhash", f"explode({_band_structs()}) AS bk"
+    ).select(
+        "doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    )
+
+
+def _keep_one_sql_prefix() -> str:
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {i} AS blk, (simhash >> {off}) & {(1 << w) - 1} AS val FROM fp"
+        for i, (off, w) in enumerate(zip(_OFFSETS, _WIDTHS))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest({duck_token_hashes(duck_bigrams('toks'))}) AS t
+        FROM toks WHERE len(toks) >= 2
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_duck_bitsums()}
+        FROM sh GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {_fingerprint_expr()} AS simhash FROM sums),
+    bands AS (
+        {band_selects}
+    ),
+    bucket_reps AS (
+        SELECT blk, val, min(doc_id) AS bucket_rep FROM bands GROUP BY blk, val
+    )
+    """
+
+
+@register(
+    "dedup_simhash_keep_one",
+    oracle=_keep_one_sql_prefix()
+    + """
+    SELECT b.doc_id, min(r.bucket_rep) AS rep_id
+    FROM bands b
+    JOIN bucket_reps r ON b.blk = r.blk AND b.val = r.val
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_simhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SimHash dedup: every doc gets the min doc_id over its
+    7 band buckets as canonical representative — O(n·blocks) rows
+    shuffled regardless of duplicate-cluster size (pair emission is
+    Ω(#pairs) = quadratic in cluster size; measured in
+    scripts/scale_probe.py).  LSH-only merge semantics (no Hamming
+    verify), same accepted trade as dedup_minhash_keep_one."""
+    bands = _bands_frame(spark, sf_dir)
+    bucket_reps = bands.groupBy("blk", "val").agg(F.min("doc_id").alias("bucket_rep"))
+    return (
+        bands.join(bucket_reps, ["blk", "val"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""

@@ -62,6 +62,54 @@ def probe(spark, k: int) -> dict[str, float]:
     ev = scaled(load_table(spark, SF_DIR, "events"), "user_id", k, 10**9)
     run("sessionize", session_counts(ev))
 
+    from nyc_data_pipeline_spark.dedup.ngram import jaccard_pairs_df_capped
+    from nyc_data_pipeline_spark.dedup.simhash import (
+        _band_structs,
+        simhash_fingerprints,
+    )
+    from nyc_data_pipeline_spark.functions.text import spark_bigrams
+    from nyc_data_pipeline_spark.streaming.windows import click_purchase_join
+
+    # NOTE: key-shifted document copies are textual clones, so duplicate
+    # CLUSTERS grow k× here and any pair-emitting dedup measures Ω(k²)
+    # by construction (verified: banded simhash pairs 2.2s → 223s at
+    # 32×).  The probe therefore measures the keep-one forms — the
+    # shapes actually deployed at scale.
+    docs2 = scaled(load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9)
+    toks = docs2.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
+        F.size("toks") >= 2
+    )
+    fp = simhash_fingerprints(
+        toks.selectExpr(
+            "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
+        )
+    )
+    bands = fp.selectExpr(
+        "doc_id", "simhash", f"explode({_band_structs()}) AS bk"
+    ).select("doc_id", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    bucket_reps = bands.groupBy("blk", "val").agg(F.min("doc_id").alias("bucket_rep"))
+    run(
+        "simhash_keep_one",
+        bands.join(bucket_reps, ["blk", "val"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id")),
+    )
+
+    sets2 = docs2.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    cap = int(__import__("math").ceil(sets2.count() * 0.10))
+    run("jaccard_df_capped", jaccard_pairs_df_capped(sets2, 0.85, cap))
+
+    run(
+        "stream_stream_join",
+        click_purchase_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ),
+    )
+
     return times
 
 

@@ -55,3 +55,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= THRESHOLD)
     )
+
+
+# --- LSH keep-one scale path ----------------------------------------------
+#
+# Banded sign-random-projection buckets (3 bands x 8 fixed hyperplanes)
+# with min-doc-id representative assignment — the linear form of
+# embedding dedup (same keep-one semantics as dedup/minhash.py and
+# dedup/simhash.py): O(n·bands) rows shuffled on short bucket keys, no
+# pair materialization.  Vectors agreeing with a smaller-id vector on
+# all 8 signs of any band merge into its group; band count trades merge
+# recall against bucket collision, recall is deterministic and the
+# DuckDB oracle reproduces it exactly.
+
+import random as _random
+
+_N_BANDS = 3
+_PLANES_PER_BAND = 8
+_DIM = 64
+
+_drng = _random.Random(11)
+_DEDUP_BANDS = [
+    [
+        [round(_drng.gauss(0.0, 1.0), 4) for _ in range(_DIM)]
+        for _ in range(_PLANES_PER_BAND)
+    ]
+    for _ in range(_N_BANDS)
+]
+
+
+def _sp_plane(p):
+    return f"array({', '.join(repr(x) for x in p)})"
+
+
+def _dk_plane(p):
+    return f"[{', '.join(repr(x) for x in p)}]"
+
+
+def _sp_band_bucket(band):
+    terms = " + ".join(
+        f"(CASE WHEN {spark_dot('embedding', _sp_plane(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(band)
+    )
+    return f"({terms})"
+
+
+def _dk_band_bucket(band):
+    terms = " + ".join(
+        f"(CASE WHEN {duck_dot('embedding', _dk_plane(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(band)
+    )
+    return f"({terms})"
+
+
+def _keep_one_oracle() -> str:
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {b} AS band, {_dk_band_bucket(band)} AS bucket FROM embeddings"
+        for b, band in enumerate(_DEDUP_BANDS)
+    )
+    return f"""
+    WITH bands AS (
+        {band_selects}
+    ),
+    bucket_reps AS (
+        SELECT band, bucket, min(vec_id) AS bucket_rep
+        FROM bands GROUP BY band, bucket
+    )
+    SELECT b.vec_id, min(r.bucket_rep) AS rep_id
+    FROM bands b
+    JOIN bucket_reps r ON b.band = r.band AND b.bucket = r.bucket
+    GROUP BY b.vec_id
+    """
+
+
+@register("dedup_embedding_lsh_keep_one", oracle=_keep_one_oracle())
+def dedup_embedding_lsh_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear embedding dedup: (vec_id, rep_id) canonical-representative
+    assignment via banded hyperplane-sign buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_sp_band_bucket(band)} AS bucket)"
+        for b, band in enumerate(_DEDUP_BANDS)
+    )
+    bands = e.selectExpr(
+        "vec_id", f"explode(array({band_structs})) AS bk"
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    reps = bands.groupBy("band", "bucket").agg(F.min("vec_id").alias("bucket_rep"))
+    return (
+        bands.join(reps, ["band", "bucket"])
+        .groupBy("vec_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )

@@ -273,3 +273,39 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("p_name").alias("name_md5"),
         F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
     )
+
+
+@register(
+    "fn_map_suite",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CASE event_type
+                WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                ELSE 0.0 END AS weight,
+           CASE event_type
+                WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                ELSE 0.0 END * value AS weighted_value,
+           4 AS n_weights,
+           'click,purchase,signup,view' AS known_types
+    FROM events
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 map suite: map construction + element_at lookup (null →
+    coalesce default), size, sorted map_keys — the literal-lookup-table
+    pattern that replaces a broadcast join for tiny static mappings."""
+    ev = load_table(spark, sf_dir, "events")
+    weights = (
+        "map('click', 1.0D, 'view', 0.5D, 'purchase', 5.0D, 'signup', 3.0D)"
+    )
+    return ev.selectExpr(
+        "event_id",
+        "event_type",
+        f"coalesce(element_at({weights}, event_type), 0.0D) AS weight",
+        f"coalesce(element_at({weights}, event_type), 0.0D) * value AS weighted_value",
+        f"size({weights}) AS n_weights",
+        f"array_join(array_sort(map_keys({weights})), ',') AS known_types",
+    )

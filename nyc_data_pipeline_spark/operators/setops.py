@@ -141,3 +141,46 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicities subtract instead of
+    collapsing — the form that preserves row counts for reconciliation
+    jobs (distinct EXCEPT would silently drop duplicates)."""
+    o = load_table(spark, sf_dir, "orders")
+    all_rows = o.select("o_orderstatus", "o_orderpriority")
+    removed = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return all_rows.exceptAll(removed)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): min of multiplicities."""
+    o = load_table(spark, sf_dir, "orders")
+    evens = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    thirds = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return evens.intersectAll(thirds)

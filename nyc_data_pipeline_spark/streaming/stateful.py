@@ -118,6 +118,62 @@ def user_profile_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+TTL_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, status STRING"
+TTL_STATE_SCHEMA = "n BIGINT, last_us BIGINT"
+TTL_MS = 3_600_000  # evict a user 1h (event time) after their last event
+
+
+def user_counts_with_ttl(stream: DataFrame) -> DataFrame:
+    """Bounded-state per-key counting on an unbounded keyspace: each
+    user's state carries an event-time TTL; when the watermark passes
+    last_seen + TTL the state times out, emits a final ("evicted") row,
+    and is removed from the store.  This is the pattern that keeps
+    per-key state finite when the keyspace grows forever (the forever-
+    profile in user_profile_stateful deliberately never evicts; this is
+    its production complement).  Requires withWatermark upstream."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["evicted"]}
+            )
+            return
+        n, last_us = (state.get if state.exists else (0, 0))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["us"].max()))
+        state.update((n, last_us))
+        # Clamp above the current watermark: late-arriving data for an
+        # almost-expired key would otherwise compute a timeout in the
+        # past, which the state store rejects.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + TTL_MS, wm + 1))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "status": ["live"]}
+        )
+
+    # Keep the watermarked ts column through the projection — dropping
+    # it would strip the watermark EventTimeTimeout requires.
+    proj = stream.select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return proj.groupBy("user_id").applyInPandasWithState(
+        update,
+        TTL_OUT_SCHEMA,
+        TTL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 @register(
     "stateful_user_profile",
     oracle="""

@@ -322,6 +322,63 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
         assert profile == want[uid], (uid, profile, want[uid])
 
 
+def test_stateful_ttl_evicts_idle_keys(spark, tmp_path):
+    """T10: event-time TTL — once the watermark passes last_seen + 1h,
+    idle users' state is evicted with a final row (bounded state on an
+    unbounded keyspace)."""
+    import datetime as dt
+    import json as _json
+
+    from nyc_data_pipeline_spark.streaming.stateful import user_counts_with_ttl
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        (tmp_path / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def ev(eid, hours, uid):
+        return {
+            "event_id": eid,
+            "ts": (t0 + dt.timedelta(hours=hours)).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+            "user_id": uid,
+            "event_type": "click",
+            "value": 1.0,
+        }
+
+    # batch 1: users 1,2 at hour 0; batch 2: user 10 at hour 6 (advances
+    # watermark past hour 0 + 1h TTL); batch 3: user 20 at hour 7
+    # (timeouts fire against the batch-2 watermark → users 1,2 evict).
+    # Distinct mtimes pin the file-source batch order (oldest first).
+    import os as _os
+
+    write_file("a.jsonl", [ev(1, 0, 1), ev(2, 0, 1), ev(3, 0, 2)])
+    write_file("b.jsonl", [ev(10, 6, 10)])
+    write_file("c.jsonl", [ev(20, 7, 20)])
+    for i, name in enumerate(("a.jsonl", "b.jsonl", "c.jsonl")):
+        _os.utime(tmp_path / name, (1000 * (i + 1), 1000 * (i + 1)))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    out = user_counts_with_ttl(stream.withWatermark("ts", "1 hour"))
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, _e: rows.extend(bdf.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    evicted = {r.user_id: r.n_events for r in rows if r.status == "evicted"}
+    assert evicted == {1: 2, 2: 1}
+    live = {r.user_id for r in rows if r.status == "live"}
+    assert {10, 20} <= live
+
+
 def test_incremental_hourly_rollup(spark, sf_dir, events_json_dir, tmp_path):
     """Reference summary tables (database_handler.py:112-164) as an
     incremental streaming rollup: per-epoch partials finalized at read

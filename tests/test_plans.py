@@ -67,3 +67,22 @@ def test_enrichment_is_single_codegen_projection(spark, sf_dir):
     p = plan_str(QUERIES["ref_trip_enrichment"](spark, sf_dir))
     assert "Exchange" not in p  # stateless chain: zero shuffles
     assert "codegen id : 1" in p  # one whole-stage-codegen span
+
+
+def test_results_invariant_to_shuffle_partitions(spark, sf_dir):
+    """Decimal-exact aggregation makes results independent of the
+    partition count / combine order — the property that lets the same
+    query run on 32 or 20,000 shuffle partitions unchanged."""
+    from nyc_data_pipeline_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["q1_pricing_summary"]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b

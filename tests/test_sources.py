@@ -107,3 +107,27 @@ def test_partitioned_write_prunes(spark, sf_dir):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "ds" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_kafka_wire_roundtrip_lossless(spark, sf_dir):
+    """S4→P1: to_kafka_records output must parse back through the
+    consumer path (from_json) to the original rows exactly."""
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.streaming.ingest import parse_wire_records
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    wire = to_kafka_records(ev, key_col="user_id")
+    back = parse_wire_records(wire, schema)
+    orig = {tuple(r) for r in ev.collect()}
+    rt = {tuple(r) for r in back.collect()}
+    assert rt == orig

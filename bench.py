@@ -46,8 +46,13 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_pandas_udf",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "text_quality_score",
     "text_token_count",
+    "join_stream_stream",
+    "agg_skew_salted",
+    "dedup_simhash_keep_one",
+    "mm_frame_sample",
 ]
 
 

@@ -150,11 +150,11 @@ def ref_hourly_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_pivoted_counts",
     oracle="""
     SELECT
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_trips,
-      SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_trips,
-      SUM(CASE WHEN value <= 50  THEN 1 ELSE 0 END) AS short_trips,
-      SUM(CASE WHEN value > 50 AND value <= 150 THEN 1 ELSE 0 END) AS medium_trips,
-      SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS long_trips
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_trips,
+      CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click_trips,
+      CAST(SUM(CASE WHEN value <= 50  THEN 1 ELSE 0 END) AS BIGINT) AS short_trips,
+      CAST(SUM(CASE WHEN value > 50 AND value <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS medium_trips,
+      CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS long_trips
     FROM events
     """,
 )

@@ -43,7 +43,7 @@ DOCUMENTS_SCHEMA = T.StructType(
     SELECT strftime(ts, '%Y-%m-%d') AS ds,
            event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
     GROUP BY 1, 2
@@ -80,8 +80,8 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(length(text)) AS total_text_len
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
     FROM documents
     GROUP BY lang, source
     """,

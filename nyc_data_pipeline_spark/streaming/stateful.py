@@ -179,7 +179,7 @@ def user_counts_with_ttl(stream: DataFrame) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            MIN(epoch_us(ts)) AS first_ts_us,
            MAX(epoch_us(ts)) AS last_ts_us,
            MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us

@@ -62,6 +62,21 @@ def compare_frames(
     if errors:
         return errors
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
+    # The driver hashes the pandas-converted values, so an int64 Spark
+    # column vs a float64 oracle column (DuckDB HUGEINT → float64, e.g.
+    # SUM over integers) hash-mismatches even though 1981 == 1981.0.
+    # Mirror that strictness here: integer-vs-float dtype kinds differ
+    # is a failure on its own.
+    for col in s.columns:
+        sk, ok = s[col].dtype.kind, o[col].dtype.kind
+        if (sk in "iu") != (ok in "iu") and {sk, ok} <= set("iuf"):
+            errors.append(
+                f"col {col!r} dtype family: spark={s[col].dtype} "
+                f"oracle={o[col].dtype} (driver hash would diverge; "
+                f"CAST the oracle aggregate, e.g. SUM→BIGINT)"
+            )
+    if errors:
+        return errors
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
@@ -73,8 +88,6 @@ def compare_frames(
                 same = (a == b) or (
                     float_tol > 0 and abs(float(a) - float(b)) <= float_tol
                 )
-                if not same and a and b:
-                    same = False
             elif isinstance(a, (list, tuple)) or hasattr(a, "tolist"):
                 same = list(a) == list(b)
             else:
@@ -96,6 +109,13 @@ def check_query(spark, name: str, sf_dir: str, float_tol: float = 0.0) -> list[s
     fn = registry.QUERIES[name]
     spark_pdf = fn(spark, sf_dir).toPandas()
     if name not in registry.ORACLE:
-        return [] if len(spark_pdf) >= 0 else ["query failed"]
+        # Rows-only queries still must produce something with a schema;
+        # an empty frame would sail through the driver's weak check
+        # while meaning the operator did nothing.
+        if len(spark_pdf.columns) == 0:
+            return ["no-oracle query returned no columns"]
+        if len(spark_pdf) == 0:
+            return ["no-oracle query returned 0 rows"]
+        return []
     oracle_pdf = run_oracle(registry.ORACLE[name], sf_dir)
     return compare_frames(spark_pdf, oracle_pdf, float_tol=float_tol)

@@ -99,11 +99,17 @@ def minhash_lsh_pairs(sets: DataFrame, threshold: float = VERIFY_THRESHOLD) -> D
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Plain shuffle joins to fetch the token sets for verification:
+    # `sets` is corpus-sized, so broadcasting it would OOM executors at
+    # the module's claimed scale; the shuffle is bounded by the (small)
+    # candidate set on the probe side and by one corpus pass on the
+    # build side, which already sits hash-partitioned on doc_id from
+    # the repartition barrier above (ReusedExchange, no second shuffle).
     ta = sets.selectExpr("doc_id AS ida", "elems AS ea")
     tb = sets.selectExpr("doc_id AS idb", "elems AS eb")
     return (
-        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ida"))
-        .join(F.broadcast(tb), F.col("doc_b") == F.col("idb"))
+        cand.join(ta, F.col("doc_a") == F.col("ida"))
+        .join(tb, F.col("doc_b") == F.col("idb"))
         .selectExpr(
             "doc_a",
             "doc_b",

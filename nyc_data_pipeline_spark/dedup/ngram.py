@@ -64,11 +64,15 @@ def jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is one row per document — corpus-sized, so no broadcast
+    # (an executor-resident copy of a 100 TB corpus's doc list would
+    # OOM).  The pairs side dominates cost anyway; these joins shuffle
+    # at most one (doc_id, sz) row per doc.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -123,10 +127,10 @@ def jaccard_pairs_df_capped(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")  # corpus-sized: no broadcast
     return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

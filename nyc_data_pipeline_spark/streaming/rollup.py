@@ -39,35 +39,82 @@ class HourlyRollupSink:
         self.value_col = value_col
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        partial = (
-            batch_df.groupBy(
-                F.date_trunc("hour", F.col(self.ts_col).cast("timestamp")).alias("hour")
+        # Persist the micro-batch so the emptiness probe and the write
+        # share one source scan — foreachBatch re-executes the batch
+        # plan for every action otherwise (the double-execution trap
+        # the reference hits re-reading Kafka per sink).
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            partial = (
+                batch_df.groupBy(
+                    F.date_trunc(
+                        "hour", F.col(self.ts_col).cast("timestamp")
+                    ).alias("hour")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.count(self.value_col).alias("nv"),
+                    F.sum(dec(self.value_col)).alias("sum_dec"),
+                )
             )
-            .agg(
-                F.count("*").alias("n"),
-                F.count(self.value_col).alias("nv"),
-                F.sum(dec(self.value_col)).alias("sum_dec"),
+            partial.write.mode("overwrite").parquet(
+                os.path.join(self.base_path, f"epoch={epoch_id}")
             )
-        )
-        if not partial.take(1):
-            return
-        partial.write.mode("overwrite").parquet(
-            os.path.join(self.base_path, f"epoch={epoch_id}")
-        )
+        finally:
+            batch_df.unpersist()
+
+
+def _recover_compaction(base_path: str) -> None:
+    """Finish (or discard) an interrupted compaction.
+
+    Protocol state on disk decides:
+    - manifest present → the merged output in `_compacting` is the
+      committed truth; delete any listed source dirs that survived the
+      crash, promote `_compacting` to `epoch=-1`, drop the manifest.
+    - `_compacting` present without a manifest → the merge never
+      committed; sources are intact, so the tmp output is garbage.
+    """
+    import json
+    import shutil
+
+    manifest = os.path.join(base_path, "_compact_manifest.json")
+    tmp_dir = os.path.join(base_path, "_compacting")
+    compact_dir = os.path.join(base_path, "epoch=-1")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            sources = json.load(f)["sources"]
+        for p in sources:
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        if os.path.exists(tmp_dir):
+            if os.path.exists(compact_dir):
+                shutil.rmtree(compact_dir)
+            os.rename(tmp_dir, compact_dir)
+        os.remove(manifest)
+    elif os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
 
 
 def compact_rollup(spark: SparkSession, base_path: str) -> int:
     """Merge all closed epoch partials into one `epoch=-1` compact
     partial (counts and decimal sums re-aggregate exactly), then remove
     the per-epoch directories.  Keeps the partial count O(1) between
-    compactions instead of O(#epochs) over an unbounded stream; safe to
-    run while new epochs land because only directories that existed at
-    list time are merged and deleted.  In production, compact only
-    epochs at or below the checkpoint's committed offset — an
-    uncommitted epoch merged here and then replayed would double count.
-    Returns #epoch dirs compacted."""
+    compactions instead of O(#epochs) over an unbounded stream.
+
+    Crash-safe: the merged output is written to a Spark-ignored tmp dir,
+    then a manifest naming the source dirs is atomically installed —
+    that rename is the commit point.  A crash before it leaves sources
+    untouched (tmp is garbage, reclaimed next run); a crash after it is
+    completed by ``_recover_compaction`` on the next call.  In
+    production, compact only epochs at or below the checkpoint's
+    committed offset — an uncommitted epoch merged here and then
+    replayed would double count.  Returns #epoch dirs compacted."""
+    import json
     import shutil
 
+    _recover_compaction(base_path)
     epochs = [
         d
         for d in os.listdir(base_path)
@@ -88,7 +135,9 @@ def compact_rollup(spark: SparkSession, base_path: str) -> int:
     # Fold in a previous compact partial if present.
     compact_dir = os.path.join(base_path, "epoch=-1")
     tmp_dir = os.path.join(base_path, "_compacting")
+    sources = list(paths)
     if os.path.exists(compact_dir):
+        sources.append(compact_dir)
         merged = (
             merged.unionByName(spark.read.parquet(compact_dir))
             .groupBy("hour")
@@ -99,11 +148,18 @@ def compact_rollup(spark: SparkSession, base_path: str) -> int:
             )
         )
     merged.write.mode("overwrite").parquet(tmp_dir)
+    # Commit point: manifest install is a single atomic rename.
+    manifest = os.path.join(base_path, "_compact_manifest.json")
+    manifest_tmp = manifest + ".tmp"
+    with open(manifest_tmp, "w") as f:
+        json.dump({"sources": sources}, f)
+    os.rename(manifest_tmp, manifest)
     for p in paths:
         shutil.rmtree(p)
     if os.path.exists(compact_dir):
         shutil.rmtree(compact_dir)
     os.rename(tmp_dir, compact_dir)
+    os.remove(manifest)
     return len(epochs)
 
 

@@ -426,6 +426,64 @@ def test_incremental_hourly_rollup(spark, sf_dir, events_json_dir, tmp_path):
     assert got == want
 
 
+def test_rollup_compaction_crash_recovery(spark, events_json_dir, tmp_path):
+    """compact_rollup is crash-safe: a tmp dir with no manifest is
+    pre-commit garbage (discarded); a manifest is the commit point, so
+    recovery finishes deletes + promote.  Finalized values must be
+    identical through every simulated crash window."""
+    import json
+    import shutil
+
+    from nyc_data_pipeline_spark.streaming.rollup import (
+        HourlyRollupSink,
+        compact_rollup,
+        finalize_hourly_rollup,
+    )
+
+    out_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    q = start_foreach_batch(stream, HourlyRollupSink(out_dir), ckpt)
+    q.processAllAvailable(); q.stop()
+
+    truth = {r.hour: (r.trip_count, r.total_value) for r in
+             finalize_hourly_rollup(spark, out_dir).collect()}
+    assert truth
+
+    # Window 1: crash after writing the merge output but BEFORE the
+    # manifest commit.  The stale tmp (here: a copy of a real epoch,
+    # which would double-count if wrongly folded in) must be discarded.
+    some_epoch = next(
+        d for d in os.listdir(out_dir) if d.startswith("epoch=")
+    )
+    shutil.copytree(
+        os.path.join(out_dir, some_epoch), os.path.join(out_dir, "_compacting")
+    )
+    assert compact_rollup(spark, out_dir) > 0
+    after1 = {r.hour: (r.trip_count, r.total_value) for r in
+              finalize_hourly_rollup(spark, out_dir).collect()}
+    assert after1 == truth
+
+    # Window 2: crash AFTER the manifest commit, mid-delete.  State:
+    # merged output sits in _compacting, one listed source survived
+    # (epoch=99, a double-count hazard), epoch=-1 already deleted.
+    compact_dir = os.path.join(out_dir, "epoch=-1")
+    survivor = os.path.join(out_dir, "epoch=99")
+    shutil.copytree(compact_dir, survivor)
+    os.rename(compact_dir, os.path.join(out_dir, "_compacting"))
+    manifest = os.path.join(out_dir, "_compact_manifest.json")
+    with open(manifest, "w") as f:
+        json.dump(
+            {"sources": [survivor, os.path.join(out_dir, "epoch=already-gone")]},
+            f,
+        )
+    assert compact_rollup(spark, out_dir) == 0  # recovery only
+    assert not os.path.exists(survivor)
+    assert not os.path.exists(manifest)
+    after2 = {r.hour: (r.trip_count, r.total_value) for r in
+              finalize_hourly_rollup(spark, out_dir).collect()}
+    assert after2 == truth
+
+
 def test_rate_source_smoke(spark):
     """T6: the rate source replaces producer sleep-throttling."""
     q = (

@@ -43,16 +43,20 @@ HEADLINE = [
     # size, which no engine survives at 100 TB. The pair variant stays
     # registered for correctness at sf0.01.
     "dedup_minhash_keep_one",
+    "dedup_minhash_closure",
     "sim_topk_bruteforce",
     "sim_topk_pandas_udf",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
     "text_quality_score",
     "text_token_count",
     "join_stream_stream",
     "agg_skew_salted",
     "dedup_simhash_keep_one",
     "mm_frame_sample",
+    # decimal-contract sink: write + readback, measures the S5/S8 boundary
+    "sink_decimal_contract",
 ]
 
 

@@ -167,6 +167,101 @@ def minhash_lsh_keep_one(sets: DataFrame) -> DataFrame:
     )
 
 
+def minhash_closure(sets: DataFrame, iters: int = 3) -> DataFrame:
+    """Keep-one dedup with bounded transitive closure.
+
+    Single-hop min-propagation (``minhash_lsh_keep_one``) leaves chained
+    duplicates A~B~C with distinct reps when A and C share no bucket.
+    This iterates the same two hash-aggs: each round, every bucket takes
+    the min of its members' current reps, and every doc takes the min
+    over its buckets — labels propagate one hop per round, monotonically
+    decreasing.  ``iters`` is fixed (not until-convergence) so the run
+    is deterministic and the oracle can unroll the identical rounds;
+    chains longer than ``iters`` hops keep distinct reps (documented,
+    same acceptance as the single-hop form).  Cost: 2 shuffles per
+    round over O(n·BANDS) rows — linear in corpus size, independent of
+    cluster sizes.  At 100 TB run the same loop with a convergence
+    count-check per round and a localCheckpoint every few rounds to
+    truncate lineage.
+    """
+    sets = sets.repartition("doc_id")
+    sigs = sets.selectExpr("doc_id", *[_spark_sig(i) for i in range(K)])
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # bands is referenced 2·iters+1 times, but the expensive part
+    # (tokenization) sits BELOW the repartition exchange, so Spark's
+    # ReuseExchange computes it once and every reference reads the
+    # shuffle files.  Measured at sf0.1: this beats persist() (3.2 s vs
+    # 4.4 s steady-state) and leaks no cache between invocations.
+    labels = bands.select("doc_id").distinct().withColumn("rep_id", F.col("doc_id"))
+    for _ in range(iters):
+        bl = bands.join(labels, "doc_id")
+        bucket_min = bl.groupBy("band", "bkey").agg(F.min("rep_id").alias("bmin"))
+        labels = (
+            bl.join(bucket_min, ["band", "bkey"])
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("rep_id"))
+        )
+    return labels
+
+
+def _oracle_closure(iters: int = 3) -> str:
+    sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
+        for b in range(BANDS)
+    )
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""b{t} AS (
+        SELECT b.band, b.bkey, min(l.rep_id) AS bmin
+        FROM bands b JOIN l{t - 1} l ON b.doc_id = l.doc_id
+        GROUP BY b.band, b.bkey
+    ),
+    l{t} AS (
+        SELECT b.doc_id, min(r.bmin) AS rep_id
+        FROM bands b JOIN b{t} r ON b.band = r.band AND b.bkey = r.bkey
+        GROUP BY b.doc_id
+    )"""
+        )
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, elems,
+               {sig_exprs}
+        FROM th
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    l0 AS (SELECT DISTINCT doc_id, doc_id AS rep_id FROM bands),
+    {rounds_sql}
+    SELECT doc_id, rep_id FROM l{iters}
+    """
+
+
+@register("dedup_minhash_closure", oracle=_oracle_closure())
+def dedup_minhash_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round transitive min-propagation over LSH buckets: chains up to
+    3 hops collapse to one representative (vs 1 hop for keep_one)."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    return minhash_closure(sets)
+
+
 def _oracle_keep_one() -> str:
     sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
     band_selects = "\n        UNION ALL\n        ".join(

@@ -102,6 +102,10 @@ _VERIFY_FIRST = [
     # -- r01 hash-fails, oracles fixed this round
     "ref_pivoted_counts",
     "agg_pivot",
+    # -- new in round 2
+    "sink_decimal_contract",
+    "dedup_minhash_closure",
+    "sim_topk_ivf_kmeans",
 ]
 
 
@@ -143,6 +147,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.ivf",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
+    "nyc_data_pipeline_spark.sources.contracts",
 ]
 
 

@@ -66,6 +66,64 @@ def test_taxi_schema_matches_reference_consumer():
     ]
 
 
+def test_taxi_trips_sink_contract(spark, tmp_path):
+    """S5/S8 decimal contract golden test: the widened sink frame must
+    carry exactly the reference warehouse schema
+    (database_handler.py:76-108) — names, order, decimal types — and
+    survive a parquet roundtrip unchanged."""
+    from decimal import Decimal
+
+    from nyc_data_pipeline_spark.operators.enrichment import enrich_trips
+    from nyc_data_pipeline_spark.sources.contracts import (
+        TAXI_TRIPS_SINK_SCHEMA,
+        conform,
+        to_taxi_trips_sink,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2015-01-01 10:00:00", "2015-01-01 10:30:00", 2, 5.125, 20.0, 2.675, 25.0),
+        ],
+        "VendorID int, pickup_dt string, dropoff_dt string, passenger_count int,"
+        "trip_distance double, fare_amount double, tip_amount double, total_amount double",
+    )
+    sink = to_taxi_trips_sink(enrich_trips(df))
+    # Names, order, and types must match exactly; a non-nullable column
+    # (trip_category's CASE has an ELSE) satisfies a nullable contract.
+    assert [(f.name, f.dataType) for f in sink.schema.fields] == [
+        (f.name, f.dataType) for f in TAXI_TRIPS_SINK_SCHEMA.fields
+    ]
+    assert all(
+        c.nullable or not s.nullable
+        for s, c in zip(sink.schema.fields, TAXI_TRIPS_SINK_SCHEMA.fields)
+    )
+
+    row = sink.collect()[0]
+    # Decimal quantization is HALF_UP on the double's shortest repr.
+    assert row.trip_distance == Decimal("5.13")
+    assert row.tip_amount == Decimal("2.68")
+    assert row.trip_duration_minutes == Decimal("30.00")
+    assert row.average_speed == Decimal("10.25")  # 5.125/(30/60)
+    # 2.675/20*100 computes to the double 13.374999999999998 (2.675
+    # itself is below the decimal midpoint in binary), so HALF_UP on
+    # the shortest repr rounds DOWN — while tip_amount's literal
+    # "2.675" rounds UP.  Both are the contract's defined behavior.
+    assert row.tip_percentage == Decimal("13.37")
+    assert row.pickup_day_of_week == 5  # 2015-01-01 is a Thursday (1=Sun)
+    # Columns the pipeline doesn't carry are typed NULL pass-throughs.
+    assert row.pickup_longitude is None and row.kafka_offset is None
+
+    out = str(tmp_path / "taxi_trips")
+    write_table(sink, out)
+    assert [(f.name, f.dataType) for f in spark.read.parquet(out).schema.fields] == [
+        (f.name, f.dataType) for f in TAXI_TRIPS_SINK_SCHEMA.fields
+    ]
+
+    # conform without fill is strict: a missing contract column raises.
+    with pytest.raises(ValueError, match="missing contract column"):
+        conform(df, TAXI_TRIPS_SINK_SCHEMA)
+
+
 def test_kafka_wire_projection(spark):
     df = spark.createDataFrame([(1, "x", 2.5)], "k int, name string, val double")
     rec = to_kafka_records(df, "k").collect()[0]

@@ -57,6 +57,8 @@ HEADLINE = [
     "mm_frame_sample",
     # decimal-contract sink: write + readback, measures the S5/S8 boundary
     "sink_decimal_contract",
+    # the composed curation funnel (lang -> quality -> exact -> near dedup)
+    "pipeline_corpus_clean",
 ]
 
 

@@ -106,6 +106,7 @@ _VERIFY_FIRST = [
     "sink_decimal_contract",
     "dedup_minhash_closure",
     "sim_topk_ivf_kmeans",
+    "pipeline_corpus_clean",
 ]
 
 
@@ -148,6 +149,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",
+    "nyc_data_pipeline_spark.pipelines.corpus_clean",
 ]
 
 

@@ -59,6 +59,8 @@ HEADLINE = [
     "sink_decimal_contract",
     # the composed curation funnel (lang -> quality -> exact -> near dedup)
     "pipeline_corpus_clean",
+    # bucketed co-located join: write + exchange-free SMJ + agg
+    "sink_bucketed_join",
 ]
 
 

@@ -107,6 +107,7 @@ _VERIFY_FIRST = [
     "dedup_minhash_closure",
     "sim_topk_ivf_kmeans",
     "pipeline_corpus_clean",
+    "sink_bucketed_join",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..exprs import dsum, sql_dsum
 from ..registry import register
 from .readers import read_json, split_corrupt
 
@@ -72,6 +73,68 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
         )
+    )
+
+
+N_BUCKETS = 8
+
+
+def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Write lineitem/orders bucketed + sorted on the join key and return
+    the bucketed table frames.
+
+    Bucketing is the engine's co-located-join layout (S8): both tables
+    hash-partitioned into the same N_BUCKETS files on the join key at
+    WRITE time, so every subsequent join on that key reads bucket i
+    against bucket i — no Exchange on either side, at any scale.  On a
+    100 TB warehouse this turns the nightly fact-to-fact join from the
+    largest shuffle in the plant into a local merge per bucket
+    (tests/test_sources.py asserts the Exchange-free plan).
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join("/tmp", "nyc_engine_bucketed", tag)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    specs = [("bkt_lineitem", li, "l_orderkey"), ("bkt_orders", od, "o_orderkey")]
+    for name, df, key in specs:
+        table = f"{name}_{tag}"
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+    return spark.table(f"bkt_lineitem_{tag}"), spark.table(f"bkt_orders_{tag}")
+
+
+@register(
+    "sink_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 co-located join: write both fact tables bucketed on the join
+    key, then join WITHOUT a shuffle (merge hint pins sort-merge so the
+    bucket layout, not a broadcast, is what's exercised) and aggregate.
+    The oracle joins the raw parquet — a hash match certifies the
+    bucketed layout changed the physical plan, never the result."""
+    li, od = write_bucketed(spark, sf_dir)
+    joined = li.join(
+        od.hint("merge"), li["l_orderkey"] == od["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
     )
 
 

@@ -167,6 +167,21 @@ def test_partitioned_write_prunes(spark, sf_dir):
     assert "ds" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """S8 co-location: a join of two tables bucketed+sorted on the join
+    key must be a SortMergeJoin with NO Exchange on either side — the
+    layout, not a runtime shuffle, co-locates the keys."""
+    from nyc_data_pipeline_spark.sources.scans import write_bucketed
+
+    li, od = write_bucketed(spark, sf_dir)
+    joined = li.join(od.hint("merge"), li["l_orderkey"] == od["o_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # bucket pruning metadata is present on both scans
+    assert plan.count("Bucketed: true") == 2, plan
+
+
 def test_kafka_wire_roundtrip_lossless(spark, sf_dir):
     """S4→P1: to_kafka_records output must parse back through the
     consumer path (from_json) to the original rows exactly."""

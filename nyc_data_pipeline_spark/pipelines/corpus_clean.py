@@ -93,6 +93,93 @@ def _flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Streaming-safe curation: quality filter + exact dedup, no windows.
+
+    The batch funnel (`pipeline_corpus_clean`) dedups with a window over
+    the fingerprint — correct in batch, but window functions don't run
+    under Structured Streaming.  This variant is the incremental form:
+    stateless flag projection + ``dropDuplicates(["fingerprint"])``
+    (keyed state, append mode, no event-time requirement), so the SAME
+    function serves batch and readStream (tests/test_streaming.py
+    asserts stream == batch).  Output columns are chosen so the result
+    is invariant to WHICH duplicate survives: same-fingerprint docs have
+    identical normalized text, hence identical token sequence, hence
+    identical (predicted_lang, n_tokens).
+
+    At scale: dedup state is one short md5 key per UNIQUE qualifying
+    document — the streaming twin of the exact-hash shuffle, with
+    state size bounded by distinct-fingerprint count (use
+    dropDuplicatesWithinWatermark when the corpus has event time and
+    re-crawl duplicates arrive within a bounded horizon).
+    """
+    counts = {
+        lang: f"regexp_count(lower(text), '{_sp(_alt(words))}')"
+        for lang, words in _STOPWORDS.items()
+    }
+    base = docs.selectExpr(
+        f"CAST(size({spark_tokens('text')}) AS BIGINT) AS n_tokens",
+        f"CAST(regexp_count(text, '{_PUNCT}') AS DOUBLE) / n_chars AS punct_ratio",
+        f"md5({spark_norm_text('text')}) AS fingerprint",
+        *[f"{expr} AS c_{lang}" for lang, expr in counts.items()],
+    ).selectExpr(
+        "n_tokens",
+        "punct_ratio",
+        "fingerprint",
+        "CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en' "
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es' "
+        "WHEN c_de >= c_fr AND c_de > 0 THEN 'de' "
+        "WHEN c_fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang",
+    )
+    q = base.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+    )
+    return q.select("fingerprint", "predicted_lang", "n_tokens").dropDuplicates(
+        ["fingerprint"]
+    )
+
+
+@register(
+    "stream_corpus_curate",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE) / n_chars
+                 AS punct_ratio,
+               md5({duck_norm_text('text')}) AS fingerprint,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['en'])}')) AS INTEGER) AS c_en,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['es'])}')) AS INTEGER) AS c_es,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['de'])}')) AS INTEGER) AS c_de,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['fr'])}')) AS INTEGER) AS c_fr
+        FROM documents
+    ),
+    pl AS (
+        SELECT *,
+               CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+                    WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+                    WHEN c_fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang
+        FROM base
+    ),
+    q AS (
+        SELECT * FROM pl
+        WHERE n_tokens >= {MIN_TOKENS} AND punct_ratio <= {MAX_PUNCT_RATIO}
+    )
+    SELECT fingerprint,
+           min(predicted_lang) AS predicted_lang,
+           min(n_tokens) AS n_tokens
+    FROM q GROUP BY fingerprint
+    """,
+)
+def stream_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family × curation: the incremental (streaming-safe) corpus
+    curation — quality filter + keyed exact dedup.  This batch twin is
+    oracle-refereed; the streaming test runs the identical function
+    under readStream and asserts set equality."""
+    return curate_documents(load_table(spark, sf_dir, "documents"))
+
+
 def _oracle() -> str:
     sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
     band_selects = "\n        UNION ALL\n        ".join(

@@ -108,6 +108,7 @@ _VERIFY_FIRST = [
     "sim_topk_ivf_kmeans",
     "pipeline_corpus_clean",
     "sink_bucketed_join",
+    "stream_corpus_curate",
 ]
 
 

@@ -110,6 +110,10 @@ def probe(spark, k: int) -> dict[str, float]:
         ),
     )
 
+    from nyc_data_pipeline_spark.dedup.minhash import minhash_closure
+
+    run("minhash_closure_3r", minhash_closure(sets2))
+
     return times
 
 

@@ -204,3 +204,28 @@ def test_kafka_wire_roundtrip_lossless(spark, sf_dir):
     orig = {tuple(r) for r in ev.collect()}
     rt = {tuple(r) for r in back.collect()}
     assert rt == orig
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    """Projections must reach the parquet scan: a 3-column query over
+    the 5-column documents table (and a 2-column query over embeddings)
+    reads ONLY what it uses — at 100 TB the unread columns are the
+    difference between scanning 3 TB and 100 TB."""
+    import re
+
+    from nyc_data_pipeline_spark import registry
+
+    registry.load_all()
+
+    def read_schema(name):
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+    for schema in read_schema("text_token_count"):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"doc_id", "text", "n_chars"}, cols
+
+    for schema in read_schema("sim_topk_bruteforce"):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert "lang" not in cols and "source" not in cols, cols

@@ -506,3 +506,30 @@ def test_rate_source_smoke(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_stream_corpus_curate_equals_batch(spark, sf_dir, tmp_path):
+    """Curation funnel, incremental form: quality filter + keyed exact
+    dedup under readStream must produce the same curated set as the
+    batch twin (stream_corpus_curate's registered query)."""
+    from nyc_data_pipeline_spark.pipelines.corpus_clean import curate_documents
+    from nyc_data_pipeline_spark.sources.scans import DOCUMENTS_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docs_in"
+    docs.repartition(3).write.json(str(src))
+
+    stream = file_json_stream(spark, str(src), DOCUMENTS_SCHEMA)
+    q = run_to_memory(curate_documents(stream), "curate_out", output_mode="append")
+    try:
+        got = {
+            (r.fingerprint, r.predicted_lang, r.n_tokens)
+            for r in spark.sql("SELECT * FROM curate_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.fingerprint, r.predicted_lang, r.n_tokens)
+        for r in curate_documents(docs).collect()
+    }
+    assert got == want and got

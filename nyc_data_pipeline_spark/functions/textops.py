@@ -18,9 +18,11 @@ from ..registry import register
 from .text import (
     duck_bigrams,
     duck_norm_text,
+    duck_token_hashes,
     duck_tokens,
     spark_bigrams,
     spark_norm_text,
+    spark_token_hashes,
     spark_tokens,
 )
 
@@ -184,6 +186,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.selectExpr("doc_id", f"md5({spark_norm_text('text')}) AS fingerprint")
     w = Window.partitionBy("fingerprint")
     return fp.withColumn("canonical_id", F.min("doc_id").over(w))
+
+
+BOILERPLATE_DF_FRAC = 0.05  # a bigram in > 5% of docs is corpus-common
+BOILERPLATE_MAX_RATIO = 0.8
+
+
+@register(
+    "text_boilerplate_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_bigrams('toks'))}) AS gs
+        FROM t WHERE len(toks) >= 2
+    ),
+    pairs AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+    freq AS (SELECT gram, COUNT(*) AS df FROM pairs GROUP BY gram),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df > {BOILERPLATE_DF_FRAC} * nd.n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN f.df > {BOILERPLATE_DF_FRAC} * nd.n_docs
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boilerplate_ratio,
+           CAST(SUM(CASE WHEN f.df > {BOILERPLATE_DF_FRAC} * nd.n_docs
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             <= {BOILERPLATE_MAX_RATIO} AS keep
+    FROM pairs p JOIN freq f ON p.gram = f.gram, nd
+    GROUP BY p.doc_id
+    """,
+)
+def text_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by n-gram document frequency (the
+    RefinedWeb/CCNet-style repetition filter): a doc whose word bigrams
+    mostly also appear in many OTHER docs is template/boilerplate text,
+    not original content.  The df threshold is RELATIVE (> 5% of corpus
+    docs) so the verdicts are scale-invariant — an absolute count would
+    silently reclassify everything at 10x the corpus.
+
+    Scale shape: grams are hashed to int64 (portable hash) BEFORE the
+    shuffle, so the df aggregation shuffles fixed-width keys, not
+    strings; per-doc distinct grams bound df counting to one row per
+    (doc, gram); the corpus doc count joins in as a 1-row broadcast
+    (no collect).  Two hash-agg shuffles + one join keyed on the gram
+    hash — linear in total gram count, independent of duplication
+    depth."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    grams = (
+        d.selectExpr("doc_id", f"{toks} AS toks")
+        .filter(F.size("toks") >= 2)
+        .selectExpr(
+            "doc_id",
+            f"array_distinct({spark_token_hashes(spark_bigrams('toks'))}) AS gs",
+        )
+    )
+    pairs = grams.selectExpr("doc_id", "explode(gs) AS gram")
+    freq = pairs.groupBy("gram").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    common = F.sum(
+        F.when(
+            F.col("df") > BOILERPLATE_DF_FRAC * F.col("n_docs"), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        pairs.join(freq, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            common.alias("n_common"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "n_common",
+            "CAST(n_common AS DOUBLE) / n_grams AS boilerplate_ratio",
+            f"CAST(n_common AS DOUBLE) / n_grams <= {BOILERPLATE_MAX_RATIO} AS keep",
+        )
+    )
 
 
 @register(

@@ -250,24 +250,10 @@ def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_asof_events",
-    oracle="""
-    SELECT p.event_id, p.user_id,
-           epoch_us(p.ts) AS purchase_us,
-           epoch_us(s.ts) AS signup_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id AND p.ts >= s.ts
-    """,
-)
-def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 as-of join: each purchase matched to the same user's most
-    recent signup at-or-before it.  Union+window implementation (see
-    asof_join docstring); DuckDB's native ASOF JOIN is the oracle.
-    ASOF is inner-flavored: purchases with no prior signup drop out.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def _purchase_signup_asof(ev: DataFrame) -> DataFrame:
+    """Union+window as-of: each purchase matched to the same user's most
+    recent signup at-or-before it (one per-key sort, no n×m range
+    join)."""
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -304,4 +290,51 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("__ts").cast("timestamp")).alias("purchase_us"),
             F.unix_micros(F.col("signup_ts").cast("timestamp")).alias("signup_us"),
         )
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(s.ts) AS signup_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join: each purchase matched to the same user's most
+    recent signup at-or-before it.  Union+window implementation (see
+    _purchase_signup_asof); DuckDB's native ASOF JOIN is the oracle.
+    ASOF is inner-flavored: purchases with no prior signup drop out.
+    """
+    return _purchase_signup_asof(load_table(spark, sf_dir, "events"))
+
+
+ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000  # 24 hours
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(s.ts) AS signup_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    )
+    WHERE purchase_us - signup_us <= {ASOF_TOLERANCE_US}
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join with tolerance (pandas merge_asof semantics): the
+    match must be the most recent signup AND within 24 h — a stale match
+    outside the window is dropped, not replaced by an older one.  Same
+    single-sort plan as join_asof_events plus one codegen'd filter."""
+    return _purchase_signup_asof(load_table(spark, sf_dir, "events")).filter(
+        F.col("purchase_us") - F.col("signup_us") <= ASOF_TOLERANCE_US
     )

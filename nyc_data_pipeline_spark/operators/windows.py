@@ -170,6 +170,41 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame: per-user trailing 1-hour event count and exact
+    sum, ordered by event time.  RANGE (value-based) frames are the
+    event-time analytic ROWS frames cannot express — peers at the same
+    timestamp are always in-frame together, so no tiebreak is needed and
+    the result is deterministic under ties.  Same scale shape as every
+    window here: one shuffle on user_id + a per-partition sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
     "window_ntile_first_last",
     oracle="""
     SELECT o_orderkey,

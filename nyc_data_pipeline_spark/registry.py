@@ -109,6 +109,9 @@ _VERIFY_FIRST = [
     "pipeline_corpus_clean",
     "sink_bucketed_join",
     "stream_corpus_curate",
+    "window_range_frame",
+    "join_asof_tolerance",
+    "text_boilerplate_score",
 ]
 
 

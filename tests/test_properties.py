@@ -86,3 +86,58 @@ def test_enrichment_matches_python_model(spark, trips):
                 assert g == w or (math.isnan(g) and math.isnan(w)), (i, got[i], want[i])
             else:
                 assert g == w, (i, got[i], want[i])
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine portable text hash: for arbitrary ASCII-ish text, Spark's
+# tokenize+hash expression chain and DuckDB's must agree token-for-token
+# (every dedup/similarity operator builds on this identity).
+# ---------------------------------------------------------------------------
+
+import string
+
+import duckdb
+import pandas as pd
+
+from nyc_data_pipeline_spark.functions.text import (
+    duck_token_hashes,
+    duck_tokens,
+    spark_token_hashes,
+    spark_tokens,
+)
+
+_TEXT_ALPHABET = string.ascii_letters + string.digits + string.punctuation + " \t\n"
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.text(alphabet=_TEXT_ALPHABET, max_size=60), min_size=1, max_size=10
+    )
+)
+def test_token_hash_cross_engine(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (list(r.toks), list(r.hashes))
+        for r in df.selectExpr(
+            "doc_id",
+            f"{spark_tokens('text')} AS toks",
+            f"{spark_token_hashes(spark_tokens('text'))} AS hashes",
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("docs", pdf)
+        want = {
+            doc_id: (list(toks), list(hashes))
+            for doc_id, toks, hashes in con.execute(
+                f"SELECT doc_id, {duck_tokens('text')}, "
+                f"{duck_token_hashes(duck_tokens('text'))} FROM docs"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want

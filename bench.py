@@ -61,6 +61,11 @@ HEADLINE = [
     "pipeline_corpus_clean",
     # bucketed co-located join: write + exchange-free SMJ + agg
     "sink_bucketed_join",
+    # r2: decontamination probe, zero-shuffle mixing, packing window
+    "text_decontaminate",
+    "sample_weighted_mix",
+    "pack_token_budget",
+    "q14_promo_revenue",
 ]
 
 

@@ -10,17 +10,19 @@ where a 100 TB corpus needs it: these plans are scan → project →
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
 from .text import (
     duck_bigrams,
+    duck_ngrams,
     duck_norm_text,
     duck_token_hashes,
     duck_tokens,
     spark_bigrams,
+    spark_ngrams,
     spark_norm_text,
     spark_token_hashes,
     spark_tokens,
@@ -267,6 +269,168 @@ def text_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "CAST(n_common AS DOUBLE) / n_grams AS boilerplate_ratio",
             f"CAST(n_common AS DOUBLE) / n_grams <= {BOILERPLATE_MAX_RATIO} AS keep",
+        )
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest({duck_token_hashes(duck_tokens('text'))}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score, rk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df DESC,
+                            tf.term
+               ) AS rk
+        FROM tf JOIN df USING (term), nd
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} salient terms per document by TF-IDF-style
+    weighting.  The weight is the LINEAR idf form ``tf * N / df`` (one
+    exact integer product, one IEEE double division) instead of
+    ``tf * ln(N/df)`` — for a fixed corpus the two produce the same
+    per-doc ranking (ln is monotone in N/df only; across different tf
+    the orders can differ, but the linear form is itself a standard
+    salience weight), and it is bit-reproducible across engines where
+    libm ``ln`` is not.
+
+    Scale shape: tf is a hash-agg on (doc_id, term-hash); df reuses the
+    tf frame (term-keyed agg — vocabulary-sized, so the tf⋈df join
+    SHUFFLES on term rather than broadcasting a corpus-scale vocab);
+    the corpus doc count is a 1-row broadcast; top-k per doc is a
+    window on doc_id.  Everything keys on int64 hashes, never strings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.selectExpr(
+        "doc_id",
+        f"explode({spark_token_hashes(spark_tokens('text'))}) AS term",
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+DECON_NGRAM = 5  # overlap shingle width (13 in Llama-style decontamination)
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(
+                   {duck_token_hashes(duck_ngrams('toks', DECON_NGRAM))}) AS gs
+        FROM t WHERE len(toks) >= {DECON_NGRAM}
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g
+        WHERE doc_id % {DECON_BENCH_MOD} = 0
+    ),
+    per_doc AS (
+        SELECT p.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM (SELECT doc_id, unnest(gs) AS gram FROM g
+              WHERE doc_id % {DECON_BENCH_MOD} <> 0) p
+        LEFT JOIN bench b ON p.gram = b.gram
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(pd.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(pd.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+    WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs that share any word
+    {DECON_NGRAM}-gram with a held-out benchmark set (here: doc_id %
+    97 == 0 plays the eval set).  The standard pretraining hygiene step
+    — contaminated docs inflate eval scores and must be dropped or
+    audited before training.
+
+    Scale shape: benchmark gram sets are tiny relative to the corpus
+    (eval suites are MBs against TBs), so the distinct benchmark grams
+    BROADCAST and the corpus side never shuffles for the probe — one
+    narrow scan computing hashed shingles, one broadcast left join to
+    mark hits, one hash-agg keyed on doc_id.  Gram comparisons are on
+    int64 portable hashes, not strings, so the broadcast table and the
+    probe are fixed-width."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    g = (
+        d.selectExpr("doc_id", f"{toks} AS toks")
+        .filter(F.size("toks") >= DECON_NGRAM)
+        .selectExpr(
+            "doc_id",
+            "array_distinct("
+            f"{spark_token_hashes(spark_ngrams('toks', DECON_NGRAM))}) AS gs",
+        )
+    )
+    bench = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .selectExpr("explode(gs) AS gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .selectExpr("doc_id", "explode(gs) AS gram")
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
 

@@ -66,6 +66,49 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+             AS n_numbers,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '\\bs[a-z]+')) AS INTEGER)
+             AS n_s_words,
+           regexp_matches(text, 'spark|sql') AS mentions_engine,
+           regexp_matches(text, '(?i)TABLE') AS mentions_table_ci,
+           COALESCE(array_to_string(
+               regexp_extract_all(text, '\\b[a-z]{6,}\\b'), ','), '')
+             AS long_words,
+           regexp_replace(text, '\\s+', ' ', 'g') AS squashed
+    FROM documents
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: count/extract/extract_all/like/replace with
+    case-insensitive flags.  Patterns stay within the common
+    Java-regex/RE2 subset (character classes, \\b, alternation, (?i))
+    so both engines match identically.  All JVM-side codegen — regex on
+    a 100 TB corpus must never drop into Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(text, '[0-9]+', 0))").alias(
+            "n_numbers"
+        ),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.expr(r"size(regexp_extract_all(text, '\\bs[a-z]+', 0))").alias(
+            "n_s_words"
+        ),
+        F.col("text").rlike("spark|sql").alias("mentions_engine"),
+        F.col("text").rlike("(?i)TABLE").alias("mentions_table_ci"),
+        F.expr(
+            r"array_join(regexp_extract_all(text, '\\b[a-z]{6,}\\b', 0), ',')"
+        ).alias("long_words"),
+        F.regexp_replace("text", r"\s+", " ").alias("squashed"),
+    )
+
+
+@register(
     "fn_math_suite",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -205,6 +205,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank ((rank-1)/(n-1)) and cume_dist
+    (peers-at-or-below / n) per event type ordered by value.  Both are
+    single integer-ratio divisions, so the doubles are bit-identical
+    across engines; ties share a rank, so no tiebreak column is needed
+    for determinism.  One shuffle on event_type + per-partition sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "window_ntile_first_last",
     oracle="""
     SELECT o_orderkey,

@@ -1,0 +1,157 @@
+"""Training-data mixing and sequence packing.
+
+Two operators every pretraining pipeline runs between curation and
+tokenization:
+
+- ``sample_weighted_mix`` — per-source weighted sampling ("data
+  mixing"): up-weight high-quality sources, down-sample the crawl.
+  Deterministic hash-based sampling (not ``rand()``) so reruns and
+  incremental reprocessing select the same documents, and the selection
+  is reproducible across engines — the property that makes ablations
+  comparable.
+- ``pack_token_budget`` — concat-and-chunk sequence packing: documents
+  are concatenated in a deterministic order and split into fixed-size
+  token windows; each doc learns which training sequence(s) it lands
+  in.  This is the bookkeeping view of the packing step every trainer
+  performs (which docs share a sequence, where each doc starts).
+
+Reference parity: the reference pipeline has no sampling/packing stage
+(it is a taxi-trip ETL); these extend the engine toward the
+training-data workload BASELINE.json targets.
+
+Scale shapes are documented per operator; both are verified against
+DuckDB oracles (hash arithmetic and window sums are exact integer
+math in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import duck_tokens, spark_tokens
+from ..registry import register
+
+# --- deterministic per-source sampling ------------------------------------
+
+HASH_MOD = 1_000_000_007
+MIX_MULT = 2_654_435_761  # Knuth multiplicative constant
+# Sampling rates in permille, by source; integer thresholds so the
+# keep-decision is pure integer arithmetic (exact in both engines).
+MIX_PERMILLE = {"src0": 1000, "src1": 600, "src2": 350}
+MIX_DEFAULT_PERMILLE = 150
+
+
+def _permille_case(src_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {src_col} = '{s}' THEN {p}" for s, p in MIX_PERMILLE.items()
+    )
+    return f"CASE {whens} ELSE {MIX_DEFAULT_PERMILLE} END"
+
+
+# h(doc_id) in [0, HASH_MOD); doc_id is reduced mod HASH_MOD first so
+# the multiply never overflows int64 (1e9 * 2.65e9 < 2^63).
+_BUCKET = (
+    f"(((doc_id % {HASH_MOD}) * {MIX_MULT}) % {HASH_MOD}) % 1000"
+)
+
+
+@register(
+    "sample_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(1000 AS DOUBLE) / ({_permille_case('source')}) AS weight
+    FROM documents
+    WHERE {_BUCKET} < ({_permille_case('source')})
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: deterministic per-source weighted sampling.
+
+    Each doc is kept iff ``hash(doc_id) mod 1000 < rate_permille(source)``
+    — a pure integer decision, so the SAME docs are selected on every
+    run, on every engine, and when the corpus is reprocessed
+    incrementally (a ``rand() < p`` sample has none of these).  Kept
+    rows carry ``weight = 1/rate`` for unbiased downstream statistics.
+
+    Scale shape: ZERO shuffles — a codegen'd narrow filter over the
+    scan; the rate table is a literal CASE (real pipelines broadcast a
+    small source→rate dim, same plan shape).  At 100 TB this is pure
+    scan throughput."""
+    d = load_table(spark, sf_dir, "documents")
+    permille = F.expr(_permille_case("source"))
+    return (
+        d.withColumn("_bucket", F.expr(_BUCKET))
+        .filter(F.col("_bucket") < permille)
+        .select(
+            "doc_id",
+            "source",
+            (F.lit(1000).cast("double") / permille).alias("weight"),
+        )
+    )
+
+
+# --- concat-and-chunk sequence packing ------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS cum
+        FROM t WHERE n_tok >= 1
+    )
+    SELECT doc_id, source, n_tok,
+           cum - n_tok AS start_off,
+           (cum - n_tok) // {PACK_BUDGET} AS seq_id,
+           (cum - n_tok) % {PACK_BUDGET} AS seq_off,
+           ((cum - 1) // {PACK_BUDGET})
+             - ((cum - n_tok) // {PACK_BUDGET}) + 1 AS n_seqs
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): per source, docs are laid
+    end-to-end in doc_id order and cut into {PACK_BUDGET}-token
+    sequences; each doc reports its starting sequence (``seq_id``),
+    offset within it (``seq_off``), and how many sequences it spans
+    (``n_seqs``) — the map a trainer uses to build attention-mask
+    boundaries and to trace a training sequence back to its documents.
+
+    Scale shape: one shuffle on ``source`` + a per-partition sort for
+    the running sum — identical to every window operator here.  The
+    stream is packed per source shard, which is how production packing
+    runs anyway (a single global order would serialize the corpus
+    through one partition); a global pack falls out of the same plan
+    with a two-phase partition-offset cumsum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    b = PACK_BUDGET
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.expr(spark_tokens("text"))).cast("bigint").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= 1)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_tok",
+            "cum - n_tok AS start_off",
+            f"(cum - n_tok) div {b} AS seq_id",
+            f"(cum - n_tok) % {b} AS seq_off",
+            f"((cum - 1) div {b}) - ((cum - n_tok) div {b}) + 1 AS n_seqs",
+        )
+    )

@@ -16,7 +16,7 @@ Scale notes (verified via .explain at sf0.1):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -287,6 +287,253 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+@register(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one
+    late-shipping line (correlated EXISTS — the fixture has no
+    commit/receipt dates, so "late" is shipped >60 days after order).
+
+    The correlated EXISTS rewrites to a LEFT SEMI join with a compound
+    (equi + theta) condition: the equi key still drives a hash semi
+    join, the date predicate evaluates per matched pair, and each order
+    is emitted at most once without a distinct.  Same single
+    orders⋈lineitem shuffle as Q3."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                ELSE 'late' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY delay_bucket
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by shipping-delay bucket, split into
+    high/low order priority via conditional sums (the fixture has no
+    shipmode, so the bucket is the order→ship day delta).  One
+    orders⋈lineitem shuffle, then a 3-group map-side-partial aggregate;
+    the CASE chains are codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn(
+            "delay_bucket",
+            F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise(
+                "late"
+            ),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN {_SQL_REVENUE} END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS promo_pct,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {_SQL_REVENUE} END) AS VARCHAR) AS DOUBLE)
+             AS promo_revenue,
+           CAST(CAST(SUM({_SQL_REVENUE}) AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-part share of one month's revenue.
+
+    part is a dimension → broadcast, so the plan is scan-filter +
+    broadcast join + a single global aggregate (no shuffle at all
+    beyond the 1-row final).  The ratio divides two exact-decimal sums
+    AFTER each converts to double, and 100*x/y associates identically
+    in both engines, so the percentage is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _revenue()))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(_revenue()).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        (F.lit(100) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH pos AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+               SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s_pos
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * pos.n_pos > pos.s_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/balance of customers with
+    above-average balance and no RECENT order (every fixture customer
+    has some order, so "idle" means none since 1998 — the churned
+    high-value segment a sales team actually scans for).
+
+    Two classic rewrites in one plan: the scalar AVG subquery becomes a
+    1-row broadcast, with the comparison multiplied through
+    (``bal * n > sum`` instead of ``bal > sum/n``) so it stays exact
+    integer/decimal math — no division, no float threshold; the NOT
+    EXISTS becomes a LEFT ANTI join shuffled on custkey.  customer and
+    orders each shuffle once; everything else is broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(dec("c_acctbal")).alias("s_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal") * F.col("n_pos") > F.col("s_pos"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+ROWNUM_BUCKETS = 64
+
+
+@register(
+    "order_global_rownum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+    """,
+)
+def order_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering without a global sort bottleneck.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` moves the entire table
+    through ONE partition (Spark even warns).  The scale-correct plan is
+    two-phase: (1) order-aligned bucketing — every key in bucket i sorts
+    before every key in bucket i+1 — with a per-bucket local
+    ``row_number``; (2) a prefix-sum of the 64 bucket counts (a window
+    over 64 rows — metadata-scale, not corpus-scale) broadcast back as
+    per-bucket offsets.  ``rn = offset + local_rn``.  The corpus
+    shuffles once, on the bucket key; the only single-partition work is
+    the 64-row prefix sum.  Same technique enumerates 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    mx = li.agg(F.max("l_orderkey").alias("max_key"))
+    b = (
+        li.crossJoin(F.broadcast(mx))
+        # bucket by orderkey range: order-aligned because orderkey is the
+        # leading sort key (ties stay inside one bucket).
+        .withColumn(
+            "bucket",
+            F.least(
+                (F.col("l_orderkey") * ROWNUM_BUCKETS / (F.col("max_key") + 1))
+                .cast("bigint"),
+                F.lit(ROWNUM_BUCKETS - 1),
+            ),
+        )
+    )
+    local = b.withColumn(
+        "local_rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("l_orderkey", "l_linenumber")
+        ),
+    )
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("bucket", F.coalesce("offset", F.lit(0)).alias("offset"))
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("offset") + F.col("local_rn")).alias("rn"),
     )
 
 

@@ -80,7 +80,6 @@ _VERIFY_FIRST = [
     "dedup_exact_hash",
     "dedup_jaccard_unigram",
     "dedup_jaccard_df_capped",
-    "dedup_jaccard_bigram_shingles",
     "dedup_minhash_keep_one",
     "dedup_minhash_lsh",
     "dedup_simhash_keep_one",
@@ -112,6 +111,20 @@ _VERIFY_FIRST = [
     "window_range_frame",
     "join_asof_tolerance",
     "text_boilerplate_score",
+    "text_decontaminate",
+    "sample_weighted_mix",
+    "pack_token_budget",
+    # ---- positions 51+: past this round's 50-slot driver window; they
+    # head the r03 queue (locally oracle-verified meanwhile).
+    "dedup_jaccard_bigram_shingles",
+    "q4_priority_check",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q22_idle_customers",
+    "order_global_rownum",
+    "text_tfidf_topterms",
+    "window_distribution",
+    "fn_regex_suite",
 ]
 
 
@@ -155,6 +168,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
+    "nyc_data_pipeline_spark.pipelines.mixing",
 ]
 
 

@@ -61,6 +61,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's full parallelism, keyed on ``cols``.
+
+    Compute-parallelism barrier for CPU-bound projections (heavy
+    higher-order expressions like shingle hashing): input-split count
+    tracks BYTES, so a small-but-expensive table arrives as one split
+    and computes on one core.  A plain ``repartition(cols)`` does not
+    fix this — AQE coalesces the exchange back to one partition when
+    the data is small; an explicit partition count is exempt from AQE
+    coalescing.  Doubles as the CollapseProject optimization barrier
+    (see dedup/minhash.py).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (idempotent)."""
     dfs = load_tables(spark, sf_dir)

@@ -1,0 +1,159 @@
+"""Incremental (batch-vs-corpus) near-duplicate probe.
+
+Production dedup is rarely a one-shot full-corpus pass: each new crawl
+batch must be checked against the EXISTING corpus and only then merged.
+This operator is that probe — the incremental companion to the
+full-corpus keep-one forms in ``dedup/minhash.py``:
+
+  - the new batch (here: doc_id % 10 == 0 plays the incoming crawl
+    slice) is MinHash-banded exactly like the corpus;
+  - batch band keys are BROADCAST against the corpus band table —
+    the corpus never reshuffles for an incremental probe (it is
+    orders of magnitude larger than any single batch);
+  - only co-bucket candidates are exact-Jaccard verified (shuffle
+    bounded by the candidate count);
+  - every batch doc reports whether it duplicates the corpus and its
+    best (lowest-id) verified match.
+
+At 100 TB the corpus band table is a materialized, bucketed layout
+(write once per merge epoch — see sources/scans.write_bucketed), so
+the per-batch cost is linear in the batch, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    duck_token_hashes,
+    duck_tokens,
+    spark_token_hashes,
+    spark_tokens,
+)
+from ..registry import register
+from .minhash import BANDS, K, VERIFY_THRESHOLD, _band_key, _duck_sig, _spark_sig
+
+BATCH_MOD = 10  # doc_id % 10 == 0 -> the incoming batch; rest -> corpus
+
+
+def _bands(sets: DataFrame) -> DataFrame:
+    sigs = sets.selectExpr("doc_id", *[_spark_sig(i) for i in range(K)])
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    return (
+        sigs.selectExpr("doc_id", f"explode(array({band_structs})) AS bk")
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bkey").alias("bkey"),
+        )
+    )
+
+
+def _oracle_incremental() -> str:
+    sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
+        for b in range(BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(tb.elems, tc.elems)) AS DOUBLE) / "
+        "(len(tb.elems) + len(tc.elems) - len(list_intersect(tb.elems, tc.elems)))"
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, elems,
+               {sig_exprs}
+        FROM th
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} = 0) b
+        JOIN (SELECT * FROM bands WHERE doc_id % {BATCH_MOD} <> 0) c
+          ON b.band = c.band AND b.bkey = c.bkey
+    ),
+    verified AS (
+        SELECT batch_id, corpus_id
+        FROM cand
+        JOIN th tb ON tb.doc_id = batch_id
+        JOIN th tc ON tc.doc_id = corpus_id
+        WHERE {jac} >= {VERIFY_THRESHOLD}
+    ),
+    agg AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(corpus_id) AS dup_of
+        FROM verified GROUP BY batch_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+           a.dup_of,
+           COALESCE(a.n_dups, 0) > 0 AS is_dup
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.batch_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+    """
+
+
+@register("dedup_incremental_probe", oracle=_oracle_incremental())
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a new batch against the existing corpus for near-dups
+    (MinHash bands, broadcast batch, exact-Jaccard verify).  See module
+    docstring for the 100 TB shape."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
+    batch_bands = _bands(
+        sets.filter(F.col("doc_id") % BATCH_MOD == 0)
+    ).selectExpr("doc_id AS batch_id", "band", "bkey")
+    corpus_bands = _bands(
+        sets.filter(F.col("doc_id") % BATCH_MOD != 0)
+    ).selectExpr("doc_id AS corpus_id", "band", "bkey")
+    cand = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "bkey"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    tb = sets.selectExpr("doc_id AS idb", "elems AS eb")
+    tc = sets.selectExpr("doc_id AS idc", "elems AS ec")
+    verified = (
+        cand.join(tb, F.col("batch_id") == F.col("idb"))
+        .join(tc, F.col("corpus_id") == F.col("idc"))
+        .selectExpr(
+            "batch_id",
+            "corpus_id",
+            "size(array_intersect(eb, ec)) AS ni",
+            "size(eb) AS nb",
+            "size(ec) AS nc",
+        )
+        .filter(
+            F.col("ni").cast("double")
+            / (F.col("nb") + F.col("nc") - F.col("ni"))
+            >= VERIFY_THRESHOLD
+        )
+    )
+    agg = verified.groupBy("batch_id").agg(
+        F.count("*").alias("n_dups"), F.min("corpus_id").alias("dup_of")
+    )
+    return (
+        d.filter(F.col("doc_id") % BATCH_MOD == 0)
+        .select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            "dup_of",
+            (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

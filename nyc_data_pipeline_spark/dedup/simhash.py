@@ -23,13 +23,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.text import (
-    duck_bigrams,
+    duck_ngram_hashes,
     duck_token_hashes,
     duck_tokens,
-    spark_bigrams,
-    spark_token_hashes,
-    spark_tokens,
 )
+from ..functions.textops import gram_id_rows
 from ..registry import register
 
 BITS = 32
@@ -81,11 +79,10 @@ def simhash_fingerprints(shingle_hashes: DataFrame) -> DataFrame:
 
 def _bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
-        F.size("toks") >= 2
-    )
-    exploded = toks.selectExpr(
-        "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
+    # Codegen'd shingle path (posexplode + lead; see textops.gram_id_rows)
+    # with distinct=False — every shingle occurrence votes.
+    exploded = gram_id_rows(d, 2, distinct=False).selectExpr(
+        "doc_id", "gram AS t"
     )
     fp = simhash_fingerprints(exploded)
     return fp.selectExpr(
@@ -101,13 +98,14 @@ def _keep_one_sql_prefix() -> str:
         for i, (off, w) in enumerate(zip(_OFFSETS, _WIDTHS))
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    WITH th AS (
+        SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hs
+        FROM documents
     ),
     sh AS (
         SELECT doc_id,
-               unnest({duck_token_hashes(duck_bigrams('toks'))}) AS t
-        FROM toks WHERE len(toks) >= 2
+               unnest({duck_ngram_hashes('hs', 2)}) AS t
+        FROM th WHERE len(hs) >= 2
     ),
     sums AS (
         SELECT doc_id,
@@ -153,13 +151,14 @@ def dedup_simhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    WITH th AS (
+        SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hs
+        FROM documents
     ),
     sh AS (
         SELECT doc_id,
-               unnest({duck_token_hashes(duck_bigrams('toks'))}) AS t
-        FROM toks WHERE len(toks) >= 2
+               unnest({duck_ngram_hashes('hs', 2)}) AS t
+        FROM th WHERE len(hs) >= 2
     ),
     sums AS (
         SELECT doc_id,
@@ -177,11 +176,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32) over bigram shingles; pairs with Hamming ≤ 6 via
     lossless 7-block banding (candidates) + exact bit_count verify."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
-        F.size("toks") >= 2
-    )
-    exploded = toks.selectExpr(
-        "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
+    exploded = gram_id_rows(d, 2, distinct=False).selectExpr(
+        "doc_id", "gram AS t"
     )
     fp = simhash_fingerprints(exploded)
     # fp ends in a groupBy exchange, so both band-join branches read a

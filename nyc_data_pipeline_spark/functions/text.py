@@ -68,6 +68,32 @@ def duck_bigrams(tokens_expr: str) -> str:
     )
 
 
+# --- n-gram ids from token hashes (the fast path) --------------------------
+#
+# Hashing the gram STRING re-folds every character of every gram — with
+# higher-order-function lambdas interpreted (not codegen'd), that is the
+# dominant cost of any shingle operator.  Instead: hash each token once,
+# then combine n consecutive token hashes with a rolling polynomial.
+#
+# On the Spark side the combine must NOT be an array lambda indexing a
+# hash-array expression: CollapseProject inlines the array expression
+# into every element_at and recomputes it per element (measured 91 s vs
+# ~1 s at sf0.1), and exchanges do not reliably stop it.  The robust
+# plan is relational: posexplode the token hashes once, then combine
+# with lead() windows — pure codegen'd built-ins (see
+# textops.gram_id_rows).  DuckDB evaluates CTEs eagerly, so the array
+# form below is fine for oracles.
+
+def duck_ngram_hashes(hashes_col: str, n: int) -> str:
+    acc = f"{hashes_col}[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * 31 + {hashes_col}[i + {j}]) % {HASH_MOD}"
+    return (
+        f"list_transform(generate_series(1, len({hashes_col}) - {n - 1}), "
+        f"i -> {acc})"
+    )
+
+
 # --- generic word n-grams -------------------------------------------------
 
 def spark_ngrams(tokens_expr: str, n: int) -> str:

@@ -13,16 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 from .text import (
+    HASH_MOD,
     duck_bigrams,
-    duck_ngrams,
+    duck_ngram_hashes,
     duck_norm_text,
     duck_token_hashes,
     duck_tokens,
     spark_bigrams,
-    spark_ngrams,
     spark_norm_text,
     spark_token_hashes,
     spark_tokens,
@@ -190,6 +190,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn("canonical_id", F.min("doc_id").over(w))
 
 
+def gram_id_rows(d: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, gram) rows of word-n-gram ids per document (distinct
+    per doc by default; ``distinct=False`` keeps the positional
+    multiset — SimHash voting needs every occurrence).
+
+    The scale-and-speed shape for shingle operators (see
+    text.duck_ngram_hashes for why not an array lambda): tokens are
+    hashed ONCE per doc (the only interpreted lambda, linear in chars),
+    posexploded, and consecutive hashes combine into gram ids with
+    lead() windows — entirely codegen'd built-ins.  ``spread`` gives
+    the hash projection compute-parallelism independent of input-split
+    count; the window reuses the same doc_id partitioning (no second
+    exchange); dropDuplicates bounds downstream work to one row per
+    (doc, gram)."""
+    hs = spread(d.select("doc_id", "text"), "doc_id").selectExpr(
+        "doc_id", f"{spark_token_hashes(spark_tokens('text'))} AS hs"
+    )
+    pairs = hs.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    for j in range(1, n):
+        acc = (acc * 31 + F.lead("h", j).over(w)) % HASH_MOD
+    rows = (
+        pairs.withColumn("gram", acc)
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", "gram")
+    )
+    return rows.dropDuplicates() if distinct else rows
+
+
 BOILERPLATE_DF_FRAC = 0.05  # a bigram in > 5% of docs is corpus-common
 BOILERPLATE_MAX_RATIO = 0.8
 
@@ -198,12 +228,14 @@ BOILERPLATE_MAX_RATIO = 0.8
     "text_boilerplate_score",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+        SELECT doc_id,
+               {duck_token_hashes(duck_tokens('text'))} AS hs
+        FROM documents
     ),
     g AS (
         SELECT doc_id,
-               list_distinct({duck_token_hashes(duck_bigrams('toks'))}) AS gs
-        FROM t WHERE len(toks) >= 2
+               list_distinct({duck_ngram_hashes('hs', 2)}) AS gs
+        FROM t WHERE len(hs) >= 2
     ),
     pairs AS (SELECT doc_id, unnest(gs) AS gram FROM g),
     freq AS (SELECT gram, COUNT(*) AS df FROM pairs GROUP BY gram),
@@ -230,24 +262,15 @@ def text_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) so the verdicts are scale-invariant — an absolute count would
     silently reclassify everything at 10x the corpus.
 
-    Scale shape: grams are hashed to int64 (portable hash) BEFORE the
-    shuffle, so the df aggregation shuffles fixed-width keys, not
-    strings; per-doc distinct grams bound df counting to one row per
-    (doc, gram); the corpus doc count joins in as a 1-row broadcast
-    (no collect).  Two hash-agg shuffles + one join keyed on the gram
-    hash — linear in total gram count, independent of duplication
-    depth."""
+    Scale shape: gram ids are rolling combinations of per-token int64
+    hashes (see gram_id_rows — tokens hashed once, no gram
+    strings), so the df aggregation shuffles fixed-width keys; per-doc
+    distinct grams bound df counting to one row per (doc, gram); the
+    corpus doc count joins in as a 1-row broadcast (no collect).  Two
+    hash-agg shuffles + one join keyed on the gram id — linear in total
+    gram count, independent of duplication depth."""
     d = load_table(spark, sf_dir, "documents")
-    toks = spark_tokens("text")
-    grams = (
-        d.selectExpr("doc_id", f"{toks} AS toks")
-        .filter(F.size("toks") >= 2)
-        .selectExpr(
-            "doc_id",
-            f"array_distinct({spark_token_hashes(spark_bigrams('toks'))}) AS gs",
-        )
-    )
-    pairs = grams.selectExpr("doc_id", "explode(gs) AS gram")
+    pairs = gram_id_rows(d, 2)
     freq = pairs.groupBy("gram").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     common = F.sum(
@@ -320,10 +343,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus doc count is a 1-row broadcast; top-k per doc is a
     window on doc_id.  Everything keys on int64 hashes, never strings.
     """
-    d = load_table(spark, sf_dir, "documents")
-    terms = d.selectExpr(
-        "doc_id",
-        f"explode({spark_token_hashes(spark_tokens('text'))}) AS term",
+    return tfidf_topterms(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_topterms(d: DataFrame) -> DataFrame:
+    """Reusable core of text_tfidf_topterms over any (doc_id, text)."""
+    # Repartition for compute-parallelism on few input splits (see
+    # decontaminate_probe).
+    terms = (
+        spread(d.select("doc_id", "text"), "doc_id")
+        .selectExpr(
+            "doc_id",
+            f"explode({spark_token_hashes(spark_tokens('text'))}) AS term",
+        )
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -352,13 +384,14 @@ DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
     "text_decontaminate",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+        SELECT doc_id,
+               {duck_token_hashes(duck_tokens('text'))} AS hs
+        FROM documents
     ),
     g AS (
         SELECT doc_id,
-               list_distinct(
-                   {duck_token_hashes(duck_ngrams('toks', DECON_NGRAM))}) AS gs
-        FROM t WHERE len(toks) >= {DECON_NGRAM}
+               list_distinct({duck_ngram_hashes('hs', DECON_NGRAM)}) AS gs
+        FROM t WHERE len(hs) >= {DECON_NGRAM}
     ),
     bench AS (
         SELECT DISTINCT unnest(gs) AS gram FROM g
@@ -395,26 +428,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark hits, one hash-agg keyed on doc_id.  Gram comparisons are on
     int64 portable hashes, not strings, so the broadcast table and the
     probe are fixed-width."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = spark_tokens("text")
-    g = (
-        d.selectExpr("doc_id", f"{toks} AS toks")
-        .filter(F.size("toks") >= DECON_NGRAM)
-        .selectExpr(
-            "doc_id",
-            "array_distinct("
-            f"{spark_token_hashes(spark_ngrams('toks', DECON_NGRAM))}) AS gs",
-        )
-    )
+    return decontaminate_probe(load_table(spark, sf_dir, "documents"))
+
+
+def decontaminate_probe(d: DataFrame) -> DataFrame:
+    """Reusable core of text_decontaminate over any (doc_id, text).
+    Gram ids via gram_id_rows (posexplode + lead windows — the
+    codegen'd shingle path; 13.8 s -> ~1 s at sf0.1)."""
+    g = gram_id_rows(d, DECON_NGRAM)
     bench = (
         g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-        .selectExpr("explode(gs) AS gram")
+        .select("gram")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     per_doc = (
         g.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
-        .selectExpr("doc_id", "explode(gs) AS gram")
         .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(

@@ -134,7 +134,11 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs anyway (a single global order would serialize the corpus
     through one partition); a global pack falls out of the same plan
     with a two-phase partition-offset cumsum."""
-    d = load_table(spark, sf_dir, "documents")
+    return pack_docs(load_table(spark, sf_dir, "documents"))
+
+
+def pack_docs(d: DataFrame) -> DataFrame:
+    """Reusable core of pack_token_budget over any (doc_id, source, text)."""
     w = Window.partitionBy("source").orderBy("doc_id")
     b = PACK_BUDGET
     return (

@@ -125,6 +125,8 @@ _VERIFY_FIRST = [
     "text_tfidf_topterms",
     "window_distribution",
     "fn_regex_suite",
+    "dedup_incremental_probe",
+    "emb_label_centroids",
 ]
 
 
@@ -160,10 +162,12 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.dedup.minhash",
     "nyc_data_pipeline_spark.dedup.simhash",
     "nyc_data_pipeline_spark.dedup.embedding",
+    "nyc_data_pipeline_spark.dedup.incremental",
     "nyc_data_pipeline_spark.similarity.brute_force",
     "nyc_data_pipeline_spark.similarity.lsh",
     "nyc_data_pipeline_spark.similarity.pandas_path",
     "nyc_data_pipeline_spark.similarity.ivf",
+    "nyc_data_pipeline_spark.similarity.centroids",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

@@ -75,14 +75,11 @@ def probe(spark, k: int) -> dict[str, float]:
     # by construction (verified: banded simhash pairs 2.2s → 223s at
     # 32×).  The probe therefore measures the keep-one forms — the
     # shapes actually deployed at scale.
+    from nyc_data_pipeline_spark.functions.textops import gram_id_rows
+
     docs2 = scaled(load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9)
-    toks = docs2.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
-        F.size("toks") >= 2
-    )
     fp = simhash_fingerprints(
-        toks.selectExpr(
-            "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
-        )
+        gram_id_rows(docs2, 2, distinct=False).selectExpr("doc_id", "gram AS t")
     )
     bands = fp.selectExpr(
         "doc_id", "simhash", f"explode({_band_structs()}) AS bk"
@@ -113,6 +110,18 @@ def probe(spark, k: int) -> dict[str, float]:
     from nyc_data_pipeline_spark.dedup.minhash import minhash_closure
 
     run("minhash_closure_3r", minhash_closure(sets2))
+
+    # r2 operators: decontamination probe, tf-idf salience, packing.
+    # (sample_weighted_mix is a pure scan-filter — nothing to probe.)
+    from nyc_data_pipeline_spark.functions.textops import (
+        decontaminate_probe,
+        tfidf_topterms,
+    )
+    from nyc_data_pipeline_spark.pipelines.mixing import pack_docs
+
+    run("decontaminate", decontaminate_probe(docs2))
+    run("tfidf_topterms", tfidf_topterms(docs2))
+    run("pack_token_budget", pack_docs(docs2))
 
     return times
 

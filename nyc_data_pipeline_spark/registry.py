@@ -127,6 +127,8 @@ _VERIFY_FIRST = [
     "fn_regex_suite",
     "dedup_incremental_probe",
     "emb_label_centroids",
+    "sim_hard_negatives",
+    "emb_knn_label_vote",
 ]
 
 
@@ -168,6 +170,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.pandas_path",
     "nyc_data_pipeline_spark.similarity.ivf",
     "nyc_data_pipeline_spark.similarity.centroids",
+    "nyc_data_pipeline_spark.similarity.negatives",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

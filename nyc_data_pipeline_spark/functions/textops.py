@@ -492,3 +492,137 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# --- repetition metrics (Gopher-style quality signals) ---------------------
+
+REP_MIN_UNIQUE_RATIO = 0.3  # distinct/total tokens below this -> repetitive
+REP_MAX_TOP_BIGRAM = 0.2    # one bigram carrying > 20% of all bigrams
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hs
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               CAST(len(hs) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct
+        FROM th
+    ),
+    g AS (
+        SELECT doc_id, unnest({duck_ngram_hashes('hs', 2)}) AS gram
+        FROM th WHERE len(hs) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    gs AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS total_bigrams,
+               CAST(MAX(c) AS BIGINT) AS max_bigram
+        FROM gc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.n_distinct,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS unique_ratio,
+           COALESCE(CAST(gs.max_bigram AS DOUBLE) / gs.total_bigrams, 0.0)
+               AS top_bigram_frac,
+           (CAST(t.n_distinct AS DOUBLE) / t.n_tokens
+                < {REP_MIN_UNIQUE_RATIO})
+             OR (COALESCE(CAST(gs.max_bigram AS DOUBLE) / gs.total_bigrams,
+                          0.0) > {REP_MAX_TOP_BIGRAM}) AS is_repetitive
+    FROM tok t LEFT JOIN gs ON t.doc_id = gs.doc_id
+    WHERE t.n_tokens > 0
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio and the fraction of all bigrams claimed by the single most
+    frequent bigram; `is_repetitive` flags looping/boilerplate docs
+    (unique ratio < {REP_MIN_UNIQUE_RATIO} or one bigram > than
+    {REP_MAX_TOP_BIGRAM} of the text).
+
+    Scale shape: token/distinct counts are per-row array ops (no
+    shuffle); the bigram multiset rides the codegen'd gram_id_rows
+    path and aggregates on fixed-width (doc_id, gram) then doc_id —
+    map-side partials make both shuffles linear in gram count.  The
+    doc_id join is 1-row-per-doc on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d.select("doc_id", "text"), "doc_id").selectExpr(
+        "doc_id",
+        f"CAST(size({spark_token_hashes(spark_tokens('text'))}) AS BIGINT)"
+        " AS n_tokens",
+        f"CAST(size(array_distinct({spark_token_hashes(spark_tokens('text'))}))"
+        " AS BIGINT) AS n_distinct",
+    )
+    gc = (
+        gram_id_rows(d, 2, distinct=False)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    gs = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("total_bigrams"), F.max("c").alias("max_bigram")
+    )
+    unique_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.coalesce(
+        F.col("max_bigram").cast("double") / F.col("total_bigrams"), F.lit(0.0)
+    )
+    return (
+        tok.join(gs, "doc_id", "left")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            unique_ratio.alias("unique_ratio"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (unique_ratio < REP_MIN_UNIQUE_RATIO)
+                | (top_frac > REP_MAX_TOP_BIGRAM)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+# --- PII scrub (regex redaction) -------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+               AS n_ips,
+           regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+             OR len(regexp_extract_all(text, '{_PII_IP}')) > 0 AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails and IPv4 addresses
+    (the two patterns that appear in web text with near-zero false
+    positives; phone patterns are corpus-tuned in practice).  Pure
+    per-row regex — zero shuffles, whole-stage codegen, trivially
+    linear at 100 TB.  The scrubbed text column is the operator's
+    point: downstream stages read `scrubbed`, never raw `text`."""
+    d = load_table(spark, sf_dir, "documents")
+    email, ip = _sp(_PII_EMAIL), _sp(_PII_IP)
+    return d.selectExpr(
+        "doc_id",
+        f"CAST(regexp_count(text, '{email}') AS BIGINT) AS n_emails",
+        f"CAST(regexp_count(text, '{ip}') AS BIGINT) AS n_ips",
+        f"regexp_replace(regexp_replace(text, '{email}', '<EMAIL>'), "
+        f"'{ip}', '<IP>') AS scrubbed",
+        f"regexp_count(text, '{email}') > 0 OR regexp_count(text, '{ip}') > 0"
+        " AS has_pii",
+    )

@@ -129,6 +129,8 @@ _VERIFY_FIRST = [
     "emb_label_centroids",
     "sim_hard_negatives",
     "emb_knn_label_vote",
+    "text_repetition_metrics",
+    "text_pii_scrub",
 ]
 
 

@@ -159,3 +159,117 @@ def pack_docs(d: DataFrame) -> DataFrame:
             f"((cum - 1) div {b}) - ((cum - n_tok) div {b}) + 1 AS n_seqs",
         )
     )
+
+
+# --- language-balanced sampling -------------------------------------------
+
+
+@register(
+    "sample_lang_balanced",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT MIN(cnt) AS target FROM c),
+    r AS (
+        SELECT lang, cnt,
+               CAST(least(1000, (target * 1000) // cnt) AS BIGINT)
+                   AS rate_permille
+        FROM c, t
+    )
+    SELECT d.doc_id, d.lang, r.rate_permille,
+           CAST(1000 AS DOUBLE) / r.rate_permille AS weight
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {_BUCKET} < r.rate_permille
+    """,
+)
+def sample_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sampling: down-sample every language to
+    (approximately) the size of the smallest one, so no language
+    dominates the mix.  Rates are integer permille derived from the
+    per-language counts (target = min count), and the keep-decision is
+    the same deterministic doc_id hash as ``sample_weighted_mix`` —
+    reruns, engines, and incremental batches select identical docs.
+
+    Scale shape: one count aggregate (tiny result: one row per
+    language), a 1-row min, then the rate table BROADCASTS back onto
+    the corpus scan — the corpus itself never shuffles; the filter is
+    codegen'd integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("cnt"))
+    t = c.agg(F.min("cnt").alias("target"))
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.lit(1000).cast("bigint"),
+            F.expr("target * 1000 DIV cnt"),
+        ).alias("rate_permille"),
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .withColumn("_bucket", F.expr(_BUCKET))
+        .filter(F.col("_bucket") < F.col("rate_permille"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_permille",
+            (F.lit(1000).cast("double") / F.col("rate_permille")).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+# --- curriculum buckets ----------------------------------------------------
+
+CURRICULUM_BUCKETS = 10
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ntile({CURRICULUM_BUCKETS}) OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY source, bucket
+    """,
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: per source, docs are ranked by length
+    (the cheap difficulty proxy; swap in any score column) and cut
+    into {CURRICULUM_BUCKETS} equal-depth buckets with NTILE — the
+    stage boundaries a curriculum scheduler feeds from easy to hard.
+    The order (n_chars, doc_id) is total, so bucket assignment is
+    deterministic under any partitioning.
+
+    Scale shape: the window partitions by source (no global sort — a
+    corpus-wide NTILE would serialize one partition); the per-bucket
+    rollup reuses the same (source) clustering, map-side partials on a
+    {CURRICULUM_BUCKETS}-row-per-source result."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.ntile(CURRICULUM_BUCKETS).over(w).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -131,6 +131,8 @@ _VERIFY_FIRST = [
     "emb_knn_label_vote",
     "text_repetition_metrics",
     "text_pii_scrub",
+    "sample_lang_balanced",
+    "curriculum_quality_buckets",
 ]
 
 

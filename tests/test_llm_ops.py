@@ -83,3 +83,133 @@ def test_real_decode_is_explicitly_stubbed():
 def test_simhash_hamming_symmetric_bound(spark, sf_dir):
     rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
     assert all(0 <= r.hamming <= 6 and r.doc_a < r.doc_b for r in rows)
+
+
+def test_repetition_metrics_flags_looping_doc(spark):
+    """A doc that is one phrase repeated must be flagged; a diverse doc
+    must not.  (Semantic golden test — the oracle only proves
+    cross-engine agreement, not that the thresholds mean anything.)"""
+    from nyc_data_pipeline_spark.functions.textops import (
+        text_repetition_metrics,
+    )
+    from nyc_data_pipeline_spark import catalog
+
+    rows = [
+        (1, "buy now " * 50, "en", "src0", 400),  # 2 distinct tokens
+        (2, " ".join(f"w{i}" for i in range(100)), "en", "src0", 400),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = catalog.load_table
+    catalog.load_table = lambda s, sf, name: df
+    try:
+        import nyc_data_pipeline_spark.functions.textops as tx
+        orig_tx = tx.load_table
+        tx.load_table = lambda s, sf, name: df
+        try:
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in text_repetition_metrics(spark, "ignored").collect()
+            }
+        finally:
+            tx.load_table = orig_tx
+    finally:
+        catalog.load_table = orig
+    assert out[1]["is_repetitive"] is True
+    assert out[1]["unique_ratio"] < 0.05
+    assert out[1]["top_bigram_frac"] > 0.4
+    assert out[2]["is_repetitive"] is False
+    assert out[2]["unique_ratio"] == 1.0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from nyc_data_pipeline_spark import functions
+    import nyc_data_pipeline_spark.functions.textops as tx
+
+    rows = [
+        (1, "mail me at a.b+c@example.com or ping 10.0.0.1 now", "en", "s", 40),
+        (2, "no pii here, just text", "en", "s", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda s, sf, name: df
+    try:
+        out = {r["doc_id"]: r.asDict() for r in tx.text_pii_scrub(spark, "x").collect()}
+    finally:
+        tx.load_table = orig
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<IP>" in out[1]["scrubbed"]
+    assert "example.com" not in out[1]["scrubbed"]
+    assert out[1]["has_pii"] is True
+    assert out[2]["has_pii"] is False and out[2]["scrubbed"] == rows[1][1]
+
+
+def test_lang_balanced_rates_equalize(spark):
+    """Every language's keep-rate must target the smallest language's
+    count; the smallest language keeps (close to) everything."""
+    import nyc_data_pipeline_spark.pipelines.mixing as mx
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"t{i}", "en" if i % 10 else "de", "s", 10) for i in range(1, 2001)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mx.load_table
+    mx.load_table = lambda s, sf, name: df
+    try:
+        out = mx.sample_lang_balanced(spark, "x")
+        rates = {
+            r["lang"]: r["rate_permille"]
+            for r in out.select("lang", "rate_permille").distinct().collect()
+        }
+        kept = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+    finally:
+        mx.load_table = orig
+    # de: 200 docs (smallest) -> rate 1000; en: 1800 -> rate 111
+    assert rates["de"] == 1000
+    assert rates["en"] == 200 * 1000 // 1800
+    assert kept["de"] == 200
+    # achieved en sample is within 3x sqrt of the ~200 target
+    assert abs(kept["en"] - 200) < 3 * 200 ** 0.5 + 20
+
+
+def test_knn_vote_prefers_majority_label(spark):
+    """Construct a corpus where query 0's nearest neighbors are label 7
+    by construction; the vote must say 7 and label_agrees False."""
+    import nyc_data_pipeline_spark.similarity.negatives as ng
+
+    # query 0: unit-x vector, label 0.  40 voters must exist (N_VOTERS
+    # queries are vec_id < 40) -- make ids 0..39 queries, and give every
+    # vector a position on the unit circle: ids 100..106 sit exactly on
+    # unit-x (cos=1) with label 7; everything else is far.
+    import math
+
+    rows = []
+    for i in range(40):
+        ang = 2.5 + i * 0.05  # far from unit-x
+        rows.append((i, [math.cos(ang), math.sin(ang)], i % 5))
+    for j in range(100, 107):
+        rows.append((j, [1.0, 0.0], 7))
+    rows[0] = (0, [1.0, 0.0], 0)  # query 0 at unit-x, label 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = ng.load_table
+    ng.load_table = lambda s, sf, name: df
+    try:
+        out = {
+            r["query_id"]: r.asDict()
+            for r in ng.emb_knn_label_vote(spark, "x").collect()
+        }
+    finally:
+        ng.load_table = orig
+    assert out[0]["predicted_label"] == 7
+    assert out[0]["n_votes"] == 7
+    assert out[0]["label_agrees"] is False

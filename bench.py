@@ -66,6 +66,11 @@ HEADLINE = [
     "sample_weighted_mix",
     "pack_token_budget",
     "q14_promo_revenue",
+    # r2: incremental dedup probe, hard negatives, centroids, repetition
+    "dedup_incremental_probe",
+    "sim_hard_negatives",
+    "emb_label_centroids",
+    "text_repetition_metrics",
 ]
 
 

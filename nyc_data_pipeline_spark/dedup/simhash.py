@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.text import (
-    duck_ngram_hashes,
+    duck_bigrams,
     duck_token_hashes,
     duck_tokens,
+    spark_bigrams,
+    spark_token_hashes,
+    spark_tokens,
 )
-from ..functions.textops import gram_id_rows
 from ..registry import register
 
 BITS = 32
@@ -70,7 +72,15 @@ def _fingerprint_expr() -> str:
 
 
 def simhash_fingerprints(shingle_hashes: DataFrame) -> DataFrame:
-    """(doc_id, t bigint) exploded shingle hashes → (doc_id, simhash)."""
+    """(doc_id, t bigint) exploded shingle hashes → (doc_id, simhash).
+
+    Measured negative result (r2): feeding this from the window-based
+    gram-id path (textops.gram_id_rows, distinct=False) is SLOWER than
+    the bigram-string fold here — 5.5 s vs 3.6 s at 32× sf0.1 —
+    because simhash needs the full positional multiset, and a per-doc
+    posexplode+sort outweighs the per-char fold for n=2.  gram_id_rows
+    wins only where grams are deduped per doc or n is large
+    (decontaminate n=5: 13.8 s → 2.5 s; boilerplate: 12 s → 1.6 s)."""
     sums = shingle_hashes.groupBy("doc_id").agg(
         *[F.expr(e) for e in _spark_bitsums()]
     )
@@ -79,10 +89,11 @@ def simhash_fingerprints(shingle_hashes: DataFrame) -> DataFrame:
 
 def _bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # Codegen'd shingle path (posexplode + lead; see textops.gram_id_rows)
-    # with distinct=False — every shingle occurrence votes.
-    exploded = gram_id_rows(d, 2, distinct=False).selectExpr(
-        "doc_id", "gram AS t"
+    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
+        F.size("toks") >= 2
+    )
+    exploded = toks.selectExpr(
+        "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
     )
     fp = simhash_fingerprints(exploded)
     return fp.selectExpr(
@@ -98,14 +109,13 @@ def _keep_one_sql_prefix() -> str:
         for i, (off, w) in enumerate(zip(_OFFSETS, _WIDTHS))
     )
     return f"""
-    WITH th AS (
-        SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hs
-        FROM documents
+    WITH toks AS (
+        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
     ),
     sh AS (
         SELECT doc_id,
-               unnest({duck_ngram_hashes('hs', 2)}) AS t
-        FROM th WHERE len(hs) >= 2
+               unnest({duck_token_hashes(duck_bigrams('toks'))}) AS t
+        FROM toks WHERE len(toks) >= 2
     ),
     sums AS (
         SELECT doc_id,
@@ -151,14 +161,13 @@ def dedup_simhash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH th AS (
-        SELECT doc_id, {duck_token_hashes(duck_tokens('text'))} AS hs
-        FROM documents
+    WITH toks AS (
+        SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
     ),
     sh AS (
         SELECT doc_id,
-               unnest({duck_ngram_hashes('hs', 2)}) AS t
-        FROM th WHERE len(hs) >= 2
+               unnest({duck_token_hashes(duck_bigrams('toks'))}) AS t
+        FROM toks WHERE len(toks) >= 2
     ),
     sums AS (
         SELECT doc_id,
@@ -176,8 +185,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32) over bigram shingles; pairs with Hamming ≤ 6 via
     lossless 7-block banding (candidates) + exact bit_count verify."""
     d = load_table(spark, sf_dir, "documents")
-    exploded = gram_id_rows(d, 2, distinct=False).selectExpr(
-        "doc_id", "gram AS t"
+    toks = d.selectExpr("doc_id", f"{spark_tokens('text')} AS toks").filter(
+        F.size("toks") >= 2
+    )
+    exploded = toks.selectExpr(
+        "doc_id", f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t"
     )
     fp = simhash_fingerprints(exploded)
     # fp ends in a groupBy exchange, so both band-join branches read a

@@ -75,11 +75,15 @@ def probe(spark, k: int) -> dict[str, float]:
     # by construction (verified: banded simhash pairs 2.2s → 223s at
     # 32×).  The probe therefore measures the keep-one forms — the
     # shapes actually deployed at scale.
-    from nyc_data_pipeline_spark.functions.textops import gram_id_rows
-
     docs2 = scaled(load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9)
+    toks2 = docs2.selectExpr(
+        "doc_id", f"{spark_tokens('text')} AS toks"
+    ).filter(F.size("toks") >= 2)
     fp = simhash_fingerprints(
-        gram_id_rows(docs2, 2, distinct=False).selectExpr("doc_id", "gram AS t")
+        toks2.selectExpr(
+            "doc_id",
+            f"explode({spark_token_hashes(spark_bigrams('toks'))}) AS t",
+        )
     )
     bands = fp.selectExpr(
         "doc_id", "simhash", f"explode({_band_structs()}) AS bk"

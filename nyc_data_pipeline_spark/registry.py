@@ -133,6 +133,12 @@ _VERIFY_FIRST = [
     "text_pii_scrub",
     "sample_lang_balanced",
     "curriculum_quality_buckets",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_count",
 ]
 
 
@@ -153,6 +159,7 @@ def _reorder() -> None:
 # Modules that register queries; extended as operators land.
 _QUERY_MODULES = [
     "nyc_data_pipeline_spark.plans.relational",
+    "nyc_data_pipeline_spark.plans.relational_ext",
     "nyc_data_pipeline_spark.operators.enrichment",
     "nyc_data_pipeline_spark.operators.aggregates",
     "nyc_data_pipeline_spark.operators.joins",

@@ -374,3 +374,361 @@ def q16_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc("p_size"),
         )
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH li_p AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11' AND p_size < 15
+    ),
+    thr AS (
+        SELECT l_partkey AS t_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12))
+                   AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_p GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM li_p JOIN thr ON l_partkey = t_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders below 20% of the part's average
+    quantity.
+
+    The correlated scalar AVG decorrelates to a per-part aggregate
+    joined back to the same filtered fact slice; the 0.2×avg
+    comparison is algebraically cleared of division
+    (qty < 0.2·sum/cnt ⟺ 5·qty·cnt < sum) so the predicate is exact
+    decimal arithmetic — no float rounding in the filter.  Both the
+    aggregate and the re-join key on l_partkey, so AQE plans the
+    second join off the same shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15)
+    )
+    li_p = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li_p.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,12)").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li_p.join(thr, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_sql_dsum_rev()} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate spanning both
+    join sides.
+
+    Catalyst extracts the common l_quantity bounds (1..30) and the
+    p_brand IN set as derivable conjuncts pushed to each scan, then
+    applies the full disjunction post-join — the part side stays a
+    broadcast, the fact side is one filtered scan, zero shuffles
+    before the single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q2_best_supplier",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 15 AND p_type = 'LARGE'
+    ),
+    ranked AS (
+        SELECT l_partkey AS p_key, s_suppkey, s_name, s_acctbal,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        FROM pairs JOIN supplier ON s_suppkey = l_suppkey
+    )
+    SELECT r.p_key AS p_partkey, p.p_name, r.s_suppkey, r.s_name,
+           r.s_acctbal, n.n_name
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.p_key
+    JOIN supplier s ON s.s_suppkey = r.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE r.rk = 1
+    ORDER BY r.s_acctbal DESC, n.n_name, r.s_name, r.p_key
+    """,
+)
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-less): for each part of a given
+    size/type, the supplier with the highest account balance among
+    those who actually supplied it (distinct lineitem pairs play
+    partsupp).
+
+    The correlated "= (SELECT MIN(ps_supplycost)…)" of the original
+    becomes a rank-1 window over the per-part supplier set — the
+    standard decorrelation; supplier/nation/part dims broadcast, the
+    only wide shuffle is the distinct on (partkey, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    ranked = (
+        pairs.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        ranked.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               -- 24+14=38 digits: forces DuckDB's multiply onto int128
+               -- (18,6)x(18,6) runs in int64 there and overflows; the
+               -- product values are identical either way
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))
+                        * CAST(l_quantity AS DECIMAL(14,6)))
+                    AS DECIMAL(38,12)) AS value_dec
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_dec) AS DECIMAL(38,12)) AS total FROM v)
+    SELECT l_partkey,
+           CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
+    FROM v, tot
+    WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) * 1000
+          > CAST(CAST(total AS VARCHAR) AS DOUBLE)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value from one nation
+    exceeds a fraction (0.1%) of that nation's total supply value.
+
+    The "HAVING > (SELECT SUM(...)·fraction)" decorrelates to a 1-row
+    broadcast joined against the per-part aggregate; the fraction
+    comparison multiplies rather than divides (value·1000 > total) on
+    the exact decimal sums cast to double — see the inline note."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    v = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_quantity"))
+            .cast("decimal(38,12)")
+            .alias("value_dec")
+        )
+    )
+    tot = v.agg(F.sum("value_dec").cast("decimal(38,12)").alias("total"))
+    # The threshold compares the two exact decimal sums as DOUBLES
+    # (identical IEEE multiply/compare in both engines): value·1000
+    # overflows DuckDB's decimal multiplication at DECIMAL(38,12).
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_dec").cast("double") * 1000
+            > F.col("total").cast("double")
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DECIMAL(38,12)) AS supp_qty
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+        GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+        SELECT l_partkey AS t_partkey,
+               CAST(SUM(supp_qty) AS DECIMAL(38,12)) AS part_qty
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM ps
+    JOIN pt ON l_partkey = t_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE supp_qty * 8 > part_qty
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty-less): suppliers who shipped more
+    than an eighth of some red part's total shipped quantity (the
+    synthetic corpus spreads parts across ~26 suppliers, so "half"
+    never happens; the shape is the point) — the nested
+    IN chain (suppliers ⊃ parts ⊃ quantity threshold) reduced to
+    aggregate + join + semi-distinct.
+
+    The part name filter becomes a broadcast semi-join on the
+    lineitem scan; both aggregates share the (partkey, suppkey)
+    shuffle (the per-part rollup reuses the first aggregate's
+    output); the >eighth comparison is division-free decimal math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,12)").alias("supp_qty"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").cast("decimal(38,12)").alias("part_qty")
+    )
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("supp_qty") * 8 > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH l1 AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_linestatus = 'O'
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt-date-less: l_linestatus='O' plays
+    "late"): suppliers holding up multi-supplier orders — their line
+    is open and every other supplier's line in the order is done.
+
+    EXISTS → left-semi and NOT EXISTS → left-anti, both on
+    l_orderkey with the supplier-inequality in the join condition —
+    Spark runs them as two hash joins over the same orderkey
+    clustering; no correlated per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_linestatus") == "O").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.selectExpr("l_orderkey AS o2", "l_suppkey AS s2")
+    l3 = li.filter(F.col("l_linestatus") == "O").selectExpr(
+        "l_orderkey AS o3", "l_suppkey AS s3"
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )

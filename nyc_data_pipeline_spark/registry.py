@@ -139,6 +139,12 @@ _VERIFY_FIRST = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q2_best_supplier",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
 ]
 
 

@@ -86,3 +86,31 @@ def test_results_invariant_to_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b
+
+
+def test_q21_runs_semi_and_anti_not_subquery(spark, sf_dir):
+    p = plan_str(QUERIES["q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_pushes_common_bounds_and_broadcasts_part(spark, sf_dir):
+    p = plan_str(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # Catalyst derives l_quantity >= 1 AND <= 30 from the disjunction
+    # and pushes it to the lineitem scan.
+    assert "GreaterThanOrEqual(l_quantity,1" in p
+    assert "LessThanOrEqual(l_quantity,30" in p
+
+
+def test_q16_denylist_is_broadcast_anti(spark, sf_dir):
+    p = plan_str(QUERIES["q16_part_supplier_count"](spark, sf_dir))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_q8_single_wide_shuffle(spark, sf_dir):
+    p = plan_str(QUERIES["q8_market_share"](spark, sf_dir))
+    # every dim broadcasts: the only SortMergeJoin/shuffle join keys on
+    # orderkey (lineitem x orders)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 5

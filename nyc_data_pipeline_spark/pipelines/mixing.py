@@ -273,3 +273,143 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --- overlapping document chunking -----------------------------------------
+
+CHUNK_SIZE = 128   # tokens per chunk
+CHUNK_STRIDE = 96  # stride < size -> 32-token overlap between chunks
+
+
+@register(
+    "chunk_documents_stride",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               unnest(generate_series(
+                   0,
+                   greatest(n_tok - 1, 0) // {CHUNK_STRIDE}
+               )) AS chunk_idx
+        FROM t WHERE n_tok >= 1
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} AS tok_start,
+           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) AS tok_end
+    FROM c
+    WHERE chunk_idx * {CHUNK_STRIDE} < n_tok
+    """,
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking: split each document into {CHUNK_SIZE}-token
+    windows advancing by {CHUNK_STRIDE} tokens ({CHUNK_SIZE - CHUNK_STRIDE}
+    overlap) — the retrieval/embedding-index prep step (RAG chunking,
+    long-doc embedding).  Emits (doc_id, chunk_idx, tok_start, tok_end)
+    bookkeeping; slicing the actual text rides the same bounds.
+
+    Scale shape: pure per-row sequence explode — no shuffle at all; the
+    chunk count per doc is ceil(n_tok/stride), so output size is
+    linear in corpus token count."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.selectExpr(
+        "doc_id",
+        f"CAST(size({spark_tokens('text')}) AS BIGINT) AS n_tok",
+    ).filter(F.col("n_tok") >= 1)
+    return (
+        t.select(
+            "doc_id",
+            "n_tok",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("n_tok") - 1) / CHUNK_STRIDE).cast("bigint"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * CHUNK_STRIDE < F.col("n_tok"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STRIDE).alias("tok_start"),
+            F.least(
+                F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_SIZE, F.col("n_tok")
+            ).alias("tok_end"),
+        )
+    )
+
+
+# --- tokenizer vocabulary coverage -----------------------------------------
+
+VOCAB_TOP_K = 500  # corpus-frequency vocab size for the coverage probe
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({duck_tokens('text')}) AS tk FROM documents
+    ),
+    vocab AS (
+        SELECT tk FROM (
+            SELECT tk, COUNT(*) AS freq,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, tk) AS rk
+            FROM tok GROUP BY tk
+        ) WHERE rk <= {VOCAB_TOP_K}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tk IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tk IS NOT NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tk)
+    GROUP BY doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus's top-{VOCAB_TOP_K} tokens (stand-in for a
+    fixed tokenizer vocab — swap in a broadcast vocab table in
+    production).  High OOV flags encoding noise, language mismatch, or
+    tokenizer drift before a training run wastes compute on it.
+
+    Scale shape: the vocab derives from one token-frequency aggregate
+    and is TOP-K-small, so it BROADCASTS into the coverage join — the
+    corpus token stream never shuffles for membership; the per-doc
+    rollup keys on doc_id.  The global top-k rank runs on the
+    aggregated (distinct-token) table, not the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.selectExpr(
+        "doc_id", f"explode({spark_tokens('text')}) AS tk"
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tk"))
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .select("tk", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), 0).otherwise(1)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -145,6 +145,8 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q20_dominant_supplier",
     "q21_waiting_supplier",
+    "chunk_documents_stride",
+    "vocab_oov_rate",
 ]
 
 

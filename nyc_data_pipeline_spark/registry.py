@@ -147,6 +147,7 @@ _VERIFY_FIRST = [
     "q21_waiting_supplier",
     "chunk_documents_stride",
     "vocab_oov_rate",
+    "stream_trending_topk",
 ]
 
 

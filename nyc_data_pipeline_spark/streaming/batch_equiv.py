@@ -21,6 +21,7 @@ from .windows import (
     session_counts,
     sliding_avg,
     stream_static_enrich,
+    trending_topk,
     tumbling_counts,
 )
 
@@ -158,3 +159,29 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     replayed = ev.filter(F.col("event_id") % 10 == 0)
     return ev.unionByName(replayed).dropDuplicates(["event_id"])
+
+
+@register(
+    "stream_trending_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                        - k * INTERVAL '30 minutes') AS window_start_us,
+               event_type, COUNT(*) AS n
+        FROM events, (VALUES (0), (1)) AS offsets(k)
+        GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start_us
+                   ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 trending leaderboard: top-3 event types per 1 h window
+    sliding every 30 min (windowed count + deterministic rank; the
+    live split — watermarked counts, rank in foreachBatch — runs in
+    tests/test_streaming.py)."""
+    return trending_topk(load_table(spark, sf_dir, "events"))

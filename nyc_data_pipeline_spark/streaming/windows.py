@@ -138,3 +138,40 @@ def session_counts(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -
             "n_events",
         )
     )
+
+
+def trending_topk(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Trending detector: top-k event types per sliding window.
+
+    Batch form of the standard streaming leaderboard.  In a live
+    pipeline the windowed counts run under a watermark and the rank
+    runs in foreachBatch over each emitted window (rank-over-agg is
+    not expressible in a single append-mode stream) — that exact
+    split is tested in tests/test_streaming.py.  The rank order
+    (n desc, event_type asc) is total, so results are deterministic."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.groupBy(F.window(ts_col, width, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    w = W.partitionBy("window_start_us").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

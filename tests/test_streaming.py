@@ -533,3 +533,56 @@ def test_stream_corpus_curate_equals_batch(spark, sf_dir, tmp_path):
         for r in curate_documents(docs).collect()
     }
     assert got == want and got
+
+
+def test_stream_trending_topk_equals_batch(spark, sf_dir, events_json_dir):
+    """Trending leaderboard: watermarked sliding counts run as a real
+    stream; the rank runs in foreachBatch over each emitted snapshot
+    (rank-over-agg is not expressible in one append-mode stream).  The
+    final snapshot's ranked output must equal the batch twin."""
+    from pyspark.sql import Window as W
+    from nyc_data_pipeline_spark.streaming.windows import trending_topk
+
+    stream = file_json_stream(spark, events_json_dir, EVENT_SCHEMA)
+    counts = (
+        with_watermark(stream, "ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    snapshots = []
+
+    def rank_batch(bdf, epoch_id):
+        w = W.partitionBy("window_start_us").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        ranked = (
+            bdf.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .collect()
+        )
+        snapshots.append(ranked)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start_us, r.rank): (r.event_type, r.n) for r in snapshots[-1]
+    }
+    want = {
+        (r.window_start_us, r.rank): (r.event_type, r.n)
+        for r in trending_topk(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want

@@ -148,6 +148,7 @@ _VERIFY_FIRST = [
     "chunk_documents_stride",
     "vocab_oov_rate",
     "stream_trending_topk",
+    "approx_hll_user_reach",
 ]
 
 
@@ -176,6 +177,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.setops",
     "nyc_data_pipeline_spark.operators.scalars",
     "nyc_data_pipeline_spark.operators.skew",
+    "nyc_data_pipeline_spark.operators.sketches",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

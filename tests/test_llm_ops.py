@@ -213,3 +213,29 @@ def test_knn_vote_prefers_majority_label(spark):
     assert out[0]["predicted_label"] == 7
     assert out[0]["n_votes"] == 7
     assert out[0]["label_agrees"] is False
+
+
+def test_hll_sketch_estimates_within_error_and_merge(spark, sf_dir):
+    """Sketch estimates must land within HLL error bounds of the exact
+    distinct counts, and the 'ALL' row (merged from the per-type
+    partial states, not a rescan) must match the exact all-types
+    reach within the same bound."""
+    from nyc_data_pipeline_spark.operators.sketches import approx_hll_user_reach
+    from nyc_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r["reach_estimate"]
+        for r in approx_hll_user_reach(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

@@ -1,0 +1,130 @@
+"""Product-analytics operators over the events stream: funnel and
+retention cohorts.
+
+The reference is an analytics dashboard (KPIs, hourly rollups); these
+are the two classic dashboard queries one step up from rollups —
+conversion funnels and cohort retention.  Both are pure
+aggregate/join shapes (no per-row state), so they scale as ordinary
+shuffles keyed on user_id / cohort date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+FUNNEL = ["view", "click", "purchase"]
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS f_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS f_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS f_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(f_view) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN f_click > f_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_after_view,
+           CAST(SUM(CASE WHEN f_purchase > f_click AND f_click > f_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full_funnel,
+           CAST(SUM(CASE WHEN f_click > f_view THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(f_view) AS view_to_click,
+           CAST(SUM(CASE WHEN f_purchase > f_click AND f_click > f_view
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(f_view) AS view_to_purchase
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase on FIRST-occurrence
+    ordering: a user advances a step if their first click follows
+    their first view, and their first purchase follows that click.
+    (First-occurrence funnels are the standard dashboard definition;
+    strict-sequence within-session funnels are the sessionize operator
+    composed with this one.)
+
+    Scale shape: one user-keyed aggregate building the three first
+    timestamps in a single pass (conditional MIN — no joins between
+    event-type subsets), then a single-row rollup.  NULL comparisons
+    do the step gating: f_click > f_view is NULL-false when either is
+    absent, identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"f_{t}")
+            for t in FUNNEL
+        ]
+    )
+    clicked = F.when(F.col("f_click") > F.col("f_view"), 1).otherwise(0)
+    purchased = F.when(
+        (F.col("f_purchase") > F.col("f_click"))
+        & (F.col("f_click") > F.col("f_view")),
+        1,
+    ).otherwise(0)
+    return firsts.agg(
+        F.count("f_view").alias("n_view"),
+        F.sum(clicked).cast("bigint").alias("n_click_after_view"),
+        F.sum(purchased).cast("bigint").alias("n_full_funnel"),
+        (F.sum(clicked).cast("double") / F.count("f_view")).alias(
+            "view_to_click"
+        ),
+        (F.sum(purchased).cast("double") / F.count("f_view")).alias(
+            "view_to_purchase"
+        ),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    )
+    SELECT epoch_us(CAST(cohort_date AS TIMESTAMP)) AS cohort_date_us,
+           CAST(datediff('day', cohort_date, active_date) AS INTEGER)
+               AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen date; for each
+    (cohort, day-offset) the count of cohort members active that day
+    — the dashboard retention triangle.
+
+    Scale shape: per-user first-date aggregate, per-(user, day)
+    distinct, one join on user_id (both sides already clustered on it
+    — AQE plans the join off the aggregates' shuffles), then a tiny
+    (cohort, offset) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("active_date")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros(F.col("cohort_date").cast("timestamp")).alias(
+                "cohort_date_us"
+            ),
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_date_us", "day_offset")
+    )

@@ -149,6 +149,8 @@ _VERIFY_FIRST = [
     "vocab_oov_rate",
     "stream_trending_topk",
     "approx_hll_user_reach",
+    "events_funnel",
+    "retention_cohorts",
 ]
 
 
@@ -178,6 +180,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.scalars",
     "nyc_data_pipeline_spark.operators.skew",
     "nyc_data_pipeline_spark.operators.sketches",
+    "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

@@ -65,3 +65,48 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     ev = load_table(spark, sf_dir, "events")
     return salted_agg(ev, "event_type", "value", "event_id")
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the big (events) side gets a deterministic
+    salt from a unique column; the small (customer) side replicates
+    across all {N_SALTS} salts; the join keys on (key, salt), so a
+    pathologically hot user_id spreads over {N_SALTS} reducers instead
+    of one.  This is the explicit form of what AQE's skew-join split
+    does adaptively — needed when skew mitigation must be guaranteed
+    up front (AQE splits only after a stage materializes its skewed
+    partition).  SHUFFLE_HASH hint keeps it a shuffle join (a
+    broadcast would bypass the exercise); the oracle is the plain
+    join, proving salting never changes results."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    b = ev.withColumn(
+        "_salt", F.pmod(F.hash(F.col("event_id")), F.lit(N_SALTS))
+    )
+    s = c.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    return (
+        b.join(
+            s.hint("shuffle_hash"),
+            (F.col("user_id") == F.col("c_custkey"))
+            & (b["_salt"] == s["_salt"]),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("segment")
+    )

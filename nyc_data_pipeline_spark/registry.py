@@ -151,6 +151,7 @@ _VERIFY_FIRST = [
     "approx_hll_user_reach",
     "events_funnel",
     "retention_cohorts",
+    "join_skew_salted",
 ]
 
 

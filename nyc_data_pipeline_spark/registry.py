@@ -152,6 +152,7 @@ _VERIFY_FIRST = [
     "events_funnel",
     "retention_cohorts",
     "join_skew_salted",
+    "emb_norm_outliers",
 ]
 
 

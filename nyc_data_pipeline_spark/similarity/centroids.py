@@ -18,10 +18,11 @@ decimal-sum convention, in fixed-point form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.vectors import duck_sq_norm
 from ..registry import register
 
 MICRO = 1_000_000
@@ -69,4 +70,57 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid"
             ),
         )
+    )
+
+
+OUTLIER_PERMILLE = 10  # top 1% by norm within each label
+
+
+@register(
+    "emb_norm_outliers",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               {duck_sq_norm('embedding')} AS sq_norm
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id, label, sq_norm,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY sq_norm DESC, vec_id) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+        FROM n
+    )
+    SELECT vec_id, label, sq_norm, rk
+    FROM r
+    WHERE rk * 1000 <= n_label * {OUTLIER_PERMILLE}
+    ORDER BY label, rk
+    """,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: the top {OUTLIER_PERMILLE}‰ of vectors by
+    squared norm within each label — norm outliers are the classic
+    symptom of encoding bugs and degenerate inputs, and they poison
+    cosine-based retrieval (norm leaks into dot products before
+    normalization).
+
+    The percentile cut is pure integer arithmetic on the rank and the
+    label count (rk·1000 ≤ n·permille) — no float quantile, so the
+    flagged set is identical on every engine and partitioning.  One
+    window per label (rank + count share the same partitioning; a
+    single shuffle on label)."""
+    from ..functions.vectors import spark_sq_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.selectExpr(
+        "vec_id", "label", f"{spark_sq_norm('embedding')} AS sq_norm"
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sq_norm"), F.asc("vec_id"))
+    wc = Window.partitionBy("label")
+    return (
+        n.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_label", F.count("*").over(wc))
+        .filter(F.col("rk") * 1000 <= F.col("n_label") * OUTLIER_PERMILLE)
+        .select("vec_id", "label", "sq_norm", "rk")
+        .orderBy("label", "rk")
     )

@@ -71,6 +71,13 @@ HEADLINE = [
     "sim_hard_negatives",
     "emb_label_centroids",
     "text_repetition_metrics",
+    # r2: extended TPC-H shapes, analytics, sketches
+    "q7_volume_shipping",
+    "q21_waiting_supplier",
+    "events_funnel",
+    "retention_cohorts",
+    "vocab_oov_rate",
+    "approx_hll_user_reach",
 ]
 
 

@@ -128,3 +128,41 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_date_us", "day_offset")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per
+    user — the journey-flow matrix behind sankey/path dashboards (the
+    step past the funnel's fixed view→click→purchase ordering).
+
+    Ordering within a user is (ts, event_id) so ties are deterministic
+    in both engines.  Scale shape: one user-keyed window (same shuffle
+    key as every other per-user operator, so AQE can reuse the
+    exchange), then a tiny (type, type) rollup — no self-join of the
+    event stream against itself."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )

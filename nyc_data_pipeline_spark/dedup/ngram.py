@@ -107,18 +107,31 @@ _DF_CAP_FRACTION = 0.10  # tokens present in >10% of docs are stop-tokens
 
 
 def jaccard_pairs_df_capped(
-    sets: DataFrame, threshold: float, cap: int
+    sets: DataFrame, threshold: float, cap: int | None = None
 ) -> DataFrame:
     """Inverted-index Jaccard over the capped vocabulary: tokens with
     document frequency > cap are dropped from postings AND set sizes
     (Jaccard is redefined over the kept vocabulary — the crawl-scale
     practice).  This bounds the join cost at Σ_kept df(token)² ≤
     #tokens·cap², eliminating the hot-token quadratic; docs left with
-    no kept tokens exit the candidate space entirely."""
+    no kept tokens exit the candidate space entirely.
+
+    When ``cap`` is None it is derived IN-PLAN as ceil(#docs ·
+    _DF_CAP_FRACTION) via a 1-row aggregate broadcast into the df
+    filter — no driver-side ``count()`` action, so the corpus is
+    scanned once, not twice (same pattern as text_boilerplate_score)."""
     posting = sets.select("doc_id", F.explode("elems").alias("e"))
-    keep = posting.groupBy("e").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= cap
-    )
+    df_by_tok = posting.groupBy("e").agg(F.count("*").alias("df"))
+    if cap is None:
+        cap_row = sets.agg(
+            F.ceil(F.count("*") * _DF_CAP_FRACTION).cast("bigint").alias("cap")
+        )
+        keep = (
+            df_by_tok.crossJoin(F.broadcast(cap_row))
+            .filter(F.col("df") <= F.col("cap"))
+        )
+    else:
+        keep = df_by_tok.filter(F.col("df") <= cap)
     capped = posting.join(keep.select("e"), "e")
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -179,17 +192,14 @@ def _capped_sql(sets_cte: str, threshold: float) -> str:
 )
 def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram Jaccard (θ=0.85) over the df-capped vocabulary (cap =
-    ceil(10% of corpus)) — the bounded-join form of
+    ceil(10% of corpus), derived in-plan) — the bounded-join form of
     dedup_jaccard_unigram for hot-token corpora."""
-    import math
-
     d = load_table(spark, sf_dir, "documents")
     sets = d.selectExpr(
         "doc_id",
         f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
     )
-    cap = int(math.ceil(sets.count() * _DF_CAP_FRACTION))
-    return jaccard_pairs_df_capped(sets, _JACCARD_UNIGRAM, cap)
+    return jaccard_pairs_df_capped(sets, _JACCARD_UNIGRAM)
 
 
 @register(

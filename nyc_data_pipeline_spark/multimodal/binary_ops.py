@@ -27,11 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import NO_ORACLE_OK, register
+from ..registry import register
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, head_byte int, tail_byte int, byte_sum_mod int"
+    "doc_id bigint, n_bytes int, head_hex string, tail_hex string, "
+    "slice_md5 string, hist array<int>"
 )
+
+_HEX_DIGITS = "0123456789ABCDEF"
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -59,15 +62,29 @@ def decode_media(payload: bytes, mime: str):
 
 
 def _fake_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    def feats(b: bytes) -> tuple:
+        h = bytes(b).hex().upper()
+        nib = h[0::2]  # high nibble of each byte
+        return (
+            len(b),
+            h[:8],
+            h[-8:],
+            hashlib.md5(h[:128].encode()).hexdigest(),
+            [nib.count(d) for d in _HEX_DIGITS],
+        )
+
     for pdf in batches:
-        payloads = pdf["payload"]
+        rows = pdf["payload"].map(feats)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len),
-                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
-                "byte_sum_mod": payloads.map(lambda b: sum(b) % 997),
+                "n_bytes": rows.map(lambda r: r[0]),
+                "head_hex": rows.map(lambda r: r[1]),
+                "tail_hex": rows.map(lambda r: r[2]),
+                "slice_md5": rows.map(lambda r: r[3]),
+                "hist": rows.map(lambda r: r[4]),
             }
         )
 
@@ -158,13 +175,39 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, h, n_bytes,
+               regexp_replace(h, '(.).', '\\1', 'g') AS nib
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           substring(h, 1, 8) AS head_hex,
+           substring(h, greatest(1, 2 * n_bytes - 7), 8) AS tail_hex,
+           md5(substring(h, 1, 128)) AS slice_md5,
+           list_transform(
+               ['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F'],
+               d -> CAST(length(nib) - length(replace(nib, d, '')) AS INTEGER)
+           ) AS hist
+    FROM n
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode path end-to-end (binary column → Arrow batches →
-    Pandas features).  Python-side by construction → rows-only driver
-    check; determinism pinned by tests/test_multimodal.py."""
+    Pandas features), now with a REAL oracle: the stand-in decoder emits
+    decoder-independent deterministic features — byte length, head/tail
+    hex slices, an md5 over the first 64 bytes' hex, and a 16-bucket
+    high-nibble byte histogram — that DuckDB reproduces over the same
+    binary column.  This certifies the whole mapInPandas path (Arrow
+    batch shape, schema contract, partition parallelism) byte-for-byte
+    even while the real codec stays a stub (`decode_media`)."""
     d = load_table(spark, sf_dir, "documents")
     return fake_decode_features(attach_binary_payload(d))
-
-
-NO_ORACLE_OK.add("mm_decode_features")

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exprs import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
 # Reference constants (spark_consumer.py:71-78).
@@ -190,6 +191,58 @@ def ref_trip_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tip_pct",
             "source",
         )
+    )
+
+
+@register(
+    "agg_ungrouped_kpis",
+    oracle=f"""
+    WITH trips AS (
+        SELECT value / 10.0 AS trip_distance,
+               value AS fare_amount,
+               CAST(event_id % 20 AS DOUBLE) AS tip_amount,
+               CAST({_SQL_K} AS DOUBLE) AS duration_min
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_trips,
+           {sql_davg('fare_amount')} AS avg_fare,
+           {sql_dsum('fare_amount')} AS total_revenue,
+           {sql_davg('duration_min')} AS avg_duration_min,
+           {sql_davg('trip_distance')} AS avg_distance,
+           {sql_dsum('tip_amount')} AS total_tips
+    FROM trips
+    WHERE trip_distance >= 0 AND fare_amount >= 0
+      AND duration_min > 0 AND duration_min < 300
+    """,
+)
+def agg_ungrouped_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 batch twin: the ungrouped single-row KPI aggregate the
+    reference computes per micro-batch in foreachBatch
+    (spark_consumer.py:109-115 — batch count + averaged metrics) over
+    the enriched-and-filtered trips.  Partial (map-side) aggregation
+    makes this one round of 32-byte partials per partition — the
+    cheapest possible global statement at any scale; the streaming form
+    runs the same agg inside foreachBatch (streaming/sinks.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    t = ev.select(
+        (F.col("value") / 10.0).alias("trip_distance"),
+        F.col("value").alias("fare_amount"),
+        (F.col("event_id") % 20).cast("double").alias("tip_amount"),
+        k.cast("double").alias("duration_min"),
+    ).filter(
+        (F.col("trip_distance") >= 0)
+        & (F.col("fare_amount") >= 0)
+        & (F.col("duration_min") > MIN_DURATION_MIN)
+        & (F.col("duration_min") < MAX_DURATION_MIN)
+    )
+    return t.agg(
+        F.count("*").alias("total_trips"),
+        davg("fare_amount").alias("avg_fare"),
+        dsum("fare_amount").alias("total_revenue"),
+        davg("duration_min").alias("avg_duration_min"),
+        davg("trip_distance").alias("avg_distance"),
+        dsum("tip_amount").alias("total_tips"),
     )
 
 

@@ -246,17 +246,88 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartiles (global order with tiebreak) + first/last over an
-    unbounded frame per priority."""
-    o = load_table(spark, sf_dir, "orders")
-    w_global = Window.orderBy("o_totalprice", "o_orderkey")
+    unbounded frame per priority.
+
+    The naive ``ntile(4) OVER (ORDER BY ...)`` (kept as the oracle
+    referee) funnels the whole table through ONE partition.  Here the
+    quartile derives from a scale-safe global row number — the
+    order-aligned-bucket + 64-row prefix-sum technique of
+    ``order_global_rownum`` (plans/relational.py) — plus the EXACT ntile
+    arithmetic: with n rows, the first ``n mod 4`` tiles hold
+    ``floor(n/4)+1`` rows, the rest ``floor(n/4)``.  (The tempting
+    ``ceil(rn*4/n)`` shortcut is NOT ntile semantics when 4 ∤ n: ntile
+    front-loads the larger tiles.)  The corpus shuffles once on the
+    bucket key; the only single-partition work is a 64-row prefix sum.
+    """
+    from nyc_data_pipeline_spark.plans.relational import ROWNUM_BUCKETS
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"
+    )
+    # Phase 1: order-aligned buckets on the leading sort key
+    # (o_totalprice); ties stay inside one bucket because the bucket is a
+    # function of the price alone, and o_orderkey breaks ties locally.
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = o.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * ROWNUM_BUCKETS
+                / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            ).cast("bigint"),
+            F.lit(ROWNUM_BUCKETS - 1),
+        ),
+    )
+    local = b.withColumn(
+        "local_rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    # Phase 2: 64-row prefix sum → per-bucket offset + global total.
+    wall = Window.orderBy("bucket")
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    wall.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "total",
+            F.sum("n").over(
+                wall.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("bucket", "offset", "total")
+    )
+    rn = F.col("offset") + F.col("local_rn")
+    q = F.floor(F.col("total") / 4)
+    r = F.col("total") % 4
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    quartile = (
+        F.when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return o.select(
+    return local.join(F.broadcast(offsets), "bucket").select(
         "o_orderkey",
-        F.ntile(4).over(w_global).alias("quartile"),
+        quartile.alias("quartile"),
         F.first("o_orderkey").over(w).alias("first_in_priority"),
         F.last("o_orderkey").over(w).alias("last_in_priority"),
     )

@@ -381,18 +381,20 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the vocab derives from one token-frequency aggregate
     and is TOP-K-small, so it BROADCASTS into the coverage join — the
     corpus token stream never shuffles for membership; the per-doc
-    rollup keys on doc_id.  The global top-k rank runs on the
-    aggregated (distinct-token) table, not the token stream."""
+    rollup keys on doc_id.  The top-k selection is ``ORDER BY ...
+    LIMIT k`` (TakeOrderedAndProject: per-partition size-k heaps, driver
+    merge) — NOT a global-order ``row_number`` window, which would drag
+    the whole distinct-token table (billions of terms at web scale)
+    through a single partition."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.selectExpr(
         "doc_id", f"explode({spark_tokens('text')}) AS tk"
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("tk"))
     vocab = (
         tok.groupBy("tk")
         .agg(F.count("*").alias("freq"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .orderBy(F.desc("freq"), F.asc("tk"))
+        .limit(VOCAB_TOP_K)
         .select("tk", F.lit(1).alias("in_vocab"))
     )
     return (

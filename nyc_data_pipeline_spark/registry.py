@@ -51,71 +51,14 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-2 window: the 37 queries CORRECTNESS_r01 never saw, then the
-# two pivot queries whose oracles were fixed this round (CAST→BIGINT),
-# then queries newly added in round 2.
+# Round-3 window: the 38 queries with no driver verdict yet (everything
+# added mid-r2 — extended TPC-H, embedding/text/sampling ops, analytics —
+# plus ``events_transition_matrix`` which r2's list omitted entirely),
+# then queries newly added in round 3, then ``mm_decode_features`` whose
+# oracle was upgraded this round from no_oracle to a real feature check.
+# Everything r1/r2-verified green sits behind the window.
 _VERIFY_FIRST = [
-    # -- scalars suites past the r01 cutoff
-    "fn_array_suite",
-    "fn_json_suite",
-    "fn_conditional_null",
-    "fn_hash_digests",
-    "fn_map_suite",
-    "agg_skew_salted",
-    # -- streaming batch twins
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "join_stream_static",
-    "join_stream_stream",
-    "stream_dedup_replay",
-    "stateful_user_profile",
-    # -- text analysis
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_ngram_freq",
-    # -- dedup family
-    "dedup_exact_hash",
-    "dedup_jaccard_unigram",
-    "dedup_jaccard_df_capped",
-    "dedup_minhash_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_simhash_keep_one",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh_keep_one",
-    # -- similarity family
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_pandas_udf",
-    "sim_topk_ivf",
-    # -- multimodal
-    "mm_metadata",
-    "mm_frame_sample",
-    "mm_decode_features",
-    # -- source/sink scans
-    "sink_partitioned_pruning",
-    "src_json_scan",
-    # -- r01 hash-fails, oracles fixed this round
-    "ref_pivoted_counts",
-    "agg_pivot",
-    # -- new in round 2
-    "sink_decimal_contract",
-    "dedup_minhash_closure",
-    "sim_topk_ivf_kmeans",
-    "pipeline_corpus_clean",
-    "sink_bucketed_join",
-    "stream_corpus_curate",
-    "window_range_frame",
-    "join_asof_tolerance",
-    "text_boilerplate_score",
-    "text_decontaminate",
-    "sample_weighted_mix",
-    "pack_token_budget",
-    # ---- positions 51+: past this round's 50-slot driver window; they
-    # head the r03 queue (locally oracle-verified meanwhile).
+    # -- r2 additions never driver-verified (CORRECTNESS_r01 ∪ r02 gap)
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",
     "q12_shipping_delay",
@@ -153,6 +96,63 @@ _VERIFY_FIRST = [
     "retention_cohorts",
     "join_skew_salted",
     "emb_norm_outliers",
+    "events_transition_matrix",
+    # -- new in round 3 (or oracle upgraded in round 3)
+    "src_csv_scan",
+    "parse_wire_batch",
+    "agg_ungrouped_kpis",
+    "mm_decode_features",
+    # ---- below here: verified green in r1/r2 (COVERAGE.md has the
+    # per-round ledger); order no longer matters for the driver window.
+    "fn_array_suite",
+    "fn_json_suite",
+    "fn_conditional_null",
+    "fn_hash_digests",
+    "fn_map_suite",
+    "agg_skew_salted",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "join_stream_static",
+    "join_stream_stream",
+    "stream_dedup_replay",
+    "stateful_user_profile",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_ngram_freq",
+    "dedup_exact_hash",
+    "dedup_jaccard_unigram",
+    "dedup_jaccard_df_capped",
+    "dedup_minhash_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_simhash_keep_one",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_keep_one",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_pandas_udf",
+    "sim_topk_ivf",
+    "mm_metadata",
+    "mm_frame_sample",
+    "sink_partitioned_pruning",
+    "src_json_scan",
+    "ref_pivoted_counts",
+    "agg_pivot",
+    "sink_decimal_contract",
+    "dedup_minhash_closure",
+    "sim_topk_ivf_kmeans",
+    "pipeline_corpus_clean",
+    "sink_bucketed_join",
+    "stream_corpus_curate",
+    "window_range_frame",
+    "join_asof_tolerance",
+    "text_boilerplate_score",
+    "text_decontaminate",
+    "sample_weighted_mix",
+    "pack_token_budget",
 ]
 
 

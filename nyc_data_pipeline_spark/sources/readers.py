@@ -46,14 +46,20 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
 ) -> DataFrame:
     """S1: schema-contracted CSV scan; malformed rows land in
-    _corrupt_record instead of silently coercing to nulls."""
+    _corrupt_record instead of silently coercing to nulls.  Extra
+    reader options (e.g. timestampFormat) pass through."""
     return (
         spark.read.option("header", header)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .options(**options)
         .schema(_with_corrupt(schema))
         .csv(path)
     )

@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..exprs import dsum, sql_dsum
+from ..exprs import dsum, sql_dsum, ts_us
 from ..registry import register
-from .readers import read_json, split_corrupt
+from .readers import read_csv, read_json, split_corrupt
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -135,6 +135,68 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        # Parquet naive timestamps are TIMESTAMP_NTZ in Spark 4; the CSV
+        # contract must match or every row lands in quarantine.
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+# Microsecond NTZ timestamp format for the CSV roundtrip — Spark's
+# default is millisecond-only and silently truncates (same pitfall as
+# streaming/ingest.MICROS_TS_FORMAT); NTZ columns are governed by
+# `timestampNTZFormat`, not `timestampFormat`.
+_CSV_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+@register(
+    "src_csv_scan",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: schema-contracted CSV scan (the reference's input format,
+    kafka_producer.py:34-49, CSV branch :38) proven by a write→read
+    roundtrip: doubles (shortest-roundtrip strings), timestamps
+    (microsecond format), and quoted text must all survive exactly for
+    the oracle hash — computed straight off the parquet — to match.
+    The read is PERMISSIVE with a _corrupt_record quarantine, never
+    silent coercion; at scale both write and read are one task per
+    partition with no driver hop."""
+    out = os.path.join(
+        "/tmp", "nyc_engine_csv_scan", os.path.basename(sf_dir.rstrip("/"))
+    )
+    od = load_table(spark, sf_dir, "orders")
+    od.write.mode("overwrite").option("header", True).option(
+        "timestampNTZFormat", _CSV_TS_FORMAT
+    ).csv(out)
+    back = read_csv(
+        spark, out, ORDERS_CSV_SCHEMA, timestampNTZFormat=_CSV_TS_FORMAT
+    )
+    clean, _bad = split_corrupt(back)
+    return clean.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").alias("sum_cust"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min(ts_us("o_orderdate")).alias("min_date_us"),
+        F.max(ts_us("o_orderdate")).alias("max_date_us"),
     )
 
 

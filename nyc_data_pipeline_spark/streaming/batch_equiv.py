@@ -140,6 +140,69 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+@register(
+    "parse_wire_batch",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def parse_wire_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 batch twin of the Kafka wire hop (reference
+    spark_consumer.py:61-62): serialize each event to a JSON message
+    IN-PLAN (to_json over a struct — exactly what the producer's
+    per-row dict→JSON does, kafka_producer.py:51-65), then recover
+    typed columns via the engine's `parse_wire_records`
+    (from_json + `data.*` flatten) and parse the carried timestamp
+    string.  A hash match against the raw table certifies the full
+    serialize→parse chain is lossless, including microsecond
+    timestamps (the wire carries strings; default millisecond formats
+    would silently truncate).  Stateless projection → zero shuffles,
+    embarrassingly parallel at any scale."""
+    from pyspark.sql import types as T
+
+    from .ingest import parse_wire_records
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_str", T.StringType()),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format(
+                    F.col("ts").cast("timestamp"), _WIRE_TS_FORMAT
+                ).alias("ts_str"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_wire_records(wire, wire_schema)
+    return parsed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(
+            F.to_timestamp(F.col("ts_str"), _WIRE_TS_FORMAT)
+        ).alias("ts_us"),
+    )
+
+
 @register(
     "stream_dedup_replay",
     oracle="""

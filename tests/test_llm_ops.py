@@ -69,7 +69,8 @@ def test_multimodal_decode_deterministic_and_schema_stable(spark, sf_dir):
     f2 = fake_decode_features(b).orderBy("doc_id").collect()
     assert f1 == f2
     r = f1[0]
-    assert r.n_bytes > 0 and 0 <= r.head_byte < 256 and 0 <= r.byte_sum_mod < 997
+    assert r.n_bytes > 0 and len(r.head_hex) == 8 and len(r.slice_md5) == 32
+    assert len(r.hist) == 16 and sum(r.hist) == r.n_bytes
     # metadata byte length equals payload length (no silent truncation)
     meta = {x.doc_id: x.meta.n_bytes for x in b.collect()}
     assert all(meta[x.doc_id] == x.n_bytes for x in f1)

@@ -45,15 +45,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # events.ts is a nanosecond parquet timestamp, which Spark's
-        # vectorized reader rejects. Read it as raw nanos and truncate
-        # to a microsecond timestamp — the same truncation DuckDB's
-        # epoch_us applies, so both engines see identical instants.
+        # events.ts has shipped as BOTH a nanosecond parquet timestamp
+        # (which Spark's vectorized reader rejects — read as raw nanos,
+        # truncate to micros, matching DuckDB's epoch_us truncation) and
+        # a plain microsecond timestamp (usable as-is).  Branch on the
+        # actual file schema so either fixture generation works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F  # local: avoid cycle at import
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Session TZ is pinned UTC, so NTZ→LTZ keeps the instant while
+            # restoring the TimestampType every downstream operator (and
+            # the JSON fixture roundtrip, which formats LTZ with an offset)
+            # was written against.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

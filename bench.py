@@ -44,6 +44,8 @@ HEADLINE = [
     # registered for correctness at sf0.01.
     "dedup_minhash_keep_one",
     "dedup_minhash_closure",
+    # full CC fixpoint over the linear bucket-star graph (r3)
+    "dedup_cc_fixpoint",
     "sim_topk_bruteforce",
     "sim_topk_pandas_udf",
     "sim_topk_lsh",
@@ -107,6 +109,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        # Per-query isolation: drop caches and force a JVM GC so one
+        # query's accumulated session state (broadcast blocks, shuffle
+        # bookkeeping) doesn't tax the next.  Measured: without this,
+        # heap pressure builds across the ~45-query session and inflates
+        # late queries up to 3.5x (12.2s vs 3.2s for the broadcast-heavy
+        # incremental probe); per-job isolation is also the production
+        # shape (one query per cluster job).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -626,3 +626,85 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"regexp_count(text, '{email}') > 0 OR regexp_count(text, '{ip}') > 0"
         " AS has_pii",
     )
+
+
+# --- model-based quality scoring (linear hashed-BoW classifier) ----------
+
+CLS_BUCKETS = 1024
+# Deterministic stand-in for learned per-bucket weights (a fastText-style
+# linear text classifier reduces to exactly this scoring shape).  Integer
+# micro-units in [-1000, 1000] keep the dot product exact-integer so both
+# engines sum in any order and still agree bit-for-bit; swap this formula
+# for a real trained weight table without touching the plan.
+_CLS_W = f"CAST((b * 2654435761) % 2001 AS BIGINT) - 1000"
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+    WITH w AS (
+        SELECT b, {_CLS_W} AS w_int
+        FROM (SELECT unnest(range({CLS_BUCKETS})) AS b)
+    ),
+    tok AS (
+        SELECT doc_id, unnest({duck_token_hashes(duck_tokens('text'))}) AS h
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, h % {CLS_BUCKETS} AS b, COUNT(*) AS cnt
+        FROM tok GROUP BY doc_id, h % {CLS_BUCKETS}
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(SUM(f.cnt * w.w_int) AS BIGINT) AS score_int,
+               CAST(SUM(f.cnt) AS BIGINT) AS n_tok
+        FROM feat f JOIN w ON f.b = w.b
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, score_int, n_tok,
+           CAST(score_int AS DOUBLE) / (1000.0 * n_tok) AS score,
+           score_int > 0 AS keep
+    FROM scored
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a linear classifier over hashed
+    bag-of-words features (the scoring half of a fastText-style quality
+    model — the standard model-based filter in LLM curation stacks,
+    complementing the heuristic `text_quality_score`).
+
+    Plan shape is the production one: the model is a {CLS_BUCKETS}-row
+    weight TABLE broadcast to every executor (swap in real trained
+    weights by replacing the generated range — the join is unchanged);
+    features are per-(doc, bucket) token counts; the score is a
+    broadcast-join + doc-keyed aggregate.  The corpus shuffles once on
+    doc_id-bucket feature rows; weights never shuffle.  Integer
+    micro-unit weights keep the dot product order-independent (exact
+    int64 sums), so the score is deterministic across engines, runs,
+    and partitionings; the single double division happens after."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.sparkSession.range(CLS_BUCKETS)
+        .selectExpr("id AS b", f"{_CLS_W.replace('b *', 'id *')} AS w_int")
+    )
+    tok = spread(d.select("doc_id", "text"), "doc_id").selectExpr(
+        "doc_id", f"explode({spark_token_hashes(spark_tokens('text'))}) AS h"
+    )
+    feat = tok.selectExpr("doc_id", f"h % {CLS_BUCKETS} AS b").groupBy(
+        "doc_id", "b"
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        feat.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w_int")).cast("bigint").alias("score_int"),
+            F.sum("cnt").cast("bigint").alias("n_tok"),
+        )
+        .selectExpr(
+            "doc_id",
+            "score_int",
+            "n_tok",
+            "CAST(score_int AS DOUBLE) / (1000.0 * n_tok) AS score",
+            "score_int > 0 AS keep",
+        )
+    )

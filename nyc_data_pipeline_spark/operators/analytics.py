@@ -166,3 +166,54 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("bigint").alias("n_transitions"))
     )
+
+
+PATHS_TOP_K = 10
+
+
+@register(
+    "events_topk_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {PATHS_TOP_K}
+    """,
+)
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} most common 3-step event-type journeys (the sankey /
+    'common paths' dashboard one step past the pairwise transition
+    matrix).  Sliding trigrams come from two lead() calls on the same
+    user-keyed window — the identical shuffle key as sessionize /
+    transition-matrix, so AQE reuses the exchange when composed; the
+    path rollup is a tiny (|types|^3-bounded) aggregate and the top-k
+    is TakeOrderedAndProject (per-partition heaps, no global sort).
+    Tiebreak (n DESC, path ASC) makes the cut deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATHS_TOP_K)
+    )

@@ -415,3 +415,42 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RESERVOIR_K = 20
+# Knuth-style multiplicative scramble of the doc id: a deterministic,
+# engine-portable stand-in for a random draw (both engines compute the
+# identical int64 arithmetic; xxhash64/hash() would NOT cross engines).
+_RES_RANK = "(doc_id * 2654435761) % 2147483647"
+
+
+@register(
+    "sample_reservoir_per_key",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY {_RES_RANK}, doc_id
+    ) <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sampling: exactly min(K, group size) docs per source,
+    drawn by deterministic hash rank — the per-key reservoir that eval
+    sets, human-review queues, and per-domain caps use (complements
+    `sample_lang_balanced`, which is rate-based: quotas bound the OUTPUT
+    size per key regardless of key skew; rates do not).
+
+    Scale shape: one window shuffle keyed on source; per-key state in
+    the window sort is a stream, and at extreme per-key cardinality the
+    same result comes from groupBy(source).agg(min_by heap) two-phase —
+    rank function and tiebreak (rank, doc_id) make the selection
+    rerun/engine-stable either way."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_RES_RANK), "doc_id")
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .drop("rn")
+    )

@@ -102,6 +102,12 @@ _VERIFY_FIRST = [
     "parse_wire_batch",
     "agg_ungrouped_kpis",
     "mm_decode_features",
+    "dedup_cc_fixpoint",
+    "merge_upsert_latest",
+    "src_orc_scan",
+    "events_topk_paths",
+    "text_classifier_score",
+    "sample_reservoir_per_key",
     # ---- below here: verified green in r1/r2 (COVERAGE.md has the
     # per-round ledger); order no longer matters for the driver window.
     "fn_array_suite",
@@ -192,6 +198,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.dedup.simhash",
     "nyc_data_pipeline_spark.dedup.embedding",
     "nyc_data_pipeline_spark.dedup.incremental",
+    "nyc_data_pipeline_spark.dedup.graph",
     "nyc_data_pipeline_spark.similarity.brute_force",
     "nyc_data_pipeline_spark.similarity.lsh",
     "nyc_data_pipeline_spark.similarity.pandas_path",
@@ -203,6 +210,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.sources.contracts",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
     "nyc_data_pipeline_spark.pipelines.mixing",
+    "nyc_data_pipeline_spark.pipelines.cdc",
 ]
 
 

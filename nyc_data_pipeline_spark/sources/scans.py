@@ -224,3 +224,40 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_text_len"),
     )
+
+
+@register(
+    "src_orc_scan",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
+           CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-format coverage: ORC write→read roundtrip of the fact table.
+    ORC is Spark-native (vectorized reader, predicate pushdown, column
+    pruning — the same scan contract as parquet), and the second
+    columnar interchange format a warehouse migration meets in
+    practice.  The oracle aggregates straight off the parquet, so the
+    hash match certifies doubles, timestamps (microsecond NTZ), and
+    strings all survive the format hop exactly.  At scale: one task
+    per partition both ways, zstd-compressed stripes, no driver hop."""
+    out = os.path.join(
+        "/tmp", "nyc_engine_orc_scan", os.path.basename(sf_dir.rstrip("/"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min(ts_us("l_shipdate")).alias("min_ship_us"),
+        F.max(ts_us("l_shipdate")).alias("max_ship_us"),
+    )

@@ -114,3 +114,28 @@ def test_q8_single_wide_shuffle(spark, sf_dir):
     # orderkey (lineitem x orders)
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 5
+
+
+def test_classifier_score_broadcasts_weights(spark, sf_dir):
+    p = plan_str(QUERIES["text_classifier_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p          # model table broadcast
+    assert "BatchEvalPython" not in p        # scoring stays JVM-side
+    assert "CartesianProduct" not in p
+
+
+def test_reservoir_window_is_keyed(spark, sf_dir):
+    p = plan_str(QUERIES["sample_reservoir_per_key"](spark, sf_dir))
+    # keyed window: no single-partition WindowExec
+    assert "Window" in p
+    import re
+    assert not re.search(r"Window .*\[\], \[", p)
+
+
+def test_merge_upsert_single_window_shuffle(spark, sf_dir):
+    p = plan_str(QUERIES["merge_upsert_latest"](spark, sf_dir))
+    assert "Window" in p and "CartesianProduct" not in p
+
+
+def test_topk_paths_uses_take_ordered(spark, sf_dir):
+    p = plan_str(QUERIES["events_topk_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p

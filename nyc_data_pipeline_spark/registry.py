@@ -108,6 +108,7 @@ _VERIFY_FIRST = [
     "events_topk_paths",
     "text_classifier_score",
     "sample_reservoir_per_key",
+    "stream_cdc_upsert",
     # ---- below here: verified green in r1/r2 (COVERAGE.md has the
     # per-round ledger); order no longer matters for the driver window.
     "fn_array_suite",

@@ -248,3 +248,84 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     live split — watermarked counts, rank in foreachBatch — runs in
     tests/test_streaming.py)."""
     return trending_topk(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id, 'recrawl1' AS lang, n_chars + 1 AS n_chars,
+               1 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    b2 AS (
+        SELECT doc_id, lang, n_chars, 2 AS version, 'd' AS op
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    b3 AS (
+        SELECT doc_id, 'recrawl3' AS lang, n_chars + 3 AS n_chars,
+               3 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT * FROM base UNION ALL SELECT * FROM b1
+            UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS INT) AS version
+    FROM merged WHERE op <> 'd'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC materialization: three change waves folded into
+    the corpus ONE BATCH AT A TIME (state = merge(state, batch), the
+    exact foreachBatch loop of the streaming pipeline — see
+    tests/test_streaming.py::test_stream_cdc_upsert_equals_batch for
+    the readStream form).  The oracle applies all waves in ONE merge:
+    a hash match proves the fold law — applying versioned changes
+    incrementally or at once yields the same table, which is what
+    makes streaming CDC restartable/replayable (at-least-once wave
+    redelivery collapses to the same fixpoint).  Wave 3 re-inserts
+    some docs wave 2 deleted (doc_id % 12) — the resurrect case.
+
+    Scale: each fold step is one window shuffle on the merge key over
+    state + batch; with the state bucketed on doc_id only the (small)
+    batch moves per wave."""
+    from ..pipelines.cdc import merge_keep_latest
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = d.withColumn("version", F.lit(0)).withColumn("op", F.lit("b"))
+    waves = [
+        d.where(F.col("doc_id") % 3 == 0)
+        .withColumn("lang", F.lit("recrawl1"))
+        .withColumn("n_chars", F.col("n_chars") + 1)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u")),
+        d.where(F.col("doc_id") % 4 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("d")),
+        d.where(F.col("doc_id") % 6 == 0)
+        .withColumn("lang", F.lit("recrawl3"))
+        .withColumn("n_chars", F.col("n_chars") + 3)
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("u")),
+    ]
+    state = base
+    for wave in waves:
+        state = merge_keep_latest(state, wave)
+    return state.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+    )

@@ -586,3 +586,67 @@ def test_stream_trending_topk_equals_batch(spark, sf_dir, events_json_dir):
         for r in trending_topk(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_stream_cdc_upsert_equals_batch(spark, sf_dir, tmp_path):
+    """readStream CDC waves folded via foreachBatch == one-shot merge.
+
+    Waves carry explicit versions, so the fold reaches the same
+    fixpoint in ANY processing order — maxFilesPerTrigger=1 feeds them
+    one micro-batch at a time like a CDC topic would."""
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.pipelines.cdc import merge_keep_latest
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    waves = [
+        d.where(F.col("doc_id") % 3 == 0)
+        .withColumn("lang", F.lit("recrawl1"))
+        .withColumn("n_chars", F.col("n_chars") + 1)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u")),
+        d.where(F.col("doc_id") % 4 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("d")),
+        d.where(F.col("doc_id") % 6 == 0)
+        .withColumn("lang", F.lit("recrawl3"))
+        .withColumn("n_chars", F.col("n_chars") + 3)
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("u")),
+    ]
+    cdc_dir = tmp_path / "cdc_in"
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("append").json(str(cdc_dir))
+    schema = waves[0].schema
+
+    state = {
+        "df": d.withColumn("version", F.lit(0))
+        .withColumn("op", F.lit("b"))
+        .localCheckpoint(eager=True)
+    }
+
+    def fold(batch_df, _epoch):
+        state["df"] = merge_keep_latest(state["df"], batch_df).localCheckpoint(
+            eager=True
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdc_dir))
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chars"], r["version"])
+        for r in state["df"].collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["n_chars"], r["version"])
+        for r in QUERIES["stream_cdc_upsert"](spark, sf_dir).collect()
+    }
+    assert got == want

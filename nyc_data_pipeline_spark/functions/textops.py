@@ -682,7 +682,11 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit weights keep the dot product order-independent (exact
     int64 sums), so the score is deterministic across engines, runs,
     and partitionings; the single double division happens after."""
-    d = load_table(spark, sf_dir, "documents")
+    return classifier_score(load_table(spark, sf_dir, "documents"))
+
+
+def classifier_score(d: DataFrame) -> DataFrame:
+    """Reusable scoring operator over (doc_id, text)."""
     w = (
         d.sparkSession.range(CLS_BUCKETS)
         .selectExpr("id AS b", f"{_CLS_W.replace('b *', 'id *')} AS w_int")

@@ -57,7 +57,13 @@ def get_spark(
         # Dims (region/nation/supplier/part at warehouse scale) stay well
         # under this; broadcasting them removes the shuffle entirely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs ALL executor threads inside the driver JVM, so
+        # this is the whole cluster's memory: with 32 task threads an 8g
+        # heap thrashes GC under shuffle+broadcast pressure (measured:
+        # heavy queries degrade 2-10x erratically late in a long
+        # session).  Size it like the executors it stands in for; on a
+        # real cluster this knob moves to executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -127,6 +127,51 @@ def probe(spark, k: int) -> dict[str, float]:
     run("tfidf_topterms", tfidf_topterms(docs2))
     run("pack_token_budget", pack_docs(docs2))
 
+    # r3 operators.  Key-shifted copies are textual clones, so CC
+    # components grow k× in size — exactly the stress the fixpoint
+    # loop must absorb with linear per-round cost.
+    from nyc_data_pipeline_spark.dedup.graph import connected_components
+    from nyc_data_pipeline_spark.dedup.minhash import (
+        BANDS,
+        K,
+        _band_key,
+        _spark_sig,
+    )
+    from nyc_data_pipeline_spark.functions.textops import classifier_score
+    from nyc_data_pipeline_spark.pipelines.cdc import merge_keep_latest
+
+    sigs3 = sets2.repartition("doc_id").selectExpr(
+        "doc_id", *[_spark_sig(i) for i in range(K)]
+    )
+    bstructs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    bands3 = sigs3.selectExpr(
+        "doc_id", f"explode(array({bstructs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    reps3 = bands3.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    edges3 = (
+        bands3.join(reps3, ["band", "bkey"])
+        .where("doc_id <> rep")
+        .selectExpr("doc_id AS u", "rep AS v")
+        .distinct()
+    )
+    run("cc_fixpoint", connected_components(edges3))
+
+    base3 = (
+        docs2.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("version", F.lit(0))
+        .withColumn("op", F.lit("b"))
+    )
+    chg3 = (
+        base3.where("doc_id % 10 = 0")
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u"))
+    )
+    run("cdc_merge", merge_keep_latest(base3, chg3))
+
+    run("classifier_score", classifier_score(docs2))
+
     return times
 
 

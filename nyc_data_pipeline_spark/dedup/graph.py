@@ -17,9 +17,10 @@ Scale shape:
   (one edge per (doc, band) bucket membership, O(n·BANDS) edges —
   linear in corpus size).  It has exactly the same connectivity as the
   quadratic co-bucket pair graph, which is never materialized.
-- Each round is two groupBy+join passes over the edge list, keyed on
-  node id; edge count never exceeds the input edge count, so every
-  round shuffles O(n·BANDS) rows.
+- Each round is two window-min passes over the edge list, keyed on
+  node id (one shuffle each — the groupBy+self-join formulation pays
+  two); edge count never exceeds the input edge count, so every round
+  shuffles O(n·BANDS) rows.
 - Rounds: O(log n) to converge (alternating stars contract paths
   exponentially); the driver-side loop is control flow only — one
   4-value checksum aggregate per round decides convergence.
@@ -40,7 +41,7 @@ LLM-curation engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -51,15 +52,15 @@ from .minhash import BANDS, K, _band_key, _duck_sig, _spark_sig
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For every node u (over symmetric neighbors): connect each larger
-    neighbor v > u to m = min(N(u) ∪ {u})."""
+    neighbor v > u to m = min(N(u) ∪ {u}).
+
+    min(N(u)) is a window-min over the u-partition rather than a
+    groupBy+self-join: one shuffle of the edge list instead of two,
+    identical result (r4 constant-factor trim)."""
     sym = e.union(e.selectExpr("v AS u", "u AS v"))
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mnv"))
-        .select("u", F.least("u", "mnv").alias("m"))
-    )
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -69,10 +70,12 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """For every node u (over smaller neighbors only): connect each
     neighbor (and u itself) to m = min(N(u) ∪ {u}).  Output edges are
-    canonical (u > v)."""
+    canonical (u > v).  Same window-min-for-groupBy+join trade as
+    ``_large_star``."""
     d = e.selectExpr("greatest(u, v) AS u", "least(u, v) AS v").where("u <> v")
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m = min(N∪{u})
-    j = d.join(mins, "u")
+    w = Window.partitionBy("u")
+    # all v < u in the canonical orientation, so min(v) = min(N(u) ∪ {u})
+    j = d.withColumn("m", F.min("v").over(w))
     return (
         j.where(F.col("v") != F.col("m"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -108,6 +111,10 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     prev = None
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Probe convergence every round: the checksum is a 1-row
+        # aggregate over the just-checkpointed edges — far cheaper
+        # than the star round a sparser probe cadence would waste
+        # (measured at sf0.1: per-round probing beats every-2nd).
         cur = _checksum(e)
         if cur == prev:
             break

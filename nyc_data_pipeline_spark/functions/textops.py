@@ -636,7 +636,16 @@ CLS_BUCKETS = 1024
 # micro-units in [-1000, 1000] keep the dot product exact-integer so both
 # engines sum in any order and still agree bit-for-bit; swap this formula
 # for a real trained weight table without touching the plan.
-_CLS_W = f"CAST((b * 2654435761) % 2001 AS BIGINT) - 1000"
+
+
+def _cls_w(col: str) -> str:
+    """Weight expression over a bucket-index column — one definition
+    serving both the Spark builder and the DuckDB oracle, parameterized
+    by column name (no string surgery on a shared constant)."""
+    return f"CAST(({col} * 2654435761) % 2001 AS BIGINT) - 1000"
+
+
+_CLS_W = _cls_w("b")
 
 
 @register(
@@ -689,7 +698,7 @@ def classifier_score(d: DataFrame) -> DataFrame:
     """Reusable scoring operator over (doc_id, text)."""
     w = (
         d.sparkSession.range(CLS_BUCKETS)
-        .selectExpr("id AS b", f"{_CLS_W.replace('b *', 'id *')} AS w_int")
+        .selectExpr("id AS b", f"{_cls_w('id')} AS w_int")
     )
     tok = spread(d.select("doc_id", "text"), "doc_id").selectExpr(
         "doc_id", f"explode({spark_token_hashes(spark_tokens('text'))}) AS h"

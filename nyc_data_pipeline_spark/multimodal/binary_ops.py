@@ -31,7 +31,7 @@ from ..registry import register
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, head_hex string, tail_hex string, "
-    "slice_md5 string, hist array<int>"
+    "slice_md5 string, hist string"
 )
 
 _HEX_DIGITS = "0123456789ABCDEF"
@@ -72,7 +72,7 @@ def _fake_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             h[:8],
             h[-8:],
             hashlib.md5(h[:128].encode()).hexdigest(),
-            [nib.count(d) for d in _HEX_DIGITS],
+            ",".join(str(nib.count(d)) for d in _HEX_DIGITS),
         )
 
     for pdf in batches:
@@ -193,10 +193,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(h, 1, 8) AS head_hex,
            substring(h, greatest(1, 2 * n_bytes - 7), 8) AS tail_hex,
            md5(substring(h, 1, 128)) AS slice_md5,
-           list_transform(
+           array_to_string(list_transform(
                ['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F'],
                d -> CAST(length(nib) - length(replace(nib, d, '')) AS INTEGER)
-           ) AS hist
+           ), ',') AS hist
     FROM n
     """,
 )
@@ -205,8 +205,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pandas features), now with a REAL oracle: the stand-in decoder emits
     decoder-independent deterministic features — byte length, head/tail
     hex slices, an md5 over the first 64 bytes' hex, and a 16-bucket
-    high-nibble byte histogram — that DuckDB reproduces over the same
-    binary column.  This certifies the whole mapInPandas path (Arrow
+    high-nibble byte histogram (comma-joined to a scalar string: the
+    result contract is flat sortable columns) — that DuckDB reproduces
+    over the same binary column.  This certifies the whole mapInPandas path (Arrow
     batch shape, schema contract, partition parallelism) byte-for-byte
     even while the real codec stays a stub (`decode_media`)."""
     d = load_table(spark, sf_dir, "documents")

@@ -43,24 +43,45 @@ INS_MOD = 7
 INS_OFFSET = 10_000_000
 
 
-def merge_keep_latest(base: DataFrame, changes: DataFrame, key: str = "doc_id") -> DataFrame:
-    """MERGE: one row per key, highest (version, op-priority) wins;
-    rows whose winner is a delete drop out entirely."""
+def merge_fold_state(
+    base: DataFrame, changes: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Fold one change batch into CDC state: one row per key, highest
+    (version, op-priority) wins — INCLUDING delete winners.  The
+    tombstone row (op='d', winning version) stays in state so that a
+    stale lower-version update (re)delivered after the delete loses the
+    window and cannot resurrect the row.  That makes the fold
+    associative-with-max semantics: batches may arrive in any order and
+    under at-least-once redelivery, and the fixpoint equals the one-shot
+    merge.  Project live rows only at the END via ``finalize_merge``."""
     # Same-version tiebreak: takedown wins over update wins over base.
     prio = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
     w = Window.partitionBy(key).orderBy(F.desc("version"), prio.desc())
-    merged = (
+    return (
         base.unionByName(changes)
         .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1 AND op <> 'd'")
+        .where("rn = 1")
         .drop("rn")
     )
-    return merged
 
 
-@register(
-    "merge_upsert_latest",
-    oracle=f"""
+def finalize_merge(state: DataFrame) -> DataFrame:
+    """Final projection of CDC state: drop tombstones.  Runs once, on
+    output — never between folds (see ``merge_fold_state``)."""
+    return state.where("op <> 'd'")
+
+
+def merge_keep_latest(base: DataFrame, changes: DataFrame, key: str = "doc_id") -> DataFrame:
+    """One-shot MERGE: fold a single batch, then drop tombstones.
+    For multi-batch/streaming folds, chain ``merge_fold_state`` and
+    call ``finalize_merge`` once at the end instead."""
+    return finalize_merge(merge_fold_state(base, changes, key))
+
+
+# Shared oracle for both merge forms: the window form
+# (merge_upsert_latest) and the bucketed-join form
+# (merge_upsert_bucketed) must produce the identical table.
+_MERGE_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, lang, source, n_chars, 0 AS version, 'b' AS op
         FROM documents
@@ -89,15 +110,13 @@ def merge_keep_latest(base: DataFrame, changes: DataFrame, key: str = "doc_id") 
     SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
            CAST(version AS INT) AS version
     FROM merged WHERE op <> 'd'
-    """,
-)
-def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC merge over the documents corpus: updates supersede, deletes
-    remove, inserts append — one window shuffle keyed on doc_id."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-    base = d.withColumn("version", F.lit(0)).withColumn("op", F.lit("b"))
+    """
+
+
+def change_batch(d: DataFrame) -> DataFrame:
+    """The synthetic versioned change batch over a (doc_id, lang,
+    source, n_chars) corpus frame — updates, takedowns, inserts (the
+    module-constant mods; the oracle embeds the same ones)."""
     upd = (
         d.where(F.col("doc_id") % UPD_MOD == 0)
         .withColumn("lang", F.lit("recrawl"))
@@ -116,7 +135,108 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("version", F.lit(1))
         .withColumn("op", F.lit("u"))
     )
-    merged = merge_keep_latest(base, upd.unionByName(dele).unionByName(ins))
+    return upd.unionByName(dele).unionByName(ins)
+
+
+@register("merge_upsert_latest", oracle=_MERGE_ORACLE)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge over the documents corpus: updates supersede, deletes
+    remove, inserts append — one window shuffle keyed on doc_id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = d.withColumn("version", F.lit(0)).withColumn("op", F.lit("b"))
+    merged = merge_keep_latest(base, change_batch(d))
+    return merged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+# --- bucketed-layout merge: the "corpus never re-shuffles" claim, ------
+# --- now certified by a plan-shape test + its own oracle row      ------
+
+DOCS_BUCKETS = 8
+
+
+def write_documents_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus bucketed+sorted on doc_id (the S8
+    layout for the merge key) and return the bucketed table."""
+    import os
+
+    from ..sources.scans import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"bkt_documents_{tag}"
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("path", scratch_dir("bucketed_docs", sf_dir))
+        .bucketBy(DOCS_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def merge_join_bucketed(
+    corpus: DataFrame, changes: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """MERGE as collapse-batch + full-outer join — the plan shape that
+    keeps a doc_id-bucketed corpus Exchange-free at any scale.
+
+    The union+window form shuffles BOTH sides (union destroys the
+    corpus's partitioning).  Here the change batch is first collapsed
+    to one winner per key inside an explicit hash-repartition to the
+    corpus's bucket count — so the window AND the subsequent sort-merge
+    join both reuse that one small shuffle, and the bucketed corpus
+    scan satisfies the join's distribution directly: the only Exchange
+    in the whole plan is over the (small) change batch.  Change
+    versions must exceed the corpus version (CDC batches are newer by
+    construction); a change winner with op='d' deletes the key."""
+    prio = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    w = Window.partitionBy(key).orderBy(F.desc("version"), prio.desc())
+    ch = (
+        changes.repartition(DOCS_BUCKETS, key)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    renamed = ch.select(
+        key, *[F.col(c).alias(f"ch_{c}") for c in ch.columns if c != key]
+    )
+    take = F.col("ch_version").isNotNull()
+    return (
+        corpus.join(renamed.hint("merge"), key, "full_outer")
+        .select(
+            key,
+            F.when(take, F.col("ch_lang")).otherwise(F.col("lang")).alias("lang"),
+            F.when(take, F.col("ch_source"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(take, F.col("ch_n_chars"))
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+            F.when(take, F.col("ch_version")).otherwise(F.lit(0)).alias("version"),
+            F.when(take, F.col("ch_op")).otherwise(F.lit("b")).alias("op"),
+        )
+        .where("op <> 'd'")
+    )
+
+
+@register("merge_upsert_bucketed", oracle=_MERGE_ORACLE)
+def merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout CDC merge end-to-end: corpus written
+    bucketed on doc_id, change batch merged via collapse+outer-join,
+    result hash-identical to the window-form merge (shared oracle).
+    tests/test_pipelines.py asserts the plan shape: exactly one
+    Exchange, on the change-batch side — the corpus never re-shuffles."""
+    corpus = write_documents_bucketed(spark, sf_dir)
+    merged = merge_join_bucketed(corpus, change_batch(corpus))
     return merged.select(
         "doc_id",
         "lang",

@@ -421,7 +421,11 @@ RESERVOIR_K = 20
 # Knuth-style multiplicative scramble of the doc id: a deterministic,
 # engine-portable stand-in for a random draw (both engines compute the
 # identical int64 arithmetic; xxhash64/hash() would NOT cross engines).
-_RES_RANK = "(doc_id * 2654435761) % 2147483647"
+# doc_id is reduced mod 2^31-1 BEFORE the multiply so the product stays
+# < 2^62: plain `doc_id * 2654435761` overflows int64 for ids ≳ 3.47e9,
+# where Spark (non-ANSI) wraps silently but DuckDB raises — which would
+# break cross-engine determinism exactly at production-scale ids.
+_RES_RANK = "((doc_id % 2147483647) * 2654435761) % 2147483647"
 
 
 @register(

@@ -51,14 +51,22 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-3 window: the 38 queries with no driver verdict yet (everything
-# added mid-r2 — extended TPC-H, embedding/text/sampling ops, analytics —
-# plus ``events_transition_matrix`` which r2's list omitted entirely),
-# then queries newly added in round 3, then ``mm_decode_features`` whose
-# oracle was upgraded this round from no_oracle to a real feature check.
-# Everything r1/r2-verified green sits behind the window.
+# Round-4 window: the two r3 defects head the list —
+# ``mm_decode_features`` (hist column flattened to a scalar string so
+# the driver's canonicalizer can sort it) and ``agg_incremental_merge``
+# (module finally wired into ``_QUERY_MODULES``; never driver-visible
+# before) — then ``approx_hll_user_reach`` whose oracle was upgraded
+# this round from no_oracle to an exact-count + error-bound check, then
+# everything new in round 4.  All 48 r3-green queries sit behind the
+# window with the r1/r2 greens.
 _VERIFY_FIRST = [
-    # -- r2 additions never driver-verified (CORRECTNESS_r01 ∪ r02 gap)
+    # -- r3 red/invisible rows, fixed in round 4
+    "mm_decode_features",
+    "agg_incremental_merge",
+    "approx_hll_user_reach",
+    # -- new in round 4
+    "merge_upsert_bucketed",
+    # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",
     "q12_shipping_delay",
@@ -91,7 +99,6 @@ _VERIFY_FIRST = [
     "chunk_documents_stride",
     "vocab_oov_rate",
     "stream_trending_topk",
-    "approx_hll_user_reach",
     "events_funnel",
     "retention_cohorts",
     "join_skew_salted",
@@ -101,7 +108,6 @@ _VERIFY_FIRST = [
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",
-    "mm_decode_features",
     "dedup_cc_fixpoint",
     "merge_upsert_latest",
     "src_orc_scan",
@@ -189,6 +195,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.scalars",
     "nyc_data_pipeline_spark.operators.skew",
     "nyc_data_pipeline_spark.operators.sketches",
+    "nyc_data_pipeline_spark.operators.incremental",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",

@@ -25,6 +25,24 @@ from pyspark.sql import SparkSession
 DEFAULT_APP_NAME = "nyc_data_pipeline_spark"
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode driver heap from detected system RAM.
+
+    Local mode runs every executor thread inside the driver JVM, so the
+    heap must be sized like the whole cluster's executor memory — but a
+    fixed large default would fail JVM startup on small hosts.  Take
+    ~60% of physical RAM, floored at 4g (below that Spark local mode
+    thrashes anyway) and capped at 24g (measured sweet spot for 32
+    threads; see commit history / SCALE.md §6)."""
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (
+            1 << 30
+        )
+    except (AttributeError, ValueError, OSError):
+        total_gib = 16.0
+    return f"{max(4, min(24, int(total_gib * 0.6)))}g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     cpus: int | None = None,
@@ -61,9 +79,13 @@ def get_spark(
         # this is the whole cluster's memory: with 32 task threads an 8g
         # heap thrashes GC under shuffle+broadcast pressure (measured:
         # heavy queries degrade 2-10x erratically late in a long
-        # session).  Size it like the executors it stands in for; on a
-        # real cluster this knob moves to executor.memory.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # session).  Sized from system RAM (floor 4g / cap 24g) so the
+        # JVM still starts on small hosts; on a real cluster this knob
+        # moves to executor.memory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory(),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

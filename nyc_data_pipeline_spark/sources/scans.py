@@ -27,6 +27,22 @@ from ..exprs import dsum, sql_dsum, ts_us
 from ..registry import register
 from .readers import read_csv, read_json, split_corrupt
 
+# Per-run scratch root for write→read roundtrip queries: pid-suffixed
+# (override via NYC_ENGINE_SCRATCH) so two concurrent runs on the same
+# scale factor — bench + tests, parallel CI jobs — never clobber each
+# other's files between the write and the read-back.
+_SCRATCH_ROOT = os.environ.get("NYC_ENGINE_SCRATCH") or os.path.join(
+    "/tmp", f"nyc_engine_scratch_{os.getpid()}"
+)
+
+
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Unique-per-run scratch path for a roundtrip query family."""
+    return os.path.join(
+        _SCRATCH_ROOT, kind, os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -58,9 +74,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters (directory pruning: at 100 TB a one-week query
     touches 7 directories, not the table; asserted in
     tests/test_sources.py)."""
-    out = os.path.join(
-        "/tmp", "nyc_engine_partitioned", os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = scratch_dir("partitioned", sf_dir)
     ev = load_table(spark, sf_dir, "events")
     ev.withColumn("ds", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "ds"
@@ -92,7 +106,7 @@ def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     (tests/test_sources.py asserts the Exchange-free plan).
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join("/tmp", "nyc_engine_bucketed", tag)
+    base = scratch_dir("bucketed", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
@@ -180,9 +194,7 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The read is PERMISSIVE with a _corrupt_record quarantine, never
     silent coercion; at scale both write and read are one task per
     partition with no driver hop."""
-    out = os.path.join(
-        "/tmp", "nyc_engine_csv_scan", os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = scratch_dir("csv_scan", sf_dir)
     od = load_table(spark, sf_dir, "orders")
     od.write.mode("overwrite").option("header", True).option(
         "timestampNTZFormat", _CSV_TS_FORMAT
@@ -215,7 +227,7 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: JSON-lines scan with explicit StructType.  Roundtrips the
     documents table through JSON files; text content (arbitrary
     unicode) must survive exactly for the oracle hash to match."""
-    out = os.path.join("/tmp", "nyc_engine_json_scan", os.path.basename(sf_dir.rstrip("/")))
+    out = scratch_dir("json_scan", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").json(out)
     clean, _bad = split_corrupt(read_json(spark, out, DOCUMENTS_SCHEMA))
@@ -248,9 +260,7 @@ def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match certifies doubles, timestamps (microsecond NTZ), and
     strings all survive the format hop exactly.  At scale: one task
     per partition both ways, zstd-compressed stripes, no driver hop."""
-    out = os.path.join(
-        "/tmp", "nyc_engine_orc_scan", os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = scratch_dir("orc_scan", sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").option("compression", "zstd").orc(out)
     back = spark.read.orc(out)

@@ -296,10 +296,16 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery collapses to the same fixpoint).  Wave 3 re-inserts
     some docs wave 2 deleted (doc_id % 12) — the resurrect case.
 
+    The fold keeps TOMBSTONES in state (merge_fold_state) and drops
+    them only in the final projection — a delete winner must keep
+    shadowing its key so a stale lower-version update redelivered after
+    it cannot resurrect the row (tests/test_pipelines.py pins exactly
+    that replay order).
+
     Scale: each fold step is one window shuffle on the merge key over
     state + batch; with the state bucketed on doc_id only the (small)
     batch moves per wave."""
-    from ..pipelines.cdc import merge_keep_latest
+    from ..pipelines.cdc import finalize_merge, merge_fold_state
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
@@ -322,8 +328,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     state = base
     for wave in waves:
-        state = merge_keep_latest(state, wave)
-    return state.select(
+        state = merge_fold_state(state, wave)
+    return finalize_merge(state).select(
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),

@@ -225,10 +225,8 @@ def test_hll_sketch_estimates_within_error_and_merge(spark, sf_dir):
     from nyc_data_pipeline_spark.catalog import load_table
     from pyspark.sql import functions as F
 
-    got = {
-        r["event_type"]: r["reach_estimate"]
-        for r in approx_hll_user_reach(spark, sf_dir).collect()
-    }
+    rows = approx_hll_user_reach(spark, sf_dir).collect()
+    got = {r["event_type"]: (r["exact_distinct"], r["within_5pct"]) for r in rows}
     ev = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -238,5 +236,6 @@ def test_hll_sketch_estimates_within_error_and_merge(spark, sf_dir):
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
     assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    for k, (exact_got, within) in got.items():
+        assert exact_got == exact[k], (k, exact_got, exact[k])
+        assert within is True, k

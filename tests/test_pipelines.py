@@ -27,6 +27,89 @@ def test_funnel_monotone(spark):
     assert rows["4_near_dedup"][0] >= 1  # keep-one always keeps a representative
 
 
+def _cdc_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_chars bigint, version int, op string"
+    )
+
+
+def test_cdc_fold_tombstone_blocks_stale_redelivery(spark):
+    """A lower-version update (re)delivered AFTER a higher-version
+    delete was applied must NOT resurrect the row: the fold keeps the
+    tombstone in state, so the stale update loses the keep-latest
+    window.  (The exact divergence the r3 advisory called out.)"""
+    from nyc_data_pipeline_spark.pipelines.cdc import (
+        finalize_merge,
+        merge_fold_state,
+    )
+
+    base = _cdc_df(spark, [(1, "en", 100, 0, "b"), (2, "en", 200, 0, "b")])
+    upd_v1 = _cdc_df(spark, [(1, "recrawl", 101, 1, "u")])
+    del_v2 = _cdc_df(spark, [(1, "en", 100, 2, "d")])
+
+    # Delete applied first; the v1 update is then redelivered late.
+    state = merge_fold_state(merge_fold_state(base, del_v2), upd_v1)
+    tomb = {r.doc_id: (r.op, r.version) for r in state.collect()}
+    assert tomb[1] == ("d", 2)  # tombstone survives the stale update
+    live = {r.doc_id for r in finalize_merge(state).collect()}
+    assert live == {2}
+
+
+def test_cdc_fold_any_order_and_redelivery_reaches_one_shot_fixpoint(spark):
+    """Fold law under adversarial delivery: every permutation of the
+    change waves, with one wave delivered twice, reaches the same
+    fixpoint as the one-shot merge of all changes."""
+    import itertools
+
+    from nyc_data_pipeline_spark.pipelines.cdc import (
+        finalize_merge,
+        merge_fold_state,
+        merge_keep_latest,
+    )
+
+    base = _cdc_df(
+        spark, [(1, "en", 100, 0, "b"), (2, "en", 200, 0, "b"), (3, "en", 300, 0, "b")]
+    )
+    waves = [
+        _cdc_df(spark, [(1, "w1", 101, 1, "u"), (3, "w1", 301, 1, "u")]),
+        _cdc_df(spark, [(1, "en", 100, 2, "d"), (2, "w2", 202, 2, "u")]),
+        _cdc_df(spark, [(3, "en", 300, 3, "d")]),
+    ]
+    want = sorted(
+        (r.doc_id, r.lang, r.n_chars, r.version)
+        for r in merge_keep_latest(base, waves[0].unionAll(waves[1]).unionAll(waves[2])).collect()
+    )
+    for order in itertools.permutations(range(3)):
+        state = base
+        for i in order:
+            state = merge_fold_state(state, waves[i])
+        state = merge_fold_state(state, waves[order[0]])  # at-least-once redelivery
+        got = sorted(
+            (r.doc_id, r.lang, r.n_chars, r.version)
+            for r in finalize_merge(state).collect()
+        )
+        assert got == want, order
+
+
+def test_bucketed_cdc_merge_corpus_side_exchange_free(spark):
+    """The bucketed merge's whole point: with the corpus bucketed on
+    the merge key, the only Exchange in the plan is the (small) change
+    batch's explicit repartition — the corpus side is satisfied by the
+    bucket layout (Bucketed: true scan, no shuffle)."""
+    from nyc_data_pipeline_spark.pipelines.cdc import (
+        change_batch,
+        merge_join_bucketed,
+        write_documents_bucketed,
+    )
+
+    corpus = write_documents_bucketed(spark, SF)
+    merged = merge_join_bucketed(corpus, change_batch(corpus))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan  # change batch only
+    assert "Bucketed: true" in plan
+
+
 def test_closure_at_least_as_collapsed_as_keep_one(spark):
     keep = {
         r.doc_id: r.rep_id

@@ -595,7 +595,10 @@ def test_stream_cdc_upsert_equals_batch(spark, sf_dir, tmp_path):
     fixpoint in ANY processing order — maxFilesPerTrigger=1 feeds them
     one micro-batch at a time like a CDC topic would."""
     from nyc_data_pipeline_spark.catalog import load_table
-    from nyc_data_pipeline_spark.pipelines.cdc import merge_keep_latest
+    from nyc_data_pipeline_spark.pipelines.cdc import (
+        finalize_merge,
+        merge_fold_state,
+    )
     from nyc_data_pipeline_spark.registry import QUERIES, load_all
 
     load_all()
@@ -628,7 +631,8 @@ def test_stream_cdc_upsert_equals_batch(spark, sf_dir, tmp_path):
     }
 
     def fold(batch_df, _epoch):
-        state["df"] = merge_keep_latest(state["df"], batch_df).localCheckpoint(
+        # Tombstone-retaining fold — finalize_merge runs once, on read.
+        state["df"] = merge_fold_state(state["df"], batch_df).localCheckpoint(
             eager=True
         )
 
@@ -643,7 +647,7 @@ def test_stream_cdc_upsert_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {
         r["doc_id"]: (r["lang"], r["n_chars"], r["version"])
-        for r in state["df"].collect()
+        for r in finalize_merge(state["df"]).collect()
     }
     want = {
         r["doc_id"]: (r["lang"], r["n_chars"], r["version"])

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..exprs import dec, sql_dsum
 from ..registry import register
 
 MICRO = 1_000_000
@@ -92,3 +93,120 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = ev.filter(F.col("event_id") % 2 != 0)
     states = partial_state(history).unionByName(partial_state(delta))
     return merge_states(states)
+
+
+# --- mergeable histograms -------------------------------------------------
+
+HIST_BIN_WIDTH = 25.0
+HIST_MAX_BIN = 23  # values ≥ 24*25 land in the top bin
+
+
+def _hist_bin() -> F.Column:
+    raw = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("int")
+    return F.greatest(F.least(raw, F.lit(HIST_MAX_BIN)), F.lit(0))
+
+
+def partial_histogram(df: DataFrame) -> DataFrame:
+    """Collapse a slice to per-(type, bin) histogram state.  The value
+    sum is carried as exact decimal so merged states are bit-identical
+    to a one-pass histogram regardless of slicing."""
+    return df.groupBy("event_type", _hist_bin().alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("sum_dec"),
+    )
+
+
+def merge_histograms(states: DataFrame) -> DataFrame:
+    """Fold per-slice histogram states; cast the exact carrier to
+    double only at the very end."""
+    return (
+        states.groupBy("event_type", "bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_histogram_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(GREATEST(LEAST(CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER),
+                               {HIST_MAX_BIN}), 0) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histograms: three event slices each collapse
+    to per-(type, bin) state, and the states merge WITHOUT rescanning
+    rows — the distribution-monitoring analogue of
+    ``agg_incremental_merge`` (dashboards keep per-day histogram state
+    and fold in the daily delta; a month's distribution is a 31-state
+    merge, not a rescan).  Bin counts and exact-decimal value sums are
+    both algebraic, so the merged histogram is bit-identical to the
+    oracle's one-pass histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    slices = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    states = partial_histogram(slices[0])
+    for s in slices[1:]:
+        states = states.unionByName(partial_histogram(s))
+    return merge_histograms(states)
+
+
+# --- incremental join maintenance ----------------------------------------
+
+
+@register(
+    "join_incremental_delta",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance (delta-join algebra): with
+    A ∪ ΔA joined to B ∪ ΔB, the new view is the old view plus the
+    three delta terms  A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB  — never a full re-join.
+    Here orders/customer are each split even/odd (stored vs delta),
+    the four terms are computed and unioned, and the aggregate must
+    hash-match the oracle's direct one-shot join.
+
+    At 100 TB the A⋈B term is the STORED materialized view (not
+    recomputed as here — the fixture has no persisted state); the
+    per-refresh cost is the delta terms only, each with the small Δ
+    side broadcast, so a daily refresh scans the deltas and never the
+    history.  Same contract as ``agg_incremental_merge``, lifted from
+    aggregates to joins."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a_old = od.filter(F.col("o_custkey") % 2 == 0)
+    a_new = od.filter(F.col("o_custkey") % 2 != 0)
+    b_old = cu.filter(F.col("c_custkey") % 2 == 0)
+    b_new = cu.filter(F.col("c_custkey") % 2 != 0)
+    on = lambda a, b: a["o_custkey"] == b["c_custkey"]  # noqa: E731
+    view = (
+        a_old.join(F.broadcast(b_old), on(a_old, b_old))
+        .unionByName(a_old.join(F.broadcast(b_new), on(a_old, b_new)))
+        .unionByName(a_new.join(F.broadcast(b_old), on(a_new, b_old)))
+        .unionByName(a_new.join(F.broadcast(b_new), on(a_new, b_new)))
+    )
+    return view.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )

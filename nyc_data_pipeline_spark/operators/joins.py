@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import dsum, sql_dsum
+from ..exprs import dsum, sql_dsum, ts_us
 from ..registry import register
 
 
@@ -247,6 +247,48 @@ def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("tier")
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "join_click_unattributed",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_ts_us
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def join_click_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5 combined: LEFT ANTI with a range predicate — clicks with
+    NO purchase by the same user within the following hour (the
+    complement of ``join_stream_stream``'s attribution join; funnels
+    report exactly this leak).  The anti join keys on user_id with the
+    time-band as a residual condition, so it shuffles like an equi
+    join — never a cartesian — and at scale both sides partition by
+    user_id once."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["p_ts"] >= clicks["ts"])
+        & (purchases["p_ts"] <= clicks["ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond, "left_anti").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        ts_us("ts").alias("click_ts_us"),
     )
 
 

@@ -144,6 +144,43 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reshape_unpivot",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id % 10 AS user_decile, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.user_decile, t.event_type
+        FROM (SELECT DISTINCT user_id % 10 AS user_decile FROM events) d,
+             (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                     ('view')) AS t(event_type)
+    )
+    SELECT g.user_decile, g.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g
+    LEFT JOIN counts c
+      ON g.user_decile = c.user_decile AND g.event_type = c.event_type
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→tall reshape via the native ``unpivot`` (melt) operator —
+    the inverse of ``agg_pivot``, and the standard move when a
+    metrics-per-column extract has to go back into a long
+    (key, metric, value) model.  The pivot→unpivot roundtrip fills
+    absent (decile, type) combinations with 0, which the oracle
+    reproduces with an explicit grid.  Unpivot is a zero-shuffle
+    projection (each input row fans out to 5 output rows in place)."""
+    wide = agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["user_decile"],
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n",
+    )
+
+
+@register(
     "set_except_all",
     oracle="""
     SELECT o_orderstatus, o_orderpriority FROM orders

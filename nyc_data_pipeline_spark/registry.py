@@ -66,6 +66,11 @@ _VERIFY_FIRST = [
     "approx_hll_user_reach",
     # -- new in round 4
     "merge_upsert_bucketed",
+    "agg_histogram_merge",
+    "join_incremental_delta",
+    "reshape_unpivot",
+    "join_click_unattributed",
+    "grouped_ols_trend",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",
@@ -196,6 +201,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.skew",
     "nyc_data_pipeline_spark.operators.sketches",
     "nyc_data_pipeline_spark.operators.incremental",
+    "nyc_data_pipeline_spark.operators.trends",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",

@@ -1,0 +1,71 @@
+"""Mergeable-state invariants (operators/incremental.py, trends.py).
+
+Oracle parity for exact numbers runs in the registry sweep; these pin
+the algebraic contracts directly: merging per-slice states must equal
+the one-pass aggregate bit-for-bit, under any slicing.
+"""
+
+from pyspark.sql import functions as F
+
+from nyc_data_pipeline_spark.catalog import load_table
+from nyc_data_pipeline_spark.operators.incremental import (
+    merge_histograms,
+    merge_states,
+    partial_histogram,
+    partial_state,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_partial_state_merge_equals_one_pass(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # 4-way slicing by a different key than the registered query uses.
+    slices = [ev.filter(F.col("user_id") % 4 == k) for k in range(4)]
+    states = slices[0].transform(partial_state)
+    for s in slices[1:]:
+        states = states.unionByName(partial_state(s))
+    merged = merge_states(states)
+    direct = merge_states(partial_state(ev))
+    cols = ("event_type", "n", "sum_micro", "min_value", "max_value", "avg_value")
+    assert _rows(merged, *cols) == _rows(direct, *cols)
+
+
+def test_histogram_merge_equals_one_pass(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    slices = [ev.filter(F.col("user_id") % 5 == k) for k in range(5)]
+    states = partial_histogram(slices[0])
+    for s in slices[1:]:
+        states = states.unionByName(partial_histogram(s))
+    merged = merge_histograms(states)
+    direct = merge_histograms(partial_histogram(ev))
+    cols = ("event_type", "bin", "n", "sum_value")
+    assert _rows(merged, *cols) == _rows(direct, *cols)
+
+
+def test_grouped_ols_known_slope(spark):
+    """Perfectly linear data: y = 2x + 1 (micro-units) → slope_num/den
+    reduces to exactly 2.  Shuffled input order must not matter (the
+    fit sorts by (ts, event_id) internally)."""
+    from nyc_data_pipeline_spark.operators.trends import grouped_ols
+
+    rows = [
+        ("a", i, float(2 * i + 1))
+        for i in (3, 1, 4, 2, 5)  # deliberately out of order
+    ]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double").select(
+        "event_type",
+        F.timestamp_micros(F.col("event_id") * 1_000_000).alias("ts"),
+        "event_id",
+        "value",
+    )
+    out = grouped_ols(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5
+    num, den = int(r["slope_num"]), int(r["slope_den"])
+    assert den > 0
+    # slope in micro-y per unit x: exactly 2.0 * MICRO
+    assert num == 2_000_000 * den

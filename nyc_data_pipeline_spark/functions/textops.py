@@ -494,6 +494,81 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram language-model table ------------------------------------------
+
+LM_TOP_HEADS = 50   # most frequent left words kept
+LM_TOP_CONT = 3     # continuations per head
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT {duck_tokens('text')} AS toks FROM documents),
+    g AS (SELECT unnest({duck_bigrams('toks')}) AS bigram
+          FROM t WHERE len(toks) >= 2),
+    p AS (SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram),
+    parts AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, n
+        FROM p
+    ),
+    tot AS (SELECT w1, SUM(n) AS n_w1 FROM parts GROUP BY w1),
+    top AS (SELECT w1, n_w1 FROM tot
+            ORDER BY n_w1 DESC, w1 LIMIT {LM_TOP_HEADS}),
+    r AS (
+        SELECT parts.w1, w2, n, n_w1,
+               row_number() OVER (
+                   PARTITION BY parts.w1 ORDER BY n DESC, w2
+               ) AS rank
+        FROM parts JOIN top ON parts.w1 = top.w1
+    )
+    SELECT w1, w2, CAST(n AS BIGINT) AS n_pair,
+           CAST(n_w1 AS BIGINT) AS n_w1, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= {LM_TOP_CONT}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table: top-{LM_TOP_CONT} continuations per head
+    word for the {LM_TOP_HEADS} most frequent heads, with the exact
+    (n_pair, n_w1) count pair — P(w2|w1) is one division away, and
+    carrying counts instead of a float probability keeps the table
+    cross-engine exact.  This is the classic MapReduce LM-counts job
+    (perplexity-proxy quality filters and autocomplete both consume
+    it).  Scale shape: bigram explode → count is one map-side-combined
+    shuffle; head totals reduce FROM THE PAIR COUNTS (never re-scan
+    the corpus); the {LM_TOP_HEADS}-row head table broadcasts into the
+    rank join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    pairs = (
+        d.selectExpr(f"{toks} AS toks")
+        .filter(F.size("toks") >= 2)
+        .selectExpr(f"explode({spark_bigrams('toks')}) AS bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+            "n",
+        )
+    )
+    totals = pairs.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    top = totals.orderBy(F.desc("n_w1"), F.asc("w1")).limit(LM_TOP_HEADS)
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        pairs.join(F.broadcast(top), "w1")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LM_TOP_CONT)
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n_pair"),
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # --- repetition metrics (Gopher-style quality signals) ---------------------
 
 REP_MIN_UNIQUE_RATIO = 0.3  # distinct/total tokens below this -> repetitive

@@ -364,3 +364,47 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_mode_argmax",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id % 10 AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT event_type, decile, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, decile ASC) AS rk_top,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n ASC, decile DESC) AS rk_bot
+        FROM c
+    )
+    SELECT t.event_type,
+           t.decile AS mode_decile, t.n AS n_mode,
+           b.decile AS antimode_decile, b.n AS n_antimode
+    FROM (SELECT * FROM best WHERE rk_top = 1) t
+    JOIN (SELECT * FROM best WHERE rk_bot = 1) b
+      ON t.event_type = b.event_type
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode / anti-mode per group via max_by/min_by over a composite
+    ordering struct — the argmax aggregate pattern (one two-level
+    aggregation, no rank window on the big table; ties broken
+    deterministically: mode prefers the LOWER decile, anti-mode the
+    HIGHER).  The struct comparator (n, -decile) encodes the tiebreak
+    directly in the aggregate, so the whole query is two map-side-
+    combinable shuffles regardless of group cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("decile")
+    ).agg(F.count("*").alias("n"))
+    return counts.groupBy("event_type").agg(
+        F.expr("max_by(decile, struct(n, -decile))").alias("mode_decile"),
+        F.expr("max_by(n, struct(n, -decile))").cast("bigint").alias("n_mode"),
+        F.expr("min_by(decile, struct(n, -decile))").alias("antimode_decile"),
+        F.expr("min_by(n, struct(n, -decile))").cast("bigint").alias("n_antimode"),
+    )

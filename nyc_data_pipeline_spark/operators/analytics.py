@@ -217,3 +217,63 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(PATHS_TOP_K)
     )
+
+
+# --- anomaly detection (exact-integer z-score) -----------------------------
+
+ANOM_K = 2  # flag hours beyond K standard deviations
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, epoch_us(h) AS hour_us, c AS n_events,
+           (n * c - s) * (n * c - s) > 4 * (n * q - s * s) AS is_anomaly
+    FROM c JOIN s ON c.event_type = s.event_type
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly flags per (event_type, hour) WITHOUT a single
+    float: an hourly count c is anomalous iff |c - mean| > K·stddev,
+    which multiplied through by n² becomes the pure-integer predicate
+
+        (n·c − S)² > K²·(n·Q − S²),   S = Σc, Q = Σc²
+
+    so the flag is bit-exact across engines, partitionings, and runs —
+    no float stddev, no epsilon.  Scale shape: hourly rollup is one
+    map-side-combined shuffle; the per-type (n, S, Q) stats table is
+    |event_type| rows and broadcasts back onto the rollup.  (K=2;
+    magnitudes stay far inside int64 even at 10^6-event hours.)"""
+    from ..exprs import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return j.select(
+        "event_type",
+        ts_us("h").alias("hour_us"),
+        F.col("c").cast("bigint").alias("n_events"),
+        (dev * dev > ANOM_K * ANOM_K * var_n2).alias("is_anomaly"),
+    )

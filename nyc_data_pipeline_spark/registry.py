@@ -71,6 +71,11 @@ _VERIFY_FIRST = [
     "reshape_unpivot",
     "join_click_unattributed",
     "grouped_ols_trend",
+    "text_bigram_lm",
+    "events_hourly_anomaly",
+    "agg_mode_argmax",
+    "emb_quantize_int8",
+    "dedup_containment_rep",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",
@@ -213,6 +218,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.dedup.embedding",
     "nyc_data_pipeline_spark.dedup.incremental",
     "nyc_data_pipeline_spark.dedup.graph",
+    "nyc_data_pipeline_spark.dedup.containment",
     "nyc_data_pipeline_spark.similarity.brute_force",
     "nyc_data_pipeline_spark.similarity.lsh",
     "nyc_data_pipeline_spark.similarity.pandas_path",

@@ -124,3 +124,75 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "sq_norm", "rk")
         .orderBy("label", "rk")
     )
+
+
+# --- int8 quantization ----------------------------------------------------
+
+Q_MAX = 127
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label, i,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    m AS (SELECT i, MAX(abs(vi)) AS m FROM v GROUP BY i),
+    codes AS (
+        SELECT vec_id, label,
+               CASE WHEN m.m = 0 THEN 0
+                    WHEN vi >= 0 THEN (vi * {Q_MAX}) // m.m
+                    ELSE -((-vi * {Q_MAX}) // m.m) END AS code
+        FROM v JOIN m ON v.i = m.i
+    )
+    SELECT vec_id, label,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS sum_code,
+           CAST(MIN(code) AS BIGINT) AS min_code,
+           CAST(MAX(code) AS BIGINT) AS max_code
+    FROM codes GROUP BY vec_id, label
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus — the storage/serving compression step every vector index
+    applies before ANN.  Codes are computed in PURE INTEGER math:
+    micro-unit values scale by 127 and divide by the per-dim max-abs
+    (division applied to non-negative operands only, so floor ==
+    truncate and Spark's `div` agrees with the oracle's `//` — signs
+    reapplied after).  The per-dim scale table is 64 rows and
+    broadcasts; codes reduce per vector to (sum, min, max) so the
+    certified result stays one row per vector.  Zero floats anywhere
+    → bit-exact across engines and partitionings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+    vi = F.floor(F.col("v").cast("double") * MICRO).cast("bigint")
+    v = ex.select("vec_id", "label", "dim", vi.alias("vi"))
+    scales = v.groupBy("dim").agg(F.max(F.abs("vi")).alias("m"))
+    code = (
+        F.when(F.col("m") == 0, F.lit(0))
+        .when(
+            F.col("vi") >= 0,
+            F.expr(f"(vi * {Q_MAX}) div m"),
+        )
+        .otherwise(-F.expr(f"((-vi) * {Q_MAX}) div m"))
+    )
+    return (
+        v.join(F.broadcast(scales), "dim")
+        .select("vec_id", "label", code.alias("code"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum("code").cast("bigint").alias("sum_code"),
+            F.min("code").cast("bigint").alias("min_code"),
+            F.max("code").cast("bigint").alias("max_code"),
+        )
+    )

@@ -70,7 +70,8 @@ def test_multimodal_decode_deterministic_and_schema_stable(spark, sf_dir):
     assert f1 == f2
     r = f1[0]
     assert r.n_bytes > 0 and len(r.head_hex) == 8 and len(r.slice_md5) == 32
-    assert len(r.hist) == 16 and sum(r.hist) == r.n_bytes
+    hist = [int(x) for x in r.hist.split(",")]
+    assert len(hist) == 16 and sum(hist) == r.n_bytes
     # metadata byte length equals payload length (no silent truncation)
     meta = {x.doc_id: x.meta.n_bytes for x in b.collect()}
     assert all(meta[x.doc_id] == x.n_bytes for x in f1)

@@ -380,3 +380,54 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end_us"),
         )
     )
+
+
+@register(
+    "window_cume_share",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               strftime(o_orderdate, '%Y-%m-%d') AS ds,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT month, ds,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev_dec) OVER (
+                    PARTITION BY month ORDER BY ds ROWS UNBOUNDED PRECEDING
+                ) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY month)
+                AS VARCHAR) AS DOUBLE) AS cum_share
+    FROM daily
+    """,
+)
+def window_cume_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share within each month (pacing/run-rate
+    curves: 'by day 12 we had 40% of the month').  The window input is
+    the DAILY ROLLUP — |days| rows, not the fact table — so the
+    per-month window is over a few dozen rows regardless of corpus
+    size; the heavy lifting is the map-side-combined daily aggregate.
+    Running and total sums stay exact decimal until one final
+    double division (the q14 ratio policy), so the shares are
+    bit-identical across engines."""
+    od = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    daily = od.groupBy(
+        F.date_format(ts, "yyyy-MM").alias("month"),
+        F.date_format(ts, "yyyy-MM-dd").alias("ds"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w_run = (
+        Window.partitionBy("month")
+        .orderBy("ds")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("month")
+    return daily.select(
+        "month",
+        "ds",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(w_run).cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )

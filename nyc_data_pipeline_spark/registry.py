@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "agg_mode_argmax",
     "emb_quantize_int8",
     "dedup_containment_rep",
+    "src_text_scan",
+    "window_cume_share",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

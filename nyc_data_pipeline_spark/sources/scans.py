@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from ..catalog import load_table
 from ..exprs import dsum, sql_dsum, ts_us
 from ..registry import register
-from .readers import read_csv, read_json, split_corrupt
+from .readers import read_csv, read_json, read_text, split_corrupt
 
 # Per-run scratch root for write→read roundtrip queries: pid-suffixed
 # (override via NYC_ENGINE_SCRATCH) so two concurrent runs on the same
@@ -235,6 +235,44 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+@register(
+    "src_text_scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_lines,
+           CAST(SUM(length(lang || chr(9) || text)) AS BIGINT) AS total_len,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: raw line-oriented text scan — the rawest crawl interchange
+    format (one record per line, no schema).  Writes documents as
+    tab-delimited lines, reads back with ``read_text`` (single
+    `value` column), and re-derives fields by splitting — the classic
+    schema-on-read pattern.  The oracle aggregates off the parquet, so
+    the hash certifies the line roundtrip and the split are lossless
+    (fixture text contains no newlines/tabs; a real crawl escapes
+    them at write time).  One task per partition both directions."""
+    out = scratch_dir("text_scan", sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", "lang", "text").alias("value")
+    ).write.mode("overwrite").text(out)
+    back = read_text(spark, out)
+    parsed = back.select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        F.length("value").alias("line_len"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("line_len").cast("bigint").alias("total_len"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
     )
 
 

@@ -80,6 +80,16 @@ HEADLINE = [
     "retention_cohorts",
     "vocab_oov_rate",
     "approx_hll_user_reach",
+    # r4: bucketed CDC merge, containment dedup, bigram LM, integer
+    # anomaly flags, int8 quantization, applyInPandas OLS.  Totals are
+    # not comparable to pre-r4 benches — use scripts/bench_diff.py's
+    # per-query ratios against .bench_r4_anchor.json.
+    "merge_upsert_bucketed",
+    "dedup_containment_rep",
+    "text_bigram_lm",
+    "events_hourly_anomaly",
+    "emb_quantize_int8",
+    "grouped_ols_trend",
 ]
 
 

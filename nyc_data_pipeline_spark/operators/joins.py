@@ -380,3 +380,46 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _purchase_signup_asof(load_table(spark, sf_dir, "events")).filter(
         F.col("purchase_us") - F.col("signup_us") <= ASOF_TOLERANCE_US
     )
+
+
+@register(
+    "join_date_dim",
+    oracle=f"""
+    SELECT CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           strftime(o_orderdate, '%w') IN ('0', '6') AS is_weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def join_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension + broadcast join — the
+    fiscal-rollup pattern without a physical date table: the dim is
+    built IN-PLAN (min/max order date → explode(sequence)), enriched
+    with quarter/weekend attributes, and broadcast onto the fact scan.
+    The oracle computes the same rollup straight off the date column,
+    so the hash match certifies the generated dim covers every fact
+    date (nothing dropped or duplicated by the join).  At 100 TB the
+    dim is ~10^4 rows for 30 years — always a broadcast, never a
+    shuffle; calendar attributes (fiscal weeks, holidays) extend the
+    dim, not the fact scan."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.to_date(F.col("o_orderdate"))
+    dim = (
+        od.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("cal_d"))
+        .select(
+            "cal_d",
+            F.quarter("cal_d").cast("int").alias("qtr"),
+            F.dayofweek("cal_d").isin(1, 7).alias("is_weekend"),
+        )
+    )
+    return (
+        od.join(F.broadcast(dim), d == F.col("cal_d"))
+        .groupBy("qtr", "is_weekend")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

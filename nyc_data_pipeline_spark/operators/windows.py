@@ -431,3 +431,52 @@ def window_cume_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_dec").over(w_all).cast("double")
         ).alias("cum_share"),
     )
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+    )
+    SELECT user_id, event_type,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM islands GROUP BY user_id, event_type
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (the classic rn_all − rn_type constant-difference trick —
+    streak detection, uptime/downtime segmentation, session quality).
+    Both row_numbers ride ONE user-keyed shuffle (same partition key,
+    different orders are sort-only); islands then reduce by the
+    derived constant.  Deterministic under ties via the (ts, event_id)
+    order.  Output: longest streak + number of streaks per
+    (user, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    islands = seq.groupBy(
+        "user_id", "event_type", (F.col("rn_all") - F.col("rn_type")).alias("isl")
+    ).agg(F.count("*").alias("run_len"))
+    return islands.groupBy("user_id", "event_type").agg(
+        F.max("run_len").cast("bigint").alias("max_run"),
+        F.count("*").cast("bigint").alias("n_runs"),
+    )

@@ -78,6 +78,10 @@ _VERIFY_FIRST = [
     "dedup_containment_rep",
     "src_text_scan",
     "window_cume_share",
+    "sink_partition_overwrite",
+    "window_gap_islands",
+    "join_date_dim",
+    "emb_gram_power_step",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

@@ -196,3 +196,50 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("code").cast("bigint").alias("max_code"),
         )
     )
+
+
+@register(
+    "emb_gram_power_step",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    )
+    SELECT CAST(i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS HUGEINT)
+               * CAST(floor(CAST(e[1] AS DOUBLE) * {MICRO}) AS BIGINT)
+           ) AS VARCHAR) AS gram_col0
+    FROM ex
+    GROUP BY i
+    """,
+)
+def emb_gram_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's dominant principal
+    direction: u = Σ_x x·(x·w₀) with w₀ = e₀, i.e. column 0 of the
+    Gram matrix Σ x xᵀ — the building block of distributed PCA
+    (PCA whitening / spectral dedup of embedding spaces).  Products of
+    micro-unit ints accumulate in exact decimal(38,0) (DuckDB:
+    HUGEINT) and are emitted as decimal strings, so the iterate is
+    bit-exact at any corpus size — the overflow-proof form of the
+    integer-carrier policy (int64 sums would overflow at ~10^8
+    vectors × (5·10^5)²-scale products).  Scale shape: one narrow
+    explode (64 rows/vector), one map-side-combined shuffle keyed on
+    dim; iterating just repeats the same plan with the new w."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v"),
+        F.col("embedding").getItem(0).alias("v0"),
+    )
+    vi = F.floor(F.col("v").cast("double") * MICRO).cast("bigint")
+    v0i = F.floor(F.col("v0").cast("double") * MICRO).cast("bigint")
+    return (
+        ex.select("dim", (vi * v0i).cast("decimal(38,0)").alias("prod"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("prod").cast("decimal(38,0)").cast("string").alias("gram_col0"),
+        )
+    )

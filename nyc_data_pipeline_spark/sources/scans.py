@@ -309,3 +309,54 @@ def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ts_us("l_shipdate")).alias("min_ship_us"),
         F.max(ts_us("l_shipdate")).alias("max_ship_us"),
     )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    WITH replaced AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS ds, event_type, value FROM events
+        WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-10'
+        UNION ALL
+        SELECT strftime(ts, '%Y-%m-%d') AS ds, event_type, value * 2 AS value
+        FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'
+    )
+    SELECT ds, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS sum_value
+    FROM replaced GROUP BY ds
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S8 partition maintenance: DYNAMIC partition overwrite — the
+    daily-backfill operation (recompute one day, replace exactly that
+    directory, touch nothing else).  Writes events date-partitioned,
+    then overwrites only ds=2024-01-10 with a corrected (value
+    doubled) recompute under partitionOverwriteMode=dynamic; every
+    other partition's files are untouched (static mode would have
+    truncated the whole table — the classic backfill footgun).  The
+    oracle reproduces replace-one-day semantics over the raw table;
+    the hash match certifies exactly one partition changed.  At
+    100 TB: the rewrite cost is one day's data, and readers see the
+    old day until the atomic directory swap."""
+    from ..exprs import dsum
+
+    out = scratch_dir("partition_overwrite", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("ds"), "event_type", "value"
+    )
+    ev.write.mode("overwrite").partitionBy("ds").parquet(out)
+    fixed = ev.where(F.col("ds") == "2024-01-10").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ds")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("ds").cast("string").alias("ds")).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+    )

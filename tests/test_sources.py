@@ -150,6 +150,43 @@ def test_jdbc_gate_and_parquet_sink(spark, tmp_path):
     assert (tmp_path / "t" / "dt=2024-01-01").exists()
 
 
+def test_dynamic_partition_overwrite_touches_one_partition(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame; every other partition's files stay
+    byte-identical (static mode would truncate the whole table — the
+    backfill footgun sink_partition_overwrite exists to avoid)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-02"), (3, 30.0, "2024-01-03")],
+        "id int, v double, ds string",
+    )
+    out = str(tmp_path / "t")
+    df.write.mode("overwrite").partitionBy("ds").parquet(out)
+
+    def files_of(day):
+        p = os.path.join(out, f"ds={day}")
+        return {
+            f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = files_of("2024-01-01"), files_of("2024-01-03")
+    fix = spark.createDataFrame([(2, 99.0, "2024-01-02")], "id int, v double, ds string")
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ds")
+        .parquet(out)
+    )
+    assert files_of("2024-01-01") == before_d1
+    assert files_of("2024-01-03") == before_d3
+    # partition-column type inference reads ds back as a DATE
+    back = {str(r.ds): r.v for r in spark.read.parquet(out).collect()}
+    assert back == {"2024-01-01": 10.0, "2024-01-02": 99.0, "2024-01-03": 30.0}
+
+
 def test_partitioned_write_prunes(spark, sf_dir):
     """The date predicate must become PartitionFilters (directory
     pruning), not a post-scan filter."""

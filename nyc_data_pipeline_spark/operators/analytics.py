@@ -277,3 +277,72 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_events"),
         (dev * dev > ANOM_K * ANOM_K * var_n2).alias("is_anomaly"),
     )
+
+
+# --- RFM segmentation ------------------------------------------------------
+
+RFM_ASOF = "2001-09-01"       # scoring date (fixture orders end 2001-08)
+RFM_R_DAYS = 365              # "recent" = ordered within a year of as-of
+RFM_F_MIN = 10                # "frequent" = at least 10 lifetime orders
+RFM_M_MIN = 1_500_000.0       # "big spender" = lifetime revenue over this
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         TIMESTAMP '{RFM_ASOF}') AS r_days,
+               COUNT(*) AS f,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS m_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT (r_days <= {RFM_R_DAYS}) AS recent,
+               (f >= {RFM_F_MIN}) AS frequent,
+               (m_dec >= {RFM_M_MIN}) AS big_spender,
+               r_days, f, m_dec
+        FROM per_cust
+    )
+    SELECT recent, frequent, big_spender,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r_days) AS BIGINT) AS sum_recency_days,
+           CAST(SUM(f) AS BIGINT) AS sum_orders,
+           CAST(CAST(SUM(m_dec) AS VARCHAR) AS DOUBLE) AS sum_revenue
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) —
+    the classic warehouse scoring query — with FIXED business
+    thresholds rather than quantile cuts: threshold flags need no
+    global sort or single-partition ntile, so the whole query is one
+    customer-keyed aggregate plus an 8-group rollup at any scale
+    (quantile-based tiers would use broadcast approx-percentile cuts;
+    the fixed-cut form is the plan to certify).  Recency in integer
+    days from a pinned as-of date, monetary as exact decimal — the
+    usual cross-engine-exact carriers."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("r_days"),
+        F.count("*").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m_dec"),
+    )
+    seg = per_cust.select(
+        (F.col("r_days") <= RFM_R_DAYS).alias("recent"),
+        (F.col("f") >= RFM_F_MIN).alias("frequent"),
+        (F.col("m_dec") >= RFM_M_MIN).alias("big_spender"),
+        "r_days",
+        "f",
+        "m_dec",
+    )
+    return seg.groupBy("recent", "frequent", "big_spender").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("r_days").cast("bigint").alias("sum_recency_days"),
+        F.sum("f").cast("bigint").alias("sum_orders"),
+        F.sum("m_dec").cast("double").alias("sum_revenue"),
+    )

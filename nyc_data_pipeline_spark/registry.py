@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "window_gap_islands",
     "join_date_dim",
     "emb_gram_power_step",
+    "orders_rfm_segments",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

@@ -408,3 +408,102 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(decile, struct(n, -decile))").alias("antimode_decile"),
         F.expr("min_by(n, struct(n, -decile))").cast("bigint").alias("n_antimode"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                         * CAST(l_extendedprice AS DECIMAL(28,6)))
+                AS VARCHAR) AS DOUBLE) AS wsum,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS wtot,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                         * CAST(l_extendedprice AS DECIMAL(28,6)))
+                AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price — the weighted-mean aggregate
+    (VWAP and friends) under the exact-decimal policy: both the
+    weighted sum and the weight total accumulate as decimals (order-
+    independent), with ONE double division at the end.  Same single
+    map-side-combined shuffle as any grouped aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,6)")
+    p = F.col("l_extendedprice").cast("decimal(18,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(q * p).cast("double").alias("wsum"),
+        F.sum(q).cast("double").alias("wtot"),
+        (F.sum(q * p).cast("double") / F.sum(q).cast("double")).alias(
+            "weighted_avg_price"
+        ),
+    )
+
+
+KILO = 1_000
+
+
+@register(
+    "agg_corr_exact",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_linestatus,
+               CAST(floor(l_quantity * {KILO}) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * {KILO}) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM v GROUP BY l_linestatus
+    )
+    SELECT l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS VARCHAR) AS cov_num,
+           CAST(n * sxx - sx * sx AS VARCHAR) AS var_x_num,
+           CAST(n * syy - sy * sy AS VARCHAR) AS var_y_num
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation carriers (covariance and variance
+    numerators, all scaled by n²) for quantity vs price per
+    linestatus, computed EXACTLY: milli-unit ints keep every
+    per-row product inside int64; the Σ carriers and the final
+    n·Σxy − Σx·Σy combine run in decimal(38,0) (oracle: HUGEINT —
+    the int64 SUM of y² terms would overflow) and ship as decimal
+    strings.  corr = cov_num / sqrt(var_x_num · var_y_num) is one
+    float step away for any consumer; keeping the carriers integral
+    is what makes the result bit-exact at any scale — the same
+    policy as `grouped_ols_trend`, here in pure relational form (no
+    Python)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * KILO).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * KILO).cast("bigint")
+    v = li.select("l_linestatus", x.alias("x"), y.alias("y"))
+    s = v.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return s.select(
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        (d("n") * d("sxy") - d("sx") * d("sy")).cast("string").alias("cov_num"),
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("string").alias("var_x_num"),
+        (d("n") * d("syy") - d("sy") * d("sy")).cast("string").alias("var_y_num"),
+    )

@@ -423,3 +423,55 @@ def join_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+DIV_BRAND = "Brand#19"
+DIV_SIZE = 1
+
+
+@register(
+    "join_relational_division",
+    oracle=f"""
+    WITH target AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = '{DIV_BRAND}' AND p_size = {DIV_SIZE}
+    ),
+    cover AS (
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_covered
+        FROM lineitem JOIN target ON l_partkey = p_partkey
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(n_covered AS BIGINT) AS n_covered
+    FROM cover JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_covered = (SELECT COUNT(*) FROM target)
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION ("FOR ALL"): suppliers that have shipped
+    EVERY {DIV_BRAND} size-{DIV_SIZE} part.  Division has no direct
+    operator in any SQL engine; the scalable rewrite is
+    count-matching — semi-join the fact to the divisor set, count
+    distinct covered keys per candidate, keep candidates whose count
+    equals the divisor cardinality (a 1-row broadcast).  One shuffle
+    keyed on suppkey; the divisor and its count both broadcast.  The
+    double-NOT-EXISTS textbook form is the oracle-side semantics this
+    must (and does) match."""
+    pt = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = load_table(spark, sf_dir, "supplier")
+    target = pt.where(
+        (F.col("p_brand") == DIV_BRAND) & (F.col("p_size") == DIV_SIZE)
+    ).select("p_partkey")
+    n_target = target.agg(F.count("*").alias("n_target"))
+    cover = (
+        li.join(F.broadcast(target), li["l_partkey"] == target["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_covered"))
+    )
+    return (
+        cover.crossJoin(F.broadcast(n_target))
+        .where(F.col("n_covered") == F.col("n_target"))
+        .join(sp, F.col("l_suppkey") == sp["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("n_covered").cast("bigint").alias("n_covered"))
+    )

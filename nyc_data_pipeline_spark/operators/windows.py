@@ -480,3 +480,51 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_run"),
         F.count("*").cast("bigint").alias("n_runs"),
     )
+
+
+@register(
+    "window_week_over_week",
+    oracle="""
+    WITH weekly AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT wk, n_orders,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(lag(rev_dec) OVER (ORDER BY wk) AS VARCHAR) AS DOUBLE)
+               AS prev_revenue,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(lag(rev_dec) OVER (ORDER BY wk) AS VARCHAR) AS DOUBLE)
+               AS wow_ratio
+    FROM weekly
+    """,
+)
+def window_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue ratio — the growth-dashboard staple.
+    Like `window_cume_share`, the (global) lag window runs over the
+    WEEKLY ROLLUP — |weeks| rows, a few hundred for years of data —
+    never the fact table, so the single-partition window is safe at
+    any corpus scale.  Both engines truncate weeks to Monday;
+    exact-decimal sums, one double division for the ratio (NULL for
+    the first week, matching SQL lag semantics)."""
+    od = load_table(spark, sf_dir, "orders")
+    wk = F.date_format(
+        F.date_trunc("week", F.col("o_orderdate").cast("timestamp")), "yyyy-MM-dd"
+    )
+    weekly = od.groupBy(wk.alias("wk")).agg(
+        F.sum(dec("o_totalprice")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("wk")
+    return weekly.select(
+        "wk",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.lag("rev_dec").over(w).cast("double").alias("prev_revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.lag("rev_dec").over(w).cast("double")
+        ).alias("wow_ratio"),
+    )

@@ -30,11 +30,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import duck_tokens, spark_tokens
+from ..functions.text import (
+    duck_token_hashes,
+    duck_tokens,
+    spark_token_hashes,
+    spark_tokens,
+)
 from ..registry import register
 
 # --- deterministic per-source sampling ------------------------------------
 
+# Same modulus as functions.text.HASH_MOD (shared cross-engine hash field).
 HASH_MOD = 1_000_000_007
 MIX_MULT = 2_654_435_761  # Knuth multiplicative constant
 # Sampling rates in permille, by source; integer thresholds so the
@@ -457,4 +463,75 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= RESERVOIR_K)
         .drop("rn")
+    )
+
+
+@register(
+    "chunk_dedup_exact",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, {{DTH}} AS hs FROM documents
+    ),
+    t AS (
+        SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_tok FROM th
+        WHERE len(hs) >= 1
+    ),
+    c AS (
+        SELECT hs, n_tok,
+               unnest(generate_series(
+                   0, greatest(n_tok - 1, 0) // {CHUNK_STRIDE})) AS ci
+        FROM t
+    ),
+    f AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_slice(hs, ci * {CHUNK_STRIDE} + 1,
+                                  least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE},
+                                        n_tok))),
+                   (a, b) -> (a * 31 + b) % {HASH_MOD}) AS fp
+        FROM c WHERE ci * {CHUNK_STRIDE} < n_tok
+    ),
+    g AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp)
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY n_copies
+    """.replace("{DTH}", duck_token_hashes(duck_tokens("text"))),
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level exact dedup: the stride chunks every RAG/embedding
+    index is built from get an order-sensitive rolling fingerprint
+    (polynomial fold of the chunk's token hashes), and identical
+    chunks collapse corpus-wide — boilerplate headers/footers and
+    copy-pasta produce duplicate chunks inside otherwise-distinct
+    documents, which doc-level dedup cannot see.  Output is the
+    duplication histogram (n_copies → n_groups).  Scale shape: chunk
+    fan-out is the zero-shuffle explode of `chunk_documents_stride`;
+    the fold is per-chunk bounded work ({CHUNK_SIZE} elements); one
+    map-side-combined shuffle on the fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.selectExpr(
+        "doc_id",
+        f"{spark_token_hashes(spark_tokens('text'))} AS hs",
+    ).selectExpr("doc_id", "hs", "CAST(size(hs) AS BIGINT) AS n_tok").filter(
+        F.col("n_tok") >= 1
+    )
+    chunks = t.select(
+        "hs",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tok") - 1) / CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("ci"),
+    ).filter(F.col("ci") * CHUNK_STRIDE < F.col("n_tok"))
+    fp = chunks.selectExpr(
+        f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
+        f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
+        f"- ci * {CHUNK_STRIDE} AS INT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp"
+    )
+    g = fp.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    return g.groupBy(F.col("n_copies").cast("bigint").alias("n_copies")).agg(
+        F.count("*").cast("bigint").alias("n_groups")
     )

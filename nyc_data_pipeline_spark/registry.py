@@ -83,6 +83,12 @@ _VERIFY_FIRST = [
     "join_date_dim",
     "emb_gram_power_step",
     "orders_rfm_segments",
+    "join_relational_division",
+    "agg_weighted_avg",
+    "agg_corr_exact",
+    "window_week_over_week",
+    "chunk_dedup_exact",
+    "emb_nearest_centroid_assign",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

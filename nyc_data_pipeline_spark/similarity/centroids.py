@@ -243,3 +243,91 @@ def emb_gram_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("prod").cast("decimal(38,0)").cast("string").alias("gram_col0"),
         )
     )
+
+
+@register(
+    "emb_nearest_centroid_assign",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(SUM(vi) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY label, dim
+    ),
+    cmicro AS (
+        SELECT c_label, dim,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS ci
+        FROM cent
+    ),
+    dots AS (
+        SELECT v.vec_id, v.label, c.c_label,
+               SUM(v.vi * c.ci) AS dot
+        FROM v JOIN cmicro c ON v.dim = c.dim
+        GROUP BY v.vec_id, v.label, c.c_label
+    ),
+    best AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c_label ASC) AS rk
+        FROM dots
+    )
+    SELECT label AS true_label, c_label AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE rk = 1
+    GROUP BY label, c_label
+    """,
+)
+def emb_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the k-means assignment step /
+    centroid-classifier confusion matrix, in EXACT integer math:
+    per-label centroids in truncated micro-units (sign-split division
+    so Spark `div` == DuckDB `//`), dot products as int64 sums of
+    micro×micro terms, argmax by (dot DESC, label ASC).  Output:
+    (true_label, assigned_label, n) — the confusion matrix whose
+    diagonal is centroid-classifier accuracy and whose off-diagonal
+    cells surface mislabeled clusters.  Scale shape: the centroid
+    table is |labels|×|dims| rows and BROADCASTS; each vector meets
+    only centroids (never other vectors), so assignment is linear in
+    corpus size — one dim-keyed broadcast join + vec-keyed aggregate
+    + per-vec argmax on an 8-row group.  Iterating = k-means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * MICRO).cast("bigint").alias("vi"),
+    )
+    cent = v.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.sum("vi").alias("s"), F.count("*").alias("n")
+    )
+    cmicro = cent.select(
+        "c_label",
+        "dim",
+        F.when(F.col("s") >= 0, F.expr("s div n"))
+        .otherwise(-F.expr("(-s) div n"))
+        .alias("ci"),
+    )
+    dots = (
+        v.join(F.broadcast(cmicro), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c_label"))
+    best = dots.withColumn("rk", F.row_number().over(w)).where("rk = 1")
+    return best.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("c_label").alias("assigned_label"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "window_week_over_week",
     "chunk_dedup_exact",
     "emb_nearest_centroid_assign",
+    "sink_bucketed_agg",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

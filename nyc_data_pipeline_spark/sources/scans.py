@@ -360,3 +360,30 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "sink_bucketed_agg",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def sink_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 layout-aware aggregation: a groupBy on the BUCKET KEY of a
+    bucketed table needs NO Exchange — the scan's hash-partitioning
+    already satisfies the aggregate's distribution, so the plan is
+    scan → partial+final agg with zero shuffles (plan-asserted in
+    tests/test_sources.py).  At 100 TB this is why fact tables get
+    bucketed on their hottest aggregation key: the nightly per-order
+    rollup costs a scan, not the warehouse's largest shuffle.  The
+    oracle aggregates the raw parquet — layout changes the plan,
+    never the result."""
+    li, _od = write_bucketed(spark, sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -266,3 +266,16 @@ def test_scan_column_pruning(spark, sf_dir):
     for schema in read_schema("sim_topk_bruteforce"):
         cols = {c.split(":")[0] for c in schema.split(",") if c}
         assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """groupBy on the bucket key of a bucketed table must aggregate
+    with ZERO Exchange nodes — the write-time layout satisfies the
+    distribution."""
+    from nyc_data_pipeline_spark.sources.scans import write_bucketed
+
+    li, _od = write_bucketed(spark, sf_dir)
+    agg = li.groupBy("l_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan

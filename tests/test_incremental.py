@@ -69,3 +69,56 @@ def test_grouped_ols_known_slope(spark):
     assert den > 0
     # slope in micro-y per unit x: exactly 2.0 * MICRO
     assert num == 2_000_000 * den
+
+
+def test_quantize_codes_bounded(spark, sf_dir):
+    """int8 codes must stay in [-127, 127] and each vector reports all
+    its dims exactly once."""
+    from nyc_data_pipeline_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["emb_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.min_code <= r.max_code <= 127, r
+        assert r.n_dims == 64, r
+
+
+def test_containment_bounds_and_orientation(spark, sf_dir):
+    """Containment intersections are bounded by the doc's set size and
+    every edge points doc -> smaller rep id."""
+    from nyc_data_pipeline_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["dedup_containment_rep"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_inter <= r.n_doc, r
+        assert r.rep_id < r.doc_id, r
+        assert r.contained == (100 * r.n_inter >= 60 * r.n_doc), r
+
+
+def test_gap_islands_conserve_events(spark, sf_dir):
+    """Per (user, type): island run-lengths must sum to that pair's
+    event count, and every max_run is at most the total."""
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark import registry
+    from nyc_data_pipeline_spark.catalog import load_table
+
+    registry.load_all()
+    got = {
+        (r.user_id, r.event_type): (r.max_run, r.n_runs)
+        for r in registry.QUERIES["window_gap_islands"](spark, sf_dir).collect()
+    }
+    counts = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(counts)
+    for k, (max_run, n_runs) in got.items():
+        assert 1 <= max_run <= counts[k], (k, max_run)
+        assert 1 <= n_runs <= counts[k], (k, n_runs)

@@ -116,3 +116,105 @@ def dedup_containment_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (100 * inter >= CONTAIN_PCT * F.size("a_elems")).alias("contained"),
         )
     )
+
+
+def _oracle_est_vs_true() -> str:
+    sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
+        for b in range(BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(K)
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, elems,
+               {sig_exprs}
+        FROM th
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    bucket_reps AS (
+        SELECT band, bkey, min(doc_id) AS rep
+        FROM bands GROUP BY band, bkey
+    ),
+    edges AS (
+        SELECT DISTINCT b.doc_id AS u, r.rep AS v
+        FROM bands b
+        JOIN bucket_reps r ON b.band = r.band AND b.bkey = r.bkey
+        WHERE b.doc_id <> r.rep
+    )
+    SELECT e.u AS doc_id, e.v AS rep_id,
+           CAST({match_sum} AS INTEGER) AS n_sig_match,
+           CAST(len(list_intersect(a.elems, b.elems)) AS BIGINT) AS j_inter,
+           CAST(len(a.elems) + len(b.elems)
+                - len(list_intersect(a.elems, b.elems)) AS BIGINT) AS j_union
+    FROM edges e
+    JOIN sigs a ON a.doc_id = e.u
+    JOIN sigs b ON b.doc_id = e.v
+    """
+
+
+@register("dedup_minhash_est_vs_true", oracle=_oracle_est_vs_true())
+def dedup_minhash_est_vs_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate edge, the MinHash
+    ESTIMATE (matching signatures out of K={K}: E[match/K] = Jaccard)
+    next to the TRUE Jaccard carriers (intersection, union) — the
+    measurement that justifies band/row tuning with data instead of
+    the textbook formula.  All-integer output; candidates are the
+    linear star-edge set, so the audit costs two bounded equi-joins,
+    never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
+    sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bucket_reps = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        bands.join(bucket_reps, ["band", "bkey"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("u"), F.col("rep").alias("v"))
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("u"),
+        F.col("elems").alias("a_elems"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("v"),
+        F.col("elems").alias("b_elems"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(K)],
+    )
+    match_sum = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(K)
+    )
+    inter = F.size(F.array_intersect("a_elems", "b_elems"))
+    return (
+        edges.join(a, "u")
+        .join(b, "v")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("v").alias("rep_id"),
+            match_sum.cast("int").alias("n_sig_match"),
+            inter.cast("bigint").alias("j_inter"),
+            (F.size("a_elems") + F.size("b_elems") - inter)
+            .cast("bigint")
+            .alias("j_union"),
+        )
+    )

@@ -346,3 +346,110 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f").cast("bigint").alias("sum_orders"),
         F.sum("m_dec").cast("double").alias("sum_revenue"),
     )
+
+
+# --- decayed engagement value (exact power-of-two halflife) ----------------
+
+DECAY_ASOF = "2024-02-01"
+DECAY_HALFLIFE_DAYS = 7
+DECAY_MAX_SHIFT = 40  # beyond 40 half-lives the contribution is 0 anyway
+
+
+@register(
+    "events_value_halflife",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm,
+               least(date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ASOF}')
+                     // {DECAY_HALFLIFE_DAYS}, {DECAY_MAX_SHIFT}) AS shift
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vm // CAST(pow(2, shift) AS BIGINT)) AS BIGINT)
+               AS decayed_micro
+    FROM v GROUP BY user_id
+    """,
+)
+def events_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed engagement value per user (recency-
+    weighted LTV / engagement scoring) with an EXACT decay: one
+    halving per {DECAY_HALFLIFE_DAYS}-day half-life, applied as
+    integer division of micro-units by 2^shift — powers of two are
+    exact in IEEE doubles up to 2^62 and the division operands are
+    non-negative, so floor == truncate and both engines agree
+    bit-for-bit (the float pow(0.5, age) formulation would not).
+    One map-side-combined shuffle on user_id."""
+    from ..exprs import ts_us  # noqa: F401  (module convention)
+
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1_000_000).cast("bigint")
+    age_days = F.datediff(
+        F.lit(DECAY_ASOF).cast("date"), F.col("ts").cast("date")
+    )
+    shift = F.least(
+        F.floor(age_days / DECAY_HALFLIFE_DAYS).cast("int"),
+        F.lit(DECAY_MAX_SHIFT),
+    )
+    pow2 = F.pow(F.lit(2.0), shift).cast("bigint")
+    v = ev.select(
+        "user_id", vm.alias("vm"), pow2.alias("p2")
+    )
+    return v.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("vm div p2")).cast("bigint").alias("decayed_micro"),
+    )
+
+
+# --- revenue concentration (Pareto top-k share) ----------------------------
+
+PARETO_TOP_K = 100
+
+
+@register(
+    "orders_pareto_topk_share",
+    oracle=f"""
+    WITH pc AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    top AS (
+        SELECT rev FROM pc ORDER BY rev DESC, o_custkey LIMIT {PARETO_TOP_K}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_top,
+           CAST(CAST((SELECT SUM(rev) FROM top) AS VARCHAR) AS DOUBLE)
+               AS top_revenue,
+           CAST(CAST((SELECT SUM(rev) FROM pc) AS VARCHAR) AS DOUBLE)
+               AS total_revenue,
+           CAST(CAST((SELECT SUM(rev) FROM top) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST((SELECT SUM(rev) FROM pc) AS VARCHAR) AS DOUBLE)
+               AS top_share
+    """,
+)
+def orders_pareto_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: what share of total revenue the top
+    {PARETO_TOP_K} customers carry (the 80/20 dashboard number).
+    The top-k cut is TakeOrderedAndProject over the per-customer
+    ROLLUP (never a global sort of the fact table), with ties broken
+    by customer key on exact decimals so the cut is deterministic;
+    both sums stay decimal until the final share division."""
+    od = load_table(spark, sf_dir, "orders")
+    pc = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    top = (
+        pc.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .limit(PARETO_TOP_K)
+        .agg(F.count("*").alias("n_top"), F.sum("rev").alias("top_dec"))
+    )
+    total = pc.agg(F.sum("rev").alias("total_dec"))
+    return top.crossJoin(total).select(
+        F.col("n_top").cast("bigint").alias("n_top"),
+        F.col("top_dec").cast("double").alias("top_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+        (F.col("top_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+            "top_share"
+        ),
+    )

@@ -90,6 +90,9 @@ _VERIFY_FIRST = [
     "chunk_dedup_exact",
     "emb_nearest_centroid_assign",
     "sink_bucketed_agg",
+    "events_value_halflife",
+    "orders_pareto_topk_share",
+    "dedup_minhash_est_vs_true",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

@@ -352,3 +352,98 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size({weights}) AS n_weights",
         f"array_join(array_sort(map_keys({weights})), ',') AS known_types",
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(event_id | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(event_id, user_id) AS BIGINT) AS xor_key,
+           CAST(event_id << 3 AS BIGINT) AS shl3,
+           CAST(event_id >> 2 AS BIGINT) AS shr2,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-surface bitwise suite: AND/OR/XOR masks, shifts, popcount —
+    flag fields, bitmap membership, and hash mixing all reduce to
+    these.  Pure codegen'd projections, zero shuffles; both engines
+    define identical two's-complement semantics on int64."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "CAST(event_id & 255 AS BIGINT) AS low_byte",
+        "CAST(event_id | 4096 AS BIGINT) AS with_flag",
+        "CAST(event_id ^ user_id AS BIGINT) AS xor_key",
+        "CAST(shiftleft(event_id, 3) AS BIGINT) AS shl3",
+        "CAST(shiftright(event_id, 2) AS BIGINT) AS shr2",
+        "CAST(bit_count(event_id) AS INT) AS popcount",
+    )
+
+
+@register(
+    "fn_bool_agg_suite",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 400) AS any_large,
+           CAST(count_if(value > 100) AS BIGINT) AS n_over_100,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_bool_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if) — data-quality assertion
+    rollups ("all rows non-negative", "any outlier present") computed
+    as one map-side-combinable pass, the monitoring query every
+    pipeline runs over each batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("every(value >= 0)").alias("all_nonneg"),
+        F.expr("any(value > 400)").alias("any_large"),
+        F.expr("count_if(value > 100)").cast("bigint").alias("n_over_100"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "fn_url_suite",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/' || lang
+                 || '/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via the native parse_url (host / path /
+    query / protocol) over deterministic synthetic crawl URLs — the
+    per-domain bucketing primitive of web-curation pipelines (domain
+    rate caps, per-site quality priors).  DuckDB has no parse_url, so
+    the oracle re-derives each part with anchored regexes; a hash
+    match certifies Spark's parser agrees with the RFC-shaped regex
+    on this URL family.  Zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        "concat('https://', source, '.example.org/docs/', lang, '/', "
+        "CAST(doc_id AS STRING), '?ref=', lang) AS url",
+    ).selectExpr(
+        "doc_id",
+        "url",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'PROTOCOL') AS protocol",
+    )

@@ -93,6 +93,9 @@ _VERIFY_FIRST = [
     "events_value_halflife",
     "orders_pareto_topk_share",
     "dedup_minhash_est_vs_true",
+    "fn_bitwise_suite",
+    "fn_bool_agg_suite",
+    "fn_url_suite",
     # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",

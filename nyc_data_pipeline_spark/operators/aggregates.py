@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exprs import davg, dsum, sql_davg, sql_dsum, ts_us
-from ..registry import NO_ORACLE_OK, register
+from ..registry import register
 
 _BETWEEN = "(ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')"
 
@@ -197,20 +197,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 approximate distinct via HyperLogLog++.  No oracle: DuckDB's
-    approx_count_distinct uses a different sketch, so only Spark's
-    deterministic result is recorded (rows-only check); the pytest suite
-    asserts <5% relative error against the exact count."""
+    """A9 approximate distinct via HyperLogLog++.  The raw estimate has
+    no cross-engine twin (DuckDB's sketch differs), so — the
+    `approx_hll_user_reach` pattern — the query emits the in-plan EXACT
+    counts plus booleans pinning the HLL++ estimate (rsd=0.02) within
+    5% of them; DuckDB reproduces the exact side and expects `true`,
+    turning the error bound into a driver-hashed fact.  The sketch is
+    hash-based and deterministic for fixed input."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    a = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
     )
-
-
-NO_ORACLE_OK.add("agg_approx_count_distinct")
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return a.select(
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        within("ao", "exact_orders").alias("orders_within_5pct"),
+        within("ap", "exact_parts").alias("parts_within_5pct"),
+    )
 
 
 @register(
@@ -330,18 +350,43 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx")
+PCT_ACC = 10_000  # percentile_approx accuracy: rank error ≤ n / PCT_ACC
+
+
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+           TRUE AS within_rank_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 approximate percentile — the scale path (bounded-memory
-    sketch, mergeable across partitions).  No oracle (sketch differs
-    from DuckDB); pytest bounds it against the exact percentile."""
+    KLL-style sketch, mergeable across partitions).  The approximate
+    value itself differs from DuckDB's sketch, so — the
+    `approx_hll_user_reach` pattern — the query emits the in-plan EXACT
+    interpolated median plus a boolean pinning the sketch value inside
+    the exact [p49, p51] quantile band (accuracy={PCT_ACC} ⇒ rank error
+    under n/{PCT_ACC} rows, far inside a ±1%-rank band at any fixture
+    scale); DuckDB reproduces the exact side and expects `true`."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    a = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, PCT_ACC).alias("p50_approx"),
+        F.percentile("o_totalprice", 0.49).alias("lo"),
+        F.percentile("o_totalprice", 0.51).alias("hi"),
     )
-
-
-NO_ORACLE_OK.add("agg_percentile_approx")
+    return a.select(
+        "o_orderpriority",
+        "p50_exact",
+        (
+            (F.col("p50_approx") >= F.col("lo"))
+            & (F.col("p50_approx") <= F.col("hi"))
+        ).alias("within_rank_band"),
+    )
 
 
 @register(

@@ -226,7 +226,7 @@ ANOM_K = 2  # flag hours beyond K standard deviations
 
 @register(
     "events_hourly_anomaly",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
                CAST(COUNT(*) AS BIGINT) AS c
@@ -240,7 +240,8 @@ ANOM_K = 2  # flag hours beyond K standard deviations
         FROM c GROUP BY event_type
     )
     SELECT c.event_type, epoch_us(h) AS hour_us, c AS n_events,
-           (n * c - s) * (n * c - s) > 4 * (n * q - s * s) AS is_anomaly
+           (n * c - s) * (n * c - s) > {ANOM_K * ANOM_K} * (n * q - s * s)
+               AS is_anomaly
     FROM c JOIN s ON c.event_type = s.event_type
     """,
 )
@@ -361,8 +362,9 @@ DECAY_MAX_SHIFT = 40  # beyond 40 half-lives the contribution is 0 anyway
     WITH v AS (
         SELECT user_id,
                CAST(floor(value * 1000000) AS BIGINT) AS vm,
-               least(date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ASOF}')
-                     // {DECAY_HALFLIFE_DAYS}, {DECAY_MAX_SHIFT}) AS shift
+               greatest(least(date_diff('day', CAST(ts AS DATE),
+                                        DATE '{DECAY_ASOF}')
+                     // {DECAY_HALFLIFE_DAYS}, {DECAY_MAX_SHIFT}), 0) AS shift
         FROM events
     )
     SELECT user_id,
@@ -388,9 +390,17 @@ def events_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_days = F.datediff(
         F.lit(DECAY_ASOF).cast("date"), F.col("ts").cast("date")
     )
-    shift = F.least(
-        F.floor(age_days / DECAY_HALFLIFE_DAYS).cast("int"),
-        F.lit(DECAY_MAX_SHIFT),
+    # Clamp below at 0 (mirroring the MAX_SHIFT cap above): an event
+    # dated after DECAY_ASOF would otherwise yield a negative shift,
+    # where pow(2, shift) truncates to 0 in the bigint cast and the
+    # division diverges across engines.  Post-as-of events decay not at
+    # all rather than exploding.
+    shift = F.greatest(
+        F.least(
+            F.floor(age_days / DECAY_HALFLIFE_DAYS).cast("int"),
+            F.lit(DECAY_MAX_SHIFT),
+        ),
+        F.lit(0),
     )
     pow2 = F.pow(F.lit(2.0), shift).cast("bigint")
     v = ev.select(
@@ -445,7 +455,7 @@ def orders_pareto_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_top"), F.sum("rev").alias("top_dec"))
     )
     total = pc.agg(F.sum("rev").alias("total_dec"))
-    return top.crossJoin(total).select(
+    return top.crossJoin(F.broadcast(total)).select(
         F.col("n_top").cast("bigint").alias("n_top"),
         F.col("top_dec").cast("double").alias("top_revenue"),
         F.col("total_dec").cast("double").alias("total_revenue"),

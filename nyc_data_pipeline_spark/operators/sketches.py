@@ -65,7 +65,9 @@ def approx_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         per_type.agg(F.expr("hll_union_agg(sketch)").alias("sketch"))
-        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+        .crossJoin(
+            F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+        )
         .select(
             F.lit("ALL").alias("event_type"),
             "exact_distinct",

@@ -1,19 +1,29 @@
-"""Per-group model fitting via applyInPandas (U2): closed-form OLS.
+"""Per-group OLS trend fitting, in two scale regimes.
 
 The LLM-pipeline shape this demonstrates: "fit a small model per
 group" — per-domain drift slopes, per-source quality trends, per-tenant
-forecasts.  Spark's contract for it is ``groupBy().applyInPandas``:
-each group arrives as ONE Arrow-batched pandas frame, the fit runs in
-vectorized Python, and the result is a tiny per-group row.  One shuffle
-on the group key, fits embarrassingly parallel across groups.
+forecasts.  Two implementations, chosen by group cardinality:
+
+- ``grouped_ols_trend`` (headline): LOW-cardinality keys (event_type,
+  ~5 values) where one group is a corpus-scale fraction.  The fit is
+  pure Catalyst: rank within the group via a window (Spark's external
+  sort spills rather than OOMs), then ONE groupBy computing the
+  sufficient statistics (n, Σx, Σy, Σxy, Σx²) in exact integer
+  carriers — no group is ever materialized in memory.  This is the
+  oracle's own windowed normal-equation SQL, expressed in the DSL.
+- ``grouped_ols_per_user`` (U2 surface): HIGH-cardinality keys
+  (user_id) where groups are small and bounded, the legitimate
+  ``groupBy().applyInPandas`` regime — each group arrives as one
+  Arrow-batched pandas frame, fits run vectorized-Python in parallel
+  across thousands of groups.
 
 Determinism across engines is the hard part — a float dot product sums
-in engine-specific order.  The fit therefore runs entirely in exact
+in engine-specific order.  Both forms therefore run entirely in exact
 integer arithmetic: y in floor-micro-units, x as the 1..n rank within
 the group's (ts, event_id) order, and the OLS normal equations
   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
-carried as ARBITRARY-PRECISION integers (Python ints on the Spark side,
-HUGEINT on the DuckDB side) and emitted as decimal strings — the
+carried exactly (decimal(38,0) on the Spark side / Python ints in the
+pandas path / HUGEINT in DuckDB) and emitted as decimal strings — the
 numerator/denominator pair is the bit-exact cross-engine contract; the
 float slope is one division away for any consumer.
 
@@ -26,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -34,73 +44,132 @@ from ..registry import register
 
 MICRO = 1_000_000
 
-_OLS_SCHEMA = "event_type string, n bigint, slope_num string, slope_den string"
 
-
-def _fit_group(pdf):
-    import pandas as pd
-
-    pdf = pdf.sort_values(["ts", "event_id"])
-    ys = [math.floor(v * MICRO) for v in pdf["value"]]
-    n = len(ys)
-    # Σx and Σx² over x = 1..n in closed form; Σy, Σxy exactly in
-    # Python ints (no int64 overflow at any group size).
-    sx = n * (n + 1) // 2
-    sxx = n * (n + 1) * (2 * n + 1) // 6
-    sy = sum(ys)
-    sxy = sum(i * y for i, y in enumerate(ys, start=1))
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    return pd.DataFrame(
-        {
-            "event_type": [pdf["event_type"].iloc[0]],
-            "n": [n],
-            "slope_num": [str(num)],
-            "slope_den": [str(den)],
-        }
-    )
-
-
-def grouped_ols(events: DataFrame) -> DataFrame:
-    """(event_type, ts, event_id, value) → one OLS fit per type."""
-    return (
-        events.select("event_type", "ts", "event_id", "value")
-        .groupBy("event_type")
-        .applyInPandas(_fit_group, schema=_OLS_SCHEMA)
-    )
-
-
-@register(
-    "grouped_ols_trend",
-    oracle=f"""
+def _ols_oracle(key: str) -> str:
+    """The sufficient-statistics OLS SQL, parameterized by group key."""
+    return f"""
     WITH o AS (
-        SELECT event_type,
+        SELECT {key},
                CAST(floor(value * {MICRO}) AS BIGINT) AS y,
                row_number() OVER (
-                   PARTITION BY event_type ORDER BY ts, event_id
+                   PARTITION BY {key} ORDER BY ts, event_id
                ) AS rn
         FROM events
     ),
     s AS (
-        SELECT event_type,
+        SELECT {key},
                COUNT(*) AS n,
                SUM(CAST(rn AS HUGEINT)) AS sx,
                SUM(CAST(y AS HUGEINT)) AS sy,
                SUM(CAST(rn AS HUGEINT) * y) AS sxy,
                SUM(CAST(rn AS HUGEINT) * rn) AS sxx
-        FROM o GROUP BY event_type
+        FROM o GROUP BY {key}
     )
-    SELECT event_type,
+    SELECT {key},
            CAST(n AS BIGINT) AS n,
            CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
            CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
     FROM s
-    """,
-)
+    """
+
+
+def grouped_ols_stats(events: DataFrame, key: str) -> DataFrame:
+    """(key, ts, event_id, value) → one OLS fit per group, pure
+    Catalyst: window rank → micro-unit ints → one map-side-combined
+    groupBy over decimal(38,0) sufficient-statistic carriers.  No group
+    materialization anywhere; the window's per-key sort is Spark's
+    spillable external sort (for truly pathological single-key skew,
+    the two-phase global-rank trick of plans/relational.order_global_
+    rownum applies per key).  Per-row products stay inside int64
+    (rank ≤ group size, y ≤ 1e9 micro-units) before widening."""
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    v = events.select(
+        key,
+        F.floor(F.col("value") * MICRO).cast("bigint").alias("y"),
+        F.row_number().over(w).alias("rn"),
+    )
+    s = v.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum("rn").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("rn") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("rn") * F.col("rn")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return s.select(
+        key,
+        F.col("n").cast("bigint").alias("n"),
+        (d("n") * d("sxy") - d("sx") * d("sy")).cast("string").alias("slope_num"),
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("string").alias("slope_den"),
+    )
+
+
+def _fit_group_fn(key: str):
+    """Build the applyInPandas fit function for a given group key."""
+
+    def _fit_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ys = [math.floor(v * MICRO) for v in pdf["value"]]
+        n = len(ys)
+        # Σx and Σx² over x = 1..n in closed form; Σy, Σxy exactly in
+        # Python ints (no int64 overflow at any group size).
+        sx = n * (n + 1) // 2
+        sxx = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(ys)
+        sxy = sum(i * y for i, y in enumerate(ys, start=1))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n": [n],
+                "slope_num": [str(num)],
+                "slope_den": [str(den)],
+            }
+        )
+
+    return _fit_group
+
+
+def grouped_ols_pandas(events: DataFrame, key: str, key_type: str) -> DataFrame:
+    """(key, ts, event_id, value) → one OLS fit per group via
+    ``applyInPandas`` (U2).  Legitimate ONLY for bounded groups: each
+    group is materialized as one Arrow batch in executor memory, so the
+    key must be high-cardinality (user_id, doc_id, tenant) — for
+    corpus-fraction keys use ``grouped_ols_stats``."""
+    schema = f"{key} {key_type}, n bigint, slope_num string, slope_den string"
+    return (
+        events.select(key, "ts", "event_id", "value")
+        .groupBy(key)
+        .applyInPandas(_fit_group_fn(key), schema=schema)
+    )
+
+
+@register("grouped_ols_trend", oracle=_ols_oracle("event_type"))
 def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type OLS slope of value vs within-group time rank,
-    fit group-at-a-time in applyInPandas with exact integer carriers —
-    hash-identical to the oracle's windowed normal-equation SQL.
-    The rank (not raw epoch) is the regressor so Σx² stays closed-form
-    and the scale-invariant trend direction is what's measured."""
-    return grouped_ols(load_table(spark, sf_dir, "events"))
+    """Per-event-type OLS slope of value vs within-group time rank.
+    event_type is a ~5-value key — a corpus-scale fraction per group —
+    so this runs the pure-Catalyst sufficient-statistics form (window
+    rank + one groupBy in decimal(38,0) carriers), never materializing
+    a group.  Hash-identical to the oracle's windowed normal-equation
+    SQL.  The rank (not raw epoch) is the regressor so Σx² stays
+    closed-form-checkable and the scale-invariant trend direction is
+    what's measured."""
+    return grouped_ols_stats(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@register("grouped_ols_per_user", oracle=_ols_oracle("user_id"))
+def grouped_ols_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-USER OLS trend via ``applyInPandas`` — the U2 grouped-map
+    surface on its legitimate regime: user_id is high-cardinality with
+    small bounded groups (tens-to-thousands of events per user at any
+    corpus size), so whole-group Arrow materialization is safe and the
+    per-group Python fit parallelizes across users.  Same exact-integer
+    contract and oracle shape as ``grouped_ols_trend``; only the
+    execution strategy differs — that choice-by-cardinality IS the
+    operator's documented contract."""
+    return grouped_ols_pandas(
+        load_table(spark, sf_dir, "events"), "user_id", "bigint"
+    )

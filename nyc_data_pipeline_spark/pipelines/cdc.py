@@ -15,13 +15,18 @@ shuffle on the merge key.  At 100 TB:
 - the window rides a bucketed-by-doc_id layout (see
   sources/scans.write_bucketed) so the merge never re-shuffles the
   corpus — only the (small) change batch moves;
-- with a table format (Delta/Iceberg) the same logical plan is
-  ``MERGE INTO`` and file-level skipping prunes untouched partitions;
-  the pure-parquet fallback below rewrites only because the fixture is
-  a single file;
 - deletes are change rows with ``op = 'd'`` — filtered after the
   keep-latest window so a delete beats any earlier update at the same
   key and lower version.
+
+Table-format MERGE (explicit descope): with Delta/Iceberg the
+``merge_join_bucketed`` logical plan becomes ``MERGE INTO`` with
+file-level skipping.  Neither delta-spark nor an Iceberg runtime jar
+is available in this environment (no package, no bundled jar, installs
+disallowed), so this module ships ONLY the pure-parquet forms; the
+bucketed variant is the scale contract (exactly one Exchange, on the
+change-batch side — plan-asserted in tests/test_pipelines.py).  Porting
+to a lakehouse table format is a sink swap, not a plan change.
 """
 
 from __future__ import annotations
@@ -195,9 +200,14 @@ def merge_join_bucketed(
     corpus's bucket count — so the window AND the subsequent sort-merge
     join both reuse that one small shuffle, and the bucketed corpus
     scan satisfies the join's distribution directly: the only Exchange
-    in the whole plan is over the (small) change batch.  Change
-    versions must exceed the corpus version (CDC batches are newer by
-    construction); a change winner with op='d' deletes the key."""
+    in the whole plan is over the (small) change batch.  The corpus
+    carries implicit version ``corpus_version`` (0: unversioned base
+    snapshot), and a change winner is applied only when its version
+    EXCEEDS it — a stale or version-0 change row loses to the corpus
+    instead of silently overwriting newer data (mirror of
+    ``merge_fold_state``'s version comparison).  A change winner with
+    op='d' deletes the key."""
+    corpus_version = 0
     prio = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
     w = Window.partitionBy(key).orderBy(F.desc("version"), prio.desc())
     ch = (
@@ -209,7 +219,9 @@ def merge_join_bucketed(
     renamed = ch.select(
         key, *[F.col(c).alias(f"ch_{c}") for c in ch.columns if c != key]
     )
-    take = F.col("ch_version").isNotNull()
+    take = F.col("ch_version").isNotNull() & (
+        F.col("ch_version") > F.lit(corpus_version)
+    )
     return (
         corpus.join(renamed.hint("merge"), key, "full_outer")
         .select(

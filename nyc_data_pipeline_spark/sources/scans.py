@@ -16,7 +16,10 @@ with the temp dir on a shared object store instead of local /tmp.
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +37,32 @@ from .readers import read_csv, read_json, read_text, split_corrupt
 _SCRATCH_ROOT = os.environ.get("NYC_ENGINE_SCRATCH") or os.path.join(
     "/tmp", f"nyc_engine_scratch_{os.getpid()}"
 )
+
+
+def _cleanup_scratch() -> None:
+    """Remove this run's scratch root at interpreter exit, and prune
+    stale pid-suffixed roots left by crashed runs (their pid no longer
+    alive).  Env-overridden roots are the caller's to manage."""
+    if not os.environ.get("NYC_ENGINE_SCRATCH"):
+        shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
+    parent = os.path.dirname(_SCRATCH_ROOT)
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for name in entries:
+        m = re.fullmatch(r"nyc_engine_scratch_(\d+)", name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except OSError:
+            pass  # pid alive but not ours (EPERM) — leave it
+
+
+atexit.register(_cleanup_scratch)
 
 
 def scratch_dir(kind: str, sf_dir: str) -> str:
@@ -243,8 +272,9 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_lines,
-           CAST(SUM(length(lang || chr(9) || text)) AS BIGINT) AS total_len,
-           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+           CAST(SUM(length(lang || chr(9) || coalesce(text, ''))) AS BIGINT)
+               AS total_len,
+           CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_text_len
     FROM documents
     GROUP BY lang
     """,
@@ -260,8 +290,14 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     them at write time).  One task per partition both directions."""
     out = scratch_dir("text_scan", sf_dir)
     d = load_table(spark, sf_dir, "documents")
+    # NULL text is coalesced to '' at write time so the tab separator is
+    # always present (concat_ws would silently drop the field and the
+    # split would swallow the line into lang) — the roundtrip contract
+    # is enforced in code, not assumed of the fixture.
     d.select(
-        F.concat_ws("\t", "lang", "text").alias("value")
+        F.concat_ws(
+            "\t", "lang", F.coalesce(F.col("text"), F.lit(""))
+        ).alias("value")
     ).write.mode("overwrite").text(out)
     back = read_text(spark, out)
     parsed = back.select(

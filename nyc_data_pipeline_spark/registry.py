@@ -51,32 +51,83 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-4 window: the two r3 defects head the list —
-# ``mm_decode_features`` (hist column flattened to a scalar string so
-# the driver's canonicalizer can sort it) and ``agg_incremental_merge``
-# (module finally wired into ``_QUERY_MODULES``; never driver-visible
-# before) — then ``approx_hll_user_reach`` whose oracle was upgraded
-# this round from no_oracle to an exact-count + error-bound check, then
-# everything new in round 4.  All 48 r3-green queries sit behind the
-# window with the r1/r2 greens.
+# Round-5 window: positions 1-6 = the six r5 additions (per-user OLS,
+# even-credit attribution, weekly lifecycle, basket pairs, train/val/
+# test split, PQ codes); positions 7-15 = queries whose code or output
+# shape changed in r5 and need a fresh verdict (`grouped_ols_trend`
+# rewritten to the Catalyst sufficient-statistics form; the two approx
+# sketches upgraded from rows-only to exact+bound-bool; the five
+# ADVICE-touched queries; the two broadcast-hinted scalar joins);
+# positions 16-50 = 35 of the 47 queries whose only verdict is r1-era
+# (VERDICT r4 ask #6: joins, windows, aggs, TPC-H plans, ref parity) —
+# the remaining 12 r1-era rows (set ops, fn string/math/date suites,
+# order_limit_topk) rotate in r6.
 _VERIFY_FIRST = [
-    # -- r3 red/invisible rows, fixed in round 4
+    # -- new in round 5
+    "grouped_ols_per_user",
+    "events_attribution_even",
+    "events_user_lifecycle",
+    "orders_basket_pairs",
+    "sample_train_split",
+    "emb_pq_codes",
+    # -- changed in round 5 (re-verdict)
+    "grouped_ols_trend",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "events_value_halflife",
+    "events_hourly_anomaly",
+    "src_text_scan",
+    "merge_upsert_bucketed",
+    "orders_pareto_topk_share",
+    "approx_hll_user_reach",
+    # -- r1-era-only verdicts, rotation slice 1/2 (r4 ask #6)
+    "join_inner_shuffle",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_range_tiers",
+    "join_asof_events",
+    "window_ranking",
+    "window_topn_per_group",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_ntile_first_last",
+    "sessionize_events",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats_moments",
+    "agg_percentiles",
+    "agg_collect_set",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "ref_trip_enrichment",
+    "ref_partition_key",
+    "ref_kpi_summary",
+    "sql_dashboard_kpis",
+    "ref_vendor_performance",
+    "ref_hourly_statistics",
+    # ---- below here: green in r1-r4 (COVERAGE.md ledger); order past
+    # the 50-slot window no longer matters to the driver.
     "mm_decode_features",
     "agg_incremental_merge",
-    "approx_hll_user_reach",
-    # -- new in round 4
-    "merge_upsert_bucketed",
     "agg_histogram_merge",
     "join_incremental_delta",
     "reshape_unpivot",
     "join_click_unattributed",
-    "grouped_ols_trend",
     "text_bigram_lm",
-    "events_hourly_anomaly",
     "agg_mode_argmax",
     "emb_quantize_int8",
     "dedup_containment_rep",
-    "src_text_scan",
     "window_cume_share",
     "sink_partition_overwrite",
     "window_gap_islands",
@@ -90,13 +141,10 @@ _VERIFY_FIRST = [
     "chunk_dedup_exact",
     "emb_nearest_centroid_assign",
     "sink_bucketed_agg",
-    "events_value_halflife",
-    "orders_pareto_topk_share",
     "dedup_minhash_est_vs_true",
     "fn_bitwise_suite",
     "fn_bool_agg_suite",
     "fn_url_suite",
-    # ---- below here: verified green in r1-r3 (COVERAGE.md ledger).
     "dedup_jaccard_bigram_shingles",
     "q4_priority_check",
     "q12_shipping_delay",
@@ -251,6 +299,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",
+    "nyc_data_pipeline_spark.pipelines.splits",
 ]
 
 

@@ -331,3 +331,113 @@ def emb_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("c_label").alias("assigned_label"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# --- product quantization codes --------------------------------------------
+
+PQ_SUB_DIMS = 16  # 64-dim embeddings → 4 subspaces of 16 dims
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label, i - 1 AS dim,
+               (i - 1) // {PQ_SUB_DIMS} AS sub,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    cb AS (
+        SELECT label AS code, sub, dim,
+               CAST(SUM(vi) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY label, sub, dim
+    ),
+    cmicro AS (
+        SELECT code, sub, dim,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS ci
+        FROM cb
+    ),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               SUM((v.vi - c.ci) * (v.vi - c.ci)) AS dist_sq
+        FROM v JOIN cmicro c ON v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    best AS (
+        SELECT vec_id, sub, code, dist_sq,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist_sq ASC, code ASC) AS rk
+        FROM dists
+    )
+    SELECT vec_id, CAST(sub AS INT) AS subspace,
+           CAST(code AS INT) AS code,
+           CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM best WHERE rk = 1
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each embedding is split into
+    64/{PQ_SUB_DIMS} subspaces and each subvector snapped to its
+    nearest sub-codebook entry by exact-integer L2 — the memory side
+    of large-scale ANN (a 64-dim float vector compresses to 4 code
+    bytes; IVF prunes the search space, PQ shrinks what's scanned
+    inside it).  The sub-codebooks here are the per-label subvector
+    means (the same deterministic seed-codebook policy as
+    `sim_topk_ivf`); argmin ties break by code for a unique answer.
+    Output: (vec_id, subspace, code, dist_sq) — dist_sq in micro²
+    units is the per-subspace quantization error, whose corpus sum is
+    the PQ audit number.
+
+    Scale shape: the codebook is |codes|×|dims| rows and BROADCASTS;
+    vectors meet only codebook entries (never other vectors), one
+    dim-keyed broadcast join + (vec, sub, code)-keyed aggregate +
+    argmin over |codes| rows per (vec, sub) — linear in corpus size,
+    the same discipline as `emb_nearest_centroid_assign`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.expr(f"dim div {PQ_SUB_DIMS}").alias("sub"),
+            F.floor(F.col("val").cast("double") * MICRO).cast("bigint").alias("vi"),
+        )
+    )
+    cb = v.groupBy(F.col("label").alias("code"), "sub", "dim").agg(
+        F.sum("vi").alias("s"), F.count("*").alias("n")
+    )
+    cmicro = cb.select(
+        "code",
+        "sub",
+        "dim",
+        F.when(F.col("s") >= 0, F.expr("s div n"))
+        .otherwise(-F.expr("(-s) div n"))
+        .alias("ci"),
+    )
+    diff = F.col("vi") - F.col("ci")
+    dists = (
+        v.join(F.broadcast(cmicro.drop("sub")), "dim")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(diff * diff).alias("dist_sq"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("dist_sq"), F.asc("code")
+    )
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+            F.col("dist_sq").cast("bigint").alias("dist_sq"),
+        )
+    )

@@ -8,6 +8,7 @@ near-linear = the plan survives scale-up; superlinear = a hidden
 quadratic (exactly how the pair-emitting dedup was caught).
 
 Usage: python scripts/scale_probe.py [k ...]   (default 1 4 8)
+       PROBE_ONLY=op1,op2 limits the run to the named operators.
 """
 
 from __future__ import annotations
@@ -38,8 +39,11 @@ def scaled(df: DataFrame, key: str, k: int, offset: int) -> DataFrame:
 
 def probe(spark, k: int) -> dict[str, float]:
     times: dict[str, float] = {}
+    only = {s for s in os.environ.get("PROBE_ONLY", "").split(",") if s}
 
     def run(name, df):
+        if only and name not in only:
+            return
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 2)
@@ -171,6 +175,88 @@ def probe(spark, k: int) -> dict[str, float]:
     run("cdc_merge", merge_keep_latest(base3, chg3))
 
     run("classifier_score", classifier_score(docs2))
+
+    # r4/r5 operators: bucketed CDC merge, containment-vs-rep dedup,
+    # mergeable histograms, and the Catalyst OLS sufficient-stats form.
+    from nyc_data_pipeline_spark.dedup.containment import CONTAIN_PCT
+    from nyc_data_pipeline_spark.operators.incremental import (
+        merge_histograms,
+        partial_histogram,
+    )
+    from nyc_data_pipeline_spark.operators.trends import grouped_ols_stats
+    from nyc_data_pipeline_spark.pipelines.cdc import (
+        DOCS_BUCKETS,
+        change_batch,
+        merge_join_bucketed,
+    )
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    # Bucketed merge: the one-time bucketed layout write is the
+    # amortized investment (excluded from the timing); the merge itself
+    # — collapse batch + full-outer join against the bucketed scan — is
+    # what must stay linear in the change batch.
+    tbl = f"probe_bkt_docs_k{k}"
+    (
+        docs2.select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("path", scratch_dir(f"probe_bkt_k{k}", SF_DIR))
+        .bucketBy(DOCS_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(tbl)
+    )
+    corpus = spark.table(tbl)
+    run("merge_bucketed", merge_join_bucketed(corpus, change_batch(corpus)))
+
+    # Containment vs LSH bucket reps (linear edge set — same band
+    # tables as the cc_fixpoint block above).  The shingle table is
+    # persisted exactly as the registered query now does: it feeds four
+    # consumers (sig path ×2 via bands, both elems join sides), and the
+    # unpersisted form re-runs the tokenize+hash lambdas per consumer —
+    # measured 70 s vs ~7 s at 32× before the fix.
+    setsc = sets2.persist()
+    sigc = setsc.repartition("doc_id").selectExpr(
+        "doc_id", *[_spark_sig(i) for i in range(K)]
+    )
+    bandsc = sigc.selectExpr(
+        "doc_id", f"explode(array({bstructs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    repsc = bandsc.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    edgesc = (
+        bandsc.join(repsc, ["band", "bkey"])
+        .where("doc_id <> rep")
+        .selectExpr("doc_id AS u", "rep AS v")
+        .distinct()
+    )
+    a_side = setsc.select(F.col("doc_id").alias("u"), F.col("elems").alias("a_elems"))
+    b_side = setsc.select(F.col("doc_id").alias("v"), F.col("elems").alias("b_elems"))
+    inter = F.size(F.array_intersect("a_elems", "b_elems"))
+    run(
+        "containment_rep",
+        edgesc.join(a_side, "u")
+        .join(b_side, "v")
+        .select(
+            "u",
+            "v",
+            (100 * inter >= CONTAIN_PCT * F.size("a_elems")).alias("contained"),
+        ),
+    )
+    setsc.unpersist()
+
+    # Mergeable histogram states: two half-corpus partials unioned then
+    # merged — the reaggregation path that must never rescan history.
+    lo, hi = ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1")
+    run(
+        "histogram_merge",
+        merge_histograms(
+            partial_histogram(lo).unionByName(partial_histogram(hi))
+        ),
+    )
+
+    # Catalyst OLS sufficient statistics on the 5-value event_type key:
+    # groups grow k× here — exactly the corpus-fraction-group stress the
+    # r5 rewrite exists for (the old applyInPandas form materialized the
+    # whole group per Arrow batch).
+    run("grouped_ols_stats", grouped_ols_stats(ev, "event_type"))
 
     return times
 

@@ -90,6 +90,15 @@ HEADLINE = [
     "events_hourly_anomaly",
     "emb_quantize_int8",
     "grouped_ols_trend",
+    # r5: bloom prefilter, PQ codes, attribution, lifecycle, basket
+    # pairs, deterministic split, per-user grouped-map OLS.
+    "join_bloom_prefilter",
+    "emb_pq_codes",
+    "events_attribution_even",
+    "events_user_lifecycle",
+    "orders_basket_pairs",
+    "sample_train_split",
+    "grouped_ols_per_user",
 ]
 
 

@@ -51,17 +51,18 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-5 window: positions 1-6 = the six r5 additions (per-user OLS,
-# even-credit attribution, weekly lifecycle, basket pairs, train/val/
-# test split, PQ codes); positions 7-15 = queries whose code or output
-# shape changed in r5 and need a fresh verdict (`grouped_ols_trend`
-# rewritten to the Catalyst sufficient-statistics form; the two approx
-# sketches upgraded from rows-only to exact+bound-bool; the five
-# ADVICE-touched queries; the two broadcast-hinted scalar joins);
-# positions 16-50 = 35 of the 47 queries whose only verdict is r1-era
-# (VERDICT r4 ask #6: joins, windows, aggs, TPC-H plans, ref parity) —
-# the remaining 12 r1-era rows (set ops, fn string/math/date suites,
-# order_limit_topk) rotate in r6.
+# Round-5 window: positions 1-7 = the seven r5 additions (per-user
+# OLS, even-credit attribution, weekly lifecycle, basket pairs,
+# train/val/test split, PQ codes, bloom prefilter); positions 8-16 =
+# queries whose code or output shape changed in r5 and need a fresh
+# verdict (`grouped_ols_trend` rewritten to the Catalyst sufficient-
+# statistics form; the two approx sketches upgraded from rows-only to
+# exact+bound-bool; the five ADVICE-touched queries; the two
+# broadcast-hinted scalar joins); positions 17-50 = 34 of the 47
+# queries whose only verdict is r1-era (VERDICT r4 ask #6: joins,
+# windows, aggs, TPC-H plans, ref parity) — the remaining 13 r1-era
+# rows (set ops, fn string/math/date suites, order_limit_topk,
+# ref_hourly_statistics which falls to position 51) rotate in r6.
 _VERIFY_FIRST = [
     # -- new in round 5
     "grouped_ols_per_user",
@@ -70,6 +71,7 @@ _VERIFY_FIRST = [
     "orders_basket_pairs",
     "sample_train_split",
     "emb_pq_codes",
+    "join_bloom_prefilter",
     # -- changed in round 5 (re-verdict)
     "grouped_ols_trend",
     "agg_approx_count_distinct",
@@ -274,6 +276,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.skew",
     "nyc_data_pipeline_spark.operators.sketches",
     "nyc_data_pipeline_spark.operators.incremental",
+    "nyc_data_pipeline_spark.operators.bloom",
     "nyc_data_pipeline_spark.operators.trends",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",

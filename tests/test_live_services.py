@@ -1,12 +1,16 @@
 """Live-broker / live-database end-to-end smokes (S3/S4/S5/S6 glue).
 
 The sandbox ships neither a Kafka broker, a spark-sql-kafka jar, nor a
-Postgres + JDBC driver, so every wire-semantic test in test_sources.py
-runs broker-less.  These tests close the remaining glue gap whenever
-real services ARE reachable: each probes (a) the classpath for the
-connector and (b) a TCP connect to the service, and skips with a
-precise reason otherwise.  Point KAFKA_BOOTSTRAP / POSTGRES_JDBC_URL
-at live services to activate them:
+Postgres JDBC driver, so every wire-semantic test in test_sources.py
+runs broker-less.  (Checked again round 5: `postgres`/`pg_ctl` server
+binaries ARE now present, but Spark still cannot speak to a local
+instance — no org.postgresql JDBC jar is bundled and Maven Central is
+unreachable from the sandbox, so the classpath gate below stays the
+binding constraint; the TCP gate alone is not enough.)  These tests
+close the remaining glue gap whenever real services ARE reachable:
+each probes (a) the classpath for the connector and (b) a TCP connect
+to the service, and skips with a precise reason otherwise.  Point
+KAFKA_BOOTSTRAP / POSTGRES_JDBC_URL at live services to activate them:
 
     KAFKA_BOOTSTRAP=localhost:9092 \
     POSTGRES_JDBC_URL=jdbc:postgresql://localhost:5432/nyc \

@@ -139,3 +139,77 @@ def test_merge_upsert_single_window_shuffle(spark, sf_dir):
 def test_topk_paths_uses_take_ordered(spark, sf_dir):
     p = plan_str(QUERIES["events_topk_paths"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+# --- round-5 operators -----------------------------------------------------
+
+
+def test_attribution_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The 24 h window condition must ride the user_id equi-join as a
+    residual — a BNLJ/cartesian here would pair every click with every
+    purchase corpus-wide."""
+    p = plan_str(QUERIES["events_attribution_even"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_basket_pairs_join_on_orderkey(spark, sf_dir):
+    """Pair expansion must be keyed on the order (bounded fan-out);
+    the part_a < part_b predicate is a residual, not the join itself."""
+    p = plan_str(QUERIES["orders_basket_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    """The PQ codebook is |codes|x|dims| rows and must broadcast —
+    vectors may never shuffle against each other."""
+    p = plan_str(QUERIES["emb_pq_codes"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_train_split_is_zero_shuffle_until_rollup(spark, sf_dir):
+    """The split decision is a codegen'd projection; the only Exchange
+    in the plan is the final (source, split) rollup."""
+    p = plan_str(QUERIES["sample_train_split"](spark, sf_dir))
+    # formatted explain names each node twice (tree + detail section);
+    # count tree occurrences only.
+    assert p.count("Exchange (") <= 1
+    assert "BatchEvalPython" not in p
+
+
+def test_ols_stats_form_has_no_python(spark, sf_dir):
+    """The rewritten headline OLS is pure Catalyst: no Arrow/Python
+    eval anywhere; one window + one aggregate."""
+    p = plan_str(QUERIES["grouped_ols_trend"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowExec" in p or "Window" in p
+
+
+def test_ols_per_user_is_grouped_map(spark, sf_dir):
+    """The per-user twin IS the applyInPandas surface (U2) — grouped-map
+    Arrow exec on the high-cardinality key."""
+    p = plan_str(QUERIES["grouped_ols_per_user"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p
+
+
+def test_scalar_joins_broadcast_one_row_sides(spark, sf_dir):
+    """The two r4 nit joins now hint broadcast: the 1-row aggregate side
+    of each crossJoin shows up as a broadcast exchange."""
+    for name in ("orders_pareto_topk_share", "approx_hll_user_reach"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_bloom_filter_table_broadcasts(spark, sf_dir):
+    """The bloom word table is <= BLOOM_WORDS rows and must broadcast;
+    neither fact table may shuffle for the membership probe."""
+    p = plan_str(QUERIES["join_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

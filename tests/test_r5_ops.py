@@ -139,3 +139,13 @@ def test_ols_per_user_matches_stats_form(spark, sf_dir):
         for r in grouped_ols_stats(ev, "user_id").collect()
     }
     assert a == b
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """Structural guarantee: every exact semi-join member passes the
+    bloom filter — n_bloom_pass >= n_exact, and with the 123k-bit
+    filter at fixture scale the FP count stays tiny."""
+    r = QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert r.n_bloom_pass >= r.n_exact
+    assert r.n_false_pos == r.n_bloom_pass - r.n_exact
+    assert r.n_false_pos <= 0.01 * r.n_probe

@@ -99,6 +99,8 @@ HEADLINE = [
     "orders_basket_pairs",
     "sample_train_split",
     "grouped_ols_per_user",
+    "join_asof_nearest",
+    "sessions_strict_funnel",
 ]
 
 

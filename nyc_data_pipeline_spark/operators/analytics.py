@@ -658,3 +658,88 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("support"))
         .where(F.col("support") >= BASKET_MIN_SUPPORT)
     )
+
+
+# --- strict in-session sequence funnel (MATCH_RECOGNIZE shape) -------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessions_strict_funnel",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                    > {SESSION_GAP_MIN} * 60 * 1000000
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_no
+        FROM g
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           string_agg(event_type, '>' ORDER BY ts, event_id)
+               LIKE '%view%click%purchase%' AS converted
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def sessions_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel within a session — the MATCH_RECOGNIZE /
+    sequence-pattern shape: sessionize by {SESSION_GAP_MIN}-minute
+    inactivity gaps, materialize each session's exact event sequence,
+    and test view→click→purchase as an ordered SUBSEQUENCE (LIKE with
+    %-gaps; event-type names are substring-free of each other so the
+    pattern is exact).  `events_funnel` answers "did the user ever
+    convert"; this answers "did they convert within one sitting, in
+    order" — the stricter product metric.
+
+    Scale shape: one user-keyed window (gap flags + running session
+    number ride the same sort), then one (user, session) aggregate;
+    session sequences are bounded by session length, never by corpus
+    size.  The sequence string is built by sorting each session's
+    struct array — deterministic total order (ts, event_id), identical
+    to the oracle's ordered string_agg."""
+    from pyspark.sql import Window
+
+    from ..exprs import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ts_us("ts") - ts_us(F.lag("ts").over(w))
+    is_new = (
+        F.lag("ts").over(w).isNull()
+        | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000)
+    ).cast("int")
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "sess_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        s.groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min(ts_us("ts")).alias("session_start_us"),
+            seq.alias("seq"),
+        )
+        .withColumn("converted", F.col("seq").like("%view%click%purchase%"))
+    )

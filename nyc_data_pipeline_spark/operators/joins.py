@@ -475,3 +475,89 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sp, F.col("l_suppkey") == sp["s_suppkey"])
         .select("s_suppkey", "s_name", F.col("n_covered").cast("bigint").alias("n_covered"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id AS k, ts, 1 AS side, event_id
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, NULL
+        FROM events WHERE event_type = 'signup'
+    ),
+    w AS (
+        SELECT k, ts, side, event_id,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY ts, side
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS b_ts,
+               first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY ts, side
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS f_ts
+        FROM u
+    )
+    SELECT event_id, k AS user_id, epoch_us(ts) AS purchase_us,
+           epoch_us(CASE WHEN f_ts IS NULL THEN b_ts
+                         WHEN b_ts IS NULL THEN f_ts
+                         WHEN ts - b_ts <= f_ts - ts THEN b_ts
+                         ELSE f_ts END) AS signup_us,
+           CASE WHEN f_ts IS NULL THEN 'backward'
+                WHEN b_ts IS NULL THEN 'forward'
+                WHEN ts - b_ts <= f_ts - ts THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM w
+    WHERE side = 1 AND (b_ts IS NOT NULL OR f_ts IS NOT NULL)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join, NEAREST flavor (pandas merge_asof
+    direction='nearest'): each purchase matched to the same user's
+    closest signup in EITHER time direction, ties to the earlier one —
+    the sensor-alignment / nearest-reading semantics the backward-only
+    as-of can't express.  Same union+single-sort shape as
+    `join_asof_events`: both the last-preceding and first-following
+    signup come from ONE window sort (two frames over the identical
+    (user, ts, side) ordering — no second Exchange, no n×m range
+    join); the nearest pick is then a codegen'd CASE on the two
+    microsecond gaps.  `direction` is emitted so consumers can audit
+    which side won."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__side"),
+        "event_id",
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    base = Window.partitionBy("__k").orderBy("__ts", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    sig = F.when(F.col("__side") == 0, F.col("__ts"))
+    u = (
+        p.unionByName(s)
+        .withColumn("b_ts", F.last(sig, ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.first(sig, ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 1)
+        .filter(F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull())
+    )
+    ts_u = F.unix_micros(F.col("__ts").cast("timestamp"))
+    b_u = F.unix_micros(F.col("b_ts").cast("timestamp"))
+    f_u = F.unix_micros(F.col("f_ts").cast("timestamp"))
+    back_wins = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (ts_u - b_u <= f_u - ts_u)
+    )
+    return u.select(
+        "event_id",
+        F.col("__k").alias("user_id"),
+        ts_u.alias("purchase_us"),
+        F.when(back_wins, b_u).otherwise(f_u).alias("signup_us"),
+        F.when(back_wins, "backward").otherwise("forward").alias("direction"),
+    )

@@ -51,18 +51,20 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-5 window: positions 1-7 = the seven r5 additions (per-user
+# Round-5 window: positions 1-9 = the nine r5 additions (per-user
 # OLS, even-credit attribution, weekly lifecycle, basket pairs,
-# train/val/test split, PQ codes, bloom prefilter); positions 8-16 =
-# queries whose code or output shape changed in r5 and need a fresh
-# verdict (`grouped_ols_trend` rewritten to the Catalyst sufficient-
+# train/val/test split, PQ codes, bloom prefilter, nearest as-of,
+# strict session funnel); positions 10-18 = queries whose code or
+# output shape changed in r5 and need a fresh verdict
+# (`grouped_ols_trend` rewritten to the Catalyst sufficient-
 # statistics form; the two approx sketches upgraded from rows-only to
 # exact+bound-bool; the five ADVICE-touched queries; the two
-# broadcast-hinted scalar joins); positions 17-50 = 34 of the 47
+# broadcast-hinted scalar joins); positions 19-50 = 32 of the 47
 # queries whose only verdict is r1-era (VERDICT r4 ask #6: joins,
-# windows, aggs, TPC-H plans, ref parity) — the remaining 13 r1-era
-# rows (set ops, fn string/math/date suites, order_limit_topk,
-# ref_hourly_statistics which falls to position 51) rotate in r6.
+# windows, aggs, TPC-H plans, ref parity) — the remaining 15 r1-era
+# rows (set ops, fn string/math/date suites, order_limit_topk, and
+# sql_dashboard_kpis / ref_vendor_performance / ref_hourly_statistics
+# which fall to positions 51-53) rotate in r6.
 _VERIFY_FIRST = [
     # -- new in round 5
     "grouped_ols_per_user",
@@ -72,6 +74,8 @@ _VERIFY_FIRST = [
     "sample_train_split",
     "emb_pq_codes",
     "join_bloom_prefilter",
+    "join_asof_nearest",
+    "sessions_strict_funnel",
     # -- changed in round 5 (re-verdict)
     "grouped_ols_trend",
     "agg_approx_count_distinct",

@@ -149,3 +149,37 @@ def test_bloom_never_false_negative(spark, sf_dir):
     assert r.n_bloom_pass >= r.n_exact
     assert r.n_false_pos == r.n_bloom_pass - r.n_exact
     assert r.n_false_pos <= 0.01 * r.n_probe
+
+
+def test_asof_nearest_supersedes_backward(spark, sf_dir):
+    """Nearest must agree with the backward as-of whenever backward
+    wins, and every nearest match is at least as close in absolute gap
+    as the backward match."""
+    back = {
+        r.event_id: r.signup_us
+        for r in QUERIES["join_asof_events"](spark, sf_dir).collect()
+    }
+    nearest = QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    assert len(nearest) >= len(back)  # forward-only matches add rows
+    for r in nearest:
+        if r.event_id in back:
+            gap_n = abs(r.purchase_us - r.signup_us)
+            gap_b = r.purchase_us - back[r.event_id]
+            assert gap_n <= gap_b
+            if r.direction == "backward":
+                assert r.signup_us == back[r.event_id]
+
+
+def test_strict_funnel_sequences_well_formed(spark, sf_dir):
+    """Session event counts must sum to the corpus; sequences have
+    n_events parts; converted sessions genuinely contain the ordered
+    subsequence."""
+    rows = QUERIES["sessions_strict_funnel"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    import re
+
+    pat = re.compile(r"view.*click.*purchase")
+    for r in rows:
+        assert len(r.seq.split(">")) == r.n_events
+        assert bool(pat.search(r.seq)) == r.converted

@@ -101,6 +101,16 @@ HEADLINE = [
     "grouped_ols_per_user",
     "join_asof_nearest",
     "sessions_strict_funnel",
+    # r5 second batch: dense gap-fill spine, bin-and-residual interval
+    # join, integer PageRank, CMS sketch, cross-doc chunk dedup, LM
+    # novelty scoring.
+    "window_gapfill_locf",
+    "sink_zorder_stats",
+    "join_interval_overlap",
+    "graph_pagerank",
+    "approx_cms_heavy_hitters",
+    "dedup_cross_chunk_share",
+    "text_lm_novelty",
 ]
 
 

@@ -144,10 +144,13 @@ def _star_edges_sql() -> tuple[str, str]:
     return sig_exprs, band_selects
 
 
-def _oracle_cc() -> str:
+def edges_cte_prefix() -> str:
+    """Shared DuckDB CTE chain `th … sym` producing the symmetrized
+    star edge list — reused by the CC oracle here and the PageRank
+    oracle (operators/pagerank.py), which run different algorithms over
+    the identical graph."""
     sig_exprs, band_selects = _star_edges_sql()
-    return f"""
-    WITH RECURSIVE th AS (
+    return f"""th AS (
         SELECT doc_id,
                list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems
         FROM documents
@@ -172,7 +175,12 @@ def _oracle_cc() -> str:
     ),
     sym AS (
         SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
-    ),
+    )"""
+
+
+def _oracle_cc() -> str:
+    return f"""
+    WITH RECURSIVE {edges_cte_prefix()},
     reach(n, r) AS (
         SELECT doc_id, doc_id FROM th
         UNION
@@ -182,14 +190,11 @@ def _oracle_cc() -> str:
     """
 
 
-@register("dedup_cc_fixpoint", oracle=_oracle_cc())
-def dedup_cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-transitive-closure MinHash dedup: LSH bucket star edges
-    (linear in corpus size) → alternating-star connected components →
-    (doc_id, rep_id = cluster-wide min).  Upgrades the bounded 3-round
-    closure to the production fixpoint."""
-    d = load_table(spark, sf_dir, "documents")
-    sets = d.selectExpr(
+def star_edges(documents: DataFrame) -> DataFrame:
+    """LSH bucket star edges (directed doc → bucket representative,
+    distinct): the O(n·BANDS) linear candidate graph shared by the CC
+    fixpoint and PageRank (operators/pagerank.py)."""
+    sets = documents.selectExpr(
         "doc_id",
         f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
     ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
@@ -201,12 +206,22 @@ def dedup_cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"explode(array({band_structs})) AS bk"
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     bucket_reps = bands.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
-    edges = (
+    return (
         bands.join(bucket_reps, ["band", "bkey"])
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("doc_id").alias("u"), F.col("rep").alias("v"))
         .distinct()
     )
+
+
+@register("dedup_cc_fixpoint", oracle=_oracle_cc())
+def dedup_cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-transitive-closure MinHash dedup: LSH bucket star edges
+    (linear in corpus size) → alternating-star connected components →
+    (doc_id, rep_id = cluster-wide min).  Upgrades the bounded 3-round
+    closure to the production fixpoint."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = star_edges(d)
     cc = connected_components(edges)
     return (
         d.select("doc_id")

@@ -796,3 +796,88 @@ def classifier_score(d: DataFrame) -> DataFrame:
             "score_int > 0 AS keep",
         )
     )
+
+
+@register(
+    "text_lm_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+    g AS (SELECT unnest({duck_bigrams('toks')}) AS bigram
+          FROM t WHERE len(toks) >= 2),
+    p AS (SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram),
+    parts AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, n
+        FROM p
+    ),
+    tot AS (SELECT w1, SUM(n) AS n_w1 FROM parts GROUP BY w1),
+    top AS (SELECT w1, n_w1 FROM tot
+            ORDER BY n_w1 DESC, w1 LIMIT {LM_TOP_HEADS}),
+    r AS (
+        SELECT parts.w1, w2,
+               row_number() OVER (
+                   PARTITION BY parts.w1 ORDER BY n DESC, w2
+               ) AS rank
+        FROM parts JOIN top ON parts.w1 = top.w1
+    ),
+    lm AS (SELECT w1 || ' ' || w2 AS bigram FROM r
+           WHERE rank <= {LM_TOP_CONT}),
+    dg AS (
+        SELECT doc_id, unnest({duck_bigrams('toks')}) AS bigram
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN lm.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_lm
+    FROM dg LEFT JOIN lm ON lm.bigram = dg.bigram
+    GROUP BY dg.doc_id
+    """,
+)
+def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against the corpus bigram LM: how many of
+    the doc's bigrams fall inside the LM's high-probability mass (the
+    text_bigram_lm table — top-{LM_TOP_CONT} continuations of the
+    {LM_TOP_HEADS} most frequent heads).  `1 - n_in_lm/n_bigrams` is
+    the perplexity-proxy novelty score: near 0 = formulaic/templated
+    text the LM already predicts, near 1 = out-of-distribution
+    content.  Counts are emitted instead of the ratio so the score
+    stays cross-engine exact.
+
+    Scale shape: the LM table is bounded ({LM_TOP_HEADS}·{LM_TOP_CONT}
+    rows) and BROADCASTS into the scoring join — the corpus-side
+    bigram stream never shuffles for the probe; the only corpus
+    shuffles are the LM's own pair count and the per-doc rollup.
+    Docs with < 2 tokens have no bigrams and drop out (same rows both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    t = d.selectExpr("doc_id", f"{toks} AS toks").filter(F.size("toks") >= 2)
+    pairs = (
+        t.selectExpr(f"explode({spark_bigrams('toks')}) AS bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+            "n",
+        )
+    )
+    totals = pairs.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    top = totals.orderBy(F.desc("n_w1"), F.asc("w1")).limit(LM_TOP_HEADS)
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    lm = (
+        pairs.join(F.broadcast(top), "w1")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LM_TOP_CONT)
+        .select(F.concat_ws(" ", "w1", "w2").alias("bigram"), F.lit(1).alias("hit"))
+    )
+    dg = t.selectExpr("doc_id", f"explode({spark_bigrams('toks')}) AS bigram")
+    return (
+        dg.join(F.broadcast(lm), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_in_lm"),
+        )
+    )

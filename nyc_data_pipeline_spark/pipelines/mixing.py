@@ -535,3 +535,95 @@ def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy(F.col("n_copies").cast("bigint").alias("n_copies")).agg(
         F.count("*").cast("bigint").alias("n_groups")
     )
+
+
+@register(
+    "dedup_cross_chunk_share",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, {{DTH}} AS hs FROM documents
+    ),
+    t AS (
+        SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_tok FROM th
+        WHERE len(hs) >= 1
+    ),
+    c AS (
+        SELECT doc_id, hs, n_tok,
+               unnest(generate_series(
+                   0, greatest(n_tok - 1, 0) // {CHUNK_STRIDE})) AS ci
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_slice(hs, ci * {CHUNK_STRIDE} + 1,
+                                  least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE},
+                                        n_tok))),
+                   (a, b) -> (a * 31 + b) % {HASH_MOD}) AS fp
+        FROM c WHERE ci * {CHUNK_STRIDE} < n_tok
+    ),
+    fd AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM f GROUP BY fp
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN fd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM f JOIN fd ON fd.fp = f.fp
+    GROUP BY f.doc_id
+    """.replace("{DTH}", duck_token_hashes(duck_tokens("text"))),
+)
+def dedup_cross_chunk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-document duplication share, chunk-exact (the
+    document-fraction view of Lee et al. 2021's exact substring dedup,
+    at stride-chunk granularity): a chunk counts as shared only when
+    its rolling fingerprint appears in at least one OTHER document —
+    intra-doc repeats (chunk_dedup_exact's histogram) deliberately
+    don't count.  `n_shared_chunks / n_chunks` is the removal/trimming
+    score curation applies thresholds to; both counts are emitted so
+    the ratio stays exact.
+
+    Scale shape: chunk fan-out is a zero-shuffle explode; one shuffle
+    groups fingerprints (map-side combined, short digests only); the
+    join back to chunks is fp-keyed on the same partitioning; the final
+    per-doc rollup is the only other shuffle.  Linear end to end — the
+    full suffix-array construction this approximates is O(n log n)
+    sort-heavy; stride chunks trade boundary-straddling duplicates for
+    that headroom."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.selectExpr(
+        "doc_id",
+        f"{spark_token_hashes(spark_tokens('text'))} AS hs",
+    ).selectExpr("doc_id", "hs", "CAST(size(hs) AS BIGINT) AS n_tok").filter(
+        F.col("n_tok") >= 1
+    )
+    chunks = t.select(
+        "doc_id",
+        "hs",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tok") - 1) / CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("ci"),
+    ).filter(F.col("ci") * CHUNK_STRIDE < F.col("n_tok"))
+    f = chunks.selectExpr(
+        "doc_id",
+        f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
+        f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
+        f"- ci * {CHUNK_STRIDE} AS INT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
+    )
+    fd = f.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        f.join(fd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+    )

@@ -51,7 +51,14 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-5 window: positions 1-9 = the nine r5 additions (per-user
+# Round-5 window, updated for the second batch: positions 1-7 = the
+# seven later r5 additions (gapfill/interpolate, interval-overlap
+# join, PageRank, CMS, cross-chunk dedup, LM novelty); these push the
+# last 7 rows of the r1-era rotation slice past the 50-slot window —
+# those (q6/q10/q18, ref_trip_enrichment, ref_partition_key,
+# ref_kpi_summary + the three already deferred) move to the r6 slice.
+# Original round-5 plan below:
+# positions 1-9 = the nine r5 additions (per-user
 # OLS, even-credit attribution, weekly lifecycle, basket pairs,
 # train/val/test split, PQ codes, bloom prefilter, nearest as-of,
 # strict session funnel); positions 10-18 = queries whose code or
@@ -66,6 +73,16 @@ def register(name: str, oracle: str | None = None):
 # sql_dashboard_kpis / ref_vendor_performance / ref_hourly_statistics
 # which fall to positions 51-53) rotate in r6.
 _VERIFY_FIRST = [
+    # -- new in round 5, second batch (gap-fill, interval join, graph,
+    # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "sink_zorder_stats",
+    "window_gapfill_locf",
+    "window_interpolate_linear",
+    "join_interval_overlap",
+    "graph_pagerank",
+    "approx_cms_heavy_hitters",
+    "dedup_cross_chunk_share",
+    "text_lm_novelty",
     # -- new in round 5
     "grouped_ols_per_user",
     "events_attribution_even",
@@ -282,6 +299,9 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.incremental",
     "nyc_data_pipeline_spark.operators.bloom",
     "nyc_data_pipeline_spark.operators.trends",
+    "nyc_data_pipeline_spark.operators.gapfill",
+    "nyc_data_pipeline_spark.operators.intervals",
+    "nyc_data_pipeline_spark.operators.pagerank",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",

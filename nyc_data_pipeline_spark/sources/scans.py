@@ -21,7 +21,7 @@ import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -422,4 +422,143 @@ def sink_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
         dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout — multi-dimensional data skipping.
+# ---------------------------------------------------------------------------
+
+# Partition pruning (sink_partitioned_pruning) skips on ONE dimension;
+# real warehouses filter on several.  The lakehouse answer (Delta
+# OPTIMIZE ZORDER BY, Iceberg sort orders, Hudi clustering) is Morton
+# interleaving: map each row to the bit-interleave of its dimension
+# values, then range-partition files by that z-value — rows close in
+# EITHER dimension land in few files, so per-file min/max stats prune
+# scans on BOTH columns.  The engine's pure-parquet form: compute z,
+# bucket by the top bits, write a bucket-partitioned layout.  At
+# 100 TB this replaces "cluster by date, full-scan on customer" with
+# bounded file sets for either predicate.
+
+_Z_MASKS = [(8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)]
+
+
+def _spread16(expr: str, shl) -> str:
+    """Bit-spreading (x -> x with zeros interleaved) of the low 16
+    bits, as expression text; `shl(e, n)` renders a left shift."""
+    e = f"({expr} & 65535)"
+    for sh, mask in _Z_MASKS:
+        e = f"(({e} | {shl(e, sh)}) & {mask})"
+    return e
+
+
+def _z_value(cust: str, day: str, shl) -> str:
+    return f"({_spread16(cust, shl)} | {shl(_spread16(day, shl), 1)})"
+
+
+_SPARK_SHL = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+_DUCK_SHL = lambda e, n: f"({e} << {n})"  # noqa: E731
+
+_DAY_SPARK = "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000)"
+_DAY_DUCK = "(epoch_us(o_orderdate) // 86400000000)"
+
+Z_FILES = 16  # range-partitioned z files
+
+
+Z_RANKS = 256  # per-dimension quantile ranks (8 bits each)
+
+
+@register(
+    "sink_zorder_stats",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey, o_custkey,
+               {_DAY_DUCK} AS day,
+               ntile({Z_RANKS}) OVER (ORDER BY o_custkey, o_orderkey) - 1
+                 AS cr,
+               ntile({Z_RANKS}) OVER (ORDER BY {_DAY_DUCK}, o_orderkey) - 1
+                 AS dr
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, o_custkey, day,
+               {_z_value('cr', 'dr', _DUCK_SHL)} AS zv
+        FROM r
+    ),
+    b AS (
+        SELECT o_custkey, day,
+               ntile({Z_FILES}) OVER (ORDER BY zv, o_orderkey) AS zbucket
+        FROM z
+    )
+    SELECT CAST(zbucket AS INTEGER) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day
+    FROM b GROUP BY 1
+    """,
+)
+def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of orders on (o_custkey, order day): map
+    each dimension to its {Z_RANKS}-quantile RANK (raw values would
+    let the wider dimension's high bits dominate the interleave — the
+    TPC-H date range is 12 bits vs 8 for custkey, and a raw interleave
+    degenerates to a date sort; rank-space interleaving is what Delta
+    OPTIMIZE ZORDER does too), Morton-interleave the ranks,
+    range-partition into {Z_FILES} files by z, write the layout, read
+    it back, and emit the per-file statistics a scan planner skips
+    with — each file's (min, max) range on BOTH dimensions is a
+    bounded sub-rectangle, which a 1-D sort cannot give.
+
+    Determinism: ranks and file boundaries are exact ntile quantiles
+    with (value, o_orderkey) total orders, so both engines reproduce
+    the assignment bit-for-bit.  At 100 TB the global sorts are
+    replaced by approximate boundaries (sampled range partitioning /
+    a fixed grid over a sampled CDF) — the skipping property is
+    identical, only boundary placement is approximate; pruning on the
+    written layout is plan-asserted in tests/test_sources.py."""
+    out = scratch_dir("zorder", sf_dir)
+    od = load_table(spark, sf_dir, "orders")
+    r = od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(f"{_DAY_SPARK}").alias("day"),
+        (
+            F.ntile(Z_RANKS).over(Window.orderBy("o_custkey", "o_orderkey")) - 1
+        ).alias("cr"),
+        (
+            F.ntile(Z_RANKS).over(
+                Window.orderBy(F.expr(_DAY_SPARK), F.col("o_orderkey"))
+            )
+            - 1
+        ).alias("dr"),
+    )
+    z = r.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        f"{_z_value('cr', 'dr', _SPARK_SHL)} AS zv",
+    )
+    (
+        z.withColumn(
+            "zbucket",
+            F.ntile(Z_FILES).over(Window.orderBy("zv", "o_orderkey")),
+        )
+        .repartition("zbucket")
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
     )

@@ -213,3 +213,46 @@ def test_bloom_filter_table_broadcasts(spark, sf_dir):
     p = plan_str(QUERIES["join_bloom_prefilter"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bin-and-residual rewrite must produce a hash/SMJ equi-join
+    on the bucket key — a BNLJ or cartesian means the rewrite silently
+    fell back to the quadratic theta join (the 20-row flash side does
+    legitimately broadcast, but through a HASH join on bucket)."""
+    p = plan_str(QUERIES["join_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_lm_novelty_broadcasts_lm_table(spark, sf_dir):
+    """The bounded LM table broadcasts into the scoring join — the
+    corpus-side bigram stream must not shuffle for the probe."""
+    p = plan_str(QUERIES["text_lm_novelty"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cms_counters_broadcast(spark, sf_dir):
+    """The D*W counter table broadcasts to the probe side."""
+    p = plan_str(QUERIES["approx_cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_plan_stays_jvm_side(spark, sf_dir):
+    """Three unrolled iterations: keyed equi-joins only, no cartesian
+    blowup, no Python in the loop."""
+    p = plan_str(QUERIES["graph_pagerank"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_gapfill_generates_spine_distributed(spark, sf_dir):
+    """The dense spine comes from explode(sequence(...)) (Generate),
+    with only the 1-row bounds aggregate broadcast — no driver-side
+    spine construction, no Python."""
+    p = plan_str(QUERIES["window_gapfill_locf"](spark, sf_dir))
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p

@@ -1,0 +1,163 @@
+"""Behavioral invariants for the round-5 second batch (gap-fill,
+interval-overlap join, PageRank, Count-Min, cross-chunk dedup, LM
+novelty) beyond oracle parity."""
+
+import pyspark.sql.functions as F
+
+from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_gapfill_spine_is_dense_and_locf_total(spark, sf_dir):
+    """Spine cardinality is exactly |keys| x |hours|; LOCF is non-null
+    everywhere at/after each key's first observation and equals the
+    observation wherever one exists."""
+    rows = QUERIES["window_gapfill_locf"](spark, sf_dir).collect()
+    keys = {r.event_type for r in rows}
+    hours = {r.epoch_hour for r in rows}
+    assert len(rows) == len(keys) * (max(hours) - min(hours) + 1)
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.epoch_hour)):
+        seen = by_key.setdefault(r.event_type, [False])
+        if r.observed is not None:
+            seen[0] = True
+            assert r.locf == r.observed and not r.is_filled
+        elif seen[0]:
+            assert r.locf is not None and r.is_filled
+        else:
+            assert r.locf is None and not r.is_filled
+
+
+def test_interpolate_exact_on_observed_and_bracketed(spark, sf_dir):
+    """At observed cells the rational interpolation reproduces the
+    observation exactly (num == v * den); gap cells carry a bracket
+    strictly containing their hour."""
+    rows = QUERIES["window_interpolate_linear"](spark, sf_dir).collect()
+    n_gap_interp = 0
+    for r in rows:
+        if r.observed is not None:
+            assert int(r.interp_num) == r.observed * r.interp_den
+        elif r.interp_num is not None:
+            assert r.interp_den > 0
+            n_gap_interp += 1
+    assert n_gap_interp > 0  # the fixture has interpolatable gaps
+
+
+def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
+    """The bin-and-residual equi-join returns exactly the pairs the
+    naive theta join returns, with non-negative closed-interval
+    overlaps."""
+    from nyc_data_pipeline_spark.operators.intervals import overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 50), (2, 100, 7_200_000_000), (3, 8_000_000_000, 9_000_000_000)],
+        "aid long, start_us long, end_us long",
+    )
+    b = spark.createDataFrame(
+        [(10, 40, 120), (20, 7_199_999_999, 8_500_000_000), (30, 99, 99)],
+        "bid long, start_us long, end_us long",
+    )
+    got = {
+        (r.aid, r.bid, r.overlap_us)
+        for r in overlap_join(a, b, ["aid"], ["bid"]).collect()
+    }
+    naive = {
+        (ra.aid, rb.bid, min(ra.end_us, rb.end_us) - max(ra.start_us, rb.start_us))
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra.start_us <= rb.end_us and rb.start_us <= ra.end_us
+    }
+    assert got == naive
+    assert all(o >= 0 for (_, _, o) in got)
+
+
+def test_pagerank_teleport_floor_and_hub_ordering(spark, sf_dir):
+    """Isolated docs settle at exactly the teleport floor; every rank
+    is at least the floor; connected docs strictly exceed it; total
+    degree is even (symmetrized edges)."""
+    from nyc_data_pipeline_spark.operators.pagerank import SCALE
+
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    floor = (15 * SCALE) // 100
+    for r in rows:
+        assert r.rank >= floor
+        if r.degree == 0:
+            assert r.rank == floor
+    assert sum(r.degree for r in rows) % 2 == 0
+    if any(r.degree > 0 for r in rows):
+        assert max(r.rank for r in rows) > floor
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS point estimates dominate the exact counts (the one-sided
+    error guarantee), and `overestimate` is their exact difference."""
+    rows = QUERIES["approx_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_cross_chunk_share_detects_injected_duplicate(spark, sf_dir):
+    """A verbatim re-ingest of a document makes every chunk of BOTH
+    copies shared; bounds hold corpus-wide."""
+    from nyc_data_pipeline_spark.pipelines.mixing import dedup_cross_chunk_share
+
+    rows = dedup_cross_chunk_share(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_shared_chunks <= r.n_chunks
+    # Two identical docs: every chunk of both must count as shared.
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 80), (2, "alpha beta gamma delta " * 80)],
+        "doc_id long, text string",
+    )
+    from nyc_data_pipeline_spark.functions.text import spark_token_hashes, spark_tokens
+    from nyc_data_pipeline_spark.pipelines.mixing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        HASH_MOD,
+    )
+
+    t = two.selectExpr(
+        "doc_id", f"{spark_token_hashes(spark_tokens('text'))} AS hs"
+    ).selectExpr("doc_id", "hs", "CAST(size(hs) AS BIGINT) AS n_tok")
+    chunks = t.select(
+        "doc_id",
+        "hs",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tok") - 1) / CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("ci"),
+    ).filter(F.col("ci") * CHUNK_STRIDE < F.col("n_tok"))
+    f = chunks.selectExpr(
+        "doc_id",
+        f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
+        f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
+        f"- ci * {CHUNK_STRIDE} AS INT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
+    )
+    fd = f.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        f.join(fd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        assert r.n_shared == r.n_chunks  # identical docs: fully shared
+
+
+def test_lm_novelty_bounds_and_coverage(spark, sf_dir):
+    """0 <= n_in_lm <= n_bigrams for every doc; the LM explains some
+    mass somewhere (the corpus's own top bigrams must self-hit)."""
+    rows = QUERIES["text_lm_novelty"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.n_in_lm <= r.n_bigrams for r in rows)
+    assert any(r.n_in_lm > 0 for r in rows)

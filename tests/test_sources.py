@@ -279,3 +279,27 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan
+
+
+def test_zorder_layout_prunes_on_zbucket_and_bounds_both_dims(spark, sf_dir):
+    """The z-ordered layout must (a) directory-prune on zbucket and
+    (b) give every bucket a bounded sub-rectangle in BOTH dimensions —
+    the multi-column data-skipping property a 1-D sort cannot give."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    stats = QUERIES["sink_zorder_stats"](spark, sf_dir).collect()
+    assert len(stats) > 1
+    # Clustering must happen on the customer dimension too, not just
+    # time: at least 3/4 of the buckets cover a strict sub-range of
+    # the customer domain (a z-curve boundary jump legitimately makes
+    # the occasional wide file; a 1-D date sort makes EVERY file span
+    # the full customer range).
+    glo = (min(r.min_cust for r in stats), max(r.max_cust for r in stats))
+    narrow = sum((r.min_cust, r.max_cust) != glo for r in stats)
+    assert narrow >= len(stats) * 3 // 4, (narrow, len(stats))
+    out = scratch_dir("zorder", sf_dir)
+    scan = spark.read.parquet(out).filter("zbucket = 3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "zbucket" in plan.split("PartitionFilters", 1)[1][:200]

@@ -111,6 +111,9 @@ HEADLINE = [
     "approx_cms_heavy_hitters",
     "dedup_cross_chunk_share",
     "text_lm_novelty",
+    "events_cusum_drift",
+    "rollup_hierarchy_reuse",
+    "sim_matryoshka_recall",
 ]
 
 

@@ -552,3 +552,59 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d("n") * d("sxx") - d("sx") * d("sx")).cast("string").alias("var_x_num"),
         (d("n") * d("syy") - d("sy") * d("sy")).cast("string").alias("var_y_num"),
     )
+
+
+EQD_BUCKETS = 8
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_totalprice,
+               ntile({EQD_BUCKETS}) OVER (
+                   PARTITION BY strftime(o_orderdate, '%Y-%m')
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS bucket
+        FROM orders
+    )
+    SELECT month, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM b GROUP BY month, bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value per month:
+    {EQD_BUCKETS} buckets each holding an equal share of the month's
+    rows, with exact boundary values — the histogram shape optimizers
+    build for selectivity estimation and monitoring uses for drift
+    dashboards (equi-WIDTH histograms hide skew; equi-depth puts the
+    resolution where the data is).  ntile with the (value, o_orderkey)
+    total order makes bucket assignment deterministic in both engines;
+    min/max per bucket involve no arithmetic, so doubles compare
+    exactly.
+
+    Scale: the sort is per-month (partitioned window — spillable,
+    never global).  When even one month outgrows a sort, the same
+    histogram comes from approx_percentile boundaries + one bucketing
+    pass — the exact form here is also the referee for that."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("month").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.withColumn("bucket", F.ntile(EQD_BUCKETS).over(w))
+        .groupBy("month", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -743,3 +743,106 @@ def sessions_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("converted", F.col("seq").like("%view%click%purchase%"))
     )
+
+
+# --- CUSUM drift detection -------------------------------------------------
+
+CUSUM_MICRO = 1_000_000
+# Alarm when the one-sided CUSUM statistic exceeds H micro-units: the
+# classic (k, h) tuning — k absorbs in-control noise, h sets the
+# detection delay / false-alarm trade-off.
+CUSUM_H = 400 * CUSUM_MICRO
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type,
+               CAST(SUM(CAST(floor(value * {CUSUM_MICRO}) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS target
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, e.event_id, e.ts,
+               CAST(floor(e.value * {CUSUM_MICRO}) AS BIGINT) - t.target AS dev,
+               t.target
+        FROM events e JOIN t USING (event_type)
+    ),
+    s1 AS (
+        SELECT event_type, event_id, ts,
+               CAST(SUM(dev) OVER w AS BIGINT) AS run
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, event_id, run,
+               CAST(MIN(run) OVER w AS BIGINT) AS run_min,
+               CAST(MAX(run) OVER w AS BIGINT) AS run_max
+        FROM s1
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           run - LEAST(run_min, 0) AS cusum_pos,
+           GREATEST(run_max, 0) - run AS cusum_neg,
+           (run - LEAST(run_min, 0)) > {CUSUM_H} AS alarm_up,
+           (GREATEST(run_max, 0) - run) > {CUSUM_H} AS alarm_down
+    FROM s
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistics per event type: the classic
+    recursive form s_t = max(0, s_(t-1) + x_t - target) is not a
+    window function, but its closed form IS — s_t = S_t - min(0,
+    min_(j<=t) S_j) over the deviation prefix sums S (and the downward
+    side symmetrically from the running max).  Two stacked windows on
+    one (event_type)-keyed sort, all integer micro-units, so both
+    engines agree bit-for-bit; `alarm_*` fire when sustained drift
+    accumulates past H.  This is the drift detector a training-data
+    pipeline runs over quality/score streams to catch distribution
+    shift; the streaming twin is the same algebra per micro-batch with
+    (run, run_min, run_max) carried as mergeable state.
+
+    Scale: one shuffle on the monitored key; the window sort spills;
+    nothing global.  The per-type target here is the series' own mean
+    (self-referential for the demo); production pins target/k from a
+    reference period."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * CUSUM_MICRO).cast("bigint")
+    # Integer mean (sum div n): float AVG loses exactness past 2^53
+    # total micro-units — real at 100 TB, so never introduced.
+    t = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(y) div count(1)").alias("target"))
+    )
+    d = ev.join(t, "event_type").select(
+        "event_type", "event_id", "ts", (y - F.col("target")).alias("dev")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s1 = d.select(
+        "event_type", "event_id", "ts", F.sum("dev").over(w).alias("run")
+    )
+    s = s1.select(
+        "event_type",
+        "event_id",
+        "run",
+        F.min("run").over(w).alias("run_min"),
+        F.max("run").over(w).alias("run_max"),
+    )
+    pos = F.col("run") - F.least(F.col("run_min"), F.lit(0))
+    neg = F.greatest(F.col("run_max"), F.lit(0)) - F.col("run")
+    return s.select(
+        "event_type",
+        "event_id",
+        pos.cast("bigint").alias("cusum_pos"),
+        neg.cast("bigint").alias("cusum_neg"),
+        (pos > CUSUM_H).alias("alarm_up"),
+        (neg > CUSUM_H).alias("alarm_down"),
+    )

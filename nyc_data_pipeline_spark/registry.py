@@ -75,6 +75,10 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "events_cusum_drift",
+    "agg_equidepth_histogram",
+    "sim_matryoshka_recall",
+    "rollup_hierarchy_reuse",
     "sink_zorder_stats",
     "window_gapfill_locf",
     "window_interpolate_linear",
@@ -320,6 +324,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.ivf",
     "nyc_data_pipeline_spark.similarity.centroids",
     "nyc_data_pipeline_spark.similarity.negatives",
+    "nyc_data_pipeline_spark.similarity.matryoshka",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

@@ -258,6 +258,125 @@ def probe(spark, k: int) -> dict[str, float]:
     # whole group per Arrow batch).
     run("grouped_ols_stats", grouped_ols_stats(ev, "event_type"))
 
+    # r5b operators: PageRank over the star graph, bin-and-residual
+    # interval join, cross-doc chunk share, CUSUM windows, z-order.
+    from pyspark.sql import Window
+
+    from nyc_data_pipeline_spark.operators.intervals import (
+        GAP_US,
+        PAD_US,
+        TOP_N,
+        overlap_join,
+    )
+    from nyc_data_pipeline_spark.operators.pagerank import pagerank
+
+    # Clone docs share text => signatures => buckets, so bucket reps
+    # absorb k x members and edge count stays O(k n BANDS) — degree
+    # skew grows k x on reps, exactly the hub stress PageRank's
+    # edge-linear iterations must absorb.
+    run(
+        "pagerank_3it",
+        pagerank(docs2.select(F.col("doc_id").alias("node")), edgesc),
+    )
+
+    w_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wse.rowsBetween(Window.unboundedPreceding, 0)
+    gap = w_us - F.lag(w_us).over(wse)
+    sessions_k = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wrun).cast("int"))
+        .withColumn("us", w_us)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    flash_k = (
+        ev.where("event_type = 'purchase'")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(TOP_N)
+        .select(
+            F.col("event_id").alias("flash_id"),
+            (w_us - PAD_US).alias("start_us"),
+            (w_us + PAD_US).alias("end_us"),
+        )
+    )
+    run(
+        "interval_overlap",
+        overlap_join(sessions_k, flash_k, ["user_id", "session_id"], ["flash_id"]),
+    )
+
+    # Cross-doc chunk share: clones make every chunk shared — the
+    # worst-case join fan-in on the fp key stays one map-side-combined
+    # shuffle + fp-keyed join.
+    from nyc_data_pipeline_spark.pipelines.mixing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        HASH_MOD,
+    )
+
+    tchunk = docs2.selectExpr(
+        "doc_id", f"{spark_token_hashes(spark_tokens('text'))} AS hs"
+    ).selectExpr("doc_id", "hs", "CAST(size(hs) AS BIGINT) AS n_tok").filter(
+        "n_tok >= 1"
+    )
+    chunksp = tchunk.select(
+        "doc_id",
+        "hs",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tok") - 1) / CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("ci"),
+    ).filter(F.col("ci") * CHUNK_STRIDE < F.col("n_tok"))
+    fps = chunksp.selectExpr(
+        "doc_id",
+        f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
+        f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
+        f"- ci * {CHUNK_STRIDE} AS INT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
+    )
+    fdp = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    run(
+        "cross_chunk_share",
+        fps.join(fdp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        ),
+    )
+
+    # CUSUM: 5-key windows over k x rows — the per-key external sort
+    # must spill, not blow up.
+    yv = F.floor(F.col("value") * 1_000_000).cast("bigint")
+    tk = (
+        ev.select("event_type", yv.alias("y"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(y) div count(1)").alias("target"))
+    )
+    dk = ev.join(tk, "event_type").select(
+        "event_type", "event_id", "ts", (yv - F.col("target")).alias("dev")
+    )
+    wc = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s1k = dk.select(
+        "event_type", "event_id", "ts", F.sum("dev").over(wc).alias("run")
+    )
+    run(
+        "cusum_windows",
+        s1k.select(
+            "event_type",
+            "event_id",
+            F.col("run") - F.least(F.min("run").over(wc), F.lit(0)),
+        ),
+    )
+
     return times
 
 

@@ -161,3 +161,72 @@ def test_lm_novelty_bounds_and_coverage(spark, sf_dir):
     assert rows
     assert all(0 <= r.n_in_lm <= r.n_bigrams for r in rows)
     assert any(r.n_in_lm > 0 for r in rows)
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The windowed closed form must equal the textbook recursion
+    s_t = max(0, s_{t-1} + d_t) replayed row-by-row per event type."""
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.analytics import CUSUM_MICRO
+
+    got = {
+        (r.event_type, r.event_id): (r.cusum_pos, r.cusum_neg)
+        for r in QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.event_type, r.ts, r.event_id),
+    )
+    import math
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0])
+    for r in ev:
+        s = sums[r.event_type]
+        s[0] += math.floor(r.value * CUSUM_MICRO)
+        s[1] += 1
+    target = {k: v[0] // v[1] for k, v in sums.items()}
+    state = defaultdict(lambda: [0, 0])  # pos, neg
+    for r in ev:
+        d = math.floor(r.value * CUSUM_MICRO) - target[r.event_type]
+        st = state[r.event_type]
+        st[0] = max(0, st[0] + d)
+        st[1] = max(0, st[1] - d)
+        assert got[(r.event_type, r.event_id)] == (st[0], st[1]), r
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    """Within each month, bucket sizes differ by at most one row and
+    boundaries are non-decreasing across buckets."""
+    rows = QUERIES["agg_equidepth_histogram"](spark, sf_dir).collect()
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month, []).append(r)
+    for month, bs in by_month.items():
+        ns = [r.n for r in bs]
+        assert max(ns) - min(ns) <= 1, (month, ns)
+        bs = sorted(bs, key=lambda r: r.bucket)
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9
+
+
+def test_matryoshka_overlap_bounds(spark, sf_dir):
+    rows = QUERIES["sim_matryoshka_recall"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(0 <= r.n_overlap <= r.k for r in rows)
+
+
+def test_rollup_levels_agree(spark, sf_dir):
+    """Each grain's totals must reproduce the same corpus totals —
+    the mergeability contract the hierarchy relies on."""
+    rows = QUERIES["rollup_hierarchy_reuse"](spark, sf_dir).collect()
+    tot = {}
+    for r in rows:
+        k = (r.grain, r.event_type)
+        n, s = tot.get(k, (0, 0))
+        tot[k] = (n + r.n, s + r.sum_micro)
+    types = {et for (_, et) in tot}
+    for et in types:
+        assert tot[("hour", et)] == tot[("day", et)] == tot[("week", et)]

@@ -114,6 +114,10 @@ HEADLINE = [
     "events_cusum_drift",
     "rollup_hierarchy_reuse",
     "sim_matryoshka_recall",
+    "join_scd2_pit",
+    "dq_psi_bins_drift",
+    "orders_cohort_ltv",
+    "sink_compaction",
 ]
 
 

@@ -846,3 +846,79 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos > CUSUM_H).alias("alarm_up"),
         (neg > CUSUM_H).alias("alarm_down"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1)
+                 AS cohort_m
+        FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+        SELECT f.cohort_m,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) - 1
+                   - f.cohort_m AS age_m,
+               o.o_custkey,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT cohort_m, age_m,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM facts GROUP BY 1, 2
+    )
+    SELECT cohort_m, age_m, n_active, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               PARTITION BY cohort_m ORDER BY age_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_cents
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month (cohort), revenue accumulated by months-since
+    -first-purchase (age) — the (cohort x age) triangle finance reads
+    LTV trajectories from, complementing `retention_cohorts`' activity
+    counts with exact money.  Months are (year*12 + month) integers
+    (no date arithmetic ambiguity across engines); revenue is integer
+    cents, cumulative via one per-cohort window over the
+    already-aggregated triangle (|cohorts| x |ages| rows, not facts).
+    Scale: the first-order table is one groupBy on customer, the join
+    is key-co-partitioned, the triangle rollup is map-side combined —
+    three linear shuffles, cumulative window on KB-scale state."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    firsts = (
+        od.select("o_custkey", month.alias("m"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("cohort_m"))
+    )
+    facts = od.join(firsts, "o_custkey").select(
+        "cohort_m",
+        (month - F.col("cohort_m")).alias("age_m"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cells = facts.groupBy("cohort_m", "age_m").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )

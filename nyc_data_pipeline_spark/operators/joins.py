@@ -561,3 +561,145 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(back_wins, b_u).otherwise(f_u).alias("signup_us"),
         F.when(back_wins, "backward").otherwise("forward").alias("direction"),
     )
+
+
+# --- SCD2 point-in-time join ----------------------------------------------
+
+SCD2_T1 = 100_000_000  # cents: tier 1 at 1M cumulative spend
+SCD2_T2 = 300_000_000  # cents: tier 2 at 3M
+
+
+@register(
+    "join_scd2_pit",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    tiered AS (
+        SELECT *,
+               CASE WHEN cum_before < {SCD2_T1} THEN 0
+                    WHEN cum_before < {SCD2_T2} THEN 1
+                    ELSE 2 END AS tier
+        FROM (
+            SELECT *,
+                   COALESCE(SUM(cents) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM seq
+        )
+    ),
+    dim AS (
+        SELECT o_custkey, tier,
+               o_orderdate AS vf_date, o_orderkey AS vf_seq
+        FROM (
+            SELECT *, LAG(tier) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) AS pt
+            FROM tiered
+        )
+        WHERE pt IS NULL OR pt <> tier
+    ),
+    u AS (
+        SELECT o_custkey AS ck, vf_date AS d, vf_seq AS s,
+               0 AS kind, tier, CAST(NULL AS BIGINT) AS ok
+        FROM dim
+        UNION ALL
+        SELECT o_custkey, o_orderdate, o_orderkey, 1,
+               CAST(NULL AS INTEGER), o_orderkey
+        FROM seq
+    ),
+    f AS (
+        SELECT *, last_value(tier IGNORE NULLS) OVER (
+                   PARTITION BY ck ORDER BY d, s, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pit_tier
+        FROM u
+    )
+    SELECT ok AS o_orderkey, ck AS o_custkey,
+           CAST(pit_tier AS INTEGER) AS tier
+    FROM f WHERE kind = 1
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: a versioned dimension (customer
+    spend tier, version rows created when cumulative spend crosses the
+    1M/3M thresholds — valid_from = the crossing order, open-ended
+    valid_to) joined to the fact stream AS OF each fact's position, so
+    every order sees the tier that was current when it was placed —
+    never a later version (the lookback-bias bug PIT joins exist to
+    prevent in feature stores and financial reporting).
+
+    Spark-first: the naive PIT join is a range join on
+    (key, valid_from <= t < valid_to) — quadratic per hot key.  Here
+    dim-version rows and facts UNION into one stream, sorted per
+    customer by (date, seq, kind) with version rows first at ties, and
+    the current version forward-fills via last(ignorenulls) — one
+    partitioned window sort, the same algebra as join_asof_events.
+    The cumulative-spend tiers are exact integer cents, so both
+    engines derive the identical dimension table AND the identical
+    PIT assignment.  The direct windowed formulation (tier from
+    cum_before, no join at all) is the pytest cross-check
+    (tests/test_r5b_ops.py) — two formulations, one truth."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cum_before = F.coalesce(
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    tiered = seq.withColumn(
+        "tier",
+        F.when(cum_before < SCD2_T1, 0)
+        .when(cum_before < SCD2_T2, 1)
+        .otherwise(2),
+    )
+    dim = (
+        tiered.withColumn("pt", F.lag("tier").over(w))
+        .where(F.col("pt").isNull() | (F.col("pt") != F.col("tier")))
+        .select(
+            "o_custkey",
+            "tier",
+            F.col("o_orderdate").alias("vf_date"),
+            F.col("o_orderkey").alias("vf_seq"),
+        )
+    )
+    u = dim.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("vf_date").alias("d"),
+        F.col("vf_seq").alias("s"),
+        F.lit(0).alias("kind"),
+        "tier",
+        F.lit(None).cast("bigint").alias("ok"),
+    ).unionByName(
+        seq.select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("s"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("tier"),
+            F.col("o_orderkey").alias("ok"),
+        )
+    )
+    wu = (
+        Window.partitionBy("ck")
+        .orderBy("d", "s", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("pit_tier", F.last("tier", ignorenulls=True).over(wu))
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("ok").alias("o_orderkey"),
+            F.col("ck").alias("o_custkey"),
+            F.col("pit_tier").cast("int").alias("tier"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Data-quality gates: expectation suites and distribution-drift
+checks.
+
+Every serious pipeline fronts its tables with machine-checked
+expectations (the Great Expectations / dbt-test / Deequ pattern): null
+and domain rates, uniqueness, referential integrity, value ranges —
+run as aggregates, emitted as a metrics table, alerted on.  The
+reference's only quality gate is its row filter
+(spark_consumer.py:77-78); this module is the engine's table-level
+generalization, and the drift check is the distribution-level one a
+training-data pipeline runs between ingestion batches.
+
+Scale shape: every expectation is a scan-aggregate (map-side combined,
+one pass over the table computes ALL checks via conditional sums — not
+one scan per check); the referential check is one anti-join against
+the broadcast dimension.  The drift check reduces each slice to
+|event_type| x |bins| cells before any comparison — corpus-size
+independent state, mergeable across partitions.
+
+Everything is integer arithmetic: violation COUNTS, not rates (the
+rate is one division away), and the drift flag compares proportions by
+cross-multiplication — |n_cur·N_ref − n_ref·N_cur| · S > τ·N_ref·N_cur
+instead of |p_cur − p_ref| > τ/S — so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Drift-check knobs: value histogram bins and the proportion threshold
+# |p_cur - p_ref| > PSI_TAU / PSI_SCALE (0.05).
+PSI_BIN_W = 50
+PSI_BINS = 10
+PSI_TAU = 5
+PSI_SCALE = 100
+REF_CUTOFF = "2024-01-15"  # first half = reference slice
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    WITH checks AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_checked,
+            CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                AS dup_orderkey,
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_orderdate,
+            CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nonpos_price,
+            CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+        FROM orders
+    ),
+    fk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    )
+    SELECT 'o_orderkey_unique' AS check_name,
+           dup_orderkey AS n_violations, n_checked FROM checks
+    UNION ALL
+    SELECT 'o_orderdate_not_null', null_orderdate, n_checked FROM checks
+    UNION ALL
+    SELECT 'o_totalprice_positive', nonpos_price, n_checked FROM checks
+    UNION ALL
+    SELECT 'o_orderstatus_domain', bad_status, n_checked FROM checks
+    UNION ALL
+    SELECT 'o_custkey_fk', fk.orphans, checks.n_checked
+    FROM checks CROSS JOIN fk
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders: uniqueness, null, range, domain
+    checks fold into ONE scan (conditional sums in a single aggregate);
+    referential integrity is one anti-join against the broadcast
+    customer dim.  Output is the alerting table (check_name,
+    n_violations, n_checked) — all zeros on healthy data, and the
+    contract a writer gate enforces before publishing a partition."""
+    od = load_table(spark, sf_dir, "orders")
+    checks = od.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_orderkey"),
+        F.sum(F.col("o_orderdate").isNull().cast("long"))
+        .cast("bigint")
+        .alias("null_orderdate"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long"))
+        .cast("bigint")
+        .alias("nonpos_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        od.join(
+            F.broadcast(cust),
+            od["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+    )
+
+    def row(name: str, col: str, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).alias("n_violations"),
+            F.col("n_checked"),
+        )
+
+    base = checks
+    fk = orphans.crossJoin(F.broadcast(checks.select("n_checked")))
+    return (
+        row("o_orderkey_unique", "dup_orderkey", base)
+        .unionByName(row("o_orderdate_not_null", "null_orderdate", base))
+        .unionByName(row("o_totalprice_positive", "nonpos_price", base))
+        .unionByName(row("o_orderstatus_domain", "bad_status", base))
+        .unionByName(row("o_custkey_fk", "orphans", fk))
+    )
+
+
+@register(
+    "dq_psi_bins_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{REF_CUTOFF}' THEN 0 ELSE 1 END
+                 AS slice,
+               LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ref,
+               CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cur
+        FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, c.bin, c.n_ref, c.n_cur, t.t_ref, t.t_cur,
+           ABS(c.n_cur * t.t_ref - c.n_ref * t.t_cur) * {PSI_SCALE}
+               > {PSI_TAU} * t.t_ref * t.t_cur AS drifted
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def dq_psi_bins_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the reference slice (before
+    {REF_CUTOFF}) and the current slice, per event type: fixed
+    {PSI_BIN_W}-wide value bins, per-cell counts from both slices, and
+    an integer-exact flag for |p_cur − p_ref| > 0.05 via
+    cross-multiplication (no division anywhere, so both engines agree
+    bit-for-bit; PSI/KL scores are one log away for any consumer, from
+    these same counts).  At 100 TB each slice reduces map-side to
+    |types|·|bins| cells before anything joins."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(REF_CUTOFF).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("slice"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("bigint"),
+            F.lit(PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum((F.col("slice") == 0).cast("long")).cast("bigint").alias("n_ref"),
+        F.sum((F.col("slice") == 1).cast("long")).cast("bigint").alias("n_cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    j = cells.join(F.broadcast(tot), "event_type")
+    diff = F.abs(
+        F.col("n_cur") * F.col("t_ref") - F.col("n_ref") * F.col("t_cur")
+    )
+    return j.select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        "t_ref",
+        "t_cur",
+        (diff * PSI_SCALE > PSI_TAU * F.col("t_ref") * F.col("t_cur")).alias(
+            "drifted"
+        ),
+    )

@@ -75,6 +75,11 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "orders_cohort_ltv",
+    "sink_compaction",
+    "dq_expectations_orders",
+    "dq_psi_bins_drift",
+    "join_scd2_pit",
     "events_cusum_drift",
     "agg_equidepth_histogram",
     "sim_matryoshka_recall",
@@ -332,6 +337,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",
     "nyc_data_pipeline_spark.pipelines.splits",
+    "nyc_data_pipeline_spark.pipelines.quality",
 ]
 
 

@@ -562,3 +562,64 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").cast("bigint").alias("max_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the table-maintenance sweep.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # production target file size
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE/rewrite-data-files table
+    sweep): streaming ingestion writes one file per trigger per
+    partition — here simulated by a 200-way fragmented write — and
+    query latency then dies on file-open overhead and starved row-group
+    statistics.  The sweep reads the fragmented table, re-partitions to
+    ceil(bytes / target_file_size) output files, and rewrites; readers
+    see identical rows (the oracle checks the post-compaction content
+    against the source), pytest asserts the file-count collapse and
+    byte sizing.  At 100 TB this is the nightly maintenance job —
+    partition-wise (each date partition compacts independently, so the
+    sweep is embarrassingly parallel and restartable per partition);
+    sizing from the FRAGMENTED table's actual bytes, not row counts,
+    is what keeps output files near target across skewed partitions."""
+    frag = scratch_dir("fragmented", sf_dir)
+    compact = scratch_dir("compacted", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(200).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    # Size the output from the fragmented table's actual bytes (driver-
+    # side directory listing — metadata only, no data moves; on a real
+    # object store this is the same listing the commit protocol does).
+    nbytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _dn, fns in os.walk(frag)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    n_out = max(1, -(-nbytes // COMPACT_TARGET_BYTES))  # ceil div
+    fragmented.repartition(n_out).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_micro"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

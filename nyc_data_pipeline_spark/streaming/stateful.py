@@ -193,3 +193,74 @@ def stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     certify the Arrow grouped-map path against the oracle; the
     streaming value is in user_profile_stateful.)"""
     return user_profile_batch(load_table(spark, sf_dir, "events"))
+
+
+# --- streaming CUSUM drift (T10 companion of events_cusum_drift) -----------
+
+CUSUM_OUT_SCHEMA = (
+    "event_type STRING, event_id BIGINT, cusum_pos BIGINT, cusum_neg BIGINT"
+)
+CUSUM_STATE_SCHEMA = "run BIGINT, run_min BIGINT, run_max BIGINT"
+
+
+def project_cusum_events(events: DataFrame) -> DataFrame:
+    """JVM-side pre-projection for the CUSUM state op: 3 narrow int
+    columns cross Arrow (the stateful-op input contract above)."""
+    return events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("y"),
+    )
+
+
+def cusum_stateful(stream: DataFrame, targets: dict[str, int]) -> DataFrame:
+    """Streaming CUSUM: per-key (run, run_min, run_max) carried across
+    micro-batches — the mergeable-state form of the batch closed-form
+    windows (operators/analytics.events_cusum_drift), emitting per-row
+    drift statistics as events arrive.
+
+    `targets` pins the in-control mean per key from a reference period
+    (the production calibration; the batch query's self-referential
+    mean is its demo shortcut).  State is 3 ints per key forever —
+    O(#keys), stream-length independent.  Within a batch rows fold in
+    (us, event_id) order (vectorized cumsum/accumulate, no Python
+    per-row loop); cross-batch correctness requires per-key ordered
+    arrival, which the file-replay test provides via time-partitioned
+    files + maxFilesPerTrigger=1 — the Kafka equivalent is per-key
+    partition ordering."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        run, run_min, run_max = state.get if state.exists else (0, 0, 0)
+        t = targets[key[0]]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["us", "event_id"])
+            s = run + np.cumsum(pdf["y"].to_numpy(dtype="int64") - t)
+            rmin = np.minimum(np.minimum.accumulate(s), run_min)
+            rmax = np.maximum(np.maximum.accumulate(s), run_max)
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                    "cusum_pos": s - rmin,
+                    "cusum_neg": rmax - s,
+                }
+            )
+            run = int(s[-1])
+            run_min = int(rmin[-1])
+            run_max = int(rmax[-1])
+        state.update((run, run_min, run_max))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        CUSUM_OUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

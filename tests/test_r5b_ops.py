@@ -230,3 +230,72 @@ def test_rollup_levels_agree(spark, sf_dir):
     types = {et for (_, et) in tot}
     for et in types:
         assert tot[("hour", et)] == tot[("day", et)] == tot[("week", et)]
+
+
+def test_scd2_pit_equals_direct_window_form(spark, sf_dir):
+    """The dim-build + PIT-join formulation must equal the direct
+    windowed computation (tier from cumulative spend before each
+    order) — two formulations, one truth."""
+    import math
+    from collections import defaultdict
+
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.joins import SCD2_T1, SCD2_T2
+
+    got = {
+        r.o_orderkey: r.tier
+        for r in QUERIES["join_scd2_pit"](spark, sf_dir).collect()
+    }
+    orders = sorted(
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect(),
+        key=lambda r: (r.o_custkey, r.o_orderdate, r.o_orderkey),
+    )
+    cum = defaultdict(int)
+    for r in orders:
+        before = cum[r.o_custkey]
+        tier = 0 if before < SCD2_T1 else (1 if before < SCD2_T2 else 2)
+        assert got[r.o_orderkey] == tier, (r.o_orderkey, got[r.o_orderkey], tier)
+        cum[r.o_custkey] += math.floor(r.o_totalprice * 100)
+    # Tiers are monotone per customer (spend only accumulates).
+    last = {}
+    for r in orders:
+        t = got[r.o_orderkey]
+        assert t >= last.get(r.o_custkey, 0)
+        last[r.o_custkey] = t
+
+
+def test_dq_expectations_all_healthy(spark, sf_dir):
+    """The fixture warehouse passes every expectation (all-zero
+    violations), and every check sees the full table."""
+    rows = QUERIES["dq_expectations_orders"](spark, sf_dir).collect()
+    assert {r.check_name for r in rows} == {
+        "o_orderkey_unique",
+        "o_orderdate_not_null",
+        "o_totalprice_positive",
+        "o_orderstatus_domain",
+        "o_custkey_fk",
+    }
+    n = rows[0].n_checked
+    for r in rows:
+        assert r.n_violations == 0 and r.n_checked == n
+
+
+def test_dq_drift_cells_conserve_totals(spark, sf_dir):
+    """Per-type cell counts sum to the slice totals, and the drift
+    flag matches the proportion test recomputed in Python rationals."""
+    from fractions import Fraction
+
+    rows = QUERIES["dq_psi_bins_drift"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, cells in by_type.items():
+        assert sum(c.n_ref for c in cells) == cells[0].t_ref
+        assert sum(c.n_cur for c in cells) == cells[0].t_cur
+        for c in cells:
+            expected = abs(
+                Fraction(c.n_cur, c.t_cur) - Fraction(c.n_ref, c.t_ref)
+            ) > Fraction(5, 100)
+            assert c.drifted == expected, (et, c.bin)

@@ -303,3 +303,35 @@ def test_zorder_layout_prunes_on_zbucket_and_bounds_both_dims(spark, sf_dir):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "zbucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_compaction_collapses_files_and_preserves_rows(spark, sf_dir):
+    """The sweep must collapse the 200-file fragmented layout to the
+    byte-sized target count and keep every row."""
+    import os
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+    from nyc_data_pipeline_spark.sources.scans import (
+        COMPACT_TARGET_BYTES,
+        scratch_dir,
+    )
+
+    QUERIES["sink_compaction"](spark, sf_dir).collect()
+
+    def parquet_files(d):
+        return [
+            os.path.join(dp, fn)
+            for dp, _dn, fns in os.walk(d)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+
+    frag = parquet_files(scratch_dir("fragmented", sf_dir))
+    comp = parquet_files(scratch_dir("compacted", sf_dir))
+    assert len(frag) == 200
+    nbytes = sum(os.path.getsize(f) for f in frag)
+    want = max(1, -(-nbytes // COMPACT_TARGET_BYTES))
+    assert len(comp) == want
+    n_frag = spark.read.parquet(scratch_dir("fragmented", sf_dir)).count()
+    n_comp = spark.read.parquet(scratch_dir("compacted", sf_dir)).count()
+    assert n_frag == n_comp

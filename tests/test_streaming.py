@@ -654,3 +654,75 @@ def test_stream_cdc_upsert_equals_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["stream_cdc_upsert"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_cusum_equals_batch_closed_form(spark, sf_dir, tmp_path):
+    """T10: the streaming CUSUM's carried (run, run_min, run_max) state
+    across ordered micro-batches must reproduce the batch closed-form
+    windows row-for-row."""
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.streaming.stateful import (
+        cusum_stateful,
+        project_cusum_events,
+    )
+    from nyc_data_pipeline_spark.streaming.ingest import MICROS_TS_FORMAT
+
+    load_all()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # Time-partitioned files: tercile by global ts order, one file per
+    # tercile, replayed one file per trigger -> per-key ordered arrival.
+    from pyspark.sql import Window as W
+
+    ranked = ev.withColumn(
+        "trd",
+        F.ntile(3).over(W.orderBy("ts", "event_id")),
+    )
+    src = tmp_path / "cusum_in"
+    for i in (1, 2, 3):
+        (
+            ranked.where(F.col("trd") == i)
+            .drop("trd")
+            .coalesce(1)
+            .write.mode("append")
+            .option("timestampFormat", MICROS_TS_FORMAT)
+            .json(str(src / f"b{i}"))
+        )
+    # Targets pinned from the batch table (reference-period calibration).
+    import math
+
+    rows = ev.select("event_type", "value").collect()
+    agg = {}
+    for r in rows:
+        n, s = agg.get(r.event_type, (0, 0))
+        agg[r.event_type] = (n + 1, s + math.floor(r.value * 1_000_000))
+    targets = {k: s // n for k, (n, s) in agg.items()}
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("timestampFormat", MICROS_TS_FORMAT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "b*"))
+    )
+    out = cusum_stateful(project_cusum_events(stream), targets)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.event_id): (r.cusum_pos, r.cusum_neg)
+            for r in spark.sql("SELECT * FROM cusum_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.event_type, r.event_id): (r.cusum_pos, r.cusum_neg)
+        for r in QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    assert got == want

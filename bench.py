@@ -118,6 +118,9 @@ HEADLINE = [
     "dq_psi_bins_drift",
     "orders_cohort_ltv",
     "sink_compaction",
+    "mm_phash_near_dup",
+    "grouped_ses_forecast",
+    "dq_duplicate_payments",
 ]
 
 

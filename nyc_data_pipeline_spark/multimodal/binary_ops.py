@@ -212,3 +212,69 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     even while the real codec stays a stub (`decode_media`)."""
     d = load_table(spark, sf_dir, "documents")
     return fake_decode_features(attach_binary_payload(d))
+
+
+PHASH_BANDS = 4  # 4 bands x 16 bits of the 64-bit fingerprint
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text) FROM documents
+        WHERE doc_id % 9 = 0
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, substr(digest, 1, 4) AS bval FROM corpus
+        UNION ALL
+        SELECT doc_id, 1, substr(digest, 5, 4) FROM corpus
+        UNION ALL
+        SELECT doc_id, 2, substr(digest, 9, 4) FROM corpus
+        UNION ALL
+        SELECT doc_id, 3, substr(digest, 13, 4) FROM corpus
+    ),
+    reps AS (
+        SELECT band, bval, MIN(doc_id) AS rep FROM bands GROUP BY 1, 2
+    )
+    SELECT b.doc_id, CAST(MIN(r.rep) AS BIGINT) AS rep_id
+    FROM bands b JOIN reps r ON r.band = b.band AND r.bval = b.bval
+    GROUP BY b.doc_id
+    """,
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate assignment over the binary media
+    column: fingerprint each payload, band the 64-bit hash into
+    {PHASH_BANDS}x16-bit blocks, and keep-one per bucket (rep = min
+    doc_id over all of a doc's buckets) — the banded-Hamming LSH every
+    image-dedup pipeline runs (pHash/aHash at ≤{PHASH_BANDS - 1}-bit
+    distance collide in ≥1 band by pigeonhole, exactly the simhash.py
+    argument).  The fingerprint here is the payload digest's first 64
+    bits — a deterministic stand-in wired through the same seam as
+    decode_media (a real pHash needs the image codec this container
+    lacks; swapping it changes ONE expression, none of the banding or
+    keep-one algebra).  A simulated re-crawl (every 9th doc re-ingested
+    under a new id) provides true collisions: re-crawled pairs share
+    all bands and collapse to one rep.  Linear: O(n·bands) rows, two
+    hash shuffles, no pair enumeration."""
+    d = load_table(spark, sf_dir, "documents")
+    recrawl = d.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = attach_binary_payload(d.unionByName(recrawl)).select(
+        "doc_id", F.col("meta.digest").alias("digest")
+    )
+    band_structs = ", ".join(
+        f"struct({b} AS band, substr(digest, {b * 4 + 1}, 4) AS bval)"
+        for b in range(PHASH_BANDS)
+    )
+    bands = corpus.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    reps = bands.groupBy("band", "bval").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, ["band", "bval"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").cast("bigint").alias("rep_id"))
+    )

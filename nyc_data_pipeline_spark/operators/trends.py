@@ -177,3 +177,63 @@ def grouped_ols_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ols_pandas(
         load_table(spark, sf_dir, "events"), "user_id", "bigint"
     )
+
+
+@register(
+    "grouped_ses_forecast",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id,
+               CAST(floor(value * {MICRO}) AS BIGINT) AS y,
+               epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               list(y ORDER BY us, event_id) AS ys
+        FROM o GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(list_reduce(ys, (a, b) -> (a + b) // 2) AS BIGINT)
+             AS level_micro
+    FROM g
+    """,
+)
+def grouped_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user simple exponential smoothing, α = 1/2: the recurrence
+    s₁ = y₁, sₜ = (sₜ₋₁ + yₜ) div 2 — a stateful fold no window frame
+    expresses (each step truncates, so there is no prefix-sum closed
+    form like CUSUM's).  Both engines replay the IDENTICAL fold:
+    Spark's `aggregate` higher-order function over the time-sorted
+    value array vs DuckDB's `list_reduce` over `list(... ORDER BY)` —
+    integer micro-units, so every intermediate truncation matches and
+    the final smoothed level hash-checks.
+
+    Group-materialization note (the grouped_ols_trend lesson): the
+    per-key array is legitimate ONLY on high-cardinality keys with
+    bounded groups (user_id here, like grouped_ols_per_user); on a
+    corpus-fraction key the recurrence belongs in a stateful stream
+    fold (streaming/stateful.cusum_stateful's shape) instead.  α=1/2
+    keeps the arithmetic exact; production αs come from the same
+    integer family (multiply-shift: s = (3·s + y) div 4 for α=1/4)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.floor(F.col("value") * MICRO).cast("bigint").alias("y"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    g = o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(us, event_id, y))),"
+            " s -> s.y)"
+        ).alias("ys"),
+    )
+    return g.selectExpr(
+        "user_id",
+        "n",
+        "CAST(aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)), ys[0],"
+        " (a, x) -> (a + x) div 2) AS BIGINT) AS level_micro",
+    )

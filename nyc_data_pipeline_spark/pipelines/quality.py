@@ -201,3 +201,95 @@ def dq_psi_bins_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted"
         ),
     )
+
+
+DUP_PAY_US = 86_400_000_000  # 24 h pairing window
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle=f"""
+    WITH raw AS (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 137 = 0
+    ),
+    o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(o_orderdate) AS us
+        FROM raw
+    )
+    SELECT a.o_custkey, a.cents,
+           a.o_orderkey AS first_key, b.o_orderkey AS second_key,
+           (b.us - a.us) // 3600000000 AS gap_hours
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND b.us >= a.us AND b.us - a.us <= {DUP_PAY_US}
+     AND a.us <= b.us
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge detection: two orders by the same customer for the
+    exact same amount within 24 h — the classic payments-integrity
+    sweep.  The naive form is a time-theta SELF-join; the scalable
+    rewrite equi-joins on (customer, cents, day-bucket) with the A side
+    emitting its day and the NEXT day (a ≤24 h window spans at most two
+    daily buckets), then applies the exact time predicate as the
+    residual — the intervals.py bin-and-residual pattern on a
+    structured key.  Pair space is bounded by (customer, amount)
+    multiplicity, not table size; everything is integer cents/µs.
+    The orderkey inequality both dedups the pair and orients it
+    (first/second by the deterministic key; same-instant pairs stay).
+    The fixture has no natural double-charges (amounts are near-unique
+    per customer), so the query simulates an at-least-once gateway
+    replay — every 137th order re-submitted under a new key — the
+    exact input shape the sweep exists for (the dedup_exact_hash
+    recrawl convention)."""
+    od = load_table(spark, sf_dir, "orders")
+    od = od.unionByName(
+        od.filter(F.col("o_orderkey") % 137 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    o = od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+    )
+    day = F.expr(f"us div {DUP_PAY_US}")
+    a = o.select(
+        F.col("o_orderkey").alias("first_key"),
+        F.col("o_custkey").alias("o_custkey"),
+        "cents",
+        F.col("us").alias("a_us"),
+        F.explode(F.array(day, day + 1)).alias("bucket"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("second_key"),
+        F.col("o_custkey").alias("b_cust"),
+        F.col("cents").alias("b_cents"),
+        F.col("us").alias("b_us"),
+        day.alias("bucket"),
+    )
+    pairs = a.join(
+        b,
+        (a["o_custkey"] == b["b_cust"])
+        & (a["cents"] == b["b_cents"])
+        & (a["bucket"] == b["bucket"]),
+    ).where(
+        (F.col("first_key") < F.col("second_key"))
+        & (F.col("b_us") >= F.col("a_us"))
+        & (F.col("b_us") - F.col("a_us") <= DUP_PAY_US)
+    )
+    return pairs.select(
+        "o_custkey",
+        "cents",
+        "first_key",
+        "second_key",
+        F.expr("(b_us - a_us) div 3600000000").alias("gap_hours"),
+    ).distinct()

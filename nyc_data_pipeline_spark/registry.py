@@ -75,6 +75,9 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "mm_phash_near_dup",
+    "grouped_ses_forecast",
+    "dq_duplicate_payments",
     "orders_cohort_ltv",
     "sink_compaction",
     "dq_expectations_orders",

@@ -299,3 +299,56 @@ def test_dq_drift_cells_conserve_totals(spark, sf_dir):
                 Fraction(c.n_cur, c.t_cur) - Fraction(c.n_ref, c.t_ref)
             ) > Fraction(5, 100)
             assert c.drifted == expected, (et, c.bin)
+
+
+def test_phash_near_dup_recrawl_pairs_collapse(spark, sf_dir):
+    """Every injected re-crawl copy must map to its original's rep
+    (identical fingerprint -> all bands collide); originals keep
+    rep <= own id."""
+    rows = QUERIES["mm_phash_near_dup"](spark, sf_dir).collect()
+    rep = {r.doc_id: r.rep_id for r in rows}
+    for doc_id, r in rep.items():
+        assert r <= doc_id
+        if doc_id >= 1_000_000:
+            assert r == rep[doc_id - 1_000_000]
+
+
+def test_ses_fold_matches_python_recurrence(spark, sf_dir):
+    """The cross-engine fold must equal the recurrence replayed in
+    Python per user."""
+    import math
+    from collections import defaultdict
+
+    from nyc_data_pipeline_spark.catalog import load_table
+
+    got = {
+        r.user_id: (r.n, r.level_micro)
+        for r in QUERIES["grouped_ses_forecast"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    state = {}
+    counts = defaultdict(int)
+    for r in ev:
+        y = math.floor(r.value * 1_000_000)
+        state[r.user_id] = (
+            y if r.user_id not in state else (state[r.user_id] + y) // 2
+        )
+        counts[r.user_id] += 1
+    assert got == {u: (counts[u], s) for u, s in state.items()}
+
+
+def test_duplicate_payments_finds_exactly_the_replays(spark, sf_dir):
+    """With no natural double-charges in the fixture, the sweep must
+    find exactly the injected replay pairs (gap 0, replay key =
+    original + 10M) — no false positives."""
+    rows = QUERIES["dq_duplicate_payments"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.second_key == r.first_key + 10_000_000
+        assert r.first_key % 137 == 0
+        assert r.gap_hours == 0

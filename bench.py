@@ -121,6 +121,10 @@ HEADLINE = [
     "mm_phash_near_dup",
     "grouped_ses_forecast",
     "dq_duplicate_payments",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topn",
+    "geo_grid_hotspots",
+    "geo_radius_probe",
 ]
 
 

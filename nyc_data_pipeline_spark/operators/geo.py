@@ -1,0 +1,152 @@
+"""Geospatial grid binning — hotspot cells over point events.
+
+The reference's producer keys messages by coordinates —
+`hash(lon_lat) % 1000` (reference kafka_producer.py:85-95) — but its
+consumer never analyzes space.  This module is the analytical
+completion: quantize points to fixed-width grid cells (the integer
+form of geohash/H3 level-k binning) and rank hotspot cells — the NYC
+pickup-heatmap query every taxi dashboard runs.
+
+Spark-first: binning is pure arithmetic (codegen'd, no UDF), the
+hotspot rollup is one map-side-combined groupBy on the cell id, and
+the top-k is TakeOrderedAndProject (per-partition heaps, no global
+sort).  At 100 TB the cell id is also the natural partition/bucket
+key — co-locating by cell turns neighborhood queries into partition
+pruning, and adjacent-cell joins (the geo equivalent of the
+bin-and-residual interval join: emit each point into its cell + 8
+neighbors for radius probes) stay equi-joins.
+
+Cross-engine care: longitude is negative in NYC, and negative integer
+division DIVERGES between engines (Spark `div` truncates toward zero,
+DuckDB `//` floors), so cells are computed on a +180°-shifted value —
+always positive, where truncation and floor agree — then shifted back.
+
+The fixture has no coordinate columns, so points are synthesized
+deterministically from event_id by Knuth multiplicative mixing into a
+~NYC bounding box — pure integer arithmetic both engines reproduce
+exactly (a stand-in, same role as multimodal's digest fingerprint;
+swap in real lat/lon columns and nothing else changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# ~NYC box in micro-degrees; Knuth multipliers for the synth mix.
+LAT0, LON0 = 40_500_000, -74_300_000
+SPAN = 1_000_000  # one degree of spread
+MIX_LAT, MIX_LON = 2_654_435_761, 2_246_822_519
+CELL = 10_000  # 0.01-degree cells (~1.1 km N-S)
+SHIFT = 180_000_000  # +180 deg: makes any longitude positive pre-division
+TOP_CELLS = 20
+
+_LAT = f"({LAT0} + (event_id * {MIX_LAT}) % {SPAN})"
+_LON = f"({LON0} + (event_id * {MIX_LON}) % {SPAN})"
+
+
+def _cells_sql(div_op: str) -> str:
+    """Shared cell arithmetic; `div_op` is 'div' (Spark) or '//'
+    (DuckDB) — applied only to non-negative shifted values, where the
+    two semantics agree."""
+    return f"""
+    WITH pts AS (
+        SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+               {_LAT} AS lat_micro,
+               {_LON} AS lon_micro
+        FROM events
+    ),
+    cells AS (
+        SELECT (lat_micro + {SHIFT}) {div_op} {CELL}
+                   - {SHIFT // CELL} AS cell_lat,
+               (lon_micro + {SHIFT}) {div_op} {CELL}
+                   - {SHIFT // CELL} AS cell_lon,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sum_micro
+        FROM pts GROUP BY 1, 2
+    )
+    SELECT CAST(cell_lat AS BIGINT) AS cell_lat,
+           CAST(cell_lon AS BIGINT) AS cell_lon, n, sum_micro
+    FROM cells
+    ORDER BY n DESC, cell_lat, cell_lon
+    LIMIT {TOP_CELLS}
+    """
+
+
+@register("geo_grid_hotspots", oracle=_cells_sql("//"))
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_CELLS} hottest 0.01-degree grid cells by event count
+    (ties broken by cell id), with exact micro-unit value totals —
+    the pickup-heatmap aggregate over the reference's lon_lat keying
+    idea, on synthesized-but-deterministic coordinates.  Runs the
+    shared SQL text via spark.sql over the registered views (§3.3
+    read path); only the integer-division spelling differs."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_cells_sql("div"))
+
+
+R_MICRO = 20_000  # 0.02-degree planar radius for the probe
+_CLAT = f"(lat_micro + {SHIFT}) DIVOP {CELL} - {SHIFT // CELL}"
+_CLON = f"(lon_micro + {SHIFT}) DIVOP {CELL} - {SHIFT // CELL}"
+
+
+def _radius_sql(div_op: str) -> str:
+    clat = _CLAT.replace("DIVOP", div_op)
+    clon = _CLON.replace("DIVOP", div_op)
+    return f"""
+    WITH pts AS (
+        SELECT {_LAT} AS lat_micro, {_LON} AS lon_micro
+        FROM events
+    ),
+    binned AS (
+        SELECT lat_micro, lon_micro,
+               {clat} AS cell_lat, {clon} AS cell_lon
+        FROM pts
+    ),
+    hot AS (
+        SELECT cell_lat, cell_lon, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2
+        ORDER BY n DESC, cell_lat, cell_lon LIMIT 1
+    ),
+    center AS (
+        SELECT cell_lat, cell_lon,
+               cell_lat * {CELL} + {CELL // 2} AS c_lat,
+               cell_lon * {CELL} + {CELL // 2} AS c_lon
+        FROM hot
+    )
+    SELECT center.cell_lat, center.cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN
+                   (b.lat_micro - c_lat) * (b.lat_micro - c_lat)
+                 + (b.lon_micro - c_lon) * (b.lon_micro - c_lon)
+                 <= {R_MICRO * R_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within
+    FROM binned b JOIN center
+      ON b.cell_lat BETWEEN center.cell_lat - 2 AND center.cell_lat + 2
+     AND b.cell_lon BETWEEN center.cell_lon - 2 AND center.cell_lon + 2
+    GROUP BY center.cell_lat, center.cell_lon
+    """
+
+
+@register("geo_radius_probe", oracle=_radius_sql("//"))
+def geo_radius_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query around the hottest cell: candidates come from the
+    5x5 cell ring (cell width {CELL} µ° < radius {R_MICRO} µ°, so ±2
+    rings cover the disc), the exact membership is the INTEGER squared
+    planar distance residual — the bin-and-residual pattern in 2-D
+    (no haversine float in the predicate; at city scale planar µ° is
+    the standard approximation, and a production variant scales lon by
+    cos(lat) the same integer way).  The 1-row center broadcasts; the
+    point stream joins on the ring predicate (a residual-able
+    broadcast filter) — the corpus never shuffles.  Counts candidates
+    vs true members: the ring's selectivity IS the measured pruning
+    power of the grid index."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_radius_sql("div"))

@@ -75,6 +75,10 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "sql_recursive_hierarchy",
+    "sql_lateral_topn",
+    "geo_grid_hotspots",
+    "geo_radius_probe",
     "mm_phash_near_dup",
     "grouped_ses_forecast",
     "dq_duplicate_payments",
@@ -300,6 +304,7 @@ def _reorder() -> None:
 _QUERY_MODULES = [
     "nyc_data_pipeline_spark.plans.relational",
     "nyc_data_pipeline_spark.plans.relational_ext",
+    "nyc_data_pipeline_spark.plans.recursion",
     "nyc_data_pipeline_spark.operators.enrichment",
     "nyc_data_pipeline_spark.operators.aggregates",
     "nyc_data_pipeline_spark.operators.joins",
@@ -314,6 +319,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.gapfill",
     "nyc_data_pipeline_spark.operators.intervals",
     "nyc_data_pipeline_spark.operators.pagerank",
+    "nyc_data_pipeline_spark.operators.geo",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",

@@ -256,3 +256,47 @@ def test_gapfill_generates_spine_distributed(spark, sf_dir):
     p = plan_str(QUERIES["window_gapfill_locf"](spark, sf_dir))
     assert "Generate" in p
     assert "BatchEvalPython" not in p
+
+
+def test_lateral_topn_is_decorrelated(spark, sf_dir):
+    """The correlated LATERAL LIMIT subquery must decorrelate to a
+    join + ranked window — no per-row subquery execution survives in
+    the physical plan."""
+    p = plan_str(QUERIES["sql_lateral_topn"](spark, sf_dir))
+    assert "Window" in p or "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_scd2_pit_has_no_range_join(spark, sf_dir):
+    """The PIT join must be the union+window form: no BNLJ/cartesian
+    (a range-join fallback), and exactly window exchanges on the
+    customer key."""
+    p = plan_str(QUERIES["join_scd2_pit"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_geo_hotspots_topk_without_global_sort(spark, sf_dir):
+    """Hotspot top-k must be TakeOrderedAndProject (per-partition
+    heaps), not a global Sort + Limit."""
+    p = plan_str(QUERIES["geo_grid_hotspots"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cohort_ltv_single_fact_scan_per_side(spark, sf_dir):
+    """The cohort triangle joins facts to the first-order table on the
+    customer key and never crosses or BNLJs."""
+    p = plan_str(QUERIES["orders_cohort_ltv"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dup_payments_is_equi_join(spark, sf_dir):
+    """The double-charge sweep must run as an equi-join on
+    (customer, cents, bucket) — no quadratic theta fallback."""
+    p = plan_str(QUERIES["dq_duplicate_payments"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

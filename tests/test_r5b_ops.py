@@ -352,3 +352,53 @@ def test_duplicate_payments_finds_exactly_the_replays(spark, sf_dir):
         assert r.second_key == r.first_key + 10_000_000
         assert r.first_key % 137 == 0
         assert r.gap_hours == 0
+
+
+def test_recursive_hierarchy_depth_and_root(spark, sf_dir):
+    """Every customer's (root, depth) must match the arithmetic chain
+    custkey -> custkey//7 -> ... -> root < 7."""
+    rows = QUERIES["sql_recursive_hierarchy"](spark, sf_dir).collect()
+    got = {r.custkey: (r.root, r.depth) for r in rows}
+    assert got  # non-empty and covers every customer
+    for ck, (root, depth) in got.items():
+        c, d = ck, 0
+        while c >= 7:
+            c //= 7
+            d += 1
+        assert (root, depth) == (c, d), ck
+
+
+def test_geo_cells_consistent_and_radius_subset(spark, sf_dir):
+    """Hotspot cells are ranked correctly; the radius probe's members
+    are a subset of its ring candidates and match a Python replay."""
+    hot = QUERIES["geo_grid_hotspots"](spark, sf_dir).collect()
+    assert len(hot) > 1
+    ns = [r.n for r in hot]
+    assert ns == sorted(ns, reverse=True)
+    probe = QUERIES["geo_radius_probe"](spark, sf_dir).collect()
+    assert len(probe) == 1
+    p = probe[0]
+    assert 0 <= p.n_within <= p.n_candidates
+    # Python replay of the synthesized geometry.
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.geo import (
+        CELL,
+        LAT0,
+        LON0,
+        MIX_LAT,
+        MIX_LON,
+        R_MICRO,
+        SPAN,
+    )
+
+    ids = [r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
+    pts = [
+        (LAT0 + (e * MIX_LAT) % SPAN, LON0 + (e * MIX_LON) % SPAN) for e in ids
+    ]
+    c_lat = p.cell_lat * CELL + CELL // 2
+    c_lon = p.cell_lon * CELL + CELL // 2
+    want_within = sum(
+        (la - c_lat) ** 2 + (lo - c_lon) ** 2 <= R_MICRO * R_MICRO
+        for la, lo in pts
+    )
+    assert p.n_within == want_within

@@ -609,13 +609,18 @@ def dedup_cross_chunk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ci"),
     ).filter(F.col("ci") * CHUNK_STRIDE < F.col("n_tok"))
+    # The fingerprint table feeds BOTH the distinct-doc rollup and the
+    # join probe (a diamond — without persist the tokenize+hash+fold
+    # chain runs twice; no ReusedExchange fires because the two
+    # consumers need different partitionings).  Measured 1.96 s →
+    # 0.62 s warm at sf0.1 (the containment.py / pagerank lesson).
     f = chunks.selectExpr(
         "doc_id",
         f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
         f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
         f"- ci * {CHUNK_STRIDE} AS INT)), "
         f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
-    )
+    ).persist()
     fd = f.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         f.join(fd, "fp")

@@ -141,3 +141,138 @@ def test_token_hash_cross_engine(spark, texts):
     finally:
         con.close()
     assert got == want
+
+
+# --- round-5b operators: overlap join, PageRank, CMS ----------------------
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=50_000_000_000),
+    st.integers(min_value=0, max_value=10_000_000_000),
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_iv, min_size=1, max_size=12),
+    st.lists(_iv, min_size=1, max_size=12),
+)
+def test_overlap_join_equals_naive_on_random_intervals(spark, aivs, bivs):
+    """bin-and-residual == the naive quadratic theta join, for
+    arbitrary (possibly multi-bucket-spanning, zero-length,
+    coincident) closed intervals."""
+    from nyc_data_pipeline_spark.operators.intervals import overlap_join
+
+    a = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(aivs)],
+        "aid long, start_us long, end_us long",
+    )
+    b = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(bivs)],
+        "bid long, start_us long, end_us long",
+    )
+    got = {
+        (r.aid, r.bid, r.overlap_us)
+        for r in overlap_join(a, b, ["aid"], ["bid"]).collect()
+    }
+    want = {
+        (i, j, min(sa + wa, sb + wb) - max(sa, sb))
+        for i, (sa, wa) in enumerate(aivs)
+        for j, (sb, wb) in enumerate(bivs)
+        if sa <= sb + wb and sb <= sa + wa
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_pagerank_equals_python_power_iteration(spark, n, raw_edges):
+    """Integer PageRank on arbitrary small graphs == a pure-Python
+    replay of the same truncating arithmetic."""
+    from nyc_data_pipeline_spark.operators.pagerank import ITERS, SCALE, pagerank
+
+    edges = sorted({(u % n, v % n) for u, v in raw_edges if u % n != v % n})
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    if edges:
+        e = spark.createDataFrame(edges, "u long, v long")
+    else:
+        e = spark.createDataFrame([], "u long, v long")
+    got = {r.node: (r.rank, r.degree) for r in pagerank(nodes, e).collect()}
+
+    sym = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+    deg = {}
+    for u, _v in sym:
+        deg[u] = deg.get(u, 0) + 1
+    r = {i: SCALE for i in range(n)}
+    for _ in range(ITERS):
+        contrib = {}
+        for u, v in sym:
+            contrib[v] = contrib.get(v, 0) + r[u] // deg[u]
+        r = {
+            i: (15 * SCALE + 85 * contrib.get(i, 0)) // 100 for i in range(n)
+        }
+    want = {i: (r[i], deg.get(i, 0)) for i in range(n)}
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60))
+def test_cms_estimate_matches_python_sketch(spark, user_ids):
+    """The Spark-built Count-Min counters == a Python dict replay:
+    same hashes, same cells, same heavy-hitter estimates."""
+    from nyc_data_pipeline_spark.operators.sketches import (
+        CMS_AB,
+        CMS_D,
+        CMS_P,
+        CMS_W,
+    )
+
+    counts = {}
+    for u in user_ids:
+        counts[u] = counts.get(u, 0) + 1
+    cells = {}
+    for u, c in counts.items():
+        for i, (a, b) in enumerate(CMS_AB):
+            k = (i, (((u % CMS_P) * a + b) % CMS_P) % CMS_W)
+            cells[k] = cells.get(k, 0) + c
+    # Spark side: rebuild the counter table from a DataFrame.
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u in user_ids], "user_id long")
+    uc = df.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    structs = ", ".join(
+        f"struct({i} AS hrow, ((((user_id % {CMS_P}) * {a} + {b}) % {CMS_P})"
+        f" % {CMS_W}) AS bucket)"
+        for i, (a, b) in enumerate(CMS_AB)
+    )
+    got = {
+        (r.hrow, r.bucket): r.total
+        for r in uc.selectExpr(f"explode(array({structs})) AS c", "cnt")
+        .select("c.hrow", "c.bucket", "cnt")
+        .groupBy("hrow", "bucket")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    assert got == cells
+    # Point estimates dominate truth.
+    for u, c in counts.items():
+        est = min(
+            cells[(i, (((u % CMS_P) * a + b) % CMS_P) % CMS_W)]
+            for i, (a, b) in enumerate(CMS_AB)
+        )
+        assert est >= c

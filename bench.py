@@ -125,6 +125,7 @@ HEADLINE = [
     "sql_lateral_topn",
     "geo_grid_hotspots",
     "geo_radius_probe",
+    "sink_jdbc_roundtrip",
 ]
 
 

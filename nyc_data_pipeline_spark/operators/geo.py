@@ -44,8 +44,12 @@ CELL = 10_000  # 0.01-degree cells (~1.1 km N-S)
 SHIFT = 180_000_000  # +180 deg: makes any longitude positive pre-division
 TOP_CELLS = 20
 
-_LAT = f"({LAT0} + (event_id * {MIX_LAT}) % {SPAN})"
-_LON = f"({LON0} + (event_id * {MIX_LON}) % {SPAN})"
+# (a·b) mod m == ((a mod m)·(b mod m)) mod m: pre-reducing both factors
+# keeps the product under 10^12 for ANY event_id — the raw
+# event_id * MIX form overflows int64 once ids pass ~3.5e9, which a
+# 100 TB event table exceeds.
+_LAT = f"({LAT0} + ((event_id % {SPAN}) * {MIX_LAT % SPAN}) % {SPAN})"
+_LON = f"({LON0} + ((event_id % {SPAN}) * {MIX_LON % SPAN}) % {SPAN})"
 
 
 def _cells_sql(div_op: str) -> str:

@@ -75,6 +75,7 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "sink_jdbc_roundtrip",
     "sql_recursive_hierarchy",
     "sql_lateral_topn",
     "geo_grid_hotspots",
@@ -342,6 +343,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",
+    "nyc_data_pipeline_spark.sources.jdbc",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",

@@ -300,3 +300,53 @@ def test_dup_payments_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE's automatic skew-join handling (the adaptive complement of
+    operators/skew.py's guaranteed-up-front salting): a join keyed 90%
+    on one value must show skew-split sort-merge partitions in the
+    final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    n = 200_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 50_000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(50_000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        # Tighten thresholds so the fixture-scale skew triggers the split.
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = skewed.join(dim, "k")
+        # collect() drives THIS DataFrame's own queryExecution, so the
+        # adaptive plan below is the executed final plan (count() would
+        # plan and execute a separate aggregate query).
+        assert len(joined.collect()) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

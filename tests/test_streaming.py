@@ -805,3 +805,52 @@ def test_stream_to_jdbc_database_idempotent(spark, sf_dir, events_json_dir, tmp_
         props,
     ).collect()
     assert all(r.c == 1 for r in after)
+
+
+def test_observe_metrics_ride_the_batch_job(spark, sf_dir):
+    """Batch observe: the gauges must equal direct recounts while
+    being computed inside the SAME job as the action (no second
+    scan)."""
+    from nyc_data_pipeline_spark.pipelines.observability import (
+        observed_quality_gate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    gated, obs = observed_quality_gate(ev)
+    n = gated.count()  # the one action; metrics ride it
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_ts"] == ev.filter(F.col("ts").isNull()).count()
+    assert got["n_nonpos_value"] == ev.filter(F.col("value") <= 0).count()
+    assert got["n_late"] == ev.filter(
+        F.col("ts") < F.lit("2024-01-01").cast("timestamp")
+    ).count()
+
+
+def test_observe_metrics_per_microbatch_in_stream(spark, sf_dir, events_json_dir):
+    """Streaming observe: per-micro-batch gauges surface in the
+    progress events and sum to the batch totals."""
+    from nyc_data_pipeline_spark.pipelines.observability import with_quality_gate
+
+    stream = with_quality_gate(
+        file_json_stream(spark, events_json_dir, EVENT_SCHEMA), "gate"
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option(
+            "checkpointLocation",
+            events_json_dir + "_obs_ckpt",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        total = 0
+        for p in q.recentProgress:
+            m = p["observedMetrics"].get("gate") if p.get("observedMetrics") else None
+            if m:
+                total += m["n_rows"]
+    finally:
+        q.stop()
+    want = load_table(spark, sf_dir, "events").count()
+    assert total == want

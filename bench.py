@@ -126,6 +126,8 @@ HEADLINE = [
     "geo_grid_hotspots",
     "geo_radius_probe",
     "sink_jdbc_roundtrip",
+    "fn_winsorize",
+    "events_mad_outliers",
 ]
 
 

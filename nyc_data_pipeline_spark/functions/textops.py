@@ -881,3 +881,63 @@ def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_in_lm"),
         )
     )
+
+
+@register(
+    "text_langid_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['en'])}')) AS INTEGER) AS c_en,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['es'])}')) AS INTEGER) AS c_es,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['de'])}')) AS INTEGER) AS c_de,
+               CAST(len(regexp_extract_all(lower(text), '{_alt(_STOPWORDS['fr'])}')) AS INTEGER) AS c_fr
+        FROM documents
+    ),
+    p AS (
+        SELECT lang,
+               CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+                    WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+                    WHEN c_fr > 0 THEN 'fr'
+                    ELSE 'unknown' END AS predicted_lang
+        FROM c
+    )
+    SELECT lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language classifier against
+    the corpus labels — the measure-your-classifier audit
+    (dedup_minhash_est_vs_true's pattern applied to langid): per
+    (true, predicted) cell counts, with n_correct making per-language
+    recall one division away.  On the synthetic fixture the labels are
+    random so the matrix documents the heuristic's bias (everything
+    English-shaped drifts to 'en'); on a real corpus the same query is
+    the threshold-tuning instrument.  One corpus scan + a
+    |langs|²-bounded rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        lang: f"regexp_count(lower(text), '{_sp(_alt(words))}')"
+        for lang, words in _STOPWORDS.items()
+    }
+    p = d.selectExpr(
+        "lang",
+        *[f"{expr} AS c_{lang}" for lang, expr in counts.items()],
+    ).selectExpr(
+        "lang",
+        "CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en' "
+        "WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es' "
+        "WHEN c_de >= c_fr AND c_de > 0 THEN 'de' "
+        "WHEN c_fr > 0 THEN 'fr' ELSE 'unknown' END AS predicted_lang",
+    )
+    return p.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("lang") == F.col("predicted_lang")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

@@ -75,6 +75,9 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "fn_winsorize",
+    "events_mad_outliers",
+    "text_langid_audit",
     "sink_jdbc_roundtrip",
     "sql_recursive_hierarchy",
     "sql_lateral_topn",
@@ -321,6 +324,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.intervals",
     "nyc_data_pipeline_spark.operators.pagerank",
     "nyc_data_pipeline_spark.operators.geo",
+    "nyc_data_pipeline_spark.operators.robust",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",

@@ -402,3 +402,63 @@ def test_geo_cells_consistent_and_radius_subset(spark, sf_dir):
         for la, lo in pts
     )
     assert p.n_within == want_within
+
+
+def test_winsorize_clips_to_selected_boundaries(spark, sf_dir):
+    """Boundaries are actual data values; unclipped rows pass through
+    untouched; the clipped fraction stays near 2*(5%)."""
+    rows = QUERIES["fn_winsorize"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        values = {r.value for r in rs}
+        clipped = [r for r in rs if r.clipped]
+        for r in rs:
+            if not r.clipped:
+                assert r.winsorized == r.value
+            else:
+                assert r.winsorized in values  # a selected boundary
+                assert r.winsorized != r.value
+        assert len(clipped) <= 0.12 * len(rs) + 2, et
+
+
+def test_mad_outliers_match_python_replay(spark, sf_dir):
+    """Median, MAD, and every flag must equal a pure-Python replay of
+    the lower-median order statistics in micro units."""
+    import math
+
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.robust import MAD_K, MICRO
+
+    got = {
+        (r.event_type, r.event_id): (r.dev_micro, r.mad_micro, r.is_outlier)
+        for r in QUERIES["events_mad_outliers"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            (math.floor(r.value * MICRO), r.event_id)
+        )
+    for et, vs in by_type.items():
+        ordered = sorted(vs)
+        n = len(ordered)
+        med = ordered[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vs)
+        mad = devs[(n + 1) // 2 - 1][0]
+        for v, eid in vs:
+            dev = abs(v - med)
+            assert got[(et, eid)] == (dev, mad, dev > MAD_K * mad), (et, eid)
+
+
+def test_langid_audit_cells_partition_corpus(spark, sf_dir):
+    from nyc_data_pipeline_spark.catalog import load_table
+
+    rows = QUERIES["text_langid_audit"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert r.n_correct == (r.n if r.lang == r.predicted_lang else 0)

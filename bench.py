@@ -128,6 +128,7 @@ HEADLINE = [
     "sink_jdbc_roundtrip",
     "fn_winsorize",
     "events_mad_outliers",
+    "src_schema_evolution",
 ]
 
 

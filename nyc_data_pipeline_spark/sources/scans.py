@@ -623,3 +623,75 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: widening a parquet dataset batch-by-batch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    WITH early AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+               CAST(NULL AS BIGINT) AS user_id
+        FROM events WHERE event_id % 2 = 0
+    ),
+    late AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+               user_id
+        FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM early UNION ALL SELECT * FROM late
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_with_user,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_micro
+    FROM unioned GROUP BY event_type
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing parquet dataset: an early batch
+    written WITHOUT the user_id column and a later batch written WITH
+    it land in the same directory tree; `mergeSchema` unifies the read
+    schema and backfills the missing column with NULLs — the
+    add-a-column migration every long-lived ingestion pipeline goes
+    through (the reference would ALTER TABLE its Postgres DDL,
+    database_handler.py:65-108; parquet datasets evolve by union of
+    file footers instead).  The aggregate proves row counts, NULL
+    backfill (n_with_user counts only late-batch rows), and values all
+    survive.  Scale note: footer merging is driver-side metadata work
+    over per-file schemas — keep it off hot paths by pinning the
+    unified schema in a catalog/table format once known; `mergeSchema`
+    is the discovery tool, not the steady state."""
+    out = scratch_dir("evolve", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        "user_id",
+    )
+    (
+        ev.where(F.col("event_id") % 2 == 0)
+        .drop("user_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "batch=early"))
+    )
+    (
+        ev.where(F.col("event_id") % 2 == 1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "batch=late"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=early"), os.path.join(out, "batch=late")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("user_id").cast("bigint").alias("n_with_user"),
+        F.sum("v_micro").cast("bigint").alias("sum_micro"),
+    )

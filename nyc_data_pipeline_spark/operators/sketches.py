@@ -193,3 +193,78 @@ def approx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("total") - F.min("cnt")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+@register(
+    "approx_cms_merge",
+    oracle=f"""
+    WITH user_counts AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_a,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_b
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS hrow, {_cms_hash_sql(i, 'user_id')} AS bucket,"
+            " cnt_a, cnt_b FROM user_counts"
+            for i in range(CMS_D)
+        )}
+    )
+    SELECT hrow, bucket,
+           CAST(SUM(cnt_a) AS BIGINT) AS total_a,
+           CAST(SUM(cnt_b) AS BIGINT) AS total_b,
+           CAST(SUM(cnt_a) + SUM(cnt_b) AS BIGINT) AS total_merged,
+           CAST(SUM(cnt_a + cnt_b) AS BIGINT) AS total_direct,
+           TRUE AS merge_equals_direct
+    FROM cells GROUP BY hrow, bucket
+    """,
+)
+def approx_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS mergeability contract, machine-checked (the
+    agg_histogram_merge pattern applied to the frequency sketch): build
+    one counter table per data slice (events split by event_id parity
+    — the per-day / per-partition stand-in), merge by plain cell-wise
+    ADDITION, and emit both the merged and the direct one-pass counters
+    with a pinned equality flag — the oracle reproduces every cell, so
+    "sketches of slices sum to the sketch of the union" is a
+    driver-hashed fact.  This is the property that lets 1000 executors
+    each keep a local D×W table and reduce them in one combine step,
+    and lets per-day sketches roll up to months without rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("cnt_a"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long"))
+        .cast("bigint")
+        .alias("cnt_b"),
+    )
+    cell_structs = ", ".join(
+        f"struct({i} AS hrow, {_cms_hash_sql(i, 'user_id')} AS bucket)"
+        for i in range(CMS_D)
+    )
+    cells = (
+        uc.selectExpr(f"explode(array({cell_structs})) AS c", "cnt_a", "cnt_b")
+        .select(
+            F.col("c.hrow").alias("hrow"),
+            F.col("c.bucket").alias("bucket"),
+            "cnt_a",
+            "cnt_b",
+        )
+        .groupBy("hrow", "bucket")
+        .agg(
+            F.sum("cnt_a").cast("bigint").alias("total_a"),
+            F.sum("cnt_b").cast("bigint").alias("total_b"),
+            (F.sum("cnt_a") + F.sum("cnt_b")).cast("bigint").alias("total_merged"),
+            F.sum(F.col("cnt_a") + F.col("cnt_b"))
+            .cast("bigint")
+            .alias("total_direct"),
+        )
+    )
+    return cells.withColumn(
+        "merge_equals_direct",
+        F.col("total_merged") == F.col("total_direct"),
+    )

@@ -75,6 +75,7 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "approx_cms_merge",
     "src_schema_evolution",
     "fn_winsorize",
     "events_mad_outliers",

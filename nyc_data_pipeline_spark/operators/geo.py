@@ -16,10 +16,15 @@ pruning, and adjacent-cell joins (the geo equivalent of the
 bin-and-residual interval join: emit each point into its cell + 8
 neighbors for radius probes) stay equi-joins.
 
-Cross-engine care: longitude is negative in NYC, and negative integer
-division DIVERGES between engines (Spark `div` truncates toward zero,
-DuckDB `//` floors), so cells are computed on a +180°-shifted value —
-always positive, where truncation and floor agree — then shifted back.
+Cross-engine care: longitude is negative in NYC.  On BIGINT operands
+Spark's `div` and DuckDB's `//` both truncate toward zero (measured —
+DuckDB floors only in folklore; on DOUBLE operands its `//` doesn't
+even divide integrally, it's plain `/`, which is what bit
+dq_psi_bins_drift).  Truncation toward zero still makes negative
+coordinates share cell 0 with positives (-0.3 and +0.3 both truncate
+to 0), so cells are computed on a +180°-shifted value — strictly
+positive, where truncation IS flooring and every cell is a proper
+half-open interval — then shifted back.
 
 The fixture has no coordinate columns, so points are synthesized
 deterministically from event_id by Knuth multiplicative mixing into a
@@ -54,8 +59,8 @@ _LON = f"({LON0} + ((event_id % {SPAN}) * {MIX_LON % SPAN}) % {SPAN})"
 
 def _cells_sql(div_op: str) -> str:
     """Shared cell arithmetic; `div_op` is 'div' (Spark) or '//'
-    (DuckDB) — applied only to non-negative shifted values, where the
-    two semantics agree."""
+    (DuckDB) — applied only to non-negative shifted BIGINTs, where
+    truncation is flooring and both engines agree."""
     return f"""
     WITH pts AS (
         SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,

@@ -377,6 +377,65 @@ def probe(spark, k: int) -> dict[str, float]:
         ),
     )
 
+    # Later r5b additions: SCD2 PIT (union+window), banded phash
+    # keep-one, cohort LTV triangle.
+    od_k = scaled(load_table(spark, SF_DIR, "orders"), "o_custkey", k, 10**9)
+
+    from pyspark.sql import Window as W
+
+    wcu = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    cumb = F.coalesce(
+        F.sum(cents).over(wcu.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    tiered_k = od_k.withColumn(
+        "tier",
+        F.when(cumb < 100_000_000, 0).when(cumb < 300_000_000, 1).otherwise(2),
+    )
+    run(
+        "scd2_tiers",
+        tiered_k.withColumn("pt", F.lag("tier").over(wcu)).where(
+            F.col("pt").isNull() | (F.col("pt") != F.col("tier"))
+        ),
+    )
+
+    phash_corpus = docs2.selectExpr("doc_id", "md5(text) AS digest")
+    pb_structs = ", ".join(
+        f"struct({b} AS band, substr(digest, {b * 4 + 1}, 4) AS bval)"
+        for b in range(4)
+    )
+    pbands = phash_corpus.selectExpr(
+        "doc_id", f"explode(array({pb_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    preps = pbands.groupBy("band", "bval").agg(F.min("doc_id").alias("rep"))
+    run(
+        "phash_keep_one",
+        pbands.join(preps, ["band", "bval"]).groupBy("doc_id").agg(
+            F.min("rep").alias("rep_id")
+        ),
+    )
+
+    month_k = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+        "bigint"
+    )
+    firsts_k = (
+        od_k.select("o_custkey", month_k.alias("m"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("cohort_m"))
+    )
+    run(
+        "cohort_ltv",
+        od_k.join(firsts_k, "o_custkey")
+        .select(
+            "cohort_m",
+            (month_k - F.col("cohort_m")).alias("age_m"),
+            "o_custkey",
+            cents.alias("cents"),
+        )
+        .groupBy("cohort_m", "age_m")
+        .agg(F.countDistinct("o_custkey").alias("n_active"), F.sum("cents").alias("rev")),
+    )
+
     return times
 
 

@@ -129,6 +129,8 @@ HEADLINE = [
     "fn_winsorize",
     "events_mad_outliers",
     "src_schema_evolution",
+    "events_dau_mau",
+    "orders_open_backlog",
 ]
 
 

@@ -922,3 +922,143 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.withColumn(
         "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
     )
+
+
+MAU_WINDOW = 28  # trailing days for the MAU denominator
+
+
+@register(
+    "events_dau_mau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    support AS (
+        SELECT DISTINCT user_id, day + off AS wday
+        FROM ud CROSS JOIN (
+            SELECT unnest(generate_series(0, {MAU_WINDOW - 1})) AS off
+        )
+    ),
+    mau AS (
+        SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS mau
+        FROM support GROUP BY wday
+    )
+    SELECT d.day, d.dau, m.mau
+    FROM dau d JOIN mau m ON m.day = d.day
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-{MAU_WINDOW}-day MAU per active day — the
+    stickiness ratio (DAU/MAU) every engagement dashboard tracks.
+    Trailing-window DISTINCT does not decompose (day-level distinct
+    counts don't sum), so the scalable form explodes each (user, day)
+    activity fact into the {MAU_WINDOW} window-days it supports, then
+    counts distinct support rows per window-day: fan-out is a bounded
+    ×{MAU_WINDOW} of the (user, day) DISTINCT table (itself ≪ events),
+    all equi-keyed shuffles — never a per-day rescan of history, never
+    a quadratic self-join.  Exact counts; the ratio is one division
+    away.  (The HLL alternative — per-day sketches unioned over the
+    window, approx_hll_user_reach's machinery — trades this fan-out
+    for KB merges when {MAU_WINDOW}× is too much.)  Output: only days
+    with activity (inner join: DAU>0)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day"
+        ),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    support = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (MAU_WINDOW - 1))
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    mau = support.groupBy(F.col("wday").alias("day")).agg(
+        F.count("*").cast("bigint").alias("mau")
+    )
+    return dau.join(mau, "day").select("day", "dau", "mau")
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                 AS open_day,
+               CAST(MAX(epoch_us(l.l_shipdate)) // 86400000000 AS BIGINT)
+                 AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT GREATEST(close_day, open_day) + 1 AS day, -1 FROM spans
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day
+    )
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time open-order backlog by day — the sweep-line
+    (event-sourcing balance) pattern: each order contributes +1 at its
+    open day and −1 the day after its last item ships; the running sum
+    over the collapsed per-day deltas IS the backlog curve.  This is
+    how inventory/obligation balances are computed without a per-day
+    rescan: O(2·orders) delta events → one per-day rollup (map-side
+    combined) → one cumulative window over the TINY day table (orders
+    spanning years still collapse to a few thousand day rows, so the
+    unpartitioned window is KB-scale state, not a corpus sort —
+    same argument as window_cume_share's month spine).  Orders whose
+    items never ship (no lineitem rows) are excluded by the inner
+    join — deliberately: their close is unknown, and the reference KPI
+    would count them separately.  A close BEFORE the open (the
+    synthetic fixture ships some items before the order date — a real
+    data-quality condition the dq suite would flag) clamps to
+    same-day-close so every +1 is matched by a −1 and the balance
+    conserves to zero."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.expr(  # noqa: E731
+        f"unix_micros(CAST({c} AS TIMESTAMP)) div 86400000000"
+    )
+    spans = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .groupBy(od["o_orderkey"], "o_orderdate")
+        .agg(F.max(day("l_shipdate")).alias("close_day"))
+        .select(
+            day("o_orderdate").alias("open_day"), F.col("close_day")
+        )
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(
+            (F.greatest("close_day", "open_day") + 1).alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "delta", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    )

@@ -75,6 +75,8 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "events_dau_mau",
+    "orders_open_backlog",
     "approx_cms_merge",
     "src_schema_evolution",
     "fn_winsorize",

@@ -462,3 +462,42 @@ def test_langid_audit_cells_partition_corpus(spark, sf_dir):
     assert sum(r.n for r in rows) == n_docs
     for r in rows:
         assert r.n_correct == (r.n if r.lang == r.predicted_lang else 0)
+
+
+def test_dau_mau_bounds_and_replay(spark, sf_dir):
+    """DAU <= MAU per day; both equal a Python set replay."""
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.analytics import MAU_WINDOW
+
+    got = {
+        r.day: (r.dau, r.mau)
+        for r in QUERIES["events_dau_mau"](spark, sf_dir).collect()
+    }
+    ud = set()
+    for r in load_table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        import datetime as dt
+
+        day = (r.ts - dt.datetime(1970, 1, 1)).days
+        ud.add((r.user_id, day))
+    days = {d for _u, d in ud}
+    for d in days:
+        dau = sum(1 for u, dd in ud if dd == d)
+        mau = len({u for u, dd in ud if d - MAU_WINDOW < dd <= d})
+        assert got[d] == (dau, mau), d
+        assert dau <= mau
+
+
+def test_open_backlog_conserves_and_stays_nonnegative(spark, sf_dir):
+    """The sweep-line balance starts and ends at the boundary deltas'
+    sum (0 when every order closes), and never goes negative."""
+    rows = sorted(
+        QUERIES["orders_open_backlog"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    running = 0
+    for r in rows:
+        running += r.delta
+        assert r.open_orders == running
+        assert r.open_orders >= 0
+    assert rows[-1].open_orders == 0  # all fixture orders eventually close

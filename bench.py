@@ -131,6 +131,7 @@ HEADLINE = [
     "src_schema_evolution",
     "events_dau_mau",
     "orders_open_backlog",
+    "events_survival_curve",
 ]
 
 

@@ -1062,3 +1062,66 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "delta", F.sum("delta").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "events_survival_curve",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               CAST(MAX(epoch_us(ts)) // 86400000000
+                    - MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS span_d
+        FROM events GROUP BY user_id
+    ),
+    dist AS (
+        SELECT span_d, CAST(COUNT(*) AS BIGINT) AS n_at
+        FROM spans GROUP BY span_d
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM spans)
+    SELECT d.span_d AS day_k, d.n_at,
+           CAST(SUM(d2.n_at) AS BIGINT) AS n_surviving,
+           t.n_users
+    FROM dist d
+    JOIN dist d2 ON d2.span_d >= d.span_d
+    CROSS JOIN tot t
+    GROUP BY d.span_d, d.n_at, t.n_users
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: for each observed activity span k
+    (days between a user's first and last event), how many users
+    "survive" at least k days — the Kaplan-Meier-shaped retention
+    curve (no censoring model: the fixture window is closed; with live
+    data the last-seen-recently cohort would be censored).
+    `n_surviving / n_users` at each k is the curve; counts stay exact.
+
+    Scale shape: the per-user span is one user-keyed aggregate; the
+    span DISTRIBUTION is |distinct spans| rows (≤ observation window
+    in days — tiny), so the suffix sum runs as a window/self-join over
+    KB-scale state, never over users.  The oracle spells the suffix
+    sum as a theta self-join of the tiny distribution; the Spark side
+    uses the descending cumulative window — same algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    spans = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).cast("bigint").alias("span_d")
+    )
+    dist = spans.groupBy("span_d").agg(
+        F.count("*").cast("bigint").alias("n_at")
+    )
+    w = Window.orderBy(F.desc("span_d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = spans.agg(F.count("*").cast("bigint").alias("n_users"))
+    return (
+        dist.withColumn("n_surviving", F.sum("n_at").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("span_d").alias("day_k"),
+            "n_at",
+            "n_surviving",
+            "n_users",
+        )
+    )

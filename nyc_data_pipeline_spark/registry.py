@@ -75,6 +75,7 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # -- new in round 5, second batch (gap-fill, interval join, graph,
     # CMS sketch, cross-doc chunk dedup, LM novelty)
+    "events_survival_curve",
     "events_dau_mau",
     "orders_open_backlog",
     "approx_cms_merge",

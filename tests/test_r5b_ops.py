@@ -501,3 +501,19 @@ def test_open_backlog_conserves_and_stays_nonnegative(spark, sf_dir):
         assert r.open_orders == running
         assert r.open_orders >= 0
     assert rows[-1].open_orders == 0  # all fixture orders eventually close
+
+
+def test_survival_curve_monotone_and_conserves(spark, sf_dir):
+    """n_surviving is non-increasing in k, starts at n_users, and the
+    per-span masses sum back to n_users."""
+    rows = sorted(
+        QUERIES["events_survival_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.day_k,
+    )
+    assert rows
+    n_users = rows[0].n_users
+    assert rows[0].n_surviving == n_users or rows[0].day_k > 0
+    assert sum(r.n_at for r in rows) == n_users
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_surviving >= b.n_surviving
+        assert b.n_surviving == a.n_surviving - a.n_at

@@ -105,13 +105,16 @@ HEADLINE = [
     # join, integer PageRank, CMS sketch, cross-doc chunk dedup, LM
     # novelty scoring.
     "window_gapfill_locf",
-    "sink_zorder_stats",
+    # production sampled-boundary z-order (r6); the exact global-sort
+    # form stays registered as the referee, out of the headline set.
+    "sink_zorder_stats_prod",
     "join_interval_overlap",
     "graph_pagerank",
     "approx_cms_heavy_hitters",
     "dedup_cross_chunk_share",
     "text_lm_novelty",
-    "events_cusum_drift",
+    # sharded-key production CUSUM (r6); 5-key exact form = referee.
+    "events_cusum_sharded",
     "rollup_hierarchy_reuse",
     "sim_matryoshka_recall",
     "join_scd2_pit",
@@ -132,6 +135,8 @@ HEADLINE = [
     "events_dau_mau",
     "orders_open_backlog",
     "events_survival_curve",
+    # r6: re-keyed production equi-depth histogram
+    "agg_equidepth_segment",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..functions.text import duck_token_hashes, duck_tokens, spark_token_hashes, spark_tokens
 from ..registry import register
 from .minhash import BANDS, K, _band_key, _duck_sig, _spark_sig
@@ -92,13 +92,12 @@ def dedup_containment_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     same decision is "materialize the signature table once" — the
     shape dedup_incremental_probe already assumes."""
     d = load_table(spark, sf_dir, "documents")
-    sets = (
+    sets = persist_scoped(
+        "containment.sets",
         d.selectExpr(
             "doc_id",
             f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
-        )
-        .repartition("doc_id")  # CollapseProject barrier (see minhash.py)
-        .persist()
+        ).repartition("doc_id"),  # CollapseProject barrier (see minhash.py)
     )
     sigs = sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)])
     band_structs = ", ".join(
@@ -191,9 +190,10 @@ def dedup_minhash_est_vs_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
     ).repartition("doc_id")  # CollapseProject barrier (see minhash.py)
-    sigs = sets.selectExpr(
-        "doc_id", "elems", *[_spark_sig(i) for i in range(K)]
-    ).persist()
+    sigs = persist_scoped(
+        "containment.sigs",
+        sets.selectExpr("doc_id", "elems", *[_spark_sig(i) for i in range(K)]),
+    )
     band_structs = ", ".join(
         f"struct({b} AS band, {_band_key(b)} AS bkey)" for b in range(BANDS)
     )

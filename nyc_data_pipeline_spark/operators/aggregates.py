@@ -587,10 +587,14 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max per bucket involve no arithmetic, so doubles compare
     exactly.
 
-    Scale: the sort is per-month (partitioned window — spillable,
-    never global).  When even one month outgrows a sort, the same
-    histogram comes from approx_percentile boundaries + one bucketing
-    pass — the exact form here is also the referee for that."""
+    Scale: the sort is per-month — REFEREE FORM: a month is a large
+    corpus fraction (~1/80th of this table, far more for a younger
+    one), so one spillable per-key sort carries it.  The production
+    registration is `agg_equidepth_segment` (below): the same
+    histogram on the real-world composite (month, segment) key, where
+    every partition is a bounded slice.  When even one cell outgrows
+    a sort, the same histogram comes from approx_percentile boundaries
+    + one bucketing pass — the exact form here referees that too."""
     from pyspark.sql import Window
 
     od = load_table(spark, sf_dir, "orders").select(
@@ -602,6 +606,62 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.withColumn("bucket", F.ntile(EQD_BUCKETS).over(w))
         .groupBy("month", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_equidepth_segment",
+    oracle=f"""
+    WITH b AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderpriority AS segment,
+               o_totalprice,
+               ntile({EQD_BUCKETS}) OVER (
+                   PARTITION BY strftime(o_orderdate, '%Y-%m'),
+                                o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS bucket
+        FROM orders
+    )
+    SELECT month, segment, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM b GROUP BY month, segment, bucket
+    """,
+)
+def agg_equidepth_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION equi-depth histogram: the same {EQD_BUCKETS}-bucket
+    exact-boundary histogram as `agg_equidepth_histogram`, keyed on
+    the realistic composite (month, segment = order priority) — the
+    (metric, segment) key a monitoring system actually partitions by.
+    With |months|·|segments| cells, no window partition carries more
+    than a bounded corpus slice (~0.25% here vs ~1.3% per bare month),
+    so the per-key spillable sort stays small at any table size; the
+    per-month form remains registered as the referee.  Same
+    deterministic (value, o_orderkey) total order per cell, so both
+    engines assign buckets bit-for-bit."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("segment"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("month", "segment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        od.withColumn("bucket", F.ntile(EQD_BUCKETS).over(w))
+        .groupBy(
+            "month", "segment", F.col("bucket").cast("int").alias("bucket")
+        )
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.min("o_totalprice").alias("lo"),

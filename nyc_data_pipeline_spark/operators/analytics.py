@@ -806,9 +806,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (run, run_min, run_max) carried as mergeable state.
 
     Scale: one shuffle on the monitored key; the window sort spills;
-    nothing global.  The per-type target here is the series' own mean
-    (self-referential for the demo); production pins target/k from a
-    reference period."""
+    nothing global.  REFEREE FORM: event_type is a 5-value key, so
+    each partition sorts ~20% of the corpus — the production
+    registration is `events_cusum_sharded` (below), the same algebra
+    on a realistic-cardinality composite key.  The per-type target
+    here is the series' own mean (self-referential for the demo);
+    production pins target/k from a reference period."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -840,6 +843,110 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = F.greatest(F.col("run_max"), F.lit(0)) - F.col("run")
     return s.select(
         "event_type",
+        "event_id",
+        pos.cast("bigint").alias("cusum_pos"),
+        neg.cast("bigint").alias("cusum_neg"),
+        (pos > CUSUM_H).alias("alarm_up"),
+        (neg > CUSUM_H).alias("alarm_down"),
+    )
+
+
+CUSUM_SHARDS = 64  # monitored-series fan-out per event type
+
+
+@register(
+    "events_cusum_sharded",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT event_type, user_id % {CUSUM_SHARDS} AS shard, event_id, ts,
+               CAST(floor(value * {CUSUM_MICRO}) AS BIGINT) AS y
+        FROM events
+    ),
+    t AS (
+        SELECT event_type, shard,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS target
+        FROM e0 GROUP BY event_type, shard
+    ),
+    d AS (
+        SELECT e.event_type, e.shard, e.event_id, e.ts,
+               e.y - t.target AS dev
+        FROM e0 e JOIN t USING (event_type, shard)
+    ),
+    s1 AS (
+        SELECT event_type, shard, event_id, ts,
+               CAST(SUM(dev) OVER w AS BIGINT) AS run
+        FROM d
+        WINDOW w AS (PARTITION BY event_type, shard ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, shard, event_id, run,
+               CAST(MIN(run) OVER w AS BIGINT) AS run_min,
+               CAST(MAX(run) OVER w AS BIGINT) AS run_max
+        FROM s1
+        WINDOW w AS (PARTITION BY event_type, shard ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(shard AS BIGINT) AS shard, event_id,
+           run - LEAST(run_min, 0) AS cusum_pos,
+           GREATEST(run_max, 0) - run AS cusum_neg,
+           (run - LEAST(run_min, 0)) > {CUSUM_H} AS alarm_up,
+           (GREATEST(run_max, 0) - run) > {CUSUM_H} AS alarm_down
+    FROM s
+    """,
+)
+def events_cusum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION CUSUM drift monitor: the identical closed-form
+    prefix-sum algebra as `events_cusum_drift`, keyed on the composite
+    (event_type, user-shard) — the per-series granularity a real
+    monitor runs at (per metric per segment / per source).  With
+    {CUSUM_SHARDS} shards per type the largest window partition holds
+    ~1/(5·{CUSUM_SHARDS}) of the corpus instead of ~20%, so the
+    per-key sort is bounded at any scale; the 5-key exact form stays
+    registered as the referee.  All integer micro-units; per-series
+    self-referential target as in the referee."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = ev.select(
+        "event_type",
+        (F.col("user_id") % CUSUM_SHARDS).alias("shard"),
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * CUSUM_MICRO).cast("bigint").alias("y"),
+    )
+    t = e0.groupBy("event_type", "shard").agg(
+        F.expr("sum(y) div count(1)").alias("target")
+    )
+    d = e0.join(t, ["event_type", "shard"]).select(
+        "event_type",
+        "shard",
+        "event_id",
+        "ts",
+        (F.col("y") - F.col("target")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type", "shard")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = d.select(
+        "event_type", "shard", "event_id", "ts",
+        F.sum("dev").over(w).alias("run"),
+    )
+    s = s1.select(
+        "event_type",
+        "shard",
+        "event_id",
+        "run",
+        F.min("run").over(w).alias("run_min"),
+        F.max("run").over(w).alias("run_max"),
+    )
+    pos = F.col("run") - F.least(F.col("run_min"), F.lit(0))
+    neg = F.greatest(F.col("run_max"), F.lit(0)) - F.col("run")
+    return s.select(
+        "event_type",
+        F.col("shard").cast("bigint").alias("shard"),
         "event_id",
         pos.cast("bigint").alias("cusum_pos"),
         neg.cast("bigint").alias("cusum_neg"),

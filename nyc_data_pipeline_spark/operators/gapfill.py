@@ -183,12 +183,14 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_spine_sql()
     + """
     SELECT event_type, epoch_hour, observed,
-           CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           CASE WHEN observed IS NOT NULL THEN CAST(observed AS VARCHAR)
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                CAST(CAST(prev_v AS HUGEINT) * (next_h - epoch_hour)
                     + CAST(next_v AS HUGEINT) * (epoch_hour - prev_h)
                     AS VARCHAR)
            END AS interp_num,
-           CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           CASE WHEN observed IS NOT NULL THEN CAST(1 AS BIGINT)
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                next_h - prev_h
            END AS interp_den
     FROM br
@@ -199,9 +201,13 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the bracketing observations.  The interpolated value is the
     exact rational (interp_num / interp_den) — division is left to the
     consumer because float rounding is engine-specific (trends.py's
-    num/den contract).  Rows with an observation interpolate to
-    themselves (num = v·den); leading/trailing gap runs have no bracket
-    and emit NULL (TimescaleDB interpolate() semantics)."""
+    num/den contract).  Observed cells are special-cased to the
+    canonical rational (num = observed, den = 1) — the generic bracket
+    formula degenerates to 0/0 there (prev_h == next_h == epoch_hour),
+    which a consumer dividing num/den must never see; den is therefore
+    > 0 on every row with a non-null interp_num.  Leading/trailing gap
+    runs have no bracket and emit NULL (TimescaleDB interpolate()
+    semantics)."""
     ev = load_table(spark, sf_dir, "events")
     br = _bracketed(ev, "event_type")
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
@@ -209,10 +215,15 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = d38("prev_v") * (d38("next_h") - d38("epoch_hour")) + d38("next_v") * (
         d38("epoch_hour") - d38("prev_h")
     )
+    observed = F.col("observed").isNotNull()
     return br.select(
         "event_type",
         "epoch_hour",
         "observed",
-        F.when(have, num.cast("string")).alias("interp_num"),
-        F.when(have, F.col("next_h") - F.col("prev_h")).alias("interp_den"),
+        F.when(observed, F.col("observed").cast("string"))
+        .when(have, num.cast("string"))
+        .alias("interp_num"),
+        F.when(observed, F.lit(1).cast("bigint"))
+        .when(have, F.col("next_h") - F.col("prev_h"))
+        .alias("interp_den"),
     )

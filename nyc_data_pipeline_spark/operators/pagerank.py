@@ -25,13 +25,21 @@ Graph and algorithm, Spark-first:
   constant.
 - EXACT arithmetic: floats would diverge across engines (summation
   order) and across Spark partitionings.  Ranks are integers scaled by
-  SCALE = 1e12; each contribution is `rank div degree` (integer
-  division, both engines truncate identically on non-negatives) and
-  the damping update is `(15·SCALE + 85·Σcontrib) div 100` — the exact
-  d = 0.85 teleport in integer form.  Magnitudes: Σcontrib ≤ n·SCALE,
-  so int64 holds to ~10⁶ nodes; beyond that, lower SCALE or move the
-  carriers to decimal(38,0) (the OLS/trends.py pattern) — noted here
-  because 100 TB corpora exceed 10⁶ docs.
+  SCALE = 1e12, carried as decimal(38,0) end-to-end (the trends.py
+  carrier pattern) to match the oracle's HUGEINT: each contribution is
+  the exact floor of rank/degree and the damping update is the exact
+  floor of (15·SCALE + 85·Σcontrib)/100 — the d = 0.85 teleport in
+  integer form.  Magnitudes: total mass is conserved at ~n·SCALE, so
+  the 85× damping blow-up peaks near 85·n·SCALE ≈ 10^26 for a 10^12-
+  document corpus — comfortably inside decimal(38,0); no node-count
+  ceiling remains.  The rank is emitted as a decimal STRING (the
+  num/den-style cross-engine contract): int64 could not carry a hub's
+  rank beyond ~10^6 nodes once the damping multiplier is accounted
+  for, and silently wrapping there was exactly the class of bug the
+  exact-arithmetic design exists to exclude.
+- Spark's decimal `/` rounds HALF_UP at scale 6 and its `div` operator
+  narrows results to BIGINT, so exact floor-division is built as
+  floor(a/b) with a one-step correction (see `_idiv`).
 
 The DuckDB oracle replays the identical three steps as unrolled CTEs
 over the identical edge list, so the driver hash certifies every
@@ -43,22 +51,39 @@ north-star curation operator, same family as dedup_cc_fixpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..dedup.graph import edges_cte_prefix, star_edges
 from ..registry import register
 
 SCALE = 1_000_000_000_000  # rank carrier: 1.0 == 10^12
 ITERS = 3
 
+D38 = "decimal(38,0)"
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative decimal(38,0) carriers.
+
+    Spark's decimal `/` rounds the quotient HALF_UP at scale 6, so
+    floor(a/b) lands one too high whenever the true remainder exceeds
+    b·(1 − 5·10⁻⁷) — reachable once b (a node's degree, here) passes
+    ~2·10⁶.  The `div` operator computes the exact integral quotient
+    but narrows it to BIGINT, reintroducing the int64 ceiling.  floor
+    plus a single compare-and-correct is exact at full decimal width:
+    the candidate is floor(a/b) or floor(a/b)+1, never further off.
+    """
+    q = F.floor(a / b).cast(D38)
+    return F.when(q * b > a, q - F.lit(1).cast(D38)).otherwise(q)
+
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = ITERS) -> DataFrame:
     """(nodes[node], edges[u, v] directed) → (node, rank, degree).
-    Integer power iteration; `degree` is the out-degree used for the
-    contribution split (0 for isolated nodes, which then hold the pure
-    teleport rank)."""
+    Integer power iteration in decimal(38,0); `degree` is the
+    out-degree used for the contribution split (0 for isolated nodes,
+    which then hold the pure teleport rank)."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
@@ -67,20 +92,25 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = ITERS) -> DataFram
     # The edge+degree table feeds every iteration (a diamond DAG —
     # without persist, Spark re-derives the MinHash signatures and the
     # band join K times; the containment.py lesson, SCALE.md §11).
-    src = sym.join(deg, "u").select("u", "v", "d").persist()
-    r = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
+    # persist_scoped bounds the cache to one live entry across
+    # repeated invocations in a long session (bench/sweep loops).
+    src = persist_scoped(
+        "pagerank.src", sym.join(deg, "u").select("u", "v", "d")
+    )
+    zero = F.lit(0).cast(D38)
+    r = nodes.select("node", F.lit(SCALE).cast(D38).alias("rank"))
     for _ in range(iters):
         contrib = (
             src.join(r, src["u"] == r["node"])
-            .select("v", F.expr("rank div d").alias("c"))
+            .select("v", _idiv(F.col("rank"), F.col("d").cast(D38)).alias("c"))
             .groupBy("v")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum("c").cast(D38).alias("s"))
+        )
+        damped = F.lit(15 * SCALE).cast(D38) + F.lit(85).cast(D38) * F.coalesce(
+            F.col("s"), zero
         )
         r = nodes.join(contrib, nodes["node"] == contrib["v"], "left").select(
-            "node",
-            F.expr(f"(15 * CAST({SCALE} AS BIGINT) + 85 * coalesce(s, 0)) div 100")
-            .cast("bigint")
-            .alias("rank"),
+            "node", _idiv(damped, F.lit(100).cast(D38)).alias("rank")
         )
     return r.join(deg, r["node"] == deg["u"], "left").select(
         "node", "rank", F.coalesce("d", F.lit(0)).cast("bigint").alias("degree")
@@ -92,7 +122,7 @@ def _oracle_pagerank() -> str:
         SELECT u, COUNT(*) AS d FROM sym GROUP BY u
     ),
     r0 AS (
-        SELECT doc_id AS node, CAST({scale} AS BIGINT) AS rank FROM documents
+        SELECT doc_id AS node, CAST({scale} AS HUGEINT) AS rank FROM documents
     )""".format(scale=SCALE)
     steps = []
     for i in range(1, ITERS + 1):
@@ -106,8 +136,8 @@ def _oracle_pagerank() -> str:
     ),
     r{i} AS (
         SELECT d.doc_id AS node,
-               CAST((15 * CAST({SCALE} AS HUGEINT) + 85 * COALESCE(c.s, 0))
-                    // 100 AS BIGINT) AS rank
+               (15 * CAST({SCALE} AS HUGEINT)
+                + 85 * COALESCE(c.s, CAST(0 AS HUGEINT))) // 100 AS rank
         FROM documents d LEFT JOIN c{i} c ON c.node = d.doc_id
     )"""
         )
@@ -116,7 +146,7 @@ def _oracle_pagerank() -> str:
     WITH {edges_cte_prefix()},
     {deg},
     {joined_steps}
-    SELECT r.node AS doc_id, r.rank,
+    SELECT r.node AS doc_id, CAST(r.rank AS VARCHAR) AS rank,
            CAST(COALESCE(dg.d, 0) AS BIGINT) AS degree
     FROM r{ITERS} r LEFT JOIN deg dg ON dg.u = r.node
     """
@@ -126,7 +156,12 @@ def _oracle_pagerank() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three integer power-iteration steps over the symmetrized LSH
     star graph; isolated docs settle at the teleport floor 0.15·SCALE
-    (after the first step), hubs accumulate contribution mass."""
+    (after the first step), hubs accumulate contribution mass.  Rank
+    is an exact decimal string (overflow-free at any corpus size)."""
     d = load_table(spark, sf_dir, "documents")
     pr = pagerank(d.select(F.col("doc_id").alias("node")), star_edges(d))
-    return pr.select(F.col("node").alias("doc_id"), "rank", "degree")
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("rank").cast("string").alias("rank"),
+        "degree",
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..functions.text import (
     duck_token_hashes,
     duck_tokens,
@@ -614,13 +614,16 @@ def dedup_cross_chunk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain runs twice; no ReusedExchange fires because the two
     # consumers need different partitionings).  Measured 1.96 s →
     # 0.62 s warm at sf0.1 (the containment.py / pagerank lesson).
-    f = chunks.selectExpr(
-        "doc_id",
-        f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
-        f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
-        f"- ci * {CHUNK_STRIDE} AS INT)), "
-        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
-    ).persist()
+    f = persist_scoped(
+        "mixing.chunk_fp",
+        chunks.selectExpr(
+            "doc_id",
+            f"aggregate(slice(hs, ci * {CHUNK_STRIDE} + 1, "
+            f"CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok) "
+            f"- ci * {CHUNK_STRIDE} AS INT)), "
+            f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_MOD}) AS fp",
+        ),
+    )
     fd = f.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         f.join(fd, "fp")

@@ -227,9 +227,8 @@ DUP_PAY_US = 86_400_000_000  # 24 h pairing window
            (b.us - a.us) // 3600000000 AS gap_hours
     FROM o a JOIN o b
       ON a.o_custkey = b.o_custkey AND a.cents = b.cents
-     AND a.o_orderkey < b.o_orderkey
-     AND b.us >= a.us AND b.us - a.us <= {DUP_PAY_US}
-     AND a.us <= b.us
+     AND (b.us > a.us OR (b.us = a.us AND a.o_orderkey < b.o_orderkey))
+     AND b.us - a.us <= {DUP_PAY_US}
     """,
 )
 def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +241,10 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual — the intervals.py bin-and-residual pattern on a
     structured key.  Pair space is bounded by (customer, amount)
     multiplicity, not table size; everything is integer cents/µs.
-    The orderkey inequality both dedups the pair and orients it
-    (first/second by the deterministic key; same-instant pairs stay).
+    Pairs are oriented by TIME (first = earlier charge), with the
+    orderkey as the tiebreak only for same-instant pairs — orienting
+    by key alone would silently drop true positives whenever the
+    lower-keyed order happens to be the later charge.
     The fixture has no natural double-charges (amounts are near-unique
     per customer), so the query simulates an at-least-once gateway
     replay — every 137th order re-submitted under a new key — the
@@ -282,8 +283,13 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (a["cents"] == b["b_cents"])
         & (a["bucket"] == b["bucket"]),
     ).where(
-        (F.col("first_key") < F.col("second_key"))
-        & (F.col("b_us") >= F.col("a_us"))
+        (
+            (F.col("b_us") > F.col("a_us"))
+            | (
+                (F.col("b_us") == F.col("a_us"))
+                & (F.col("first_key") < F.col("second_key"))
+            )
+        )
         & (F.col("b_us") - F.col("a_us") <= DUP_PAY_US)
     )
     return pairs.select(

@@ -51,84 +51,26 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-5 window, updated for the second batch: positions 1-7 = the
-# seven later r5 additions (gapfill/interpolate, interval-overlap
-# join, PageRank, CMS, cross-chunk dedup, LM novelty); these push the
-# last 7 rows of the r1-era rotation slice past the 50-slot window —
-# those (q6/q10/q18, ref_trip_enrichment, ref_partition_key,
-# ref_kpi_summary + the three already deferred) move to the r6 slice.
-# Original round-5 plan below:
-# positions 1-9 = the nine r5 additions (per-user
-# OLS, even-credit attribution, weekly lifecycle, basket pairs,
-# train/val/test split, PQ codes, bloom prefilter, nearest as-of,
-# strict session funnel); positions 10-18 = queries whose code or
-# output shape changed in r5 and need a fresh verdict
-# (`grouped_ols_trend` rewritten to the Catalyst sufficient-
-# statistics form; the two approx sketches upgraded from rows-only to
-# exact+bound-bool; the five ADVICE-touched queries; the two
-# broadcast-hinted scalar joins); positions 19-50 = 32 of the 47
-# queries whose only verdict is r1-era (VERDICT r4 ask #6: joins,
-# windows, aggs, TPC-H plans, ref parity) — the remaining 15 r1-era
-# rows (set ops, fn string/math/date suites, order_limit_topk, and
-# sql_dashboard_kpis / ref_vendor_performance / ref_hourly_statistics
-# which fall to positions 51-53) rotate in r6.
+# Round-6 window: the r5 verdict's ask #1 — clear the backlog of 46
+# queries whose only driver verdict was r1-era, and PROTECT the slice
+# (additions capped to 4 in-window slots).  Positions 1-4 = the three
+# queries whose output changed this round plus the one new production
+# z-order query; positions 5-50 = all 46 r1-era rows; positions 51-52
+# = the two re-keyed production windows (locally triple-verified;
+# front of the r7 rotation).  Still r1/r2-era after this round: the
+# streaming T9/batch-equiv set (r7 with the 51-52 pair).
 _VERIFY_FIRST = [
-    # -- new in round 5, second batch (gap-fill, interval join, graph,
-    # CMS sketch, cross-doc chunk dedup, LM novelty)
-    "events_survival_curve",
-    "events_dau_mau",
-    "orders_open_backlog",
-    "approx_cms_merge",
-    "src_schema_evolution",
-    "fn_winsorize",
-    "events_mad_outliers",
-    "text_langid_audit",
-    "sink_jdbc_roundtrip",
-    "sql_recursive_hierarchy",
-    "sql_lateral_topn",
-    "geo_grid_hotspots",
-    "geo_radius_probe",
-    "mm_phash_near_dup",
-    "grouped_ses_forecast",
+    # -- r6 positions 1-4: queries whose OUTPUT changed this round
+    # (duplicate-payments time orientation; interpolate observed-
+    # cell rational; PageRank decimal-string rank) plus the new
+    # production z-order layout.
     "dq_duplicate_payments",
-    "orders_cohort_ltv",
-    "sink_compaction",
-    "dq_expectations_orders",
-    "dq_psi_bins_drift",
-    "join_scd2_pit",
-    "events_cusum_drift",
-    "agg_equidepth_histogram",
-    "sim_matryoshka_recall",
-    "rollup_hierarchy_reuse",
-    "sink_zorder_stats",
-    "window_gapfill_locf",
     "window_interpolate_linear",
-    "join_interval_overlap",
     "graph_pagerank",
-    "approx_cms_heavy_hitters",
-    "dedup_cross_chunk_share",
-    "text_lm_novelty",
-    # -- new in round 5
-    "grouped_ols_per_user",
-    "events_attribution_even",
-    "events_user_lifecycle",
-    "orders_basket_pairs",
-    "sample_train_split",
-    "emb_pq_codes",
-    "join_bloom_prefilter",
-    "join_asof_nearest",
-    "sessions_strict_funnel",
-    # -- changed in round 5 (re-verdict)
-    "grouped_ols_trend",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "events_value_halflife",
-    "events_hourly_anomaly",
-    "src_text_scan",
-    "merge_upsert_bucketed",
-    "orders_pareto_topk_share",
-    "approx_hll_user_reach",
-    # -- r1-era-only verdicts, rotation slice 1/2 (r4 ask #6)
+    "sink_zorder_stats_prod",
+    # -- r6 positions 5-50: the 46 queries whose only driver
+    # verdict was r1-era (VERDICT r5 ask #1 — the full backlog;
+    # additions this round were capped so the slice fits).
     "join_inner_shuffle",
     "join_broadcast_dims",
     "join_left_outer",
@@ -145,6 +87,7 @@ _VERIFY_FIRST = [
     "window_moving_avg",
     "window_ntile_first_last",
     "sessionize_events",
+    "order_limit_topk",
     "agg_count_distinct",
     "agg_rollup",
     "agg_cube",
@@ -152,6 +95,16 @@ _VERIFY_FIRST = [
     "agg_stats_moments",
     "agg_percentiles",
     "agg_collect_set",
+    "set_distinct",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_schema_drift",
+    "fn_string_suite",
+    "fn_math_suite",
+    "fn_date_suite",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -161,11 +114,65 @@ _VERIFY_FIRST = [
     "ref_trip_enrichment",
     "ref_partition_key",
     "ref_kpi_summary",
-    "sql_dashboard_kpis",
-    "ref_vendor_performance",
     "ref_hourly_statistics",
-    # ---- below here: green in r1-r4 (COVERAGE.md ledger); order past
-    # the 50-slot window no longer matters to the driver.
+    "ref_vendor_performance",
+    "sql_dashboard_kpis",
+    # -- positions 51-52: the r6 re-keyed production forms of the
+    # corpus-fraction windows (ask #4) — verified locally at
+    # sf0.001/0.01/0.1; first in line for the r7 driver window.
+    "agg_equidepth_segment",
+    "events_cusum_sharded",
+    # ---- below here: driver-green in r2-r5 at current code
+    # (COVERAGE.md ledger); order past the 50-slot window does
+    # not matter to the driver.
+    "events_survival_curve",
+    "events_dau_mau",
+    "orders_open_backlog",
+    "approx_cms_merge",
+    "src_schema_evolution",
+    "fn_winsorize",
+    "events_mad_outliers",
+    "text_langid_audit",
+    "sink_jdbc_roundtrip",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topn",
+    "geo_grid_hotspots",
+    "geo_radius_probe",
+    "mm_phash_near_dup",
+    "grouped_ses_forecast",
+    "orders_cohort_ltv",
+    "sink_compaction",
+    "dq_expectations_orders",
+    "dq_psi_bins_drift",
+    "join_scd2_pit",
+    "events_cusum_drift",
+    "agg_equidepth_histogram",
+    "sim_matryoshka_recall",
+    "rollup_hierarchy_reuse",
+    "sink_zorder_stats",
+    "window_gapfill_locf",
+    "join_interval_overlap",
+    "approx_cms_heavy_hitters",
+    "dedup_cross_chunk_share",
+    "text_lm_novelty",
+    "grouped_ols_per_user",
+    "events_attribution_even",
+    "events_user_lifecycle",
+    "orders_basket_pairs",
+    "sample_train_split",
+    "emb_pq_codes",
+    "join_bloom_prefilter",
+    "join_asof_nearest",
+    "sessions_strict_funnel",
+    "grouped_ols_trend",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "events_value_halflife",
+    "events_hourly_anomaly",
+    "src_text_scan",
+    "merge_upsert_bucketed",
+    "orders_pareto_topk_share",
+    "approx_hll_user_reach",
     "mm_decode_features",
     "agg_incremental_merge",
     "agg_histogram_merge",
@@ -230,7 +237,6 @@ _VERIFY_FIRST = [
     "join_skew_salted",
     "emb_norm_outliers",
     "events_transition_matrix",
-    # -- new in round 3 (or oracle upgraded in round 3)
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",
@@ -241,8 +247,6 @@ _VERIFY_FIRST = [
     "text_classifier_score",
     "sample_reservoir_per_key",
     "stream_cdc_upsert",
-    # ---- below here: verified green in r1/r2 (COVERAGE.md has the
-    # per-round ledger); order no longer matters for the driver window.
     "fn_array_suite",
     "fn_json_suite",
     "fn_conditional_null",

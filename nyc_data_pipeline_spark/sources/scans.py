@@ -513,11 +513,13 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ranks and file boundaries are exact ntile quantiles
     with (value, o_orderkey) total orders, so both engines reproduce
-    the assignment bit-for-bit.  At 100 TB the global sorts are
-    replaced by approximate boundaries (sampled range partitioning /
-    a fixed grid over a sampled CDF) — the skipping property is
-    identical, only boundary placement is approximate; pruning on the
-    written layout is plan-asserted in tests/test_sources.py."""
+    the assignment bit-for-bit.  REFEREE FORM: the three unpartitioned
+    ntile windows are full-table single-reducer sorts — correct, and
+    the exactness certifies the skipping property, but not the shape
+    to run at 100 TB.  The production twin `sink_zorder_stats_prod`
+    (below) builds the same layout from sampled-CDF boundaries with
+    no full-table sort; pruning on both layouts is plan-asserted in
+    tests/test_sources.py."""
     out = scratch_dir("zorder", sf_dir)
     od = load_table(spark, sf_dir, "orders")
     r = od.select(
@@ -545,6 +547,184 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zbucket",
             F.ntile(Z_FILES).over(Window.orderBy("zv", "o_orderkey")),
         )
+        .repartition("zbucket")
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+    )
+
+
+# Production z-order: deterministic systematic sample for boundary
+# estimation.  Fixture keeps ~1/16 of rows; in production the modulus
+# scales with the corpus so the sample stays ~10^6 rows regardless of
+# table size (the same contract as repartitionByRange's reservoir).
+ZP_SAMPLE_MOD = 16
+
+
+def zorder_prod_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, o_custkey, day, zv, zbucket) for every order, with
+    ranks and file assignment derived ONLY from sampled-CDF boundary
+    arrays — the full table is never globally sorted.  See
+    sink_zorder_stats_prod for the design commentary; split out so
+    tests can assert the build plan's window/sample structure."""
+    od = load_table(spark, sf_dir, "orders")
+    r0 = od.select(
+        "o_orderkey", "o_custkey", F.expr(_DAY_SPARK).alias("day")
+    )
+    samp = r0.filter(F.col("o_orderkey") % ZP_SAMPLE_MOD == 0)
+
+    def dim_boundaries(col: str) -> DataFrame:
+        """≤(Z_RANKS-1) upper-edge boundary values of the sampled CDF,
+        as a single sorted array in one row (broadcastable)."""
+        t = samp.select(
+            F.ntile(Z_RANKS)
+            .over(Window.orderBy(F.col(col), F.col("o_orderkey")))
+            .alias("t"),
+            F.col(col).alias("x"),
+        )
+        return (
+            t.filter(F.col("t") < Z_RANKS)
+            .groupBy("t")
+            .agg(F.max("x").alias("b"))
+            .agg(F.sort_array(F.collect_list("b")).alias(f"{col}_bl"))
+        )
+
+    rk = (
+        r0.crossJoin(F.broadcast(dim_boundaries("o_custkey")))
+        .crossJoin(F.broadcast(dim_boundaries("day")))
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "day",
+            "size(filter(o_custkey_bl, b -> b < o_custkey)) AS cr",
+            "size(filter(day_bl, b -> b < day)) AS dr",
+        )
+    )
+    z = rk.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        f"{_z_value('cr', 'dr', _SPARK_SHL)} AS zv",
+    )
+    zs = z.filter(F.col("o_orderkey") % ZP_SAMPLE_MOD == 0).select(
+        F.ntile(Z_FILES).over(Window.orderBy("zv", "o_orderkey")).alias("t"),
+        "zv",
+    )
+    zbl = (
+        zs.filter(F.col("t") < Z_FILES)
+        .groupBy("t")
+        .agg(F.max("zv").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("zbl"))
+    )
+    return z.crossJoin(F.broadcast(zbl)).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "zv",
+        "1 + size(filter(zbl, b -> b < zv)) AS zbucket",
+    )
+
+
+@register(
+    "sink_zorder_stats_prod",
+    oracle=f"""
+    WITH r0 AS (
+        SELECT o_orderkey, o_custkey, {_DAY_DUCK} AS day FROM orders
+    ),
+    samp AS (SELECT * FROM r0 WHERE o_orderkey % {ZP_SAMPLE_MOD} = 0),
+    ct AS (
+        SELECT ntile({Z_RANKS}) OVER (ORDER BY o_custkey, o_orderkey) AS t,
+               o_custkey
+        FROM samp
+    ),
+    cb AS (
+        SELECT list(b ORDER BY b) AS cbl FROM (
+            SELECT MAX(o_custkey) AS b FROM ct
+            WHERE t < {Z_RANKS} GROUP BY t)
+    ),
+    dt AS (
+        SELECT ntile({Z_RANKS}) OVER (ORDER BY day, o_orderkey) AS t, day
+        FROM samp
+    ),
+    db AS (
+        SELECT list(b ORDER BY b) AS dbl FROM (
+            SELECT MAX(day) AS b FROM dt WHERE t < {Z_RANKS} GROUP BY t)
+    ),
+    rk AS (
+        SELECT o_orderkey, o_custkey, day,
+               CAST(len(list_filter(cbl, b -> b < o_custkey)) AS INTEGER)
+                 AS cr,
+               CAST(len(list_filter(dbl, b -> b < day)) AS INTEGER) AS dr
+        FROM r0, cb, db
+    ),
+    z AS (
+        SELECT o_orderkey, o_custkey, day,
+               {_z_value('cr', 'dr', _DUCK_SHL)} AS zv
+        FROM rk
+    ),
+    zs AS (
+        SELECT ntile({Z_FILES}) OVER (ORDER BY zv, o_orderkey) AS t, zv
+        FROM z WHERE o_orderkey % {ZP_SAMPLE_MOD} = 0
+    ),
+    zb AS (
+        SELECT list(b ORDER BY b) AS zbl FROM (
+            SELECT MAX(zv) AS b FROM zs WHERE t < {Z_FILES} GROUP BY t)
+    ),
+    b AS (
+        SELECT z.*, 1 + len(list_filter(zbl, bb -> bb < zv)) AS zbucket
+        FROM z, zb
+    )
+    SELECT CAST(zbucket AS INTEGER) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day
+    FROM b GROUP BY 1
+    """,
+)
+def sink_zorder_stats_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION z-order layout: identical Morton-interleave and
+    per-file statistics as `sink_zorder_stats`, but every global sort
+    is confined to a deterministic 1/{ZP_SAMPLE_MOD} systematic sample
+    (o_orderkey % {ZP_SAMPLE_MOD} == 0) — the full table is NEVER
+    range-sorted.
+
+    The exact form runs three unpartitioned ntile windows over the
+    whole table — a single-reducer total sort ×3, fine as a referee
+    but a driver-adjacent bottleneck at 100 TB.  Here each dimension's
+    {Z_RANKS} rank boundaries are the per-tile maxima of an ntile over
+    the SAMPLE (the sampled-CDF boundary estimate — the same recipe
+    repartitionByRange and Delta OPTIMIZE use, made deterministic so
+    the DuckDB oracle reproduces it bit-for-bit), collected into one
+    ≤{Z_RANKS}-element array and broadcast onto the table; the per-row
+    rank is `size(filter(boundaries, b -> b < x))` — a JVM-side
+    higher-order function over a 1-row broadcast, no shuffle, no
+    window.  File assignment repeats the trick on the z-value: {Z_FILES}
+    boundaries from the sampled z CDF, broadcast rank-lookup, then a
+    zbucket-partitioned write.  Total cost at any scale: one linear
+    sample scan (tiny sort), two broadcast map passes, one
+    partitioned write — vs three full-table single-reducer sorts.
+
+    Boundary placement is approximate (buckets are near-equal, not
+    exactly n/{Z_FILES}); the SKIPPING property — every file bounded
+    in BOTH dimensions — is identical and asserted in
+    tests/test_sources.py alongside the exact referee's."""
+    out = scratch_dir("zorder_prod", sf_dir)
+    (
+        zorder_prod_frame(spark, sf_dir)
         .repartition("zbucket")
         .sortWithinPartitions("zv")
         .write.mode("overwrite")

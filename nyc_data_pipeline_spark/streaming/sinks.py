@@ -98,20 +98,51 @@ class JdbcEpochIdempotentSink:
         self.num_partitions = num_partitions
         self.batches_seen: list[tuple[int, int]] = []
 
+    # SQLStates meaning "table does not exist" — the ONLY failure the
+    # epoch DELETE may swallow (first epoch, before write_jdbc creates
+    # the table).  Derby 42X05, Postgres 42P01, MySQL/SQLServer 42S02.
+    _TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42P01", "42S02"})
+
+    @classmethod
+    def _is_table_missing(cls, exc: Exception) -> bool:
+        """Walk the Java cause chain for a table-missing SQLState."""
+        je = getattr(exc, "java_exception", None)
+        while je is not None:
+            try:
+                state = je.getSQLState()
+            except Exception:
+                state = None
+            if state in cls._TABLE_MISSING_SQLSTATES:
+                return True
+            try:
+                je = je.getCause()
+            except Exception:
+                je = None
+        return False
+
     def _delete_epoch(self, spark, epoch_id: int) -> None:
         jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
         try:
-            conn = jvm.java.sql.DriverManager.getConnection(self.url)
+            stmt = conn.createStatement()
             try:
-                stmt = conn.createStatement()
                 stmt.executeUpdate(
                     f'DELETE FROM {self.table} WHERE "epoch" = {int(epoch_id)}'
                 )
-                stmt.close()
             finally:
-                conn.close()
-        except Exception:
-            pass  # first epoch: table does not exist yet
+                stmt.close()
+        except Exception as exc:
+            # First epoch: the table write_jdbc will create does not
+            # exist yet — that one case is fine.  Any OTHER failure
+            # (lock timeout, dropped connection) must abort the batch:
+            # appending after a failed delete would duplicate the
+            # replayed epoch's rows, defeating the idempotence this
+            # class exists to provide.  Structured Streaming retries
+            # the batch from the checkpoint on the raised error.
+            if not self._is_table_missing(exc):
+                raise
+        finally:
+            conn.close()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F

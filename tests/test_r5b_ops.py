@@ -36,10 +36,12 @@ def test_interpolate_exact_on_observed_and_bracketed(spark, sf_dir):
     rows = QUERIES["window_interpolate_linear"](spark, sf_dir).collect()
     n_gap_interp = 0
     for r in rows:
+        if r.interp_num is not None:
+            assert r.interp_den > 0  # never the 0/0 degenerate rational
         if r.observed is not None:
+            assert r.interp_den == 1  # canonical form at observed cells
             assert int(r.interp_num) == r.observed * r.interp_den
         elif r.interp_num is not None:
-            assert r.interp_den > 0
             n_gap_interp += 1
     assert n_gap_interp > 0  # the fixture has interpolatable gaps
 
@@ -80,13 +82,14 @@ def test_pagerank_teleport_floor_and_hub_ordering(spark, sf_dir):
 
     rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
     floor = (15 * SCALE) // 100
-    for r in rows:
-        assert r.rank >= floor
+    ranks = [int(r.rank) for r in rows]  # exact decimal-string carrier
+    for r, rank in zip(rows, ranks):
+        assert rank >= floor
         if r.degree == 0:
-            assert r.rank == floor
+            assert rank == floor
     assert sum(r.degree for r in rows) % 2 == 0
     if any(r.degree > 0 for r in rows):
-        assert max(r.rank for r in rows) > floor
+        assert max(ranks) > floor
 
 
 def test_cms_never_undercounts(spark, sf_dir):
@@ -517,3 +520,33 @@ def test_survival_curve_monotone_and_conserves(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.n_surviving >= b.n_surviving
         assert b.n_surviving == a.n_surviving - a.n_at
+
+
+def test_duplicate_payments_orients_by_time_not_key(spark, tmp_path):
+    """A genuine double-charge whose LOWER-keyed order is the LATER
+    charge must still be reported, oriented earlier->later (the key is
+    only the tiebreak for same-instant pairs).  Runs the sweep on a
+    crafted orders table: pair (5 earlier, 2 later, 12h apart) and a
+    same-instant pair (7, 9)."""
+    import datetime as dt
+
+    rows = [
+        (2, 1, "O", 100.0, dt.datetime(1995, 6, 2, 0, 0), "1-URGENT"),
+        (5, 1, "O", 100.0, dt.datetime(1995, 6, 1, 12, 0), "1-URGENT"),
+        (7, 3, "O", 55.5, dt.datetime(1995, 7, 1, 9, 0), "2-HIGH"),
+        (9, 3, "O", 55.5, dt.datetime(1995, 7, 1, 9, 0), "2-HIGH"),
+        # unrelated: same customer/amount but 3 days apart -> no pair
+        (11, 4, "O", 77.0, dt.datetime(1995, 8, 1, 0, 0), "3-MEDIUM"),
+        (13, 4, "O", 77.0, dt.datetime(1995, 8, 4, 0, 0), "3-MEDIUM"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r.first_key, r.second_key, r.gap_hours)
+        for r in QUERIES["dq_duplicate_payments"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(5, 2, 12), (7, 9, 0)}

@@ -305,6 +305,68 @@ def test_zorder_layout_prunes_on_zbucket_and_bounds_both_dims(spark, sf_dir):
     assert "zbucket" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def _window_subtrees(plan: str) -> list[str]:
+    """Each Window node's full subtree from a Catalyst plan toString
+    (tree depth = width of the ' :+-' line prefix)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if ln.lstrip(" :+-").startswith("Window "):
+            d = depth(ln)
+            j = i + 1
+            while j < len(lines) and depth(lines[j]) > d:
+                j += 1
+            out.append("\n".join(lines[i:j]))
+    assert out, plan  # the builder must window over the sample
+    return out
+
+
+def test_zorder_prod_skips_like_the_referee_without_global_sorts(spark, sf_dir):
+    """The production (sampled-boundary) z-order layout must keep the
+    referee's skipping property — most buckets bounded to a strict
+    customer sub-range, zbucket directory pruning — while its plan
+    contains NO full-table window: the only Window/Sort inputs are the
+    1/ZP_SAMPLE_MOD systematic sample."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    stats = QUERIES["sink_zorder_stats_prod"](spark, sf_dir).collect()
+    assert len(stats) > 1
+    glo = (min(r.min_cust for r in stats), max(r.max_cust for r in stats))
+    narrow = sum((r.min_cust, r.max_cust) != glo for r in stats)
+    assert narrow >= len(stats) * 3 // 4, (narrow, len(stats))
+    # Bucket sizes near-balanced: sampled boundaries may wobble, but no
+    # bucket should exceed 4x the ideal share (a degenerate boundary
+    # table would pile everything into one file).
+    total = sum(r.n for r in stats)
+    assert max(r.n for r in stats) <= 4 * total // len(stats) + 1
+    out = scratch_dir("zorder_prod", sf_dir)
+    scan = spark.read.parquet(out).filter("zbucket = 3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "zbucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # Scale shape: every single-partition window in the build plan sits
+    # strictly above the systematic-sample filter — the full table is
+    # never globally sorted.
+    from nyc_data_pipeline_spark.sources.scans import (
+        ZP_SAMPLE_MOD,
+        zorder_prod_frame,
+    )
+
+    frame_plan = (
+        zorder_prod_frame(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for subtree in _window_subtrees(frame_plan):
+        assert f"% {ZP_SAMPLE_MOD})" in subtree, subtree
+
+
 def test_compaction_collapses_files_and_preserves_rows(spark, sf_dir):
     """The sweep must collapse the 200-file fragmented layout to the
     byte-sized target count and keep every row."""

@@ -436,6 +436,81 @@ def probe(spark, k: int) -> dict[str, float]:
         .agg(F.countDistinct("o_custkey").alias("n_active"), F.sum("cents").alias("rev")),
     )
 
+    # r6 operators: sampled-boundary z-order assignment vs the exact
+    # global-sort referee (the production rewrite's whole point — the
+    # exact form serializes the table through one task three times and
+    # is expected to scale superlinearly; it is gated to k<=8 so the
+    # probe finishes), plus the re-keyed composite-key windows.
+    from nyc_data_pipeline_spark.sources.scans import (
+        zorder_assign_exact,
+        zorder_assign_sampled,
+    )
+
+    odz = scaled(load_table(spark, SF_DIR, "orders"), "o_orderkey", k, 10**9)
+    r0z = odz.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000)").alias(
+            "day"
+        ),
+    )
+    run("zorder_sampled", zorder_assign_sampled(r0z))
+    if k <= 8:
+        run("zorder_exact", zorder_assign_exact(r0z))
+
+    # Sharded CUSUM: (event_type, user_id % 64) — per-partition rows
+    # stay ~constant per shard as k grows keys, so the window sorts
+    # stay bounded (contrast with cusum_windows above, whose 5 keys
+    # each absorb k x rows).
+    shard = (F.col("user_id") % 64).alias("shard")
+    e0s = ev.select("event_type", shard, "event_id", "ts", yv.alias("y"))
+    ts_ = (
+        e0s.groupBy("event_type", "shard")
+        .agg(F.expr("sum(y) div count(1)").alias("target"))
+    )
+    ds_ = e0s.join(ts_, ["event_type", "shard"]).select(
+        "event_type", "shard", "event_id", "ts",
+        (F.col("y") - F.col("target")).alias("dev"),
+    )
+    wcs = (
+        Window.partitionBy("event_type", "shard")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run(
+        "cusum_sharded",
+        ds_.select(
+            "event_type",
+            "shard",
+            "event_id",
+            "ts",
+            F.sum("dev").over(wcs).alias("run"),
+        ).select(
+            "event_type",
+            "shard",
+            "event_id",
+            F.col("run") - F.least(F.min("run").over(wcs), F.lit(0)),
+        ),
+    )
+
+    # Segmented equi-depth histogram: (month, priority) cells — each
+    # per-cell ntile sort carries a bounded slice at any k.
+    wseg = Window.partitionBy("month", "segment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    run(
+        "equidepth_segment",
+        odz.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("o_orderpriority").alias("segment"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .withColumn("bucket", F.ntile(8).over(wseg))
+        .groupBy("month", "segment", "bucket")
+        .agg(F.count("*"), F.min("o_totalprice"), F.max("o_totalprice")),
+    )
+
     return times
 
 

@@ -397,3 +397,23 @@ def test_compaction_collapses_files_and_preserves_rows(spark, sf_dir):
     n_frag = spark.read.parquet(scratch_dir("fragmented", sf_dir)).count()
     n_comp = spark.read.parquet(scratch_dir("compacted", sf_dir)).count()
     assert n_frag == n_comp
+
+
+def test_persist_scoped_keeps_one_live_cache_entry_per_site(spark, sf_dir):
+    """Repeated invocations through persist_scoped must not accumulate
+    cache entries: the site's previous plan is unpersisted before the
+    new one is persisted (the bench-loop / registry-sweep leak the r5
+    review flagged on pagerank and the chunk-fingerprint table)."""
+    from pyspark import StorageLevel
+
+    from nyc_data_pipeline_spark.catalog import load_table, persist_scoped
+
+    a = persist_scoped("test.site", load_table(spark, sf_dir, "nation"))
+    a.count()
+    assert a.storageLevel != StorageLevel.NONE
+    b = persist_scoped("test.site", load_table(spark, sf_dir, "region"))
+    b.count()
+    assert a.storageLevel == StorageLevel.NONE  # previous entry released
+    assert b.storageLevel != StorageLevel.NONE
+    persist_scoped("test.site", load_table(spark, sf_dir, "nation")).count()
+    assert b.storageLevel == StorageLevel.NONE

@@ -854,3 +854,38 @@ def test_observe_metrics_per_microbatch_in_stream(spark, sf_dir, events_json_dir
         q.stop()
     want = load_table(spark, sf_dir, "events").count()
     assert total == want
+
+
+def test_jdbc_epoch_delete_swallows_only_table_missing():
+    """The epoch DELETE may swallow exactly the first-epoch
+    table-does-not-exist error; any other SQL failure must propagate
+    (appending after a failed delete would duplicate the replayed
+    epoch — the bug class the sink exists to prevent).  Exercised via
+    duck-typed fake Java exception chains."""
+    from nyc_data_pipeline_spark.streaming.sinks import JdbcEpochIdempotentSink
+
+    class FakeJavaExc:
+        def __init__(self, state, cause=None):
+            self._state, self._cause = state, cause
+
+        def getSQLState(self):
+            return self._state
+
+        def getCause(self):
+            return self._cause
+
+    class FakePyExc(Exception):
+        def __init__(self, je):
+            self.java_exception = je
+
+    is_missing = JdbcEpochIdempotentSink._is_table_missing
+    # Derby / Postgres / MySQL "table missing" states are swallowed...
+    for state in ("42X05", "42P01", "42S02"):
+        assert is_missing(FakePyExc(FakeJavaExc(state)))
+    # ...including when nested under a wrapper exception...
+    assert is_missing(FakePyExc(FakeJavaExc(None, FakeJavaExc("42X05"))))
+    # ...but lock timeouts / connection failures / plain Python errors
+    # are NOT.
+    assert not is_missing(FakePyExc(FakeJavaExc("40XL1")))  # Derby lock
+    assert not is_missing(FakePyExc(FakeJavaExc("08006")))  # conn failure
+    assert not is_missing(ValueError("no java_exception attribute"))

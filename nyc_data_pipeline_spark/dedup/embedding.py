@@ -146,3 +146,108 @@ def dedup_embedding_lsh_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("bucket_rep").alias("rep_id"))
     )
+
+
+# --- SemDeDup-style semantic dedup (cluster -> prune-vs-representative)
+
+# Coarse cells: the deterministic first-K seed (the similarity/ivf.py
+# convention; a k-means-refined centroid table drops in unchanged).
+# SemDeDup (Abbas et al. 2023, public) clusters the embedding space and
+# drops, within each cluster, every member whose cosine to the
+# cluster's keeper exceeds a threshold — catching SEMANTIC duplicates
+# (paraphrases, boilerplate re-writes) that token-level MinHash misses.
+K_SEM = 16
+# Fixture embeddings are isotropic (max pairwise cosine ~0.46), so the
+# demo threshold sits below that; real corpora cluster much tighter and
+# run ~0.95 (same knob).
+SEM_TAU = 0.30
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {duck_sq_norm('embedding')} AS sq
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS c_emb, sq AS c_sq
+        FROM v WHERE vec_id < {K_SEM}
+    ),
+    scored AS (
+        SELECT v.vec_id, v.embedding, v.sq, cent.cid,
+               {duck_dot('v.embedding', 'cent.c_emb')}
+                 / (sqrt(v.sq) * sqrt(cent.c_sq)) AS c_cos
+        FROM v, cent
+    ),
+    assign AS (
+        SELECT vec_id, embedding, sq, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, cid) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    reps AS (SELECT cid, MIN(vec_id) AS rep_id FROM assign GROUP BY cid),
+    repv AS (
+        SELECT r.cid, r.rep_id, a.embedding AS r_emb, a.sq AS r_sq
+        FROM reps r JOIN assign a ON a.vec_id = r.rep_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, rv.rep_id,
+           {duck_dot('a.embedding', 'rv.r_emb')}
+             / (sqrt(a.sq) * sqrt(rv.r_sq)) AS rep_cosine,
+           (a.vec_id = rv.rep_id
+            OR {duck_dot('a.embedding', 'rv.r_emb')}
+               / (sqrt(a.sq) * sqrt(rv.r_sq)) < {SEM_TAU}) AS keep
+    FROM assign a JOIN repv rv ON a.cid = rv.cid
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its max-cosine coarse cell
+    (broadcast against {K_SEM} centroids — no corpus shuffle for the
+    scoring), elect each cell's min-id member as the keeper, and flag
+    members whose exact cosine to the keeper reaches SEM_TAU as
+    semantic duplicates (`keep = false`).
+
+    Scale shape: one corpus scan; the only corpus-sized shuffle is the
+    per-vector argmax window over n·{K_SEM} scored rows (the exact
+    shape similarity/ivf.py ships); keeper election is a {K_SEM}-row
+    aggregate and the keeper table broadcasts back.  Every cosine is
+    the bit-exact JVM fold / DuckDB list_reduce pair from
+    functions/vectors.py, so the driver hash certifies the keep/drop
+    decision boundary itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", "embedding", f"{spark_sq_norm('embedding')} AS sq"
+    )
+    cent = v.filter(F.col("vec_id") < K_SEM).selectExpr(
+        "vec_id AS cid", "embedding AS c_emb", "sq AS c_sq"
+    )
+    scored = v.join(F.broadcast(cent)).selectExpr(
+        "vec_id",
+        "embedding",
+        "sq",
+        "cid",
+        f"{spark_dot('embedding', 'c_emb')} / (sqrt(sq) * sqrt(c_sq)) AS c_cos",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "sq", "cid")
+    )
+    reps = assign.groupBy("cid").agg(F.min("vec_id").alias("rep_id"))
+    repv = reps.join(
+        assign.selectExpr(
+            "vec_id AS rep_id", "embedding AS r_emb", "sq AS r_sq"
+        ),
+        "rep_id",
+    )
+    cos = f"{spark_dot('embedding', 'r_emb')} / (sqrt(sq) * sqrt(r_sq))"
+    return assign.join(F.broadcast(repv), "cid").selectExpr(
+        "vec_id",
+        "CAST(cid AS BIGINT) AS cid",
+        "rep_id",
+        f"{cos} AS rep_cosine",
+        f"(vec_id = rep_id) OR ({cos} < {SEM_TAU}) AS keep",
+    )

@@ -122,6 +122,9 @@ _VERIFY_FIRST = [
     # sf0.001/0.01/0.1; first in line for the r7 driver window.
     "agg_equidepth_segment",
     "events_cusum_sharded",
+    # -- position 53: r6 SemDeDup-style semantic dedup (locally
+    # triple-verified at sf0.001/0.01/0.1; r7 rotation with 51-52).
+    "dedup_semantic_cluster",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

@@ -240,3 +240,34 @@ def test_hll_sketch_estimates_within_error_and_merge(spark, sf_dir):
     for k, (exact_got, within) in got.items():
         assert exact_got == exact[k], (k, exact_got, exact[k])
         assert within is True, k
+
+
+def test_semantic_dedup_covers_corpus_and_keeps_reps(spark, sf_dir):
+    """SemDeDup invariants: every vector appears exactly once; each
+    cell elects exactly one keeper (its min id) and the keeper is
+    kept; every dropped member is over-threshold to its keeper; drops
+    exist in the fixture (the threshold sits inside the isotropic
+    cosine range)."""
+    from nyc_data_pipeline_spark.dedup.embedding import SEM_TAU
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    assert len({r.vec_id for r in rows}) == n_corpus
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cid, []).append(r)
+    for cid, members in by_cell.items():
+        reps = {r.rep_id for r in members}
+        assert len(reps) == 1
+        rep_id = reps.pop()
+        assert rep_id == min(r.vec_id for r in members)
+        for r in members:
+            if r.vec_id == rep_id:
+                assert r.keep
+            elif not r.keep:
+                assert r.rep_cosine >= SEM_TAU
+            else:
+                assert r.rep_cosine < SEM_TAU
+    assert any(not r.keep for r in rows)  # the sweep actually prunes

@@ -417,3 +417,33 @@ def test_persist_scoped_keeps_one_live_cache_entry_per_site(spark, sf_dir):
     assert b.storageLevel != StorageLevel.NONE
     persist_scoped("test.site", load_table(spark, sf_dir, "nation")).count()
     assert b.storageLevel == StorageLevel.NONE
+
+
+def test_rank_expr_matches_bisect_on_adversarial_arrays(spark):
+    """The unrolled binary-search rank must equal bisect_left (count of
+    sorted elements strictly below the probe) on duplicates, probes at
+    boundaries, below-min, above-max, and degenerate arrays."""
+    import bisect
+    import random
+
+    from nyc_data_pipeline_spark.sources.scans import _rank_expr
+
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(200):
+        n = rng.randint(0, 255)
+        arr = sorted(rng.randrange(0, 50) for _ in range(n))  # heavy dupes
+        probe = rng.choice(
+            [rng.randrange(-5, 55)] + (arr[:1] or []) + (arr[-1:] or [])
+        )
+        cases.append((arr, probe, bisect.bisect_left(arr, probe)))
+    cases += [([], 3, 0), ([7], 7, 0), ([7], 8, 1), ([5] * 255, 5, 0),
+              ([5] * 255, 6, 255)]
+    df = spark.createDataFrame(
+        [(a, p, w) for a, p, w in cases],
+        "arr array<bigint>, probe bigint, want int",
+    )
+    got = df.selectExpr(
+        "want", f"{_rank_expr('arr', 'probe', 255)} AS got"
+    ).collect()
+    assert all(r.got == r.want for r in got)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..functions.vectors import duck_dot, duck_sq_norm, spark_dot, spark_sq_norm
 from ..registry import register
 
@@ -210,10 +210,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan; the only corpus-sized shuffle is the
     per-vector argmax window over n·{K_SEM} scored rows (the exact
     shape similarity/ivf.py ships); keeper election is a {K_SEM}-row
-    aggregate and the keeper table broadcasts back.  Every cosine is
-    the bit-exact JVM fold / DuckDB list_reduce pair from
-    functions/vectors.py, so the driver hash certifies the keep/drop
-    decision boundary itself."""
+    aggregate and the keeper table broadcasts back.  The assignment
+    table feeds THREE consumers (keeper election, keeper-embedding
+    lookup, final join), so it is persist_scoped — without it each
+    branch re-runs the argmax window (the containment.py diamond
+    lesson).  Every cosine is the bit-exact JVM fold / DuckDB
+    list_reduce pair from functions/vectors.py, so the driver hash
+    certifies the keep/drop decision boundary itself."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.selectExpr(
         "vec_id", "embedding", f"{spark_sq_norm('embedding')} AS sq"
@@ -231,10 +234,11 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    assign = (
+    assign = persist_scoped(
+        "embedding.sem_assign",
         scored.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .select("vec_id", "embedding", "sq", "cid")
+        .select("vec_id", "embedding", "sq", "cid"),
     )
     reps = assign.groupBy("cid").agg(F.min("vec_id").alias("rep_id"))
     repv = reps.join(

@@ -522,31 +522,11 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sources.py."""
     out = scratch_dir("zorder", sf_dir)
     od = load_table(spark, sf_dir, "orders")
-    r = od.select(
-        "o_orderkey",
-        "o_custkey",
-        F.expr(f"{_DAY_SPARK}").alias("day"),
-        (
-            F.ntile(Z_RANKS).over(Window.orderBy("o_custkey", "o_orderkey")) - 1
-        ).alias("cr"),
-        (
-            F.ntile(Z_RANKS).over(
-                Window.orderBy(F.expr(_DAY_SPARK), F.col("o_orderkey"))
-            )
-            - 1
-        ).alias("dr"),
-    )
-    z = r.selectExpr(
-        "o_orderkey",
-        "o_custkey",
-        "day",
-        f"{_z_value('cr', 'dr', _SPARK_SHL)} AS zv",
-    )
+    r0 = od.select("o_orderkey", "o_custkey", F.expr(_DAY_SPARK).alias("day"))
+    # One copy of the referee pipeline: the same zorder_assign_exact
+    # the scale probe measures, so benchmark and oracle can't drift.
     (
-        z.withColumn(
-            "zbucket",
-            F.ntile(Z_FILES).over(Window.orderBy("zv", "o_orderkey")),
-        )
+        zorder_assign_exact(r0)
         .repartition("zbucket")
         .sortWithinPartitions("zv")
         .write.mode("overwrite")

@@ -98,32 +98,42 @@ class JdbcEpochIdempotentSink:
         self.num_partitions = num_partitions
         self.batches_seen: list[tuple[int, int]] = []
 
-    # SQLStates meaning "table does not exist" — the ONLY failure the
-    # epoch DELETE may swallow (first epoch, before write_jdbc creates
-    # the table).  Derby 42X05, Postgres 42P01, MySQL/SQLServer 42S02.
-    _TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42P01", "42S02"})
+    @staticmethod
+    def _table_exists(conn, table: str) -> bool:
+        """Engine-agnostic existence probe via DatabaseMetaData.
 
-    @classmethod
-    def _is_table_missing(cls, exc: Exception) -> bool:
-        """Walk the Java cause chain for a table-missing SQLState."""
-        je = getattr(exc, "java_exception", None)
-        while je is not None:
+        Unquoted identifiers are case-folded differently per engine
+        (Derby/Oracle upper, Postgres lower), so all three spellings
+        are probed; the JDBC metadata API is the one portable answer —
+        a SQLState allowlist would silently misclassify engines whose
+        table-missing state isn't on the list (Oracle's generic 42000,
+        drivers returning null states) and turn a benign first epoch
+        into a permanently failing stream."""
+        meta = conn.getMetaData()
+        name = table.split(".")[-1]
+        for cand in (name, name.upper(), name.lower()):
+            rs = meta.getTables(None, None, cand, None)
             try:
-                state = je.getSQLState()
-            except Exception:
-                state = None
-            if state in cls._TABLE_MISSING_SQLSTATES:
-                return True
-            try:
-                je = je.getCause()
-            except Exception:
-                je = None
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
         return False
 
     def _delete_epoch(self, spark, epoch_id: int) -> None:
         jvm = spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(self.url)
         try:
+            # First epoch: the table write_jdbc will create does not
+            # exist yet — skip the delete.  Past that gate, ANY delete
+            # failure (lock timeout, dropped connection) must abort
+            # the batch: appending after a failed delete would
+            # duplicate the replayed epoch's rows, defeating the
+            # idempotence this class exists to provide.  Structured
+            # Streaming retries the batch from the checkpoint on the
+            # raised error.
+            if not self._table_exists(conn, self.table):
+                return
             stmt = conn.createStatement()
             try:
                 stmt.executeUpdate(
@@ -131,16 +141,6 @@ class JdbcEpochIdempotentSink:
                 )
             finally:
                 stmt.close()
-        except Exception as exc:
-            # First epoch: the table write_jdbc will create does not
-            # exist yet — that one case is fine.  Any OTHER failure
-            # (lock timeout, dropped connection) must abort the batch:
-            # appending after a failed delete would duplicate the
-            # replayed epoch's rows, defeating the idempotence this
-            # class exists to provide.  Structured Streaming retries
-            # the batch from the checkpoint on the raised error.
-            if not self._is_table_missing(exc):
-                raise
         finally:
             conn.close()
 

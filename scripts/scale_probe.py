@@ -458,10 +458,12 @@ def probe(spark, k: int) -> dict[str, float]:
     if k <= 8:
         run("zorder_exact", zorder_assign_exact(r0z))
 
-    # Sharded CUSUM: (event_type, user_id % 64) — per-partition rows
-    # stay ~constant per shard as k grows keys, so the window sorts
-    # stay bounded (contrast with cusum_windows above, whose 5 keys
-    # each absorb k x rows).
+    # Sharded CUSUM: (event_type, user_id % 64).  NOTE on what this
+    # measures: the shard count is fixed by the modulus, so per-shard
+    # rows still grow with k — the claim under test is the corpus-
+    # FRACTION bound (largest partition ~1/320 of the corpus vs ~1/5
+    # for the referee) and the 64x-wider sort parallelism, not
+    # constant partition size.
     shard = (F.col("user_id") % 64).alias("shard")
     e0s = ev.select("event_type", shard, "event_id", "ts", yv.alias("y"))
     ts_ = (
@@ -493,8 +495,10 @@ def probe(spark, k: int) -> dict[str, float]:
         ),
     )
 
-    # Segmented equi-depth histogram: (month, priority) cells — each
-    # per-cell ntile sort carries a bounded slice at any k.
+    # Segmented equi-depth histogram: (month, priority) cells — the
+    # probe grows rows per cell (cell count is fixed by the fixture's
+    # date span), measuring that the ~0.25%-of-corpus per-cell sorts
+    # stay cheap and parallel as the table grows.
     wseg = Window.partitionBy("month", "segment").orderBy(
         "o_totalprice", "o_orderkey"
     )

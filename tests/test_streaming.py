@@ -856,36 +856,39 @@ def test_observe_metrics_per_microbatch_in_stream(spark, sf_dir, events_json_dir
     assert total == want
 
 
-def test_jdbc_epoch_delete_swallows_only_table_missing():
-    """The epoch DELETE may swallow exactly the first-epoch
-    table-does-not-exist error; any other SQL failure must propagate
-    (appending after a failed delete would duplicate the replayed
-    epoch — the bug class the sink exists to prevent).  Exercised via
-    duck-typed fake Java exception chains."""
+def test_jdbc_epoch_delete_gates_on_live_table_existence(spark, tmp_path):
+    """The epoch DELETE is skipped exactly while the sink table does
+    not exist (first epoch, before write_jdbc creates it) — probed via
+    DatabaseMetaData against a REAL embedded-Derby database, so the
+    gate is engine-metadata-driven, not a SQLState allowlist that
+    would misclassify engines with other table-missing states.  Once
+    the table exists, a delete failure propagates (asserted by issuing
+    the delete against a deliberately broken column set)."""
+    from nyc_data_pipeline_spark.sources.jdbc import DERBY_DRIVER, derby_url
     from nyc_data_pipeline_spark.streaming.sinks import JdbcEpochIdempotentSink
 
-    class FakeJavaExc:
-        def __init__(self, state, cause=None):
-            self._state, self._cause = state, cause
-
-        def getSQLState(self):
-            return self._state
-
-        def getCause(self):
-            return self._cause
-
-    class FakePyExc(Exception):
-        def __init__(self, je):
-            self.java_exception = je
-
-    is_missing = JdbcEpochIdempotentSink._is_table_missing
-    # Derby / Postgres / MySQL "table missing" states are swallowed...
-    for state in ("42X05", "42P01", "42S02"):
-        assert is_missing(FakePyExc(FakeJavaExc(state)))
-    # ...including when nested under a wrapper exception...
-    assert is_missing(FakePyExc(FakeJavaExc(None, FakeJavaExc("42X05"))))
-    # ...but lock timeouts / connection failures / plain Python errors
-    # are NOT.
-    assert not is_missing(FakePyExc(FakeJavaExc("40XL1")))  # Derby lock
-    assert not is_missing(FakePyExc(FakeJavaExc("08006")))  # conn failure
-    assert not is_missing(ValueError("no java_exception attribute"))
+    url = derby_url(str(tmp_path / "derby_gate_db"))
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        sink = JdbcEpochIdempotentSink(url, "gate_tbl", {"driver": DERBY_DRIVER})
+        assert not sink._table_exists(conn, "gate_tbl")
+        # _delete_epoch on a missing table is a no-op, not an error
+        sink._delete_epoch(spark, 0)
+        st = conn.createStatement()
+        st.executeUpdate('CREATE TABLE gate_tbl (id INT, "epoch" BIGINT)')
+        st.close()
+        assert sink._table_exists(conn, "gate_tbl")
+        assert sink._table_exists(conn, "GATE_TBL")
+        sink._delete_epoch(spark, 0)  # table exists: delete runs clean
+        # A failing DELETE past the existence gate must raise: point a
+        # sink at a real table whose epoch column is missing.
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE gate_tbl2 (id INT)")
+        st.close()
+        bad = JdbcEpochIdempotentSink(url, "gate_tbl2", {"driver": DERBY_DRIVER})
+        with pytest.raises(Exception):
+            bad._delete_epoch(spark, 0)
+    finally:
+        conn.close()

@@ -138,6 +138,7 @@ HEADLINE = [
     # r6: re-keyed production equi-depth histogram, SemDeDup
     "agg_equidepth_segment",
     "dedup_semantic_cluster",
+    "join_fuzzy_trigram",
 ]
 
 

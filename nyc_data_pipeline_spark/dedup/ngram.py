@@ -222,3 +222,142 @@ def dedup_jaccard_bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", f"array_distinct({spark_bigrams('toks')}) AS elems"
     )
     return jaccard_pairs(sets, _JACCARD_BIGRAM)
+
+
+# --- Fuzzy string join (entity resolution: trigram blocking + edit-
+# distance verify) -----------------------------------------------------
+
+# Trigrams present in more of the domain than this fraction are blocked
+# out of candidate generation.  0.25 here because the fixture's name
+# domain is 64 strings built from a tiny vocabulary (informative
+# word-trigrams still hit ~20% of names); a realistic million-string
+# domain uses a far smaller fraction or an absolute df cap — the knob,
+# not the recipe, is corpus-specific.
+FUZZ_CAP_FRACTION = 0.25
+FUZZ_SHARED_MIN = 2  # candidate pairs must share >= 2 rare trigrams
+FUZZ_MAX_DIST = 1  # verified edit-distance budget
+
+# Shared expression text so both engines derive the IDENTICAL dirty
+# variant (delete the middle character) and trigram set.
+_MID = "greatest(1, length({c}) {div} 2)"
+
+
+def _sp_grams(col: str) -> str:
+    return (
+        f"explode(array_distinct(transform("
+        f"sequence(1, greatest(1, length({col}) - 2)), "
+        f"i -> substr({col}, i, 3))))"
+    )
+
+
+def _dk_grams(col: str) -> str:
+    return (
+        f"unnest(list_transform("
+        f"generate_series(1, greatest(1, length({col}) - 2)), "
+        f"i -> substr({col}, i, 3)))"
+    )
+
+
+@register(
+    "join_fuzzy_trigram",
+    oracle=f"""
+    WITH names AS (
+        SELECT lower(p_name) AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1
+    ),
+    dirty AS (
+        SELECT DISTINCT
+               concat(substr(name, 1, {_MID.format(c='name', div='//')} - 1),
+                      substr(name, {_MID.format(c='name', div='//')} + 1))
+                 AS dirty_name
+        FROM names
+    ),
+    cg AS (
+        SELECT DISTINCT name, {_dk_grams('name')} AS g FROM names
+    ),
+    dg AS (
+        SELECT DISTINCT dirty_name, {_dk_grams('dirty_name')} AS g FROM dirty
+    ),
+    cap AS (
+        SELECT CAST(ceil(COUNT(*) * {FUZZ_CAP_FRACTION}) AS BIGINT) AS c
+        FROM names
+    ),
+    rare AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT name) AS df FROM cg GROUP BY g), cap
+        WHERE df <= c
+    ),
+    cgr AS (SELECT cg.name, cg.g FROM cg JOIN rare USING (g)),
+    dgr AS (SELECT dg.dirty_name, dg.g FROM dg JOIN rare USING (g)),
+    cand AS (
+        SELECT dirty_name, name, COUNT(*) AS n_shared
+        FROM dgr JOIN cgr USING (g)
+        GROUP BY 1, 2 HAVING COUNT(*) >= {FUZZ_SHARED_MIN}
+    )
+    SELECT c.dirty_name, c.name AS clean_name,
+           CAST(levenshtein(c.dirty_name, c.name) AS INTEGER) AS distance,
+           n.n_parts
+    FROM cand c JOIN names n ON n.name = c.name
+    WHERE levenshtein(c.dirty_name, c.name) <= {FUZZ_MAX_DIST}
+    """,
+)
+def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (entity resolution): match dirty strings to
+    the clean name domain by trigram blocking + exact Levenshtein
+    verify — the classic q-gram recipe (pairs within edit distance d
+    must share many q-grams; here >= {FUZZ_SHARED_MIN} RARE trigrams,
+    with trigrams present in > {FUZZ_CAP_FRACTION:.0%} of the domain
+    df-capped out, the dedup_jaccard_df_capped convention).  The
+    fixture has no naturally dirty strings, so each part name's
+    middle-character-deleted variant stands in for the misspelled feed
+    (the recrawl-injection convention).
+
+    Scale shape — the key move is joining on the NAME DOMAIN, not the
+    table: dirty/clean feeds first collapse to distinct strings (the
+    domain is orders of magnitude smaller than a 100 TB fact table),
+    the trigram block is O(|domain|·L) rows with pair fan-out bounded
+    by the df cap, the Levenshtein DP runs only on surviving
+    candidates, and the match table broadcasts back onto the fact
+    rows (here: n_parts carries the fact-side weight).  Both engines
+    run the same classic-DP levenshtein, so distances compare as
+    exact integers."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.selectExpr("lower(p_name) AS name")
+        .groupBy("name")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    mid = _MID.format(c="name", div="div")
+    dirty = names.selectExpr(
+        f"concat(substr(name, 1, {mid} - 1), substr(name, {mid} + 1))"
+        " AS dirty_name"
+    ).distinct()
+    cg = names.selectExpr("name", f"{_sp_grams('name')} AS g")
+    dg = dirty.selectExpr("dirty_name", f"{_sp_grams('dirty_name')} AS g")
+    cap = names.agg(
+        F.ceil(F.count("*") * FUZZ_CAP_FRACTION).cast("bigint").alias("c")
+    )
+    rare = (
+        cg.groupBy("g")
+        .agg(F.countDistinct("name").alias("df"))
+        .join(F.broadcast(cap))
+        .where("df <= c")
+        .select("g")
+    )
+    cand = (
+        dg.join(rare, "g")
+        .join(cg.join(rare, "g"), "g")
+        .groupBy("dirty_name", "name")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= FUZZ_SHARED_MIN)
+    )
+    return (
+        cand.where(F.levenshtein("dirty_name", "name") <= FUZZ_MAX_DIST)
+        .join(names, "name")
+        .selectExpr(
+            "dirty_name",
+            "name AS clean_name",
+            "CAST(levenshtein(dirty_name, name) AS INT) AS distance",
+            "n_parts",
+        )
+    )

@@ -125,6 +125,9 @@ _VERIFY_FIRST = [
     # -- position 53: r6 SemDeDup-style semantic dedup (locally
     # triple-verified at sf0.001/0.01/0.1; r7 rotation with 51-52).
     "dedup_semantic_cluster",
+    # -- position 54: r6 fuzzy string join (trigram blocking +
+    # Levenshtein verify; locally triple-verified; r7 rotation).
+    "join_fuzzy_trigram",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

@@ -271,3 +271,31 @@ def test_semantic_dedup_covers_corpus_and_keeps_reps(spark, sf_dir):
             else:
                 assert r.rep_cosine < SEM_TAU
     assert any(not r.keep for r in rows)  # the sweep actually prunes
+
+
+def test_fuzzy_trigram_join_recovers_every_injected_misspelling(spark, sf_dir):
+    """Each name's middle-character-deleted variant must match back to
+    its source at distance exactly 1 (the blocking may surface extra
+    near-matches between genuinely close domain strings — all must
+    still verify within the distance budget)."""
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["join_fuzzy_trigram"](spark, sf_dir).collect()
+    names = {
+        r.name
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .selectExpr("lower(p_name) AS name")
+        .distinct()
+        .collect()
+    }
+    def dirty(n):
+        mid = max(1, len(n) // 2)
+        return n[: mid - 1] + n[mid:]
+
+    matched = {(r.dirty_name, r.clean_name) for r in rows}
+    for n in names:
+        assert (dirty(n), n) in matched  # injected typo recovered
+    assert all(r.distance <= 1 for r in rows)
+    assert all(r.n_parts >= 1 for r in rows)

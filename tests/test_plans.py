@@ -350,3 +350,12 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_fuzzy_trigram_join_stays_on_equi_paths(spark, sf_dir):
+    """Candidate generation must be equi-joins on the trigram key (plus
+    the 1-row broadcast cap); no cartesian pair enumeration, no Python
+    in the plan."""
+    p = plan_str(QUERIES["join_fuzzy_trigram"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

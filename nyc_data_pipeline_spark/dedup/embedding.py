@@ -224,20 +224,12 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id") < K_SEM).selectExpr(
         "vec_id AS cid", "embedding AS c_emb", "sq AS c_sq"
     )
-    scored = v.join(F.broadcast(cent)).selectExpr(
-        "vec_id",
-        "embedding",
-        "sq",
-        "cid",
-        f"{spark_dot('embedding', 'c_emb')} / (sqrt(sq) * sqrt(c_sq)) AS c_cos",
-    )
-    from pyspark.sql import Window
+    from ..similarity.ivf import rank_cells
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     assign = persist_scoped(
         "embedding.sem_assign",
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        rank_cells(v, cent)
+        .filter("crank = 1")
         .select("vec_id", "embedding", "sq", "cid"),
     )
     reps = assign.groupBy("cid").agg(F.min("vec_id").alias("rep_id"))

@@ -43,9 +43,13 @@ K_CELLS = 16
 NPROBE = 2
 
 
-def _search_cells(vectors: DataFrame, cent: DataFrame, k: int) -> DataFrame:
-    """Assign + probe + rerank against a given centroid table
-    (cid, c_emb, c_sq).  One corpus scan, one broadcast join."""
+def rank_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, sq) × centroids (cid, c_emb, c_sq) →
+    n·K scored rows with the per-vector cosine rank (`crank`; 1 = the
+    assignment cell, ties → lower cid).  One broadcast join + the
+    vec_id-keyed argmax window — the shared coarse-quantizer step for
+    IVF search here and SemDeDup (dedup/embedding.py), kept in ONE
+    place so tie-break and cosine text cannot drift between them."""
     scored_cells = vectors.join(F.broadcast(cent)).selectExpr(
         "vec_id",
         "embedding",
@@ -54,7 +58,13 @@ def _search_cells(vectors: DataFrame, cent: DataFrame, k: int) -> DataFrame:
         f"{spark_dot('embedding', 'c_emb')} / (sqrt(sq) * sqrt(c_sq)) AS c_cos",
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    ranked = scored_cells.withColumn("crank", F.row_number().over(w_cell))
+    return scored_cells.withColumn("crank", F.row_number().over(w_cell))
+
+
+def _search_cells(vectors: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+    """Assign + probe + rerank against a given centroid table
+    (cid, c_emb, c_sq).  One corpus scan, one broadcast join."""
+    ranked = rank_cells(vectors, cent)
     assign = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "embedding", "sq", "cid"
     )

@@ -97,27 +97,86 @@ class JdbcEpochIdempotentSink:
         self.column_types = column_types
         self.num_partitions = num_partitions
         self.batches_seen: list[tuple[int, int]] = []
+        self._table_known = False  # memoized positive existence probe
 
     @staticmethod
-    def _table_exists(conn, table: str) -> bool:
+    def _split_ident(part: str | None) -> tuple[str | None, bool]:
+        """Strip one level of identifier quoting; report if quoted."""
+        if part and len(part) >= 2 and part[0] == part[-1] and part[0] in ('"', "`"):
+            return part[1:-1], True
+        return part, False
+
+    @classmethod
+    def _table_exists(cls, conn, table: str) -> bool:
         """Engine-agnostic existence probe via DatabaseMetaData.
 
-        Unquoted identifiers are case-folded differently per engine
-        (Derby/Oracle upper, Postgres lower), so all three spellings
-        are probed; the JDBC metadata API is the one portable answer —
-        a SQLState allowlist would silently misclassify engines whose
-        table-missing state isn't on the list (Oracle's generic 42000,
-        drivers returning null states) and turn a benign first epoch
-        into a permanently failing stream."""
+        The JDBC metadata API is the one portable answer — a SQLState
+        allowlist would misclassify engines whose table-missing state
+        isn't on the list (Oracle's generic 42000, drivers returning
+        null states) and turn a benign first epoch into a permanently
+        failing stream.  Probe details that matter:
+
+        - getTables treats its arguments as LIKE patterns, so `_`/`%`
+          in the identifier are escaped with the driver's search
+          escape when one exists (Derby reports NONE — empty string),
+          and every returned row is additionally confirmed by EXACT
+          TABLE_NAME/TABLE_SCHEM comparison, so a wildcard can never
+          fake a hit (`my_tbl` matching `my1tbl`) on any driver.
+        - The schema part of a qualified name is passed as
+          schemaPattern; an unqualified name probes the connection's
+          CURRENT schema (the one the unqualified DELETE resolves in),
+          falling back to all schemas only when getSchema is
+          unsupported — a same-named table elsewhere must not count.
+        - Quoted identifiers probe their exact case only; unquoted
+          ones probe as-is/upper/lower (engines fold differently)."""
         meta = conn.getMetaData()
-        name = table.split(".")[-1]
-        for cand in (name, name.upper(), name.lower()):
-            rs = meta.getTables(None, None, cand, None)
+        try:
+            esc = meta.getSearchStringEscape() or ""
+        except Exception:
+            esc = ""
+
+        def like_escape(s: str | None) -> str | None:
+            if s is None or not esc:
+                return s  # no escape support: exact-confirm below
+            return (
+                s.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+
+        parts = table.split(".")
+        schema, s_quoted = cls._split_ident(
+            parts[-2] if len(parts) >= 2 else None
+        )
+        name, n_quoted = cls._split_ident(parts[-1])
+        if schema is None:
             try:
-                if rs.next():
-                    return True
-            finally:
-                rs.close()
+                schema = conn.getSchema()  # where the DELETE resolves
+                s_quoted = True  # metadata-exact: no case fan-out
+            except Exception:
+                schema = None  # JDBC < 4.1: probe across schemas
+        name_cands = [name] if n_quoted else [name, name.upper(), name.lower()]
+        schema_cands = (
+            [schema]
+            if schema is None or s_quoted
+            else [schema, schema.upper(), schema.lower()]
+        )
+        seen = set()
+        for sc in schema_cands:
+            for nc in name_cands:
+                if (sc, nc) in seen:
+                    continue
+                seen.add((sc, nc))
+                rs = meta.getTables(None, like_escape(sc), like_escape(nc), None)
+                try:
+                    while rs.next():
+                        if rs.getString("TABLE_NAME") != nc:
+                            continue  # LIKE over-match, not our table
+                        if sc is not None and rs.getString("TABLE_SCHEM") != sc:
+                            continue
+                        return True
+                finally:
+                    rs.close()
         return False
 
     def _delete_epoch(self, spark, epoch_id: int) -> None:
@@ -131,9 +190,13 @@ class JdbcEpochIdempotentSink:
             # duplicate the replayed epoch's rows, defeating the
             # idempotence this class exists to provide.  Structured
             # Streaming retries the batch from the checkpoint on the
-            # raised error.
-            if not self._table_exists(conn, self.table):
-                return
+            # raised error.  The probe result is memoized once
+            # positive — a table cannot un-exist under this sink, and
+            # the metadata round trips shouldn't tax every epoch.
+            if not self._table_known:
+                if not self._table_exists(conn, self.table):
+                    return
+                self._table_known = True
             stmt = conn.createStatement()
             try:
                 stmt.executeUpdate(

@@ -890,5 +890,26 @@ def test_jdbc_epoch_delete_gates_on_live_table_existence(spark, tmp_path):
         bad = JdbcEpochIdempotentSink(url, "gate_tbl2", {"driver": DERBY_DRIVER})
         with pytest.raises(Exception):
             bad._delete_epoch(spark, 0)
+        # `_` must not act as a LIKE wildcard: MY1TBL existing must not
+        # make my_tbl look present.
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE my1tbl (id INT)")
+        st.close()
+        assert not sink._table_exists(conn, "my_tbl")
+        assert sink._table_exists(conn, "my1tbl")
+        # Quoted (exact-case) identifiers probe their exact spelling.
+        st = conn.createStatement()
+        st.executeUpdate('CREATE TABLE "MyEvents" (id INT)')
+        st.close()
+        assert sink._table_exists(conn, '"MyEvents"')
+        assert not sink._table_exists(conn, '"myevents"')
+        # A same-named table in ANOTHER schema must not count: the
+        # unqualified DELETE resolves in the current schema only.
+        st = conn.createStatement()
+        st.executeUpdate("CREATE SCHEMA elsewhere")
+        st.executeUpdate("CREATE TABLE elsewhere.gate3 (id INT)")
+        st.close()
+        assert not sink._table_exists(conn, "gate3")
+        assert sink._table_exists(conn, "elsewhere.gate3")
     finally:
         conn.close()

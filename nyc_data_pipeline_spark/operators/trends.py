@@ -237,3 +237,107 @@ def grouped_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)), ys[0],"
         " (a, x) -> (a + x) div 2) AS BIGINT) AS level_micro",
     )
+
+
+# --- seasonal-naive forecast accuracy (MASE-style) --------------------------
+
+
+@register(
+    "ts_seasonal_mase",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh,
+               CAST(SUM(CAST(floor(value * {MICRO}) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    seasonal AS (
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_seasonal,
+               CAST(SUM(abs(a.v - b.v)) AS BIGINT) AS sae_seasonal
+        FROM h a JOIN h b
+          ON b.event_type = a.event_type AND b.eh = a.eh - 24
+        GROUP BY a.event_type
+    ),
+    naive AS (
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_naive,
+               CAST(SUM(abs(a.v - b.v)) AS BIGINT) AS sae_naive
+        FROM h a JOIN h b
+          ON b.event_type = a.event_type AND b.eh = a.eh - 1
+        GROUP BY a.event_type
+    )
+    SELECT s.event_type, n_seasonal, sae_seasonal, n_naive, sae_naive,
+           CAST(sae_seasonal AS HUGEINT) * n_naive
+             < CAST(sae_naive AS HUGEINT) * n_seasonal AS seasonal_better
+    FROM seasonal s JOIN naive n ON n.event_type = s.event_type
+    """,
+)
+def ts_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline audit per event_type: is the seasonal-naive
+    forecast (same hour yesterday, m = 24) better than the plain naive
+    one (previous hour)?  MASE's core ratio — mean absolute error of
+    the candidate over mean absolute error of naive — decided without
+    division: `sae_seasonal·n_naive < sae_naive·n_seasonal`
+    cross-multiplied in HUGEINT/decimal(38,0) (the dq_psi_bins_drift
+    comparison trick), with the counts and sums emitted so the real
+    ratio is one division away.  This is the check a pipeline runs
+    BEFORE trusting any seasonal model: if the m=24 baseline does not
+    beat naive, the series has no daily cycle worth modeling.
+
+    Alignment is by exact hour ARITHMETIC (self-join on eh−24 / eh−1),
+    not row-lag: lag(24) over a sparse hourly rollup silently compares
+    across gaps.  Only cells whose comparison hour exists count, and
+    the two baselines are normalized by their own counts.
+
+    Scale shape: the corpus reduces to the (type, hour) rollup
+    map-side (|types|·|hours| cells); both self-joins and everything
+    after run on that tiny table.  At 100 TB with per-(metric, segment)
+    keys the rollup is still orders below corpus size and the joins
+    key-partition cleanly."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias(
+                "eh"
+            ),
+            F.floor(F.col("value") * MICRO).cast("bigint").alias("vi"),
+        )
+        .groupBy("event_type", "eh")
+        .agg(F.sum("vi").cast("bigint").alias("v"))
+    )
+
+    def _baseline(shift: int, n_name: str, sae_name: str) -> DataFrame:
+        b = h.select(
+            F.col("event_type").alias("b_type"),
+            (F.col("eh") + shift).alias("b_eh"),
+            F.col("v").alias("b_v"),
+        )
+        return (
+            h.join(
+                b,
+                (h["event_type"] == b["b_type"]) & (h["eh"] == b["b_eh"]),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias(n_name),
+                F.sum(F.abs(F.col("v") - F.col("b_v")))
+                .cast("bigint")
+                .alias(sae_name),
+            )
+        )
+
+    seasonal = _baseline(24, "n_seasonal", "sae_seasonal")
+    naive = _baseline(1, "n_naive", "sae_naive")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return seasonal.join(naive, "event_type").select(
+        "event_type",
+        "n_seasonal",
+        "sae_seasonal",
+        "n_naive",
+        "sae_naive",
+        (d38("sae_seasonal") * d38("n_naive")
+         < d38("sae_naive") * d38("n_seasonal")).alias("seasonal_better"),
+    )

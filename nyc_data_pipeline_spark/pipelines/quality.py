@@ -299,3 +299,212 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "second_key",
         F.expr("(b_us - a_us) div 3600000000").alias("gap_hours"),
     ).distinct()
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           class_size < {K_ANON} AS at_risk
+    FROM classes GROUP BY class_size
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment, account-balance band): the privacy gate a
+    pipeline runs before releasing or joining "anonymized" records,
+    because any equivalence class smaller than k re-identifies its
+    members by linkage (Sweeney's k-anonymity).  Output is the
+    class-size histogram — (class_size, n_classes, n_rows, at_risk) —
+    so `sum(n_rows) where at_risk` is the exposed-row count and the
+    full distribution shows how far generalization must coarsen the
+    bands to reach k = {K_ANON}.
+
+    The balance band uses floor(x / 1000.0) on the DOUBLE (both
+    engines floor IEEE doubles identically); integer `div` would need
+    the sign-split dance because c_acctbal goes negative.
+
+    Scale shape: two stacked map-side-combined aggregates — corpus →
+    |classes| → |distinct sizes| — linear scan cost, KB of state; the
+    same audit at 100 TB is one pass regardless of how many
+    quasi-identifier columns are folded into the key."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+    return classes.groupBy("class_size").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        (F.col("class_size") < K_ANON).alias("at_risk"),
+    )
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+# Deterministic snapshot-B simulation knobs (the table-diff needs two
+# versions of a table; the fixture has one, so B is derived from A the
+# way dq_duplicate_payments synthesizes replays): every DIFF_DEL-th row
+# deleted, every DIFF_UPD-th repriced, every DIFF_STAT-th re-statused,
+# every DIFF_INS-th re-inserted under a new key.
+DIFF_DEL = 101
+DIFF_UPD = 7
+DIFF_STAT = 13
+DIFF_INS = 97
+DIFF_KEY_SHIFT = 20_000_000
+
+
+@register(
+    "dq_table_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {DIFF_STAT} = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % {DIFF_UPD} = 0 THEN 100
+                        ELSE 0 END AS cents,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {DIFF_DEL} <> 0
+        UNION ALL
+        SELECT o_orderkey + {DIFF_KEY_SHIFT}, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
+        FROM orders WHERE o_orderkey % {DIFF_INS} = 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+                ELSE concat_ws(',',
+                    CASE WHEN a.o_orderstatus <> b.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN a.cents <> b.cents THEN 'o_totalprice' END,
+                    CASE WHEN a.o_orderpriority <> b.o_orderpriority
+                         THEN 'o_orderpriority' END)
+           END AS changed_cols
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.cents <> b.cents
+       OR a.o_orderpriority <> b.o_orderpriority
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: which rows were added / removed / changed between
+    two versions of a table, and for changed rows WHICH columns moved
+    (comma-joined in schema order) — the audit behind CDC validation,
+    reconciliation after a backfill, and "what did yesterday's load
+    touch".  Snapshot B is derived from A by deterministic rules (see
+    the DIFF_* knobs) so the diff has all four outcomes to find.
+
+    Money is compared in integer cents (floor(price·100)) — comparing
+    raw doubles for inequality is exact IEEE too, but the cents form
+    is what a reconciliation actually keys on.
+
+    Scale shape: one full outer join on the primary key; both sides
+    shuffle on o_orderkey ONCE (at 100 TB both snapshots live
+    bucketed on the key — the merge_upsert_bucketed layout — and the
+    join is Exchange-free).  The unchanged bulk is filtered
+    immediately after the join, so the output is delta-sized; no
+    row-to-row comparison ever leaves the join site."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    b = (
+        a.filter(F.col("o_orderkey") % DIFF_DEL != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % DIFF_STAT == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            (
+                F.col("cents")
+                + F.when(F.col("o_orderkey") % DIFF_UPD == 0, 100).otherwise(0)
+            ).alias("cents"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % DIFF_INS == 0).select(
+                (F.col("o_orderkey") + DIFF_KEY_SHIFT).alias("o_orderkey"),
+                "o_orderstatus",
+                "cents",
+                "o_orderpriority",
+            )
+        )
+    )
+    a = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
+    b = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    j = a.join(b, a["a_o_orderkey"] == b["b_o_orderkey"], "full_outer")
+    col_moved = (
+        (F.col("a_o_orderstatus") != F.col("b_o_orderstatus"))
+        | (F.col("a_cents") != F.col("b_cents"))
+        | (F.col("a_o_orderpriority") != F.col("b_o_orderpriority"))
+    )
+    return (
+        j.filter(
+            F.col("a_o_orderkey").isNull()
+            | F.col("b_o_orderkey").isNull()
+            | col_moved
+        )
+        .select(
+            F.coalesce("a_o_orderkey", "b_o_orderkey").alias("o_orderkey"),
+            F.when(F.col("a_o_orderkey").isNull(), "added")
+            .when(F.col("b_o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.when(
+                F.col("a_o_orderkey").isNull() | F.col("b_o_orderkey").isNull(),
+                F.lit(""),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.when(
+                        F.col("a_o_orderstatus") != F.col("b_o_orderstatus"),
+                        F.lit("o_orderstatus"),
+                    ),
+                    F.when(
+                        F.col("a_cents") != F.col("b_cents"), F.lit("o_totalprice")
+                    ),
+                    F.when(
+                        F.col("a_o_orderpriority") != F.col("b_o_orderpriority"),
+                        F.lit("o_orderpriority"),
+                    ),
+                )
+            )
+            .alias("changed_cols"),
+        )
+    )

@@ -341,6 +341,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.geo",
     "nyc_data_pipeline_spark.operators.robust",
     "nyc_data_pipeline_spark.operators.analytics",
+    "nyc_data_pipeline_spark.operators.experiments",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
@@ -359,6 +360,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.centroids",
     "nyc_data_pipeline_spark.similarity.negatives",
     "nyc_data_pipeline_spark.similarity.matryoshka",
+    "nyc_data_pipeline_spark.similarity.fusion",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

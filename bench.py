@@ -139,6 +139,17 @@ HEADLINE = [
     "agg_equidepth_segment",
     "dedup_semantic_cluster",
     "join_fuzzy_trigram",
+    # r6 decision layer: A/B z-test, k-anonymity audit, table diff,
+    # seasonal-MASE backtest, RRF rank fusion.
+    "ab_test_proportions",
+    "dq_k_anonymity",
+    "dq_table_diff",
+    "ts_seasonal_mase",
+    "sim_rrf_fusion",
+    # r6: PQ-ADC shortlist + exact rerank recall audit
+    "sim_pq_adc_recall",
+    # r6: one distributed BPE training step (vocab-level pair counts)
+    "text_bpe_merge_step",
 ]
 
 

@@ -1,0 +1,250 @@
+"""One distributed BPE training step: corpus-weighted symbol-pair
+counts, the greedy merge, and the post-merge recount.
+
+Byte-pair-encoding tokenizer training (Sennrich et al.) is a loop:
+count adjacent symbol pairs over the corpus, merge the most frequent
+pair everywhere, repeat.  The part that needs a cluster is exactly one
+iteration of that loop — and the classic trick that makes it tractable
+is that pair counting runs on the VOCABULARY (distinct words weighted
+by their corpus counts), not on the corpus itself: a 100 TB corpus has
+a vocabulary orders of magnitude smaller, and the corpus is touched
+once, for the word counts.
+
+`text_bpe_merge_step` materializes that iteration end-to-end:
+
+1. word counts — the only corpus-scale pass (one map-side-combined
+   groupBy);
+2. round-1 pair counts — explode each distinct word into (pos, char)
+   rows, pair adjacent symbols with a lead() window, sum word counts;
+3. the merge — the top pair (count desc, pair asc) is applied
+   greedily left-to-right.  Overlapping matches only arise when
+   left == right (e.g. pair (a,a) in "aaa"); greedy semantics =
+   within each maximal run of consecutive match positions keep every
+   other one, which is the repo's gap-islands idiom: run id
+   pos - row_number() over matches, keep even offsets from run start;
+4. round-2 pair counts over the merged symbol stream — what the NEXT
+   iteration would see.
+
+Output: top-{TOP_PAIRS} pairs of both rounds, (round, rank, left_sym,
+right_sym, pair_cnt) — rank 1 of round 1 is the merge that was
+applied; round 2 shows the redistributed mass (the merged symbol now
+participates in new pairs).
+
+Scale shape: everything after step 1 is vocabulary-sized; the symbol
+table is sum(len(word)) rows over DISTINCT words.  The per-word
+windows partition by word — millions of tiny partitions, no global
+sort; the two top-N selections are bounded (LIMIT {TOP_PAIRS}) via
+Spark's TakeOrderedAndProject.  The merge-flag join is a vocab-scale
+equi-join on (word, pos).  Integer counts throughout — bit-exact
+cross-engine.
+
+Reference parity: no tokenizer surface in the reference; north-star
+text-pipeline coverage (SURVEY §2 extension), sibling of
+`text_bigram_lm` (functions/textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .text import duck_tokens, spark_tokens
+
+TOP_PAIRS = 10
+
+
+def _sym_rows(words: DataFrame) -> DataFrame:
+    """(word, wc, pos, sym): one row per character of each distinct
+    word; pos is 0-based and dense."""
+    return words.select(
+        "word",
+        "wc",
+        F.posexplode(F.expr("filter(split(word, ''), c -> c != '')")).alias(
+            "pos", "sym"
+        ),
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_cnt): adjacent-symbol pair counts
+    weighted by word count; `syms` must carry (word, wc, pos, sym)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        syms.withColumn("nxt", F.lead("sym").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("left_sym"), F.col("nxt").alias("right_sym"))
+        .agg(F.sum("wc").cast("bigint").alias("pair_cnt"))
+    )
+
+
+def apply_merge(syms: DataFrame, top: DataFrame) -> DataFrame:
+    """Greedy left-to-right application of the single merge pair in
+    `top` (columns a, b) to the symbol stream — returns a new
+    (word, wc, pos, sym) stream with merged symbols concatenated and
+    absorbed positions dropped (pos keeps its original values; only
+    relative order matters downstream)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    flagged = (
+        syms.join(F.broadcast(top))
+        .withColumn("nxt", F.lead("sym").over(w))
+        .withColumn(
+            "is_match", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        )
+    )
+    # Greedy keep: within each run of consecutive match positions,
+    # keep even offsets from the run start (gap-islands on matches).
+    m = flagged.filter("is_match").select("word", "pos")
+    wm = Window.partitionBy("word").orderBy("pos")
+    runs = m.withColumn("grp", F.col("pos") - F.row_number().over(wm))
+    wr = Window.partitionBy("word", "grp")
+    kept = (
+        runs.withColumn("run_start", F.min("pos").over(wr))
+        .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
+        .select(
+            F.col("word").alias("k_word"),
+            F.col("pos").alias("k_pos"),
+            F.lit(True).alias("kept"),
+        )
+    )
+    merged = (
+        flagged.join(
+            kept,
+            (flagged["word"] == F.col("k_word")) & (flagged["pos"] == F.col("k_pos")),
+            "left",
+        )
+        .withColumn("prev_kept", F.lag("kept").over(w))
+        .withColumn(
+            "new_sym",
+            F.when(F.col("kept"), F.concat("sym", "nxt")).when(
+                F.col("prev_kept").isNull(), F.col("sym")
+            ),
+        )
+        .filter(F.col("new_sym").isNotNull())
+        .select("word", "wc", "pos", F.col("new_sym").alias("sym"))
+    )
+    return merged
+
+
+_DUCK_SYMS = """
+    words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest({toks}) AS word FROM documents
+        ) GROUP BY word
+    ),
+    syms AS (
+        SELECT word, wc, i - 1 AS pos, substring(word, i, 1) AS sym
+        FROM words, unnest(generate_series(1, length(word))) AS u(i)
+    )"""
+
+
+def _duck_pairs(src: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT sym AS left_sym, nxt AS right_sym,
+               CAST(SUM(wc) AS BIGINT) AS pair_cnt
+        FROM (
+            SELECT word, wc, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM {src}
+        ) WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+    )"""
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle=f"""
+    WITH {_DUCK_SYMS.format(toks=duck_tokens('text'))},
+    {_duck_pairs('syms', 'p1')},
+    top1 AS (
+        SELECT left_sym AS a, right_sym AS b FROM p1
+        ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 1
+    ),
+    flagged AS (
+        SELECT s.word, s.wc, s.pos, s.sym,
+               lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+               t.a, t.b
+        FROM syms s CROSS JOIN top1 t
+    ),
+    matches AS (
+        SELECT word, pos,
+               pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        FROM flagged WHERE sym = a AND nxt = b
+    ),
+    kept AS (
+        SELECT word, pos, TRUE AS kept FROM (
+            SELECT word, pos,
+                   pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+            FROM matches
+        ) WHERE off % 2 = 0
+    ),
+    merged AS (
+        SELECT word, wc, pos, new_sym AS sym FROM (
+            SELECT f.word, f.wc, f.pos,
+                   CASE WHEN k.kept THEN f.sym || f.nxt
+                        WHEN lag(k.kept) OVER (
+                            PARTITION BY f.word ORDER BY f.pos
+                        ) IS NULL THEN f.sym
+                   END AS new_sym
+            FROM flagged f
+            LEFT JOIN kept k ON k.word = f.word AND k.pos = f.pos
+        ) WHERE new_sym IS NOT NULL
+    ),
+    {_duck_pairs('merged', 'p2')},
+    t1 AS (
+        SELECT 1 AS round, left_sym, right_sym, pair_cnt FROM p1
+        ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT {TOP_PAIRS}
+    ),
+    t2 AS (
+        SELECT 2 AS round, left_sym, right_sym, pair_cnt FROM p2
+        ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT {TOP_PAIRS}
+    ),
+    u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    SELECT CAST(round AS INT) AS round,
+           CAST(row_number() OVER (
+               PARTITION BY round
+               ORDER BY pair_cnt DESC, left_sym, right_sym
+           ) AS INT) AS rank,
+           left_sym, right_sym, pair_cnt
+    FROM u
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PAIRS} symbol pairs before and after applying the
+    corpus's single most frequent BPE merge; round 1 rank 1 is the
+    merge that was applied."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.selectExpr(f"explode({spark_tokens('text')}) AS word")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+    )
+    syms = _sym_rows(words)
+    p1 = _pair_counts(syms)
+    top = (
+        p1.orderBy(F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(1)
+        .select(F.col("left_sym").alias("a"), F.col("right_sym").alias("b"))
+    )
+    p2 = _pair_counts(apply_merge(syms, top))
+
+    def top_n(p: DataFrame, rnd: int) -> DataFrame:
+        return (
+            p.orderBy(F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(TOP_PAIRS)
+            .withColumn("round", F.lit(rnd))
+        )
+
+    u = top_n(p1, 1).unionByName(top_n(p2, 2))
+    wr = Window.partitionBy("round").orderBy(
+        F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return u.select(
+        F.col("round").cast("int"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_cnt",
+    )

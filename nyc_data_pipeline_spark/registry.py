@@ -128,6 +128,12 @@ _VERIFY_FIRST = [
     # -- position 54: r6 fuzzy string join (trigram blocking +
     # Levenshtein verify; locally triple-verified; r7 rotation).
     "join_fuzzy_trigram",
+    # -- position 55: r6 PQ-ADC shortlist+rerank recall audit
+    # (locally triple-verified; r7 rotation).
+    "sim_pq_adc_recall",
+    # -- position 56: r6 distributed BPE merge step (vocab-level
+    # pair counting; locally triple-verified; r7 rotation).
+    "text_bpe_merge_step",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -345,6 +351,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
+    "nyc_data_pipeline_spark.functions.bpe",
     "nyc_data_pipeline_spark.dedup.exact",
     "nyc_data_pipeline_spark.dedup.ngram",
     "nyc_data_pipeline_spark.dedup.minhash",
@@ -361,6 +368,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.negatives",
     "nyc_data_pipeline_spark.similarity.matryoshka",
     "nyc_data_pipeline_spark.similarity.fusion",
+    "nyc_data_pipeline_spark.similarity.adc",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

@@ -299,3 +299,51 @@ def test_fuzzy_trigram_join_recovers_every_injected_misspelling(spark, sf_dir):
         assert (dirty(n), n) in matched  # injected typo recovered
     assert all(r.distance <= 1 for r in rows)
     assert all(r.n_parts >= 1 for r in rows)
+
+
+def _bpe_apply(spark, words, pair):
+    """Run apply_merge over literal words; return {word: [symbols]}."""
+    from nyc_data_pipeline_spark.functions.bpe import _sym_rows, apply_merge
+
+    wdf = spark.createDataFrame([(w, 1) for w in words], "word string, wc long")
+    top = spark.createDataFrame([pair], "a string, b string")
+    out = apply_merge(_sym_rows(wdf), top).collect()
+    merged = {}
+    for r in sorted(out, key=lambda r: (r.word, r.pos)):
+        merged.setdefault(r.word, []).append(r.sym)
+    return merged
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """Overlapping matches (left == right) must merge greedily and
+    non-overlapping ones everywhere: the Sennrich semantics."""
+    m = _bpe_apply(spark, ["aaaa", "aaa", "banana", "b"], ("a", "a"))
+    assert m["aaaa"] == ["aa", "aa"]
+    assert m["aaa"] == ["aa", "a"]
+    assert m["banana"] == ["b", "a", "n", "a", "n", "a"]  # no (a,a) pair
+    assert m["b"] == ["b"]
+
+
+def test_bpe_merge_applies_at_every_site(spark):
+    m = _bpe_apply(spark, ["banana", "ananas"], ("a", "n"))
+    assert m["banana"] == ["b", "an", "an", "a"]
+    assert m["ananas"] == ["an", "an", "a", "s"]
+
+
+def test_bpe_round1_top_pair_is_applied_merge(spark, sf_dir):
+    """Round 1's rank-1 pair must vanish as a pair of singles in round
+    2 (its mass moves into merged-symbol pairs)."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["text_bpe_merge_step"](spark, sf_dir).collect()
+    r1 = [r for r in rows if r.round == 1]
+    r2 = [r for r in rows if r.round == 2]
+    assert len(r1) == 10 and len(r2) == 10
+    top = next(r for r in r1 if r.rank == 1)
+    # the merged pair can no longer dominate round 2 as two singles
+    assert all(
+        not (r.left_sym == top.left_sym and r.right_sym == top.right_sym)
+        or r.pair_cnt < top.pair_cnt
+        for r in r2
+    )
+    assert all(r.pair_cnt > 0 for r in rows)

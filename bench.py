@@ -150,6 +150,13 @@ HEADLINE = [
     "sim_pq_adc_recall",
     # r6: one distributed BPE training step (vocab-level pair counts)
     "text_bpe_merge_step",
+    # r6: DSIR-style hashed-feature importance selection
+    "text_dsir_importance",
+    # r6: Neyman-allocation stratified threshold sampling
+    "sample_neyman_threshold",
+    # r6: temperature language mixture, CMS join-cardinality estimate
+    "sample_temperature_mix",
+    "approx_join_cardinality",
 ]
 
 

@@ -215,7 +215,12 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_PAIRS} symbol pairs before and after applying the
     corpus's single most frequent BPE merge; round 1 rank 1 is the
     merge that was applied."""
-    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_step(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_merge_step(d: DataFrame) -> DataFrame:
+    """The composable operator behind `text_bpe_merge_step` (also
+    driven by scripts/scale_probe.py over key-shifted corpora)."""
     words = (
         d.selectExpr(f"explode({spark_tokens('text')}) AS word")
         .groupBy("word")

@@ -104,11 +104,11 @@ CMS_AB = [(1_686_629_717, 908_611_469), (1_104_623_143, 474_882_444),
           (790_989_183, 1_530_105_057), (2_060_565_251, 104_582_165)]
 
 
-def _cms_hash_sql(row: int, col: str) -> str:
+def _cms_hash_sql(row: int, col: str, width: int = CMS_W) -> str:
     """((x % P) * a + b) % P % W — identical text for Spark SQL and
     DuckDB (both compute non-negative % for non-negative operands)."""
     a, b = CMS_AB[row]
-    return f"((({col} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {CMS_W}"
+    return f"((({col} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {width}"
 
 
 def _oracle_cms() -> str:
@@ -267,4 +267,132 @@ def approx_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.withColumn(
         "merge_equals_direct",
         F.col("total_merged") == F.col("total_direct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: join-cardinality estimation from sketches alone.
+# ---------------------------------------------------------------------------
+#
+# |A join B| on a key equals the inner product sum_k f_A(k)*f_B(k) of the
+# two frequency vectors — and the AMS/CMS result is that the inner
+# product of each sketch ROW, sum_j cmsA[i][j]*cmsB[i][j], NEVER
+# underestimates it (collisions only add non-negative cross terms), with
+# min over the D rows as the estimate.  This is how an optimizer prices
+# a join it has never executed: both sides keep a 256-integer counter
+# table; the estimate costs D*W multiplications, no data movement.
+#
+# The registered query emits each row's inner product AND the exact join
+# size (the referee: the key-keyed join of the two COUNT tables — still
+# far cheaper than the raw join), plus the bound boolean per row and for
+# the min-row — so the driver hash certifies the overestimate guarantee,
+# not just the numbers.  Overflow: cell products fit int64 while
+# (rows/W)^2 * keys < 9e18 — beyond ~1e9 rows/side lift the product
+# sums to decimal(38,0)/HUGEINT (trends.py carriers).
+#
+# Width matters for THIS use: the inner-product error is
+# ~||fA||1*||fB||1/W, so the 64-bucket heavy-hitter width would drown
+# a 15k-row join under a ~350k collision term (measured).  A 4x4096
+# table (128 KB) brings the additive error under ~40% of the fixture's
+# true size — the knob an optimizer sizes to its key cardinality.
+
+
+JC_W = 4096  # join-cardinality width; 4 rows x 4096 cells = 128 KB
+
+
+def _cms_side_sql(name: str, table: str, key: str) -> str:
+    rows = "\n            UNION ALL\n            ".join(
+        f"SELECT {i} AS hrow, {_cms_hash_sql(i, 'k', JC_W)} AS bucket, cnt"
+        f" FROM {name}_counts"
+        for i in range(CMS_D)
+    )
+    return f"""
+    {name}_counts AS (
+        SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table} GROUP BY {key}
+    ),
+    {name}_cells AS (
+        SELECT hrow, bucket, CAST(SUM(cnt) AS BIGINT) AS cell FROM (
+            {rows}
+        ) GROUP BY hrow, bucket
+    )"""
+
+
+@register(
+    "approx_join_cardinality",
+    oracle=f"""
+    WITH {_cms_side_sql('a', 'orders', 'o_custkey')},
+    {_cms_side_sql('b', 'customer', 'c_custkey')},
+    ip AS (
+        SELECT a.hrow, CAST(SUM(a.cell * b.cell) AS BIGINT) AS est
+        FROM a_cells a JOIN b_cells b
+          ON a.hrow = b.hrow AND a.bucket = b.bucket
+        GROUP BY a.hrow
+    ),
+    tru AS (
+        SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS true_size
+        FROM a_counts a JOIN b_counts b ON a.k = b.k
+    )
+    SELECT CAST(hrow AS INT) AS hrow, est, true_size,
+           est >= true_size AS bound_ok
+    FROM ip, tru
+    UNION ALL
+    SELECT -1 AS hrow, (SELECT MIN(est) FROM ip) AS est, true_size,
+           (SELECT MIN(est) FROM ip) >= true_size AS bound_ok
+    FROM tru
+    """,
+)
+def approx_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |orders ⋈ customer on custkey| from two Count-Min
+    sketches via the AMS inner product: per-row estimates (hrow 0..3),
+    the min-row (hrow = -1, the published estimate), the exact join
+    size, and the machine-checked overestimate bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def side(df: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        cell_structs = ", ".join(
+            f"struct({i} AS hrow, {_cms_hash_sql(i, 'k', JC_W)} AS bucket)"
+            for i in range(CMS_D)
+        )
+        cells = (
+            counts.selectExpr(f"explode(array({cell_structs})) AS c", "cnt")
+            .select("c.hrow", "c.bucket", "cnt")
+            .groupBy("hrow", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cell"))
+        )
+        return counts, cells
+
+    a_counts, a_cells = side(orders, "o_custkey")
+    b_counts, b_cells = side(cust, "c_custkey")
+
+    ip = (
+        a_cells.join(
+            b_cells.withColumnRenamed("cell", "b_cell"), ["hrow", "bucket"]
+        )
+        .groupBy("hrow")
+        .agg(F.sum(F.col("cell") * F.col("b_cell")).cast("bigint").alias("est"))
+    )
+    tru = (
+        a_counts.join(b_counts.withColumnRenamed("cnt", "b_cnt"), "k")
+        .agg(F.sum(F.col("cnt") * F.col("b_cnt")).cast("bigint").alias("true_size"))
+    )
+    per_row = ip.crossJoin(F.broadcast(tru))
+    min_row = (
+        ip.agg(F.min("est").alias("est"))
+        .crossJoin(F.broadcast(tru))
+        .select(F.lit(-1).alias("hrow"), "est", "true_size")
+    )
+    return (
+        per_row.select("hrow", "est", "true_size")
+        .unionByName(min_row)
+        .select(
+            F.col("hrow").cast("int").alias("hrow"),
+            "est",
+            "true_size",
+            (F.col("est") >= F.col("true_size")).alias("bound_ok"),
+        )
     )

@@ -635,3 +635,92 @@ def dedup_cross_chunk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_chunks"),
         )
     )
+
+
+# --- temperature-scaled language mixture -----------------------------------
+#
+# Balanced sampling (sample_lang_balanced) flattens every language to
+# the smallest one — too aggressive when head languages carry most of
+# the usable signal.  Multilingual pretraining instead samples from
+# p_l^alpha renormalized (mBERT/XLM-R/mT5 exposure smoothing): alpha=1
+# keeps the raw skew, alpha=0 is uniform, and values in between
+# up-weight tail languages without drowning the head.  alpha = 1/2
+# makes the un-normalized weight EXACTLY sqrt(count) — one
+# IEEE-correctly-rounded sqrt per language, floored to integer
+# micro-units (the Neyman-allocation arithmetic, which optimizes a
+# different objective: estimator variance there, exposure smoothing
+# here).  Everything downstream is exact int64: per-language allocation
+# by floor division of the doc budget, keep-rate in permille, and a
+# deterministic hash threshold with its OWN salt (three independent
+# decisions in this repo — mixing, splitting, allocation — use three
+# multipliers; a shared one correlates them silently).
+#
+# Scale shape: one count aggregate (|langs| rows), the rate table
+# BROADCASTS onto the corpus scan, and the keep decision is codegen'd
+# integer arithmetic — the corpus never shuffles.  Overflow: budget *
+# w_micro stays in int64 up to ~1e12-doc corpora; past that lift the
+# carriers to decimal(38,0) (trends.py pattern).
+
+TEMP_BUDGET_DIV = 4  # sample budget = corpus size / 4
+TEMP_MULT = 16_777_619  # FNV-1a 32-bit prime; salts vs MIX/SPLIT/NEYMAN
+
+_TEMP_BUCKET = f"(((doc_id % {HASH_MOD}) * {TEMP_MULT}) % {HASH_MOD}) % 1000"
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, cnt,
+               CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micro
+        FROM c
+    ),
+    r AS (
+        SELECT lang, cnt, w_micro,
+               CAST(least(1000,
+                     ((SUM(cnt) OVER () // {TEMP_BUDGET_DIV}) * w_micro
+                      // SUM(w_micro) OVER ()) * 1000 // cnt)
+                   AS BIGINT) AS rate_permille
+        FROM w
+    )
+    SELECT d.doc_id, d.lang, r.rate_permille,
+           CAST(1000 AS DOUBLE) / r.rate_permille AS weight
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {_TEMP_BUCKET} < r.rate_permille
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 1/2) language sampling: keep-rates derived
+    from sqrt(count) shares of a corpus/{TEMP_BUDGET_DIV} budget, so
+    tail languages are up-weighted relative to raw frequency but the
+    head still dominates; deterministic salted-hash keep decision."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = c.selectExpr(
+        "lang",
+        "cnt",
+        "CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        " AS w_micro",
+    )
+    r = w.withColumn(
+        "rate_permille",
+        F.expr(
+            f"least(1000, ((SUM(cnt) OVER () div {TEMP_BUDGET_DIV}) * w_micro"
+            " div SUM(w_micro) OVER ()) * 1000 div cnt)"
+        ),
+    ).select("lang", "rate_permille")
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(F.expr(_TEMP_BUCKET) < F.col("rate_permille"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_permille",
+            (F.lit(1000).cast("double") / F.col("rate_permille")).alias("weight"),
+        )
+    )

@@ -75,3 +75,139 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# --- Neyman-allocation stratified sampling ---------------------------------
+#
+# Proportional sampling wastes budget on homogeneous strata; Neyman
+# allocation (optimal for estimating a mean under a fixed budget) sizes
+# each stratum's sample by N_h * sigma_h.  The integer identity
+#     (N_h * sigma_h)^2 = N_h * sum(x^2) - (sum(x))^2
+# lets the weight be computed EXACTLY from one pass of integer sums;
+# the only float ops are one sqrt per stratum (IEEE-correctly-rounded
+# in both engines, immediately floored to integer micro-units).
+#
+# Selection is hash-THRESHOLD, not top-n-per-stratum: the per-stratum
+# cutoff (alloc_h * HASH_MOD) div N_h is an exact integer, and a doc is
+# sampled iff its salted hash falls below its stratum's cutoff — a
+# zero-shuffle projection + broadcast join, where a row_number() window
+# would sort every stratum.  The achieved count is binomial around
+# alloc_h (the report records both, the honest contract of threshold
+# sampling); alloc_h > N_h caps at "take all" with no special case
+# (cutoff >= HASH_MOD admits every hash).
+#
+# Overflow: n_chars <= ~5e3, so sum(x^2) fits int64 up to ~3.7e11 docs
+# per stratum; budget * s_micro fits while the corpus-wide char mass
+# stays under ~9e18 micro-units.  Past that, lift the carriers to
+# decimal(38,0) (the trends.py pattern) — same plan.
+
+SAMPLE_DIV = 10  # budget = corpus size / 10
+# Murmur3's c1 constant — distinct from SPLIT_MULT AND mixing.MIX_MULT
+# (2_654_435_761): three independent decisions, three salts, or the
+# sampling/splitting/allocation choices correlate silently.
+NEYMAN_MULT = 3_432_918_353
+
+_NEYMAN_BUCKET = f"((doc_id % {HASH_MOD}) * {NEYMAN_MULT}) % {HASH_MOD}"
+
+_ALLOC_SQL = f"""
+    stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS neyman_w_micro
+        FROM stats
+    ),
+    alloc AS (
+        SELECT source, n_docs, neyman_w_micro,
+               (SUM(n_docs) OVER () // {SAMPLE_DIV}) * neyman_w_micro
+                   // SUM(neyman_w_micro) OVER () AS alloc_raw
+        FROM wts
+    ),
+    plan AS (
+        SELECT source, n_docs, neyman_w_micro,
+               CASE WHEN alloc_raw > n_docs THEN n_docs
+                    ELSE alloc_raw END AS alloc,
+               CASE WHEN alloc_raw > n_docs THEN n_docs
+                    ELSE alloc_raw END * {HASH_MOD} // n_docs AS cutoff
+        FROM alloc
+    )"""
+
+
+@register(
+    "sample_neyman_threshold",
+    oracle=f"""
+    WITH {_ALLOC_SQL},
+    sel AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_selected,
+               CAST(MIN(d.doc_id) AS BIGINT) AS min_sel_doc
+        FROM documents d JOIN plan p ON d.source = p.source
+        WHERE {_NEYMAN_BUCKET} < p.cutoff
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.neyman_w_micro,
+           CAST(p.alloc AS BIGINT) AS alloc,
+           COALESCE(s.n_selected, 0) AS n_selected,
+           s.min_sel_doc
+    FROM plan p LEFT JOIN sel s ON p.source = s.source
+    """,
+)
+def sample_neyman_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Neyman allocation over `source` (budget = corpus
+    size / {SAMPLE_DIV}, weight = N_h·sigma_h on n_chars) plus the
+    achieved hash-threshold sample: (source, n_docs, neyman_w_micro,
+    alloc, n_selected, min_sel_doc)."""
+    return neyman_threshold_sample(load_table(spark, sf_dir, "documents"))
+
+
+def neyman_threshold_sample(d: DataFrame) -> DataFrame:
+    """The composable operator behind `sample_neyman_threshold` (also
+    driven by scripts/scale_probe.py over key-shifted corpora)."""
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    wts = stats.selectExpr(
+        "source",
+        "n_docs",
+        "CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))"
+        " * 1000000.0) AS BIGINT) AS neyman_w_micro",
+    )
+    plan = (
+        wts.withColumn(
+            "alloc_raw",
+            F.expr(
+                f"(SUM(n_docs) OVER () div {SAMPLE_DIV}) * neyman_w_micro"
+                " div SUM(neyman_w_micro) OVER ()"
+            ),
+        )
+        .withColumn("alloc", F.least("alloc_raw", "n_docs"))
+        .withColumn("cutoff", F.expr(f"alloc * {HASH_MOD} div n_docs"))
+        .select("source", "n_docs", "neyman_w_micro", "alloc", "cutoff")
+    )
+    sel = (
+        d.join(F.broadcast(plan.select("source", "cutoff")), "source")
+        .filter(F.expr(_NEYMAN_BUCKET) < F.col("cutoff"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.min("doc_id").cast("bigint").alias("min_sel_doc"),
+        )
+    )
+    return (
+        plan.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "neyman_w_micro",
+            F.col("alloc").cast("bigint").alias("alloc"),
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+            "min_sel_doc",
+        )
+    )

@@ -134,6 +134,17 @@ _VERIFY_FIRST = [
     # -- position 56: r6 distributed BPE merge step (vocab-level
     # pair counting; locally triple-verified; r7 rotation).
     "text_bpe_merge_step",
+    # -- position 57: r6 DSIR-style importance selection (locally
+    # triple-verified; r7 rotation).
+    "text_dsir_importance",
+    # -- position 58: r6 Neyman-allocation threshold sampler
+    # (locally triple-verified; r7 rotation).
+    "sample_neyman_threshold",
+    # -- positions 59-60: r6 temperature language mixture and CMS
+    # inner-product join-cardinality estimate (locally
+    # triple-verified; r7 rotation).
+    "sample_temperature_mix",
+    "approx_join_cardinality",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -352,6 +363,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.functions.bpe",
+    "nyc_data_pipeline_spark.functions.dsir",
     "nyc_data_pipeline_spark.dedup.exact",
     "nyc_data_pipeline_spark.dedup.ngram",
     "nyc_data_pipeline_spark.dedup.minhash",

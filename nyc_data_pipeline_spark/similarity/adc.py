@@ -226,7 +226,12 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC-shortlist({SHORTLIST})+exact-rerank top-{TOP_K} — `n_overlap/k`
     is recall@{TOP_K} of searching compressed codes instead of raw
     vectors; a miss means a true neighbor fell off the ADC shortlist."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def pq_adc_recall(emb: DataFrame) -> DataFrame:
+    """The composable operator behind `sim_pq_adc_recall` (also driven
+    by scripts/scale_probe.py over key-shifted corpora)."""
     v = _micro_rows(emb)
     cmicro = _codebook(v)
     codes = pq_assign(v, cmicro)

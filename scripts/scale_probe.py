@@ -515,6 +515,25 @@ def probe(spark, k: int) -> dict[str, float]:
         .agg(F.count("*"), F.min("o_totalprice"), F.max("o_totalprice")),
     )
 
+    # r6 batch-2 ops.  pq_adc: corpus grows, query set stays fixed
+    # (vec_id < N_QUERIES never matches shifted copies) — the claim is
+    # linear-in-corpus ADC scoring.  bpe: shifted copies duplicate
+    # text, so the vocabulary is FIXED while word counts grow — the
+    # claim is that everything after the corpus-scale word count is
+    # vocab-bound (expect near-flat growth).  dsir/neyman: linear
+    # corpus passes with bounded broadcast tables.
+    from nyc_data_pipeline_spark.functions.bpe import bpe_merge_step
+    from nyc_data_pipeline_spark.functions.dsir import dsir_scores
+    from nyc_data_pipeline_spark.pipelines.splits import neyman_threshold_sample
+    from nyc_data_pipeline_spark.similarity.adc import pq_adc_recall
+
+    embk = scaled(load_table(spark, SF_DIR, "embeddings"), "vec_id", k, 10**9)
+    run("pq_adc_recall", pq_adc_recall(embk))
+    docsk = scaled(load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9)
+    run("bpe_merge_step", bpe_merge_step(docsk))
+    run("dsir_scores", dsir_scores(docsk))
+    run("neyman_sample", neyman_threshold_sample(docsk))
+
     return times
 
 

@@ -347,3 +347,83 @@ def test_bpe_round1_top_pair_is_applied_merge(spark, sf_dir):
         for r in r2
     )
     assert all(r.pair_cnt > 0 for r in rows)
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """Importance weights must rank the target slice above the rest on
+    average (the selection would be vacuous otherwise), cover every
+    doc exactly once, and mark selected = (score > 0)."""
+    from nyc_data_pipeline_spark.functions.dsir import TARGET_SRC
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["text_dsir_importance"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    assert len({r.doc_id for r in rows}) == len(docs)
+    src = {d.doc_id: d.source for d in docs}
+    tgt = [r.score_micro for r in rows if src[r.doc_id] in TARGET_SRC]
+    rest = [r.score_micro for r in rows if src[r.doc_id] not in TARGET_SRC]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    assert all(r.selected == (r.score_micro > 0) for r in rows)
+
+
+def test_neyman_allocation_respects_budget_and_caps(spark, sf_dir):
+    from nyc_data_pipeline_spark.pipelines.splits import SAMPLE_DIV
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["sample_neyman_threshold"](spark, sf_dir).collect()
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    budget = n_total // SAMPLE_DIV
+    assert sum(r.alloc for r in rows) <= budget  # floor-div never overshoots
+    assert all(0 <= r.alloc <= r.n_docs for r in rows)
+    assert all(r.neyman_w_micro > 0 for r in rows)  # fixture has variance
+    assert sum(r.n_selected for r in rows) > 0
+    # threshold sampling achieves the allocation in expectation: the
+    # corpus-wide achieved count stays within 3 sigma of the target
+    import math
+
+    target = sum(r.alloc for r in rows)
+    sd = math.sqrt(sum(r.alloc * (1 - r.alloc / r.n_docs) for r in rows))
+    assert abs(sum(r.n_selected for r in rows) - target) <= 3 * sd + 3
+
+
+def test_temperature_mix_upweights_tail_languages(spark, sf_dir):
+    """alpha=1/2 exposure smoothing: every language's keep-rate is
+    valid permille, tail languages get strictly higher rates than the
+    head, and no language is dropped entirely."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["sample_temperature_mix"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    raw = {}
+    for d in docs:
+        raw[d.lang] = raw.get(d.lang, 0) + 1
+    rates = {r.lang: r.rate_permille for r in rows}
+    assert set(rates) == set(raw)  # every language survives
+    assert all(0 < v <= 1000 for v in rates.values())
+    head = max(raw, key=raw.get)
+    assert all(
+        rates[lang] >= rates[head] for lang in rates
+    )  # smaller corpus -> never a lower keep-rate than the head
+    assert all(abs(r.weight - 1000.0 / r.rate_permille) < 1e-12 for r in rows)
+
+
+def test_join_cardinality_bound_and_min_row(spark, sf_dir):
+    """AMS inner-product law: every row's estimate is >= the true join
+    size; the published estimate (hrow = -1) is the min over rows."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["approx_join_cardinality"](spark, sf_dir).collect()
+    per_row = [r for r in rows if r.hrow >= 0]
+    min_row = next(r for r in rows if r.hrow == -1)
+    assert len(per_row) == 4
+    assert all(r.bound_ok for r in rows)
+    assert all(r.est >= r.true_size for r in rows)
+    assert min_row.est == min(r.est for r in per_row)
+    true = {r.true_size for r in rows}
+    assert len(true) == 1  # one referee value
+    # the exact referee is itself checkable from raw tables
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert true.pop() == o.join(c, o.o_custkey == c.c_custkey).count()

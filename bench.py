@@ -157,6 +157,11 @@ HEADLINE = [
     # r6: temperature language mixture, CMS join-cardinality estimate
     "sample_temperature_mix",
     "approx_join_cardinality",
+    # r6: histogram-quantile readout, label propagation on the star graph
+    "approx_quantile_histogram",
+    "graph_label_propagation",
+    # r6: manifest-tracked snapshot versions (write 2 commits + read both)
+    "src_time_travel",
 ]
 
 

@@ -25,7 +25,7 @@ stores the state table and pays only the delta scan per day.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -293,4 +293,197 @@ def rollup_hierarchy_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(hourly, "hour", "hour_us")
         .unionByName(pick(daily, "day", "day_us"))
         .unionByName(pick(weekly, "week", "week_us"))
+    )
+
+
+# --- quantile readout from mergeable histograms ----------------------------
+#
+# approx_percentile answers one query; a HISTOGRAM is the mergeable
+# state that answers every quantile afterwards — per-slice bin counts
+# add cell-wise (the agg_histogram_merge law), the merged table is
+# QH_BINS integers, and any quantile reads out as "first bin whose
+# cumulative count reaches ceil(q·n/100)" with error bounded by the
+# bin width.  This is how a 100 TB pipeline serves p50/p95 dashboards
+# without a sort: per-partition states reduce map-side, the readout is
+# driver-trivial, and re-aggregation (day -> month) is addition.
+#
+# The audit makes the bracketing property a driver-hashed fact WITHOUT
+# any global sort even in the referee: for each quantile the query
+# emits the selected bin's [lo, hi) edges plus two conditional COUNTS
+# over the raw table — n_below_lo (< lo) and n_thru_hi (<= hi-1) — and
+# bound_ok := n_below_lo < target_rank <= n_thru_hi, which is exactly
+# "the order statistic at target_rank lies inside the selected bin",
+# established by linear scans alone.  All arithmetic in integer cents.
+
+QH_BINS = 256
+QH_QS = (25, 50, 75, 95)
+
+
+@register(
+    "approx_quantile_histogram",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS slice
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(cents) AS lo, MAX(cents) + 1 AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM c
+    ),
+    binned AS (
+        SELECT slice,
+               CAST(least({QH_BINS} - 1,
+                    (c.cents - b.lo) * {QH_BINS} // (b.hi - b.lo))
+                    AS BIGINT) AS bin
+        FROM c, bounds b
+    ),
+    states AS (
+        SELECT slice, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY slice, bin
+    ),
+    merged AS (
+        SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM states GROUP BY bin
+    ),
+    direct AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY bin
+    ),
+    mok AS (
+        SELECT COUNT(*) = 0 AS merge_ok FROM (
+            SELECT bin, cnt FROM merged
+            EXCEPT SELECT bin, cnt FROM direct
+        )
+    ),
+    cum AS (
+        SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum_cnt
+        FROM merged
+    ),
+    qs AS (
+        SELECT q, CAST(CAST(ceil(b.n * q / 100.0) AS DOUBLE) AS BIGINT)
+                   AS target_rank
+        FROM (SELECT unnest([{', '.join(str(q) for q in QH_QS)}]) AS q),
+             bounds b
+    ),
+    pick AS (
+        SELECT qs.q, qs.target_rank,
+               MIN(cum.bin) AS sel_bin
+        FROM qs JOIN cum ON cum.cum_cnt >= qs.target_rank
+        GROUP BY qs.q, qs.target_rank
+    ),
+    edges AS (
+        SELECT p.q, p.target_rank,
+               b.lo + p.sel_bin * (b.hi - b.lo) // {QH_BINS} AS bin_lo,
+               CASE WHEN p.sel_bin = {QH_BINS} - 1 THEN b.hi
+                    ELSE b.lo + (p.sel_bin + 1) * (b.hi - b.lo) // {QH_BINS}
+               END AS bin_hi
+        FROM pick p, bounds b
+    )
+    SELECT e.q, e.target_rank,
+           CAST(e.bin_lo AS BIGINT) AS bin_lo_cents,
+           CAST(e.bin_hi AS BIGINT) AS bin_hi_cents,
+           CAST(SUM(CASE WHEN c.cents < e.bin_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_lo,
+           CAST(SUM(CASE WHEN c.cents < e.bin_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_thru_hi,
+           (SUM(CASE WHEN c.cents < e.bin_lo THEN 1 ELSE 0 END)
+                < e.target_rank
+            AND e.target_rank
+                <= SUM(CASE WHEN c.cents < e.bin_hi THEN 1 ELSE 0 END))
+               AND (SELECT merge_ok FROM mok) AS bound_ok
+    FROM edges e, c
+    GROUP BY e.q, e.target_rank, e.bin_lo, e.bin_hi
+    """,
+)
+def approx_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75/p95 of o_totalprice read out of a merged 256-bin
+    histogram (per-month partial states summed cell-wise), with the
+    bracketing property — the true order statistic lies inside the
+    selected bin — certified by two conditional counts over the raw
+    table, and the merge law folded into `bound_ok`."""
+    return quantile_from_histogram(load_table(spark, sf_dir, "orders"))
+
+
+def quantile_from_histogram(o: DataFrame) -> DataFrame:
+    """The composable operator behind `approx_quantile_histogram`
+    (also driven by scripts/scale_probe.py over key-shifted corpora)."""
+    spark = o.sparkSession
+    c = o.selectExpr(
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+        "date_format(o_orderdate, 'yyyy-MM') AS slice",
+    )
+    bounds = F.broadcast(
+        c.agg(
+            F.min("cents").alias("lo"),
+            (F.max("cents") + 1).alias("hi"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    binned = c.crossJoin(bounds).selectExpr(
+        "slice",
+        f"CAST(least({QH_BINS} - 1, (cents - lo) * {QH_BINS} div (hi - lo))"
+        " AS BIGINT) AS bin",
+    )
+    states = binned.groupBy("slice", "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    merged = states.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    direct = binned.groupBy("bin").agg(F.count("*").cast("bigint").alias("cnt"))
+    mok = F.broadcast(
+        merged.exceptAll(direct)
+        .agg((F.count("*") == 0).alias("merge_ok"))
+    )
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum_cnt"),
+    )
+    qs = (
+        spark.range(1)
+        .selectExpr(f"explode(array({', '.join(str(q) for q in QH_QS)})) AS q")
+        .crossJoin(bounds.select("n"))
+        .selectExpr(
+            "q",
+            "CAST(CAST(ceil(n * q / 100.0) AS DOUBLE) AS BIGINT) AS target_rank",
+        )
+    )
+    pick = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum_cnt") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("bin").alias("sel_bin"))
+    )
+    edges = pick.crossJoin(bounds.select("lo", "hi")).selectExpr(
+        "q",
+        "target_rank",
+        f"lo + sel_bin * (hi - lo) div {QH_BINS} AS bin_lo",
+        f"CASE WHEN sel_bin = {QH_BINS} - 1 THEN hi"
+        f" ELSE lo + (sel_bin + 1) * (hi - lo) div {QH_BINS} END AS bin_hi",
+    )
+    return (
+        c.crossJoin(F.broadcast(edges))
+        .groupBy("q", "target_rank", "bin_lo", "bin_hi")
+        .agg(
+            F.sum((F.col("cents") < F.col("bin_lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_below_lo"),
+            F.sum((F.col("cents") < F.col("bin_hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_thru_hi"),
+        )
+        .crossJoin(mok)
+        .select(
+            "q",
+            "target_rank",
+            F.col("bin_lo").cast("bigint").alias("bin_lo_cents"),
+            F.col("bin_hi").cast("bigint").alias("bin_hi_cents"),
+            "n_below_lo",
+            "n_thru_hi",
+            (
+                (F.col("n_below_lo") < F.col("target_rank"))
+                & (F.col("target_rank") <= F.col("n_thru_hi"))
+                & F.col("merge_ok")
+            ).alias("bound_ok"),
+        )
     )

@@ -145,6 +145,13 @@ _VERIFY_FIRST = [
     # triple-verified; r7 rotation).
     "sample_temperature_mix",
     "approx_join_cardinality",
+    # -- positions 61-62: r6 histogram-quantile readout and clamped
+    # label propagation (locally triple-verified; r7 rotation).
+    "approx_quantile_histogram",
+    "graph_label_propagation",
+    # -- position 63: r6 manifest time-travel reads (locally
+    # triple-verified; r7 rotation).
+    "src_time_travel",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -355,6 +362,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.gapfill",
     "nyc_data_pipeline_spark.operators.intervals",
     "nyc_data_pipeline_spark.operators.pagerank",
+    "nyc_data_pipeline_spark.operators.labelprop",
     "nyc_data_pipeline_spark.operators.geo",
     "nyc_data_pipeline_spark.operators.robust",
     "nyc_data_pipeline_spark.operators.analytics",
@@ -385,6 +393,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",
     "nyc_data_pipeline_spark.sources.jdbc",
+    "nyc_data_pipeline_spark.sources.timetravel",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",

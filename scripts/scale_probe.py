@@ -534,6 +534,20 @@ def probe(spark, k: int) -> dict[str, float]:
     run("dsir_scores", dsir_scores(docsk))
     run("neyman_sample", neyman_threshold_sample(docsk))
 
+    # r6 batch-3: clamped label propagation (key-shifted clones keep
+    # doc_id%7 seed density and merge into existing LSH buckets — the
+    # edge-linear clone regime of the CC/PageRank probes) and the
+    # histogram-quantile readout (two linear scans + 256-row state).
+    from nyc_data_pipeline_spark.operators.labelprop import label_propagation
+
+    run("label_propagation", label_propagation(docsk))
+    from nyc_data_pipeline_spark.operators.incremental import (
+        quantile_from_histogram,
+    )
+
+    ordk = scaled(load_table(spark, SF_DIR, "orders"), "o_orderkey", k, 10**9)
+    run("quantile_histogram", quantile_from_histogram(ordk))
+
     return times
 
 

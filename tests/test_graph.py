@@ -44,3 +44,35 @@ def test_merge_delete_beats_update_at_same_version(spark):
     }
     # doc 1: update and delete at version 1 — takedown wins, row gone.
     assert got == {2: "new"}
+
+
+def test_label_propagation_clamps_seeds_and_spreads(spark, sf_dir):
+    """Clamped LP invariants: every doc appears once; seeds keep their
+    own language; unreached nodes carry null labels; every round-1
+    node has at least one seed neighbor in the symmetrized graph."""
+    from nyc_data_pipeline_spark.dedup.graph import star_edges
+    from nyc_data_pipeline_spark.operators.labelprop import SEED_MOD
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    langs = {d.doc_id: d.lang for d in docs.collect()}
+    seeds = {r.doc_id for r in rows if r.origin == "seed"}
+    assert seeds == {i for i in langs if i % SEED_MOD == 0}
+    for r in rows:
+        if r.origin == "seed":
+            assert r.label == langs[r.doc_id]
+        if r.origin == "none":
+            assert r.label is None
+        else:
+            assert r.label is not None
+    e = star_edges(docs).collect()
+    nbrs = {}
+    for edge in e:
+        nbrs.setdefault(edge.u, set()).add(edge.v)
+        nbrs.setdefault(edge.v, set()).add(edge.u)
+    for r in rows:
+        if r.origin == "round1":
+            assert nbrs.get(r.doc_id, set()) & seeds

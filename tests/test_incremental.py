@@ -130,3 +130,20 @@ def test_gap_islands_conserve_events(spark, sf_dir):
     for k, (max_run, n_runs) in got.items():
         assert 1 <= max_run <= counts[k], (k, max_run)
         assert 1 <= n_runs <= counts[k], (k, n_runs)
+
+
+def test_quantile_histogram_brackets_true_order_statistics(spark, sf_dir):
+    """The selected bin must bracket the exact order statistic: verify
+    against a full Python sort of the raw cents values."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["approx_quantile_histogram"](spark, sf_dir).collect()
+    assert len(rows) == 4 and all(r.bound_ok for r in rows)
+    cents = sorted(
+        int(v.o_totalprice * 100)
+        for v in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    )
+    for r in rows:
+        true_val = cents[r.target_rank - 1]  # rank is 1-based
+        assert r.bin_lo_cents <= true_val < r.bin_hi_cents
+        assert r.n_below_lo < r.target_rank <= r.n_thru_hi

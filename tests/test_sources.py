@@ -447,3 +447,26 @@ def test_rank_expr_matches_bisect_on_adversarial_arrays(spark):
         "want", f"{_rank_expr('arr', 'probe', 255)} AS got"
     ).collect()
     assert all(r.got == r.want for r in got)
+
+
+def test_time_travel_snapshot_isolation_and_partial_rewrite(spark, sf_dir):
+    """v1 numbers must be identical before and after the v2 commit
+    (snapshot isolation), and the v2 commit must write ONLY the
+    partition it touches."""
+    import os
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.timetravel import TT_PARTS
+
+    rows = {r.version: r for r in QUERIES["src_time_travel"](spark, sf_dir).collect()}
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = base.count()
+    assert rows[1].n_rows == n  # v1 == the full snapshot, read after v2
+    assert rows[2].n_rows < n  # deletes landed
+    assert rows[2].sum_cents != rows[1].sum_cents  # updates landed
+    table_dir = scratch_dir("timetravel", sf_dir)
+    v1_parts = {d for d in os.listdir(os.path.join(table_dir, "v1")) if d.startswith("pb=")}
+    v2_parts = {d for d in os.listdir(os.path.join(table_dir, "v2")) if d.startswith("pb=")}
+    assert v1_parts == {f"pb={i}" for i in range(TT_PARTS)}
+    assert v2_parts == {"pb=0"}  # untouched partitions were not rewritten

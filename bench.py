@@ -162,6 +162,8 @@ HEADLINE = [
     "graph_label_propagation",
     # r6: manifest-tracked snapshot versions (write 2 commits + read both)
     "src_time_travel",
+    # r6: l-diversity privacy audit
+    "dq_l_diversity",
 ]
 
 

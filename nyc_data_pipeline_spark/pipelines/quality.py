@@ -362,6 +362,67 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- l-diversity audit ------------------------------------------------------
+#
+# k-anonymity alone is not enough: a class of 50 rows that all share
+# the SAME sensitive value leaks it to every member (the homogeneity
+# attack).  Machanavajjhala et al.'s l-diversity requires each
+# equivalence class to contain at least l distinct sensitive values.
+# Same two-stacked-aggregate shape as dq_k_anonymity — here the QI is
+# (nation, balance band) and the sensitive attribute is the market
+# segment; a release gate reads `sum(n_rows) where below_l` as the
+# homogeneity-exposed row count.
+
+L_DIV = 3  # classes with fewer distinct sensitive values are exposed
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    classes AS (
+        SELECT c_nationkey, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        FROM qi GROUP BY c_nationkey, bal_band
+    )
+    SELECT n_sensitive,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           n_sensitive < {L_DIV} AS below_l
+    FROM classes GROUP BY n_sensitive
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distribution of distinct-sensitive-value
+    counts (market segment) across (nation, balance-band) equivalence
+    classes; `below_l` marks classes open to the homogeneity attack
+    even when they pass k-anonymity."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    return classes.groupBy("n_sensitive").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        (F.col("n_sensitive") < L_DIV).alias("below_l"),
+    )
+
+
 # --- snapshot diff ----------------------------------------------------------
 
 # Deterministic snapshot-B simulation knobs (the table-diff needs two

@@ -152,6 +152,9 @@ _VERIFY_FIRST = [
     # -- position 63: r6 manifest time-travel reads (locally
     # triple-verified; r7 rotation).
     "src_time_travel",
+    # -- position 64: r6 l-diversity audit (locally triple-verified;
+    # r7 rotation).
+    "dq_l_diversity",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

@@ -164,6 +164,8 @@ HEADLINE = [
     "src_time_travel",
     # r6: l-diversity privacy audit
     "dq_l_diversity",
+    # r6: span-level duplicated-text coverage (ExactSubstr cut)
+    "dedup_span_coverage",
 ]
 
 

@@ -155,6 +155,10 @@ _VERIFY_FIRST = [
     # -- position 64: r6 l-diversity audit (locally triple-verified;
     # r7 rotation).
     "dq_l_diversity",
+    # -- position 65: r6 span-level duplicated-text coverage (Lee et
+    # al. ExactSubstr, distributed; locally triple-verified at
+    # sf0.001/0.01/0.1; r7 rotation).
+    "dedup_span_coverage",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -383,6 +387,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.dedup.incremental",
     "nyc_data_pipeline_spark.dedup.graph",
     "nyc_data_pipeline_spark.dedup.containment",
+    "nyc_data_pipeline_spark.dedup.spans",
     "nyc_data_pipeline_spark.similarity.brute_force",
     "nyc_data_pipeline_spark.similarity.lsh",
     "nyc_data_pipeline_spark.similarity.pandas_path",

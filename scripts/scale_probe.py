@@ -548,6 +548,16 @@ def probe(spark, k: int) -> dict[str, float]:
     ordk = scaled(load_table(spark, SF_DIR, "orders"), "o_orderkey", k, 10**9)
     run("quantile_histogram", quantile_from_histogram(ordk))
 
+    # r6 batch-4: span-level dedup coverage.  Key-shifted clones share
+    # ALL their span text, so every span key's posting list grows k×
+    # and every doc becomes fully covered — the adversarial best case
+    # for the dup_pos join (it passes ~100% of postings instead of the
+    # organic ~5%).  All stages stay hash-linear: no pair enumeration
+    # anywhere, the per-doc union window is bounded by doc length.
+    from nyc_data_pipeline_spark.dedup.spans import span_coverage
+
+    run("span_coverage", span_coverage(docsk))
+
     return times
 
 

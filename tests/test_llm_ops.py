@@ -427,3 +427,43 @@ def test_join_cardinality_bound_and_min_row(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     assert true.pop() == o.join(c, o.o_custkey == c.c_custkey).count()
+
+
+def test_span_coverage_interval_union_invariants(spark, sf_dir):
+    """Span-coverage sanity: bounds hold row-wise (a doc's covered
+    tokens never exceed its length; a doc with any duplicated span
+    covers at least W and at most dup_spans·W tokens; zero-dup docs
+    cover zero), and flagged spans are genuinely cross-doc — every
+    doc with dup_spans > 0 shares at least one W-token span string
+    with a DIFFERENT document (recomputed from raw postings)."""
+    from nyc_data_pipeline_spark.dedup.spans import SPAN_W, span_posting
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_span_coverage"](spark, sf_dir).collect()
+    assert rows and any(r.dup_spans > 0 for r in rows)
+    for r in rows:
+        assert r.n_spans == r.n_tokens - SPAN_W + 1
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        if r.dup_spans == 0:
+            assert r.covered_tokens == 0 and r.dup_frac == 0.0
+        else:
+            assert SPAN_W <= r.covered_tokens <= r.dup_spans * SPAN_W
+        assert abs(r.dup_frac - r.covered_tokens / r.n_tokens) < 1e-12
+
+    posting = span_posting(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "span")
+    cross = {
+        r.doc_id
+        for r in posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    assert {r.doc_id for r in rows if r.dup_spans > 0} == cross

@@ -166,6 +166,22 @@ HEADLINE = [
     "dq_l_diversity",
     # r6: span-level duplicated-text coverage (ExactSubstr cut)
     "dedup_span_coverage",
+    # r6: KMV/theta sketch distinct-count set algebra
+    "approx_kmv_set_ops",
+    # r6: deterministic weighted sampling without replacement
+    "sample_weighted_es",
+    # r6: BM25 lexical ranked retrieval
+    "text_bm25_topk",
+    # r6: per-language bigram conditional entropy
+    "text_bigram_entropy",
+    # r6: Poisson-bootstrap confidence intervals
+    "ab_bootstrap_ci",
+    # r6: top-k behavioral event sequences
+    "events_topk_sequences",
+    # r6: Benford first-digit audit
+    "dq_benford_digits",
+    # r6: integer ray-cast geofence counts
+    "geo_point_in_polygon",
 ]
 
 

@@ -180,3 +180,154 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhs.cast("string").alias("z2_rhs"),
         (lhs > rhs).alias("significant"),
     )
+
+
+# --- Poisson bootstrap confidence intervals --------------------------------
+#
+# The z-test above answers "did the metric move"; this answers "what
+# is the uncertainty band around the metric itself" — the Poisson
+# bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+# massive data streams"), THE industrial bootstrap shape: classical
+# resampling needs the whole dataset per replicate, but for large n a
+# multinomial(n, 1/n) resample is indistinguishable from giving each
+# row an independent Poisson(1) weight per replicate — and that is
+# one streaming pass computing B weighted partial sums, map-side
+# combined into |groups|·B tiny states.  No resample materializes.
+#
+# Determinism: the per-(row, replicate) weight comes from a hash
+# u ∈ [0, P) cut by the FIXED integer thresholds of the Poisson(1)
+# CDF (precomputed literals below, identical in both engines); the
+# metric is o_totalprice in exact cents (decimal ×100), replicate
+# means in milli-cents via integer division; the CI is order
+# statistics over the B=64 replicate means (a bounded 64-row window
+# per group).
+#
+# BIGINT bound: sum_wx·1000 ≈ rows·w·price_cents·10³ — safe beyond
+# 10⁹ rows/group; past that, lift to decimal(38,0).
+
+BOOT_B = 64
+BOOT_P = 2_147_483_647
+BOOT_A, BOOT_C = 1_804_289_383, 846_930_886  # row hash, replicate stride
+# floor(P · Poisson(1) CDF at k = 0..4): P(w=0) = e^-1, etc.
+BOOT_T = [790015083, 1580030167, 1975037709, 2106706890, 2139624185]
+BOOT_LO, BOOT_HI = 4, 61  # ~5th / ~95th percentile of 64 replicates
+
+_BOOT_H = (
+    f"(((o_orderkey % {BOOT_P}) * {BOOT_A}"
+    f" + CAST(b AS BIGINT) * {BOOT_C}) % {BOOT_P})"
+)
+_BOOT_W = (
+    f"CASE WHEN h < {BOOT_T[0]} THEN 0 WHEN h < {BOOT_T[1]} THEN 1 "
+    f"WHEN h < {BOOT_T[2]} THEN 2 WHEN h < {BOOT_T[3]} THEN 3 "
+    f"WHEN h < {BOOT_T[4]} THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "ab_bootstrap_ci",
+    oracle=f"""
+    WITH rows_x AS (
+        SELECT o_orderpriority AS grp, o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    weighted AS (
+        SELECT grp, b, {_BOOT_W} AS w, cents
+        FROM (
+            SELECT grp, o_orderkey, cents, b, {_BOOT_H} AS h
+            FROM rows_x, LATERAL unnest(range(0, {BOOT_B})) AS r(b)
+        )
+    ),
+    reps AS (
+        SELECT grp, b,
+               CAST(SUM(w * cents) * 1000 // SUM(w) AS BIGINT)
+                   AS mean_milli
+        FROM weighted GROUP BY grp, b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT grp, mean_milli,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_milli)
+                   AS rk
+        FROM reps
+    ),
+    ci AS (
+        SELECT grp,
+               MAX(CASE WHEN rk = {BOOT_LO} THEN mean_milli END) AS lo_milli,
+               MAX(CASE WHEN rk = {BOOT_HI} THEN mean_milli END) AS hi_milli,
+               COUNT(*) AS n_reps
+        FROM ranked GROUP BY grp
+    ),
+    pt AS (
+        SELECT grp, CAST(SUM(cents) * 1000 // COUNT(*) AS BIGINT)
+                   AS point_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM rows_x GROUP BY grp
+    )
+    SELECT p.grp, p.n_rows, p.point_milli, c.lo_milli, c.hi_milli,
+           CAST(c.n_reps AS BIGINT) AS n_reps,
+           c.lo_milli <= p.point_milli AND p.point_milli <= c.hi_milli
+               AS covers_point
+    FROM pt p JOIN ci c ON p.grp = c.grp
+    """,
+)
+def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_ci(load_table(spark, sf_dir, "orders"))
+
+
+def bootstrap_ci(orders: DataFrame) -> DataFrame:
+    """Per-priority 90% CI of mean order value via B=64 deterministic
+    Poisson-bootstrap replicates; the point estimate and its coverage
+    flag ride along."""
+    from pyspark.sql import Window
+
+    rows_x = orders.selectExpr(
+        "o_orderpriority AS grp",
+        "o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    reps = (
+        rows_x.select(
+            "grp", "o_orderkey", "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .selectExpr("grp", "b", "cents", f"{_BOOT_H} AS h")
+        .selectExpr("grp", "b", "cents", f"{_BOOT_W} AS w")
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .selectExpr("grp", "b", "swx * 1000 div sw AS mean_milli")
+    )
+    ranked = reps.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("grp").orderBy("mean_milli")),
+    )
+    ci = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rk") == BOOT_LO, F.col("mean_milli"))).alias(
+            "lo_milli"
+        ),
+        F.max(F.when(F.col("rk") == BOOT_HI, F.col("mean_milli"))).alias(
+            "hi_milli"
+        ),
+        F.count("*").alias("n_reps"),
+    )
+    pt = rows_x.groupBy("grp").agg(
+        F.expr("CAST(SUM(cents) * 1000 div COUNT(*) AS BIGINT)").alias(
+            "point_milli"
+        ),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return pt.join(ci, "grp").select(
+        "grp",
+        "n_rows",
+        "point_milli",
+        "lo_milli",
+        "hi_milli",
+        F.col("n_reps").cast("bigint").alias("n_reps"),
+        (
+            (F.col("lo_milli") <= F.col("point_milli"))
+            & (F.col("point_milli") <= F.col("hi_milli"))
+        ).alias("covers_point"),
+    )

@@ -159,3 +159,83 @@ def geo_radius_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_radius_sql("div"))
+
+
+# --- Point-in-polygon (ray casting, integer-exact) -------------------------
+#
+# Geofencing: count events inside an arbitrary polygon (a borough, a
+# delivery zone).  The even-odd ray-casting rule needs, per edge, "does
+# the rightward horizontal ray from P cross segment (A, B)?":
+#
+#     (ay > py) != (by > py)   AND   px < ax + (bx−ax)·(py−ay)/(by−ay)
+#
+# The division disappears by cross-multiplying with (by−ay); its SIGN
+# is a property of the FIXED polygon edge, so each edge's inequality
+# direction is resolved at plan-construction time in Python and the
+# emitted predicate is pure BIGINT compare-and-multiply (products
+# ≤ 10¹² on micro-degree coordinates).  Zero libm, zero UDF — one
+# codegen'd scan, then a 10-row groupBy.  At 100 TB: prefilter by the
+# polygon's bounding-box grid cells (the module's CELL id is the
+# partition key), then run this exact test on the survivors.
+PIP_POLY = [
+    (40_700_000, -74_100_000),
+    (41_200_000, -74_200_000),
+    (41_400_000, -73_800_000),
+    (41_000_000, -73_400_000),
+    (40_600_000, -73_600_000),
+]
+
+
+def _pip_crossing_terms() -> str:
+    terms = []
+    n = len(PIP_POLY)
+    for i in range(n):
+        (ay, ax), (by, bx) = PIP_POLY[i], PIP_POLY[(i + 1) % n]
+        dy = by - ay
+        assert dy != 0, "horizontal edges need the half-open tie rule"
+        # px < ax + (bx-ax)(py-ay)/dy  ×dy→  flip the < when dy < 0
+        op = "<" if dy > 0 else ">"
+        terms.append(
+            f"CASE WHEN ({ay} > lat_micro) != ({by} > lat_micro)"
+            f" AND (lon_micro - {ax}) * CAST({dy} AS BIGINT)"
+            f" {op} CAST({bx - ax} AS BIGINT) * (lat_micro - {ay})"
+            " THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _pip_sql(div_op: str) -> str:  # div_op unused; kept for symmetry
+    return f"""
+    WITH pts AS (
+        SELECT event_type, {_LAT} AS lat_micro, {_LON} AS lon_micro
+        FROM events
+    ),
+    tagged AS (
+        SELECT event_type,
+               ({_pip_crossing_terms()}) % 2 = 1 AS inside
+        FROM pts
+    )
+    SELECT event_type, inside, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY event_type, inside
+    """
+
+
+@register("geo_point_in_polygon", oracle=_pip_sql("//"))
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside/outside the fixed 5-vertex fence, by event type —
+    integer ray casting with per-edge sign-resolved predicates."""
+    return point_in_polygon(load_table(spark, sf_dir, "events"))
+
+
+def point_in_polygon(ev: DataFrame) -> DataFrame:
+    return (
+        ev.selectExpr(
+            "event_type", f"{_LAT} AS lat_micro", f"{_LON} AS lon_micro"
+        )
+        .selectExpr(
+            "event_type",
+            f"(({_pip_crossing_terms()}) % 2) = 1 AS inside",
+        )
+        .groupBy("event_type", "inside")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )

@@ -396,3 +396,235 @@ def approx_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("true_size")).alias("bound_ok"),
         )
     )
+
+
+# --- KMV / theta sketch: distinct counts under set operations -------------
+#
+# HLL (above) answers "how many distinct" and merges under UNION — but
+# HLL cannot intersect.  The K-minimum-values / theta sketch family
+# (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07; Apache DataSketches
+# theta) keeps the K smallest distinct hash values; because a uniform
+# hash makes any subset's minima a uniform sample, the sketches
+# support UNION (merge the value lists, keep K smallest) AND
+# INTERSECTION (count common values below theta = min of the two
+# sketches' thresholds, scale by P/theta) without rescanning data.
+# That is the 100 TB use: per-segment sketches are ~2 KB, computed in
+# one linear pass each, and every set-algebra question after that is
+# sketch-local.
+#
+# Hash: h = ((x % P) * a + b) % P + 1 with P = 2^31-1 prime and
+# gcd(a, P) = 1 — a BIJECTION on [0, P) (overflow-safe: operands stay
+# below 2^62), so for key domains < P the unsaturated sketch is the
+# exact value set and every estimate collapses to the exact count.
+# The whole operator is integer arithmetic — bit-exact vs DuckDB.
+#
+# Scale shape: per-group sketch = distinct() (hash shuffle with
+# partial aggregation) then global top-K via sort+limit, which Spark
+# executes as per-partition top-K heaps merged once (TakeOrdered) —
+# never a full sort.  Everything downstream runs on <= 2K rows.
+
+KMV_K = 256
+_KMV_A, _KMV_B = CMS_AB[0]
+_KMV_GA, _KMV_GB = "1-URGENT", "2-HIGH"
+
+
+def _kmv_hash(col: str) -> str:
+    return f"((({col} % {CMS_P}) * {_KMV_A} + {_KMV_B}) % {CMS_P}) + 1"
+
+
+def _kmv_est_sql(n: str, th: str, idiv: str = "//") -> str:
+    """retained-below-theta estimator; unsaturated sketch is exact.
+    ``idiv`` is the engine's integer-division operator (DuckDB ``//``,
+    Spark SQL ``div``)."""
+    return (
+        f"CASE WHEN {n} < {KMV_K} THEN {n} "
+        f"ELSE ({KMV_K} - 1) * CAST({CMS_P} AS BIGINT) {idiv} {th} END"
+    )
+
+
+def _oracle_kmv() -> str:
+    bound = (
+        "CAST(({est} - {ex}) AS DOUBLE) * ({est} - {ex}) * {k2}"
+        " <= {sig} * CAST({ex} AS DOUBLE) * {ex}"
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderpriority AS g, o_custkey AS c,
+               {_kmv_hash('o_custkey')} AS h
+        FROM orders
+        WHERE o_orderpriority IN ('{_KMV_GA}', '{_KMV_GB}')
+    ),
+    ha AS (SELECT DISTINCT h FROM base WHERE g = '{_KMV_GA}'
+           ORDER BY h LIMIT {KMV_K}),
+    hb AS (SELECT DISTINCT h FROM base WHERE g = '{_KMV_GB}'
+           ORDER BY h LIMIT {KMV_K}),
+    hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           ORDER BY h LIMIT {KMV_K}),
+    sa AS (SELECT COUNT(*) AS n, MAX(h) AS th FROM ha),
+    sb AS (SELECT COUNT(*) AS n, MAX(h) AS th FROM hb),
+    su AS (SELECT COUNT(*) AS n, MAX(h) AS th FROM hu),
+    flags AS (
+        SELECT c, MAX(CASE WHEN g = '{_KMV_GA}' THEN 1 ELSE 0 END) AS fa,
+               MAX(CASE WHEN g = '{_KMV_GB}' THEN 1 ELSE 0 END) AS fb
+        FROM base GROUP BY c
+    ),
+    ex AS (
+        SELECT SUM(fa) AS ea, SUM(fb) AS eb, COUNT(*) AS eu,
+               SUM(fa * fb) AS ei
+        FROM flags
+    ),
+    thetas AS (
+        SELECT LEAST(CASE WHEN sa.n < {KMV_K} THEN CAST({CMS_P} AS BIGINT) + 1 ELSE sa.th END,
+                     CASE WHEN sb.n < {KMV_K} THEN CAST({CMS_P} AS BIGINT) + 1 ELSE sb.th END)
+               AS theta
+        FROM sa, sb
+    ),
+    common AS (
+        SELECT COUNT(*) AS cnt, t.theta
+        FROM ha JOIN hb USING (h), thetas t
+        WHERE h < t.theta
+        GROUP BY t.theta
+    ),
+    rows_out AS (
+        SELECT 'A' AS measure, sa.n AS n_keep, sa.th AS theta,
+               {_kmv_est_sql('sa.n', 'sa.th')} AS est, ex.ea AS exact
+        FROM sa, ex
+        UNION ALL
+        SELECT 'B', sb.n, sb.th, {_kmv_est_sql('sb.n', 'sb.th')}, ex.eb
+        FROM sb, ex
+        UNION ALL
+        SELECT 'union', su.n, su.th, {_kmv_est_sql('su.n', 'su.th')}, ex.eu
+        FROM su, ex
+        UNION ALL
+        SELECT 'intersect', c.cnt, c.theta,
+               CASE WHEN c.theta > {CMS_P} THEN c.cnt
+                    ELSE c.cnt * CAST({CMS_P} AS BIGINT) // c.theta END, ex.ei
+        FROM common c, ex
+    )
+    SELECT measure, CAST(n_keep AS BIGINT) AS n_keep,
+           CAST(theta AS BIGINT) AS theta, CAST(est AS BIGINT) AS est,
+           CAST(exact AS BIGINT) AS exact,
+           {bound.format(est='est', ex='exact', k2=KMV_K - 2, sig=25.0)}
+               OR measure = 'intersect'
+               AND {bound.format(est='est', ex='exact', k2=KMV_K - 2,
+                                 sig=64.0)}
+               AS bound_ok
+    FROM rows_out
+    """
+
+
+def kmv_set_ops(orders: DataFrame) -> DataFrame:
+    """KMV/theta sketches over the urgent- and high-priority customer
+    sets: per-sketch distinct estimates plus UNION (merge K smallest)
+    and INTERSECTION (common values below theta, scaled by P/theta)
+    estimates, each against its in-plan exact referee with a
+    machine-checked error band (5 sigma of the KMV standard error;
+    8 sigma for the higher-variance intersection).  Unsaturated
+    sketches (< K distinct values, e.g. sf0.001) are the complete
+    value set, so every estimate there equals the exact count."""
+    o = (
+        orders
+        .filter(F.col("o_orderpriority").isin(_KMV_GA, _KMV_GB))
+        .selectExpr(
+            "o_orderpriority AS g",
+            "o_custkey AS c",
+            f"{_kmv_hash('o_custkey')} AS h",
+        )
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.select("h").distinct().orderBy("h").limit(KMV_K)
+
+    ha = sketch(o.filter(F.col("g") == _KMV_GA))
+    hb = sketch(o.filter(F.col("g") == _KMV_GB))
+    hu = sketch(ha.unionByName(hb))
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"), F.max("h").alias("th")
+        )
+
+    sa, sb, su = stats(ha), stats(hb), stats(hu)
+    ex = (
+        o.groupBy("c")
+        .agg(
+            F.max((F.col("g") == _KMV_GA).cast("int")).alias("fa"),
+            F.max((F.col("g") == _KMV_GB).cast("int")).alias("fb"),
+        )
+        .agg(
+            F.sum("fa").alias("ea"),
+            F.sum("fb").alias("eb"),
+            F.count("*").alias("eu"),
+            F.sum(F.col("fa") * F.col("fb")).alias("ei"),
+        )
+    )
+
+    unsat = (
+        f"CASE WHEN {{n}} < {KMV_K}"
+        f" THEN CAST({CMS_P} AS BIGINT) + 1 ELSE {{th}} END"
+    )
+    thetas = (
+        sa.select(F.col("n").alias("na"), F.col("th").alias("tha"))
+        .crossJoin(
+            F.broadcast(
+                sb.select(F.col("n").alias("nb"), F.col("th").alias("thb"))
+            )
+        )
+        .selectExpr(
+            f"least({unsat.format(n='na', th='tha')},"
+            f" {unsat.format(n='nb', th='thb')}) AS theta"
+        )
+    )
+    common = (
+        ha.join(hb, "h")
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def row(measure: str, s: DataFrame, exact_col: str) -> DataFrame:
+        return (
+            s.crossJoin(F.broadcast(ex))
+            .selectExpr(
+                f"'{measure}' AS measure",
+                "n AS n_keep",
+                "th AS theta",
+                f"{_kmv_est_sql('n', 'th', 'div')} AS est",
+                f"{exact_col} AS exact",
+            )
+        )
+
+    row_i = common.crossJoin(F.broadcast(ex)).selectExpr(
+        "'intersect' AS measure",
+        "cnt AS n_keep",
+        "theta",
+        f"CASE WHEN theta > {CMS_P} THEN cnt"
+        f" ELSE cnt * CAST({CMS_P} AS BIGINT) div theta END AS est",
+        "ei AS exact",
+    )
+    bound = (
+        "CAST((est - exact) AS DOUBLE) * (est - exact) * {k2}"
+        " <= {sig} * CAST(exact AS DOUBLE) * exact"
+    )
+    return (
+        row("A", sa, "ea")
+        .unionByName(row("B", sb, "eb"))
+        .unionByName(row("union", su, "eu"))
+        .unionByName(row_i)
+        .selectExpr(
+            "measure",
+            "CAST(n_keep AS BIGINT) AS n_keep",
+            "CAST(theta AS BIGINT) AS theta",
+            "CAST(est AS BIGINT) AS est",
+            "CAST(exact AS BIGINT) AS exact",
+            f"{bound.format(k2=KMV_K - 2, sig=25.0)}"
+            " OR measure = 'intersect'"
+            f" AND {bound.format(k2=KMV_K - 2, sig=64.0)} AS bound_ok",
+        )
+    )
+
+
+@register("approx_kmv_set_ops", oracle=_oracle_kmv())
+def approx_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_set_ops(load_table(spark, sf_dir, "orders"))

@@ -569,3 +569,76 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("changed_cols"),
         )
     )
+
+
+# --- Benford first-digit audit ---------------------------------------------
+#
+# Naturally occurring multi-magnitude amounts follow Benford's law
+# (P(first digit = d) = log10(1 + 1/d)); fabricated, capped, or
+# synthetically generated amounts do not.  Auditors run exactly this
+# digit histogram over payment columns as a fraud/DQ screen (Nigrini).
+# The fixture's totalprice IS synthetic, so the audit fires — per-digit
+# deviation flags are the point, demonstrated on data the law rejects.
+#
+# Exactness: the first significant digit comes from the DECIMAL/string
+# form (no log10 libm call); expected shares are fixed integer ppm
+# literals; observed shares are integer divisions.  One linear scan,
+# 9-row output — scan throughput at any corpus size.
+
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757]  # round(log10(1+1/d) * 1e6), d = 1..9
+BENFORD_TOL_PPM = 5000  # flag digits deviating more than 0.5%
+
+_BENFORD_EXP = "CASE " + " ".join(
+    f"WHEN digit = {d + 1} THEN {p}" for d, p in enumerate(BENFORD_PPM)
+) + " END"
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    hist AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           CAST(n_orders * 1000000 // n_total AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_EXP} AS BIGINT) AS exp_ppm,
+           CAST(n_orders * 1000000 // n_total - {_BENFORD_EXP}
+                AS BIGINT) AS dev_ppm,
+           abs(n_orders * 1000000 // n_total - {_BENFORD_EXP})
+               > {BENFORD_TOL_PPM} AS flagged
+    FROM hist
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram of order totals vs Benford
+    expectation; per-digit ppm deviation + flag.  The synthetic
+    fixture violates the law by construction — the audit firing IS
+    the demonstrated behavior."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.selectExpr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    total = hist.agg(F.sum("n_orders").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).selectExpr(
+        "digit",
+        "n_orders",
+        "CAST(n_orders * 1000000 div n_total AS BIGINT) AS obs_ppm",
+        f"CAST({_BENFORD_EXP} AS BIGINT) AS exp_ppm",
+        f"CAST(n_orders * 1000000 div n_total - {_BENFORD_EXP}"
+        " AS BIGINT) AS dev_ppm",
+        f"abs(n_orders * 1000000 div n_total - {_BENFORD_EXP})"
+        f" > {BENFORD_TOL_PPM} AS flagged",
+    )

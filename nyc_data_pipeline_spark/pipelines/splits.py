@@ -211,3 +211,91 @@ def neyman_threshold_sample(d: DataFrame) -> DataFrame:
             "min_sel_doc",
         )
     )
+
+
+# --- Efraimidis-Spirakis weighted sampling without replacement -----------
+#
+# Neyman (above) decides HOW MANY to take per stratum; this operator
+# decides WHICH rows when inclusion probability must be proportional
+# to a per-row weight.  Efraimidis & Spirakis 2006: draw u ~ U(0,1]
+# per row, rank by u^(1/w) descending, keep the top n — exactly a
+# sequential weighted sample without replacement (their Thm 2).  The
+# monotone-equivalent rank key ln(u)/w avoids pow; u comes from a
+# deterministic bijective hash of the row key, so the "random" sample
+# is reproducible run-to-run and engine-to-engine — the property a
+# training-data pipeline needs for auditable subsampling.
+#
+# Cross-engine exactness: ln(u) is the one libm call — micro-nat
+# rounded (the dsir.py pattern) before the division by the weight;
+# the weight itself routes DECIMAL→VARCHAR→DOUBLE on the DuckDB side
+# (exprs.sql_d2d) to match Spark's BigDecimal.doubleValue.
+#
+# Scale shape: one shuffle on the stratum key; per-stratum top-n is a
+# row_number window over ~1/80th of the table per cell (the accepted
+# equidepth_segment regime — production strata are finer: day ×
+# segment).  Nothing global; no driver action.
+
+ES_P = 2_147_483_647
+ES_A, ES_B = 1_540_483_477, 610_639_321  # gcd(A, P) = 1: bijection
+ES_N_PER = 5
+
+_ES_H = f"(((o_orderkey % {ES_P}) * {ES_A} + {ES_B}) % {ES_P}) + 1"
+_ES_LNU = (
+    f"CAST(round(ln(CAST({_ES_H} AS DOUBLE) / {ES_P}.0) * 1000000.0, 0)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderkey,
+               CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS weight,
+               {_ES_LNU} AS lnu_micro
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY month
+                   ORDER BY CAST(lnu_micro AS DOUBLE) / weight DESC,
+                            o_orderkey) AS es_rank
+        FROM keyed
+    )
+    SELECT month, CAST(es_rank AS BIGINT) AS es_rank, o_orderkey,
+           weight, lnu_micro
+    FROM ranked WHERE es_rank <= {ES_N_PER}
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_es_sample(load_table(spark, sf_dir, "orders"))
+
+
+def weighted_es_sample(orders: DataFrame) -> DataFrame:
+    """Per-month weighted sample of ES_N_PER orders, inclusion odds
+    proportional to o_totalprice (Efraimidis-Spirakis keys over a
+    deterministic hash)."""
+    from pyspark.sql import Window
+
+    keyed = orders.selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') AS month",
+        "o_orderkey",
+        "CAST(o_totalprice AS DOUBLE) AS weight",
+        f"{_ES_LNU} AS lnu_micro",
+    )
+    w = Window.partitionBy("month").orderBy(
+        (F.col("lnu_micro").cast("double") / F.col("weight")).desc(),
+        "o_orderkey",
+    )
+    return (
+        keyed.withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= ES_N_PER)
+        .select(
+            "month",
+            F.col("es_rank").cast("bigint").alias("es_rank"),
+            "o_orderkey",
+            "weight",
+            "lnu_micro",
+        )
+    )

@@ -159,6 +159,25 @@ _VERIFY_FIRST = [
     # al. ExactSubstr, distributed; locally triple-verified at
     # sf0.001/0.01/0.1; r7 rotation).
     "dedup_span_coverage",
+    # -- position 66: r6 KMV/theta sketch set-operation estimates
+    # (locally triple-verified; r7 rotation).
+    "approx_kmv_set_ops",
+    # -- position 67: r6 Efraimidis-Spirakis weighted sample
+    # (locally triple-verified; r7 rotation).
+    "sample_weighted_es",
+    # -- position 68: r6 BM25 ranked retrieval (locally
+    # triple-verified; r7 rotation).
+    "text_bm25_topk",
+    # -- positions 69-70: r6 per-language bigram conditional entropy
+    # and Poisson-bootstrap CI (locally triple-verified; r7 rotation).
+    "text_bigram_entropy",
+    "ab_bootstrap_ci",
+    # -- positions 71-73: r6 top-k event sequences, Benford digit
+    # audit, ray-cast point-in-polygon (locally triple-verified; r7
+    # rotation).
+    "events_topk_sequences",
+    "dq_benford_digits",
+    "geo_point_in_polygon",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -374,11 +393,14 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.robust",
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.operators.experiments",
+    "nyc_data_pipeline_spark.operators.sequences",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.functions.bpe",
     "nyc_data_pipeline_spark.functions.dsir",
+    "nyc_data_pipeline_spark.functions.bm25",
+    "nyc_data_pipeline_spark.functions.entropy",
     "nyc_data_pipeline_spark.dedup.exact",
     "nyc_data_pipeline_spark.dedup.ngram",
     "nyc_data_pipeline_spark.dedup.minhash",

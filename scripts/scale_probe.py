@@ -558,6 +558,56 @@ def probe(spark, k: int) -> dict[str, float]:
 
     run("span_coverage", span_coverage(docsk))
 
+    # KMV sketch: distinct custkeys grow k× (key-shifted shifts
+    # o_orderkey, so also shift custkeys via a derived column), sketch
+    # stays K=256 — the claim is one linear distinct pass per side
+    # feeding constant-size TakeOrdered heaps; set algebra after that
+    # is sketch-local and k-invariant.
+    from nyc_data_pipeline_spark.operators.sketches import kmv_set_ops
+
+    ordck = scaled(load_table(spark, SF_DIR, "orders"), "o_custkey", k, 10**9)
+    run("kmv_set_ops", kmv_set_ops(ordck))
+
+    # E-S weighted sampler: rows per month-stratum grow k× (key-shifted
+    # order keys, dates unchanged) — the claim is one stratum-keyed
+    # shuffle + per-cell top-n sorts that stay a fixed ~1/80 corpus
+    # fraction each, n constant.
+    from nyc_data_pipeline_spark.pipelines.splits import weighted_es_sample
+
+    run("weighted_es", weighted_es_sample(ordk))
+
+    # BM25: clones duplicate text, so query-term posting lists grow k×
+    # while the df/stats broadcasts stay 7-and-1 rows — the claim is
+    # one filtered corpus pass + constant-size top-k heaps.
+    from nyc_data_pipeline_spark.functions.bm25 import bm25_topk
+
+    run("bm25_topk", bm25_topk(docsk))
+
+    # Bigram entropy: clones duplicate text → vocabulary (and the
+    # distinct-bigram table) is FIXED while counts grow; expect the
+    # BPE-style near-flat profile after the first counting pass.
+    from nyc_data_pipeline_spark.functions.entropy import bigram_entropy
+
+    run("bigram_entropy", bigram_entropy(docsk))
+
+    # Poisson bootstrap: the 64-replicate expand grows k× in CPU but
+    # map-side combine keeps the shuffle at |groups|·B rows at every k.
+    from nyc_data_pipeline_spark.operators.experiments import bootstrap_ci
+
+    run("bootstrap_ci", bootstrap_ci(ordk))
+
+    # Top-k sequences: per-user windows stay bounded (clones add USERS,
+    # not events-per-user); trigram vocabulary is fixed (5³ types).
+    from nyc_data_pipeline_spark.operators.sequences import topk_sequences
+
+    run("topk_sequences", topk_sequences(ev))
+
+    # PIP: pure codegen'd scan + 10-row groupBy — expect scan-linear.
+    from nyc_data_pipeline_spark.operators.geo import point_in_polygon
+
+    evgeo = scaled(load_table(spark, SF_DIR, "events"), "event_id", k, 10**9)
+    run("pip_geofence", point_in_polygon(evgeo))
+
     return times
 
 

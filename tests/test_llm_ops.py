@@ -467,3 +467,177 @@ def test_span_coverage_interval_union_invariants(spark, sf_dir):
         .collect()
     }
     assert {r.doc_id for r in rows if r.dup_spans > 0} == cross
+
+
+def test_kmv_sketch_set_algebra(spark, sf_dir):
+    """KMV/theta invariants on the sf0.001 fixture: sketches are
+    UNSATURATED (< K distinct customers per priority), so every
+    estimate must equal its exact referee; inclusion-exclusion holds
+    on the exact columns; every bound_ok is true; union theta never
+    exceeds either input theta (merge keeps the K smallest)."""
+    from nyc_data_pipeline_spark.operators.sketches import KMV_K
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = {r.measure: r for r in QUERIES["approx_kmv_set_ops"](spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "union", "intersect"}
+    assert all(r.bound_ok for r in rows.values())
+    assert rows["A"].n_keep < KMV_K  # fixture is the unsaturated regime
+    for r in rows.values():
+        assert r.est == r.exact
+    assert (
+        rows["A"].exact + rows["B"].exact - rows["union"].exact
+        == rows["intersect"].exact
+    )
+    assert rows["union"].theta <= min(rows["A"].theta, rows["B"].theta)
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 sanity: each query returns exactly TOPK docs with ranks
+    1..K and non-increasing scores (doc_id tiebreak); every returned
+    doc genuinely contains at least one query term and n_terms_hit
+    matches a recount from the raw text."""
+    from nyc_data_pipeline_spark.functions.bm25 import (
+        BM25_QUERIES,
+        BM25_TOPK,
+    )
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    terms = dict(BM25_QUERIES)
+    texts = {
+        r.doc_id: set(r.text.lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(terms)
+    for qid, sample in by_q.items():
+        sample.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in sample] == list(range(1, BM25_TOPK + 1))
+        for a, b in zip(sample, sample[1:]):
+            assert (a.score_micro, -a.doc_id) >= (b.score_micro, -b.doc_id)
+            assert a.score_micro >= b.score_micro
+        for r in sample:
+            hit = texts[r.doc_id] & set(terms[qid])
+            assert hit and len(hit) == r.n_terms_hit
+
+
+def test_bigram_entropy_bounds_and_recount(spark, sf_dir):
+    """Entropy sanity: 0 <= H <= ln(distinct next tokens) per language
+    (in micro-nats); n_bigrams recounts from raw token arrays; the
+    h_num/n ratio reproduces the emitted double exactly."""
+    import math
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["text_bigram_entropy"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+
+    recount = {}
+    for d in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", d.text.lower()) if t]
+        if len(toks) >= 2:
+            recount[d.lang] = recount.get(d.lang, 0) + len(toks) - 1
+    for r in rows:
+        assert r.n_bigrams == recount[r.lang]
+        assert 0 <= r.entropy_micronats <= math.log(r.distinct_bigrams) * 1e6
+        assert r.entropy_micronats == r.h_num_micro / r.n_bigrams
+
+
+def test_topk_sequences_recount_and_order(spark, sf_dir):
+    """Sequence top-k invariants: rows are ordered by count desc with
+    trigram tiebreak; every count recomputes from a driver-side rebuild
+    of the per-user event streams; shares are floor(n*1e6/total)."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_topk_sequences"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for a, b in zip(rows, rows[1:]):
+        assert (-a.n_occurrences, a.trigram) <= (-b.n_occurrences, b.trigram)
+
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    from collections import Counter
+
+    grams = Counter()
+    for i in range(len(ev) - 2):
+        a, b, c = ev[i], ev[i + 1], ev[i + 2]
+        if a.user_id == b.user_id == c.user_id:
+            grams[f"{a.event_type}>{b.event_type}>{c.event_type}"] += 1
+    total = sum(grams.values())
+    for r in rows:
+        assert grams[r.trigram] == r.n_occurrences
+        assert r.share_ppm == r.n_occurrences * 1_000_000 // total
+    assert rows[0].n_occurrences == max(grams.values())
+
+
+def test_benford_audit_partition_and_flags(spark, sf_dir):
+    """Benford audit: digits 1..9 partition all orders, observed ppm
+    shares telescope to ~1e6, expected ppm are the Benford constants,
+    and the synthetic fixture (non-Benford by construction) trips at
+    least one flag."""
+    from nyc_data_pipeline_spark.pipelines.quality import BENFORD_PPM
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["dq_benford_digits"](spark, sf_dir).collect(),
+        key=lambda r: r.digit,
+    )
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert [r.exp_ppm for r in rows] == BENFORD_PPM
+    assert 1_000_000 - 9 <= sum(r.obs_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        assert r.dev_ppm == r.obs_ppm - r.exp_ppm
+        assert r.flagged == (abs(r.dev_ppm) > 5000)
+    assert any(r.flagged for r in rows)
+
+
+def test_point_in_polygon_against_reference_raycaster(spark, sf_dir):
+    """PIP correctness: counts partition all events, and the verdict
+    for every event matches an independent pure-Python even-odd ray
+    caster over the same synthesized coordinates."""
+    from nyc_data_pipeline_spark.operators.geo import (
+        LAT0,
+        LON0,
+        MIX_LAT,
+        MIX_LON,
+        PIP_POLY,
+        SPAN,
+    )
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["geo_point_in_polygon"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    assert sum(r.n_events for r in rows) == len(ev)
+
+    def synth(eid):
+        return (
+            LAT0 + ((eid % SPAN) * (MIX_LAT % SPAN)) % SPAN,
+            LON0 + ((eid % SPAN) * (MIX_LON % SPAN)) % SPAN,
+        )
+
+    def inside(py, px):
+        c = 0
+        n = len(PIP_POLY)
+        for i in range(n):
+            (ay, ax), (by, bx) = PIP_POLY[i], PIP_POLY[(i + 1) % n]
+            if (ay > py) != (by > py) and (px - ax) * (by - ay) * (
+                1 if by > ay else -1
+            ) < (bx - ax) * (py - ay) * (1 if by > ay else -1):
+                c += 1
+        return c % 2 == 1
+
+    from collections import Counter
+
+    want = Counter()
+    for r in ev:
+        want[(r.event_type, inside(*synth(r.event_id)))] += 1
+    got = {(r.event_type, r.inside): r.n_events for r in rows}
+    assert got == dict(want)

@@ -124,3 +124,79 @@ def test_closure_at_least_as_collapsed_as_keep_one(spark):
     assert all(clos[d] <= keep[d] for d in keep)
     # And it can only merge clusters, never split them.
     assert len(set(clos.values())) <= len(set(keep.values()))
+
+
+def test_weighted_es_sample_bias_and_shape(spark, sf_dir):
+    """E-S sampler invariants: exactly N_PER rows per month (months
+    with >= N_PER orders), ranks are 1..N_PER, orders belong to their
+    month, the draw is deterministic across invocations, and the
+    weighted draw is actually biased — the sampled mean o_totalprice
+    clearly exceeds the corpus mean (inclusion odds ~ weight)."""
+    import pyspark.sql.functions as F
+
+    from nyc_data_pipeline_spark.pipelines.splits import ES_N_PER
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["sample_weighted_es"](spark, sf_dir).collect()
+    again = QUERIES["sample_weighted_es"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    month_sizes = {
+        r.month: r.n
+        for r in o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month, []).append(r)
+    assert set(by_month) == set(month_sizes)
+    for month, sample in by_month.items():
+        assert len(sample) == min(ES_N_PER, month_sizes[month])
+        assert sorted(r.es_rank for r in sample) == list(
+            range(1, len(sample) + 1)
+        )
+    # 5-of-~19 per month bounds the achievable lift; 1.2x is a clear
+    # signal (unweighted sampling would hover at 1.0x +- noise).
+    corpus_mean = o.agg(F.avg("o_totalprice")).first()[0]
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > 1.2 * float(corpus_mean)
+
+
+def test_bootstrap_ci_brackets_and_width(spark, sf_dir):
+    """Poisson-bootstrap invariants: all 64 replicates survive (no
+    zero-weight group at any fixture size), lo < point < hi for every
+    priority (the CI covers its own point estimate), the band is
+    non-degenerate but tight (within +-5% of the point), and the point
+    estimate recomputes from raw orders."""
+    import pyspark.sql.functions as F
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["ab_bootstrap_ci"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    truth = {
+        r.grp: (r.s, r.n)
+        for r in o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert {r.grp for r in rows} == set(truth)
+    for r in rows:
+        s, n = truth[r.grp]
+        assert r.n_rows == n
+        assert r.point_milli == s * 1000 // n
+        assert r.n_reps == 64
+        assert r.covers_point
+        assert r.lo_milli < r.point_milli < r.hi_milli
+        # ~90% CI of a mean over n >= 300 rows with cv ~ 0.6:
+        # 2 * 1.645 * 0.6 / sqrt(300) ~ 11% of the point at sf0.001,
+        # shrinking as 1/sqrt(n) at larger fixtures.
+        width = r.hi_milli - r.lo_milli
+        assert 0 < width < 0.15 * r.point_milli

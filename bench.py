@@ -182,6 +182,8 @@ HEADLINE = [
     "dq_benford_digits",
     # r6: integer ray-cast geofence counts
     "geo_point_in_polygon",
+    # r6: exact-quintile RFM segmentation (two-phase ranks)
+    "orders_rfm_quintiles",
 ]
 
 

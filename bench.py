@@ -184,6 +184,8 @@ HEADLINE = [
     "geo_point_in_polygon",
     # r6: exact-quintile RFM segmentation (two-phase ranks)
     "orders_rfm_quintiles",
+    # r6: Pareto skyline (two-phase prefix mins)
+    "orders_pareto_skyline",
 ]
 
 

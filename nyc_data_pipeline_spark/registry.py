@@ -181,6 +181,9 @@ _VERIFY_FIRST = [
     # -- position 74: r6 exact-quintile RFM via the reusable two-phase
     # rank (locally triple-verified; r7 rotation).
     "orders_rfm_quintiles",
+    # -- position 75: r6 Pareto skyline via two-phase prefix mins
+    # (locally triple-verified; r7 rotation).
+    "orders_pareto_skyline",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -398,6 +401,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.experiments",
     "nyc_data_pipeline_spark.operators.sequences",
     "nyc_data_pipeline_spark.operators.rfm",
+    "nyc_data_pipeline_spark.operators.skyline",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

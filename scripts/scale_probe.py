@@ -615,6 +615,30 @@ def probe(spark, k: int) -> dict[str, float]:
 
     run("rfm_quintiles", rfm_segments(ordck))
 
+    # Skyline: orders and lineitems grow k× (key-shifted in lockstep);
+    # the sweep is one bucket-keyed shuffle + a 64-row prefix-min.
+    from nyc_data_pipeline_spark.operators.skyline import pareto_skyline
+
+    lik = scaled(load_table(spark, SF_DIR, "lineitem"), "l_orderkey", k, 10**9)
+    sky_pts = (
+        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).cast("bigint").alias("delivery_days")
+        )
+        .selectExpr(
+            "o_orderkey",
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents",
+            "delivery_days",
+        )
+    )
+    run("pareto_skyline", pareto_skyline(sky_pts, "price_cents", "delivery_days"))
+
     return times
 
 

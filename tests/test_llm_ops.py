@@ -677,3 +677,57 @@ def test_rfm_quintiles_balanced_and_recounted(spark, sf_dir):
             want = "core"
         assert r.segment == want
         assert r.rfm_code == 100 * r.r_q + 10 * r.f_q + r.m_q
+
+
+def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
+    """Skyline vs the O(n²) definition on the small fixture: the
+    returned set equals the brute-force undominated set; skyline
+    members don't dominate each other; every excluded point is
+    dominated by some skyline member."""
+    import pyspark.sql.functions as F
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    sky = {
+        (r.o_orderkey, r.price_cents, r.delivery_days)
+        for r in QUERIES["orders_pareto_skyline"](spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = [
+        (r.o_orderkey, r.price_cents, r.delivery_days)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).alias("delivery_days")
+        )
+        .selectExpr(
+            "o_orderkey",
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents",
+            "CAST(delivery_days AS BIGINT) AS delivery_days",
+        )
+        .collect()
+    ]
+
+    def dominates(a, b):
+        return (
+            a[1] <= b[1]
+            and a[2] <= b[2]
+            and (a[1] < b[1] or a[2] < b[2])
+        )
+
+    brute = {
+        p for p in pts if not any(dominates(q, p) for q in pts if q is not p)
+    }
+    assert sky == brute
+    for a in sky:
+        assert not any(dominates(b, a) for b in sky if b != a)
+    for p in pts:
+        key = (p[0], p[1], p[2])
+        if key not in sky:
+            assert any(dominates(s, p) for s in sky)

@@ -111,11 +111,15 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
     stats = dls.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
+    # tf feeds both the df aggregation and the scoring join — a
+    # diamond that would re-run the corpus explode twice; pin the
+    # small (doc, term, tf) result instead.
+    tf = persist_scoped(
+        "bm25.tf",
         toks.select("doc_id", F.explode("tk").alias("t"))
         .filter(F.col("t").isin(*_ALL_TERMS))
         .groupBy("doc_id", "t")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(F.count("*").cast("bigint").alias("tf")),
     )
     dfs = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     scored = persist_scoped(

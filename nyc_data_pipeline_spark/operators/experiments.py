@@ -246,8 +246,8 @@ _BOOT_W = (
     ),
     ranked AS (
         SELECT grp, mean_milli,
-               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_milli)
-                   AS rk
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY mean_milli, b) AS rk
         FROM reps
     ),
     ci AS (
@@ -300,9 +300,14 @@ def bootstrap_ci(orders: DataFrame) -> DataFrame:
         .filter(F.col("sw") > 0)
         .selectExpr("grp", "b", "swx * 1000 div sw AS mean_milli")
     )
+    # b as tiebreak: two replicates CAN produce identical means, and an
+    # un-tiebroken row_number would pick engine-dependent rows at the
+    # rank-4/61 CI boundaries.
     ranked = reps.withColumn(
         "rk",
-        F.row_number().over(Window.partitionBy("grp").orderBy("mean_milli")),
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy("mean_milli", "b")
+        ),
     )
     ci = ranked.groupBy("grp").agg(
         F.max(F.when(F.col("rk") == BOOT_LO, F.col("mean_milli"))).alias(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..registry import register
 
 LGK = 12  # sketch precision: 2^12 buckets, ~1.6% relative standard error
@@ -535,8 +535,13 @@ def kmv_set_ops(orders: DataFrame) -> DataFrame:
     def sketch(df: DataFrame) -> DataFrame:
         return df.select("h").distinct().orderBy("h").limit(KMV_K)
 
-    ha = sketch(o.filter(F.col("g") == _KMV_GA))
-    hb = sketch(o.filter(F.col("g") == _KMV_GB))
+    # The two sketches and the 1-row exact frame are each consumed by
+    # 3-4 downstream rows; without a cache every consumer re-runs the
+    # corpus-side distinct+top-K (≈11 scans of orders).  persist_scoped
+    # pins the ≤256-row RESULTS, so set algebra after the two linear
+    # passes is sketch-local — the whole point of the data structure.
+    ha = persist_scoped("kmv.ha", sketch(o.filter(F.col("g") == _KMV_GA)))
+    hb = persist_scoped("kmv.hb", sketch(o.filter(F.col("g") == _KMV_GB)))
     hu = sketch(ha.unionByName(hb))
 
     def stats(df: DataFrame) -> DataFrame:
@@ -558,6 +563,7 @@ def kmv_set_ops(orders: DataFrame) -> DataFrame:
             F.sum(F.col("fa") * F.col("fb")).alias("ei"),
         )
     )
+    ex = persist_scoped("kmv.exact", ex)
 
     unsat = (
         f"CASE WHEN {{n}} < {KMV_K}"

@@ -186,6 +186,8 @@ HEADLINE = [
     "orders_rfm_quintiles",
     # r6: Pareto skyline (two-phase prefix mins)
     "orders_pareto_skyline",
+    # r6: CMS-driven candidate top-k (production sketch path)
+    "approx_cms_topk_prod",
 ]
 
 

@@ -22,7 +22,7 @@ pytest-only assertion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, persist_scoped
@@ -634,3 +634,122 @@ def kmv_set_ops(orders: DataFrame) -> DataFrame:
 @register("approx_kmv_set_ops", oracle=_oracle_kmv())
 def approx_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(load_table(spark, sf_dir, "orders"))
+
+
+# --- CMS-driven top-k: the production candidate path ----------------------
+#
+# approx_cms_heavy_hitters (above) audits the sketch on a top-10 list
+# its referee computed EXACTLY — its docstring notes a real pipeline
+# finds the candidates FROM the sketch.  This query is that production
+# path, with its recall machine-checked: score every distinct key by
+# its CMS estimate (a broadcast of the D·W counter table — counters
+# built straight from raw events, no per-key exact pass), take the
+# top C = MULT·K candidates by estimate (TakeOrdered heaps), count
+# EXACTLY only candidate traffic, and report, for each of the true
+# top-K keys (the in-plan referee), whether the sketch surfaced it.
+# CMS never underestimates, so a true heavy hitter is missed only if
+# ≥ C other keys out-estimate it — the overprovisioning MULT buys the
+# recall, and `found_by_sketch` records the result per key.
+
+CMS_TOPK = 10
+CMS_CAND_MULT = 3  # candidate overprovisioning factor
+# The 64-bucket audit sketch above is deliberately tiny; candidate
+# GENERATION needs error << the heavy-hitter gap.  ε ≈ e/W ⇒ with
+# W = 16384 the estimate error is ~N/16384 — a 0.5 MB counter table
+# (4×16384×8 B), still broadcast-trivial.  Sizing the sketch to the
+# tolerance is the production decision this query demonstrates; the
+# first draft reused W = 64 and its measured recall fell from 1.0
+# (sf0.001) to 0.0 (sf0.1) as collisions swamped the gap.
+CMS_TOPK_W = 16384
+
+
+@register(
+    "approx_cms_topk_prod",
+    oracle=f"""
+    WITH cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS hrow, {_cms_hash_sql(i, 'user_id', CMS_TOPK_W)} AS bucket"
+            " FROM events"
+            for i in range(CMS_D)
+        )}
+    ),
+    counters AS (
+        SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS total
+        FROM cells GROUP BY hrow, bucket
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    est AS (
+        SELECT u.user_id, MIN(c.total) AS cms_est
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT user_id, {i} AS hrow,"
+                f" {_cms_hash_sql(i, 'user_id', CMS_TOPK_W)} AS bucket FROM users"
+                for i in range(CMS_D)
+            )}
+        ) u JOIN counters c USING (hrow, bucket)
+        GROUP BY u.user_id
+    ),
+    cand AS (
+        SELECT user_id FROM est
+        ORDER BY cms_est DESC, user_id LIMIT {CMS_TOPK * CMS_CAND_MULT}
+    ),
+    true_top AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY user_id
+        ORDER BY exact_count DESC, user_id LIMIT {CMS_TOPK}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.exact_count DESC, t.user_id)
+                AS BIGINT) AS rank,
+           t.user_id, t.exact_count, e.cms_est,
+           t.user_id IN (SELECT user_id FROM cand) AS found_by_sketch
+    FROM true_top t JOIN est e USING (user_id)
+    """,
+)
+def approx_cms_topk_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_topk_prod(load_table(spark, sf_dir, "events"))
+
+
+def cms_topk_prod(ev: DataFrame) -> DataFrame:
+    cell_structs = ", ".join(
+        f"struct({i} AS hrow, {_cms_hash_sql(i, 'user_id', CMS_TOPK_W)} AS bucket)"
+        for i in range(CMS_D)
+    )
+    counters = (
+        ev.selectExpr(f"explode(array({cell_structs})) AS c")
+        .select(F.col("c.hrow").alias("hrow"), F.col("c.bucket").alias("bucket"))
+        .groupBy("hrow", "bucket")
+        .agg(F.count("*").cast("bigint").alias("total"))
+    )
+    users = persist_scoped("cms_topk.users", ev.select("user_id").distinct())
+    est = persist_scoped(
+        "cms_topk.est",
+        users.selectExpr("user_id", f"explode(array({cell_structs})) AS c")
+        .select("user_id", F.col("c.hrow").alias("hrow"), F.col("c.bucket").alias("bucket"))
+        .join(F.broadcast(counters), ["hrow", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("total").alias("cms_est")),
+    )
+    cand = (
+        est.orderBy(F.col("cms_est").desc(), "user_id")
+        .limit(CMS_TOPK * CMS_CAND_MULT)
+        .select("user_id")
+        .withColumn("is_cand", F.lit(True))
+    )
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(CMS_TOPK)
+    )
+    w = Window.orderBy(F.col("exact_count").desc(), "user_id")
+    return (
+        true_top.join(est, "user_id")
+        .join(F.broadcast(cand), "user_id", "left")
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "user_id",
+            "exact_count",
+            "cms_est",
+            F.coalesce("is_cand", F.lit(False)).alias("found_by_sketch"),
+        )
+    )

@@ -184,6 +184,9 @@ _VERIFY_FIRST = [
     # -- position 75: r6 Pareto skyline via two-phase prefix mins
     # (locally triple-verified; r7 rotation).
     "orders_pareto_skyline",
+    # -- position 76: r6 CMS-driven candidate top-k, production path
+    # (locally triple-verified; r7 rotation).
+    "approx_cms_topk_prod",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

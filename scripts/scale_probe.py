@@ -639,6 +639,13 @@ def probe(spark, k: int) -> dict[str, float]:
     )
     run("pareto_skyline", pareto_skyline(sky_pts, "price_cents", "delivery_days"))
 
+    # CMS candidate top-k: distinct keys grow k× but the counter table
+    # stays 4×16384; scoring is one broadcast join, candidates a
+    # TakeOrdered heap, exact counting candidate-only.
+    from nyc_data_pipeline_spark.operators.sketches import cms_topk_prod
+
+    run("cms_topk_prod", cms_topk_prod(ev))
+
     return times
 
 

@@ -731,3 +731,23 @@ def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
         key = (p[0], p[1], p[2])
         if key not in sky:
             assert any(dominates(s, p) for s in sky)
+
+
+def test_cms_topk_prod_recall_and_bounds(spark, sf_dir):
+    """Sketch-driven candidate generation: ranks 1..K over the true
+    top-K (exact-count order), CMS estimate never below the exact
+    count (CMS upper-bounds), and the width-16384 sketch surfaces
+    every true heavy hitter (found_by_sketch recall = 1 on all
+    fixtures — the sizing claim the module makes)."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["approx_cms_topk_prod"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.exact_count, -a.user_id) >= (b.exact_count, -b.user_id)
+    for r in rows:
+        assert r.cms_est >= r.exact_count
+        assert r.found_by_sketch

@@ -188,6 +188,8 @@ HEADLINE = [
     "orders_pareto_skyline",
     # r6: CMS-driven candidate top-k (production sketch path)
     "approx_cms_topk_prod",
+    # r6: ABC classes (two-phase prefix sum)
+    "orders_abc_classes",
 ]
 
 

@@ -187,6 +187,9 @@ _VERIFY_FIRST = [
     # -- position 76: r6 CMS-driven candidate top-k, production path
     # (locally triple-verified; r7 rotation).
     "approx_cms_topk_prod",
+    # -- position 77: r6 ABC cumulative-share classes via two-phase
+    # prefix sum (locally triple-verified; r7 rotation).
+    "orders_abc_classes",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -405,6 +408,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.sequences",
     "nyc_data_pipeline_spark.operators.rfm",
     "nyc_data_pipeline_spark.operators.skyline",
+    "nyc_data_pipeline_spark.operators.abc",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

@@ -646,6 +646,18 @@ def probe(spark, k: int) -> dict[str, float]:
 
     run("cms_topk_prod", cms_topk_prod(ev))
 
+    # ABC: parts grow k× (shift l_partkey); one bucket-keyed shuffle +
+    # 64-row prefix over bucket sums.
+    from nyc_data_pipeline_spark.operators.abc import abc_classes
+
+    lipk = scaled(load_table(spark, SF_DIR, "lineitem"), "l_partkey", k, 10**9)
+    revk = lipk.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    run("abc_classes", abc_classes(revk, "revenue_cents", "partkey"))
+
     return times
 
 

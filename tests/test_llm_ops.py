@@ -751,3 +751,32 @@ def test_cms_topk_prod_recall_and_bounds(spark, sf_dir):
     for r in rows:
         assert r.cms_est >= r.exact_count
         assert r.found_by_sketch
+
+
+def test_abc_classes_match_sequential_walk(spark, sf_dir):
+    """ABC invariants: cum_cents reproduces a driver-side sequential
+    walk of the revenue-desc order exactly (ties included); classes
+    respect the 80/95 cross-multiplied boundaries; the final cumulative
+    equals the total; class A is a minority of parts holding the
+    majority of revenue only if the distribution is skewed (here the
+    synthetic data is near-uniform, so we assert only the boundary
+    algebra, not a Pareto shape)."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["orders_abc_classes"](spark, sf_dir).collect(),
+        key=lambda r: (-r.revenue_cents, r.partkey),
+    )
+    total = sum(r.revenue_cents for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.revenue_cents
+        assert r.cum_cents == cum
+        assert r.cum_share_ppm == cum * 1_000_000 // total
+        want = (
+            "A"
+            if cum * 5 <= total * 4
+            else ("B" if cum * 20 <= total * 19 else "C")
+        )
+        assert r.abc_class == want
+    assert cum == total

@@ -190,6 +190,8 @@ HEADLINE = [
     "approx_cms_topk_prod",
     # r6: ABC classes (two-phase prefix sum)
     "orders_abc_classes",
+    # r6: ratio-to-MA seasonal decomposition
+    "ts_seasonal_decompose",
 ]
 
 

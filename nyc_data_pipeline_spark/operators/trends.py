@@ -341,3 +341,125 @@ def ts_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d38("sae_seasonal") * d38("n_naive")
          < d38("sae_naive") * d38("n_seasonal")).alias("seasonal_better"),
     )
+
+
+# --- Classical seasonal decomposition (ratio-to-moving-average) ------------
+#
+# ts_seasonal_mase (above) JUDGES a seasonal forecast; this produces
+# the decomposition itself — the classical multiplicative
+# ratio-to-moving-average method (the hand-computable ancestor of
+# STL): trend = 2×12-term centered moving average of monthly revenue,
+# seasonal index = per-calendar-month mean of revenue/trend ratios,
+# deseasonalized = revenue / index.  The curve an ops dashboard
+# overlays on raw monthly revenue.
+#
+# Exactness: the 2×12 MA is carried UNDIVIDED as trend24 = the sum of
+# the two staggered 12-month window sums (pure integers); ratios and
+# indices live in ppm via integral division.  rev·24·10⁶ brushes int64
+# at sf0.1 already, so the ppm multiplies ride decimal(38,0)/HUGEINT
+# carriers from the start (the ABC probe lesson, applied proactively).
+#
+# Scale shape: everything after the one monthly rollup aggregation
+# operates on the BOUNDED month table (~80 rows at any corpus size) —
+# the accepted rollup-level-global-window regime.  At 100 TB the only
+# corpus-touching stage is the first groupBy.
+
+SD_PPM = 1_000_000
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(strftime(o_orderdate, '%m') AS BIGINT) AS cal_month,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT *,
+               CASE WHEN ROW_NUMBER() OVER w > 6
+                         AND ROW_NUMBER() OVER (w2) > 6
+               THEN SUM(rev_cents) OVER
+                        (w ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                    + SUM(rev_cents) OVER
+                        (w ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+               END AS trend24
+        FROM monthly
+        WINDOW w AS (ORDER BY month),
+               w2 AS (ORDER BY month DESC)
+    ),
+    ratios AS (
+        SELECT *,
+               CASE WHEN trend24 IS NOT NULL THEN
+                   CAST(CAST(rev_cents AS HUGEINT) * 24 * {SD_PPM}
+                        // trend24 AS BIGINT)
+               END AS ratio_ppm
+        FROM ma
+    ),
+    idx AS (
+        SELECT cal_month,
+               CAST(SUM(ratio_ppm) // COUNT(ratio_ppm) AS BIGINT)
+                   AS si_ppm
+        FROM ratios WHERE ratio_ppm IS NOT NULL GROUP BY cal_month
+    )
+    SELECT r.month, r.rev_cents,
+           CAST(r.trend24 AS BIGINT) AS trend24,
+           r.ratio_ppm, i.si_ppm,
+           CAST(CAST(r.rev_cents AS HUGEINT) * {SD_PPM} // i.si_ppm
+                AS BIGINT) AS deseason_cents
+    FROM ratios r JOIN idx i USING (cal_month)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue = trend × seasonal × residual, the
+    ratio-to-moving-average way; all ratios in exact ppm."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.month("o_orderdate").cast("bigint").alias("cal_month"),
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    w_desc = Window.orderBy(F.col("month").desc())
+    ma = monthly.withColumn(
+        "trend24",
+        F.when(
+            (F.row_number().over(w) > 6) & (F.row_number().over(w_desc) > 6),
+            F.sum("rev_cents").over(w.rowsBetween(-6, 5))
+            + F.sum("rev_cents").over(w.rowsBetween(-5, 6)),
+        ),
+    )
+    ratios = ma.withColumn(
+        "ratio_ppm",
+        F.expr(
+            f"CASE WHEN trend24 IS NOT NULL THEN"
+            f" CAST(CAST(rev_cents AS DECIMAL(38,0)) * 24 * {SD_PPM}"
+            f" div trend24 AS BIGINT) END"
+        ),
+    )
+    idx = (
+        ratios.filter(F.col("ratio_ppm").isNotNull())
+        .groupBy("cal_month")
+        .agg(
+            F.expr("CAST(SUM(ratio_ppm) div COUNT(ratio_ppm) AS BIGINT)").alias(
+                "si_ppm"
+            )
+        )
+    )
+    return (
+        ratios.join(F.broadcast(idx), "cal_month")
+        .selectExpr(
+            "month",
+            "rev_cents",
+            "CAST(trend24 AS BIGINT) AS trend24",
+            "ratio_ppm",
+            "si_ppm",
+            f"CAST(CAST(rev_cents AS DECIMAL(38,0)) * {SD_PPM}"
+            " div si_ppm AS BIGINT) AS deseason_cents",
+        )
+    )

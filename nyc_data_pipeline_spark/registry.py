@@ -190,6 +190,9 @@ _VERIFY_FIRST = [
     # -- position 77: r6 ABC cumulative-share classes via two-phase
     # prefix sum (locally triple-verified; r7 rotation).
     "orders_abc_classes",
+    # -- position 78: r6 ratio-to-MA seasonal decomposition (locally
+    # triple-verified; r7 rotation).
+    "ts_seasonal_decompose",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

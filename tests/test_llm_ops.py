@@ -780,3 +780,32 @@ def test_abc_classes_match_sequential_walk(spark, sf_dir):
         )
         assert r.abc_class == want
     assert cum == total
+
+
+def test_seasonal_decompose_identities(spark, sf_dir):
+    """Decomposition sanity: trend is defined exactly where a full
+    2x12 window exists (rows 7..n-6 of the month order); trend24
+    recomputes from the raw monthly sums; the seasonal indices
+    average to ~1e6 ppm (multiplicative indices are mean-one); and
+    deseason_cents * si_ppm reproduces rev_cents within integer
+    rounding."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["ts_seasonal_decompose"](spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    n = len(rows)
+    rev = [r.rev_cents for r in rows]
+    for i, r in enumerate(rows):
+        if 6 <= i < n - 6:
+            want = sum(rev[i - 6 : i + 6]) + sum(rev[i - 5 : i + 7])
+            assert r.trend24 == want
+            assert r.ratio_ppm == r.rev_cents * 24 * 1_000_000 // want
+        else:
+            assert r.trend24 is None and r.ratio_ppm is None
+        assert r.deseason_cents == r.rev_cents * 1_000_000 // r.si_ppm
+        assert abs(r.deseason_cents * r.si_ppm - r.rev_cents * 1_000_000) < r.si_ppm
+    sis = {r.si_ppm for r in rows}
+    mean_si = sum(sis) / len(sis)
+    assert 0.9e6 < mean_si < 1.1e6

@@ -192,6 +192,10 @@ HEADLINE = [
     "orders_abc_classes",
     # r6: ratio-to-MA seasonal decomposition
     "ts_seasonal_decompose",
+    # r6: Laplace-mechanism noisy release
+    "dq_dp_noisy_counts",
+    # r6: hashing-trick feature export
+    "ml_feature_hashing",
 ]
 
 

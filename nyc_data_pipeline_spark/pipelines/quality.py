@@ -642,3 +642,68 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"abs(n_orders * 1000000 div n_total - {_BENFORD_EXP})"
         f" > {BENFORD_TOL_PPM} AS flagged",
     )
+
+
+# --- Differential privacy: Laplace-noised counts ---------------------------
+#
+# k-anonymity/l-diversity (above) audit a RELEASE; the Laplace
+# mechanism (Dwork et al. 2006) protects an AGGREGATE: a count query
+# has sensitivity 1, so adding Laplace(1/eps) noise gives
+# eps-differential privacy.  The engine-side shape is trivial (one
+# groupBy plus a projection); what this query pins down is the exact
+# inverse-CDF sampling arithmetic on both engines:
+#
+#     u ~ U(0,1);  noise = -(1/eps)·sign(u-1/2)·ln(1 - 2|u-1/2|)
+#
+# u here is a deterministic hash of the group key so the oracle can
+# reproduce the draw bit-for-bit (micro-nat rounding absorbs the libm
+# ulp) — a SEEDED mechanism, the testing convention; a production
+# release draws fresh entropy per query and does NOT publish the true
+# counts that ride along below as the referee columns.  |noise| is
+# bounded by (1/eps)·ln((P+1)/2) ≈ 21.5/eps deterministically (u is
+# never 0 or 1), recorded per row as `within_tail`.
+
+DP_EPS_INV = 2  # 1/eps, eps = 0.5
+DP_P = 2_147_483_647
+DP_A, DP_B = 1_229_491_487, 1_597_334_677
+
+# c_nationkey is int32 in the parquet — promote before the multiply.
+_DP_U = f"(CAST((((CAST(c_nationkey AS BIGINT) % {DP_P}) * {DP_A} + {DP_B}) % {DP_P}) + 1" \
+        f" AS DOUBLE) / (CAST({DP_P} AS BIGINT) + 1))"
+_DP_NOISE = (
+    "CAST(round("
+    f"-{DP_EPS_INV} * sign({_DP_U} - 0.5)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5)) * 1000000.0, 0) AS BIGINT)"
+)
+
+
+@register(
+    "dq_dp_noisy_counts",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS true_count,
+           CAST({_DP_NOISE} AS BIGINT) AS noise_micro,
+           CAST(COUNT(*) * 1000000 + {_DP_NOISE} AS BIGINT)
+               AS noisy_micro,
+           abs({_DP_NOISE}) <= {DP_EPS_INV} * 22 * 1000000
+               AS within_tail
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer counts under the eps=0.5 Laplace mechanism
+    (seeded draw; true counts ride along as the referee)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .selectExpr(
+            "c_nationkey",
+            "true_count",
+            f"{_DP_NOISE} AS noise_micro",
+            f"CAST(true_count * 1000000 + {_DP_NOISE} AS BIGINT)"
+            " AS noisy_micro",
+            f"abs({_DP_NOISE}) <= {DP_EPS_INV} * 22 * 1000000"
+            " AS within_tail",
+        )
+    )

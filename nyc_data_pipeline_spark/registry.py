@@ -193,6 +193,11 @@ _VERIFY_FIRST = [
     # -- position 78: r6 ratio-to-MA seasonal decomposition (locally
     # triple-verified; r7 rotation).
     "ts_seasonal_decompose",
+    # -- positions 79-80: r6 Laplace-mechanism noisy counts and
+    # hashing-trick feature export (locally triple-verified; r7
+    # rotation).
+    "dq_dp_noisy_counts",
+    "ml_feature_hashing",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.
@@ -419,6 +424,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.functions.dsir",
     "nyc_data_pipeline_spark.functions.bm25",
     "nyc_data_pipeline_spark.functions.entropy",
+    "nyc_data_pipeline_spark.functions.features",
     "nyc_data_pipeline_spark.dedup.exact",
     "nyc_data_pipeline_spark.dedup.ngram",
     "nyc_data_pipeline_spark.dedup.minhash",

@@ -658,6 +658,12 @@ def probe(spark, k: int) -> dict[str, float]:
     )
     run("abc_classes", abc_classes(revk, "revenue_cents", "partkey"))
 
+    # Feature hashing: rows grow k×, output bounded at 3 slots/row;
+    # pure codegen scan + map-side-combined groupBy.
+    from nyc_data_pipeline_spark.functions.features import hashed_features
+
+    run("feature_hashing", hashed_features(ordk))
+
     return times
 
 

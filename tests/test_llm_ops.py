@@ -809,3 +809,68 @@ def test_seasonal_decompose_identities(spark, sf_dir):
     sis = {r.si_ppm for r in rows}
     mean_si = sum(sis) / len(sis)
     assert 0.9e6 < mean_si < 1.1e6
+
+
+def test_dp_noisy_counts_mechanism(spark, sf_dir):
+    """Laplace-mechanism invariants: true counts recount from raw
+    customers; noise is nonzero, group-dependent (25 distinct draws),
+    two-sided, inside the deterministic tail bound; noisy_micro
+    telescopes; and the draw is a pure function of the group key
+    (stable across invocations)."""
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["dq_dp_noisy_counts"](spark, sf_dir).collect()
+    again = QUERIES["dq_dp_noisy_counts"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    truth = dict(
+        (r[0], r[1])
+        for r in c.groupBy("c_nationkey").count().collect()
+    )
+    assert len(rows) == len(truth)
+    noises = {r.noise_micro for r in rows}
+    assert len(noises) == len(rows)
+    assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
+    for r in rows:
+        assert r.true_count == truth[r.c_nationkey]
+        assert r.noisy_micro == r.true_count * 1_000_000 + r.noise_micro
+        assert r.within_tail and abs(r.noise_micro) <= 44_000_000
+
+
+def test_feature_hashing_reconstruction(spark, sf_dir):
+    """Hashing-trick invariants: every order emits features summing to
+    3 draws (|val| totals ≤ 3 per order, signs cancel only on slot
+    collisions); slots are in [0, 64); a driver-side reimplementation
+    of the char-fold hash reproduces every (order, slot, val) triple."""
+    from nyc_data_pipeline_spark.functions.features import FH_DIM
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["ml_feature_hashing"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        assert 0 <= r.slot < FH_DIM
+        got.setdefault(r.o_orderkey, {})[r.slot] = r.val
+
+    MOD = 1_000_000_007
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    want = {}
+    for r in o:
+        feats = [
+            f"prio={r.o_orderpriority}",
+            f"status={r.o_orderstatus}",
+            f"month={r.o_orderdate.month}",
+        ]
+        d = {}
+        for f in feats:
+            hv = h(f)
+            slot, sgn = hv % FH_DIM, 1 - 2 * ((hv // FH_DIM) % 2)
+            d[slot] = d.get(slot, 0) + sgn
+        want[r.o_orderkey] = d
+    assert got == want

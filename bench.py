@@ -196,6 +196,8 @@ HEADLINE = [
     "dq_dp_noisy_counts",
     # r6: hashing-trick feature export
     "ml_feature_hashing",
+    # r6: OHLC bars per (month, priority)
+    "orders_ohlc_monthly",
 ]
 
 

@@ -528,3 +528,77 @@ def window_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lag("rev_dec").over(w).cast("double")
         ).alias("wow_ratio"),
     )
+
+
+# --- OHLC bars -------------------------------------------------------------
+#
+# The financial rollup every tick store exposes: per bucket, the
+# Open/High/Low/Close of a value series in event-time order, plus
+# volume.  Open/close are order statistics of the (date, key) order —
+# both engines take them from rank-1 rows of the asc/desc per-cell
+# windows (deterministic under the key tiebreak), high/low/volume are
+# plain aggregates.  Cells are (month, priority): ~400 bounded
+# partitions (the accepted equidepth_segment regime); real tick data
+# keys by (symbol, bar) — far finer.  Integer cents end to end.
+
+
+@register(
+    "orders_ohlc_monthly",
+    oracle="""
+    WITH px AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderpriority AS prio,
+               o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY strftime(o_orderdate, '%Y-%m'),
+                                o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY strftime(o_orderdate, '%Y-%m'),
+                                o_orderpriority
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        FROM orders
+    )
+    SELECT month, prio,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM px GROUP BY month, prio
+    """,
+)
+def orders_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    px = o.selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') AS month",
+        "o_orderpriority AS prio",
+        "o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderdate",
+    )
+    cell_a = Window.partitionBy("month", "prio").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    cell_d = Window.partitionBy("month", "prio").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        px.withColumn("rn_a", F.row_number().over(cell_a))
+        .withColumn("rn_d", F.row_number().over(cell_d))
+        .groupBy("month", "prio")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("close_cents"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )

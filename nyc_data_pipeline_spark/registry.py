@@ -198,6 +198,9 @@ _VERIFY_FIRST = [
     # rotation).
     "dq_dp_noisy_counts",
     "ml_feature_hashing",
+    # -- position 81: r6 OHLC bars (locally triple-verified; r7
+    # rotation).
+    "orders_ohlc_monthly",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

@@ -874,3 +874,39 @@ def test_feature_hashing_reconstruction(spark, sf_dir):
             d[slot] = d.get(slot, 0) + sgn
         want[r.o_orderkey] = d
     assert got == want
+
+
+def test_ohlc_bars_against_sequential_walk(spark, sf_dir):
+    """OHLC invariants per (month, priority) cell: low <= open/close <=
+    high; every field reproduces a driver-side walk of the cell's
+    (orderdate, orderkey) order; volumes and counts recount."""
+    from collections import defaultdict
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = {
+        (r.month, r.prio): r
+        for r in QUERIES["orders_ohlc_monthly"](spark, sf_dir).collect()
+    }
+    cells = defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        import math
+
+        cells[
+            (r.o_orderdate.strftime("%Y-%m"), r.o_orderpriority)
+        ].append(
+            (r.o_orderdate, r.o_orderkey, int(math.floor(r.o_totalprice * 100)))
+        )
+    assert set(rows) == set(cells)
+
+    for key, pts in cells.items():
+        pts.sort()
+        cents = [p[2] for p in pts]
+        r = rows[key]
+        want_open, want_close = pts[0][2], pts[-1][2]
+        assert r.open_cents == want_open
+        assert r.close_cents == want_close
+        assert r.high_cents == max(cents) and r.low_cents == min(cents)
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        assert r.volume_cents == sum(cents) and r.n_orders == len(cents)

@@ -198,6 +198,8 @@ HEADLINE = [
     "ml_feature_hashing",
     # r6: OHLC bars per (month, priority)
     "orders_ohlc_monthly",
+    # r6: first-order Markov transition matrix
+    "events_markov_transitions",
 ]
 
 

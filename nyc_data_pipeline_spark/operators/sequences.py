@@ -80,3 +80,65 @@ def topk_sequences(events: DataFrame, k: int = SEQ_TOPK) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "trigram")
         .limit(k)
     )
+
+
+# --- First-order transition matrix ----------------------------------------
+#
+# The n=2 companion of the trigram top-k: P(next event | current
+# event) over the per-user streams — the Markov-chain readout feeding
+# "what do users do after X" dashboards and next-event baselines
+# (a 1st-order chain is the standard naive baseline a sequence model
+# must beat).  Same plan skeleton: one LEAD per user window, a hash
+# count over the |event types|² = 25-cell matrix (map-side combined),
+# conditional probabilities as integral ppm against the broadcast
+# per-source totals.
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS cur,
+               LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    counts AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    totals AS (
+        SELECT cur, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        FROM counts GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.n_transitions,
+           CAST(c.n_transitions * 1000000 // t.tot AS BIGINT)
+               AS p_cond_ppm
+    FROM counts c JOIN totals t USING (cur)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """(cur, nxt, n, P(nxt|cur) in ppm) over per-user event chains."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        events.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    totals = counts.groupBy("cur").agg(
+        F.sum("n_transitions").cast("bigint").alias("tot")
+    )
+    return counts.join(F.broadcast(totals), "cur").selectExpr(
+        "cur",
+        "nxt",
+        "n_transitions",
+        "CAST(n_transitions * 1000000 div tot AS BIGINT) AS p_cond_ppm",
+    )

@@ -201,6 +201,9 @@ _VERIFY_FIRST = [
     # -- position 81: r6 OHLC bars (locally triple-verified; r7
     # rotation).
     "orders_ohlc_monthly",
+    # -- position 82: r6 Markov transition matrix (locally
+    # triple-verified; r7 rotation).
+    "events_markov_transitions",
     # ---- below here: driver-green in r2-r5 at current code
     # (COVERAGE.md ledger); order past the 50-slot window does
     # not matter to the driver.

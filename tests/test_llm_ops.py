@@ -910,3 +910,33 @@ def test_ohlc_bars_against_sequential_walk(spark, sf_dir):
         assert r.low_cents <= r.open_cents <= r.high_cents
         assert r.low_cents <= r.close_cents <= r.high_cents
         assert r.volume_cents == sum(cents) and r.n_orders == len(cents)
+
+
+def test_markov_transitions_row_stochastic(spark, sf_dir):
+    """Transition-matrix invariants: per current-state rows, counts
+    recount from the driver-side per-user walk, conditional ppm sums
+    to ~1e6 per row (floor rounding slack <= #states), and every
+    probability is the integral-division of its count and row total."""
+    from collections import Counter, defaultdict
+
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            want[(a.event_type, b.event_type)] += 1
+    assert {(r.cur, r.nxt): r.n_transitions for r in rows} == dict(want)
+    by_cur = defaultdict(list)
+    for r in rows:
+        by_cur[r.cur].append(r)
+    for cur, cell_rows in by_cur.items():
+        tot = sum(r.n_transitions for r in cell_rows)
+        for r in cell_rows:
+            assert r.p_cond_ppm == r.n_transitions * 1_000_000 // tot
+        s = sum(r.p_cond_ppm for r in cell_rows)
+        assert 1_000_000 - len(cell_rows) <= s <= 1_000_000

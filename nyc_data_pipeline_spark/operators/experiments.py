@@ -247,13 +247,16 @@ _BOOT_W = (
     ranked AS (
         SELECT grp, mean_milli,
                ROW_NUMBER() OVER (PARTITION BY grp
-                                  ORDER BY mean_milli, b) AS rk
+                                  ORDER BY mean_milli, b) AS rk,
+               COUNT(*) OVER (PARTITION BY grp) AS n
         FROM reps
     ),
     ci AS (
         SELECT grp,
-               MAX(CASE WHEN rk = {BOOT_LO} THEN mean_milli END) AS lo_milli,
-               MAX(CASE WHEN rk = {BOOT_HI} THEN mean_milli END) AS hi_milli,
+               MAX(CASE WHEN rk = LEAST({BOOT_LO}, n)
+                        THEN mean_milli END) AS lo_milli,
+               MAX(CASE WHEN rk = GREATEST(n - {BOOT_B - BOOT_HI}, 1)
+                        THEN mean_milli END) AS hi_milli,
                COUNT(*) AS n_reps
         FROM ranked GROUP BY grp
     ),
@@ -302,20 +305,30 @@ def bootstrap_ci(orders: DataFrame) -> DataFrame:
     )
     # b as tiebreak: two replicates CAN produce identical means, and an
     # un-tiebroken row_number would pick engine-dependent rows at the
-    # rank-4/61 CI boundaries.
+    # rank-4/61 CI boundaries.  The CI ranks derive from the surviving
+    # replicate count n (HAVING SUM(w) > 0 can drop a replicate for a
+    # tiny group) — hard-coding 4/61 would silently NULL the hi bound
+    # the moment a group degrades below 64 replicates.
     ranked = reps.withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("grp").orderBy("mean_milli", "b")
         ),
-    )
+    ).withColumn("n", F.count("*").over(Window.partitionBy("grp")))
     ci = ranked.groupBy("grp").agg(
-        F.max(F.when(F.col("rk") == BOOT_LO, F.col("mean_milli"))).alias(
-            "lo_milli"
-        ),
-        F.max(F.when(F.col("rk") == BOOT_HI, F.col("mean_milli"))).alias(
-            "hi_milli"
-        ),
+        F.max(
+            F.when(
+                F.col("rk") == F.least(F.lit(BOOT_LO), F.col("n")),
+                F.col("mean_milli"),
+            )
+        ).alias("lo_milli"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(F.col("n") - (BOOT_B - BOOT_HI), F.lit(1)),
+                F.col("mean_milli"),
+            )
+        ).alias("hi_milli"),
         F.count("*").alias("n_reps"),
     )
     pt = rows_x.groupBy("grp").agg(

@@ -479,12 +479,15 @@ def _oracle_kmv() -> str:
                AS theta
         FROM sa, sb
     ),
-    common AS (
-        SELECT COUNT(*) AS cnt, t.theta
+    common_cnt AS (
+        -- ungrouped COUNT: yields exactly one row (cnt = 0) even when
+        -- no common hash falls below theta, so the 'intersect' row is
+        -- always present with an explicit est = 0 rather than vanishing.
+        SELECT COUNT(*) AS cnt
         FROM ha JOIN hb USING (h), thetas t
         WHERE h < t.theta
-        GROUP BY t.theta
     ),
+    common AS (SELECT c.cnt, t.theta FROM common_cnt c, thetas t),
     rows_out AS (
         SELECT 'A' AS measure, sa.n AS n_keep, sa.th AS theta,
                {_kmv_est_sql('sa.n', 'sa.th')} AS est, ex.ea AS exact
@@ -581,13 +584,16 @@ def kmv_set_ops(orders: DataFrame) -> DataFrame:
             f" {unsat.format(n='nb', th='thb')}) AS theta"
         )
     )
-    common = (
+    # Ungrouped count: one row (cnt = 0) even when no common hash falls
+    # below theta — the 'intersect' output row then reports est = 0
+    # explicitly instead of disappearing and breaking the 4-row contract.
+    common_cnt = (
         ha.join(hb, "h")
         .crossJoin(F.broadcast(thetas))
         .filter(F.col("h") < F.col("theta"))
-        .groupBy("theta")
         .agg(F.count("*").alias("cnt"))
     )
+    common = thetas.crossJoin(F.broadcast(common_cnt))
 
     def row(measure: str, s: DataFrame, exact_col: str) -> DataFrame:
         return (

@@ -603,9 +603,13 @@ _BENFORD_EXP = "CASE " + " ".join(
         FROM orders
     ),
     hist AS (
+        -- guard: an amount < 1 would yield digit 0, which has no arm in
+        -- the expected-ppm CASE; restrict the histogram domain to the
+        -- 1..9 digits Benford's law is defined over so a fixture change
+        -- shrinks the output instead of emitting NULL-flag rows.
         SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
-        FROM digits GROUP BY digit
+        FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
     )
     SELECT digit, n_orders,
            CAST(n_orders * 1000000 // n_total AS BIGINT) AS obs_ppm,
@@ -628,6 +632,10 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
             " AS STRING), 1, 1) AS BIGINT) AS digit"
         )
+        # mirror of the oracle's digit guard: only 1..9 have a Benford
+        # expectation; an out-of-domain digit (amount < 1) must not
+        # surface as a NULL-flag row.
+        .filter("digit BETWEEN 1 AND 9")
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n_orders"))
     )

@@ -6,15 +6,16 @@ Design (the part that matters at 100 TB):
   (byte length, mime, digest) — scans prune to metadata without
   touching payload bytes;
 - decode / feature-extraction runs via `mapInPandas`: Arrow-batched,
-  schema-stable, partition-parallel.  The actual image/audio codecs are
-  NOT in this container, so `decode_media` is a clearly-marked stub
-  (`NotImplementedError`) and `fake_decode_features` is the
-  deterministic stand-in that keeps every piece of Spark plumbing —
-  schema, batch iteration, partitioning — real and tested.
+  schema-stable, partition-parallel.  `decode_media` carries REAL
+  pure-Python parsers for the uncompressed raster formats (PPM P6 and
+  24-bit BI_RGB BMP); compressed formats (JPEG/PNG/audio/video) plug a
+  codec library into the same seam.  `fake_decode_features` remains the
+  decoder-independent referee for the plumbing itself.
 
-The metadata path is oracle-checked (mm_metadata); the mapInPandas path
-is Python-side by construction, so it registers rows-only and is pinned
-by unit tests instead.
+Every path here is oracle-checked: metadata (mm_metadata), the real
+decode (mm_decode_features — DuckDB predicts the decoded pixel stats
+from the raster-construction rule), and the plumbing referee
+(mm_decode_plumbing).
 """
 
 from __future__ import annotations
@@ -51,13 +52,104 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str):
-    """Real decode hook — requires image/audio codecs not present in
-    this environment.  Kept as an explicit seam: swap in PIL/ffmpeg
-    per-mime here; the mapInPandas plumbing above/below is unchanged."""
-    raise NotImplementedError(
-        "media codecs are not available in this container; "
-        "use fake_decode_features for the plumbing path"
+def _parse_ppm_p6(payload: bytes) -> dict:
+    """Binary PPM (P6) parser: magic, comment-aware whitespace-separated
+    header tokens (width, height, maxval), then raw RGB triplets.
+    Pure-Python and dependency-free — the netpbm header grammar
+    (https://netpbm.sourceforge.net/doc/ppm.html) is simple enough that
+    no codec library is needed."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        # skip whitespace and '#'-to-newline comments between tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("2-byte-sample PPM not supported")
+    need = 3 * width * height
+    pixels = payload[pos : pos + need]
+    if len(pixels) != need:
+        raise ValueError(
+            f"PPM raster truncated: need {need}, got {len(pixels)}"
+        )
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": bytes(pixels),  # row-major RGB
+    }
+
+
+def _parse_bmp_24(payload: bytes) -> dict:
+    """Uncompressed 24-bit BI_RGB Windows BMP parser (BITMAPINFOHEADER):
+    little-endian header fields, 4-byte-aligned rows stored bottom-up
+    (top-down when height is negative).  Returns row-major RGB pixels
+    like the PPM path so downstream features are format-agnostic."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    height, bottom_up = abs(raw_h), raw_h > 0
+    stride = (3 * width + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = []
+    for r in range(height):
+        src = height - 1 - r if bottom_up else r
+        off = data_off + src * stride
+        row = payload[off : off + 3 * width]
+        if len(row) != 3 * width:
+            raise ValueError("BMP raster truncated")
+        # BMP stores BGR; flip each triplet to RGB
+        rows.append(
+            bytes(
+                row[3 * c + (2 - k)] for c in range(width) for k in range(3)
+            )
+        )
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": b"".join(rows),
+    }
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Real decode hook.  Pure-Python parsers cover the uncompressed
+    raster formats (PPM P6, 24-bit BI_RGB BMP) — header parse + pixel
+    extraction with no external codec.  Compressed formats (JPEG/PNG/
+    audio/video) would swap in PIL/ffmpeg at this exact seam; the
+    mapInPandas plumbing above/below is unchanged either way."""
+    payload = bytes(payload)
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return _parse_ppm_p6(payload)
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return _parse_bmp_24(payload)
+    raise ValueError(
+        f"no pure-Python decoder for mime {mime!r}; plug a codec "
+        "library into decode_media for compressed formats"
     )
 
 
@@ -175,8 +267,145 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Real decode path ------------------------------------------------------
+#
+# The fixture carries no image files, so the raster is SYNTHESIZED
+# deterministically per doc — a genuine P6 PPM (comment-bearing header,
+# per-doc height, raster = the doc's leading utf-8 bytes) — and then
+# decoded FOR REAL by `decode_media`'s pure-Python parser inside
+# mapInPandas.  The parser is load-bearing: width/height/maxval come
+# out of the header grammar, pixels out of the raster offset math; the
+# DuckDB oracle never sees the PPM — it predicts the decoded stats
+# independently from the construction (hex-pair arithmetic over the
+# same text bytes), so a parser bug (offset, comment handling,
+# truncation) breaks the hash.
+
+PPM_W = 4  # fixed raster width; height varies 2..4 per doc
+
+
+def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a real binary P6 PPM per document: `P6`, a comment
+    line, `{PPM_W} {h}` with h = 2 + doc_id % 3, maxval 255, then a
+    raster of the doc's first 3·PPM_W·h utf-8 bytes.  Docs too short
+    for the tallest raster are excluded so the contract is uniform."""
+    raw = df.select(
+        "doc_id", F.encode(F.col(text_col), "utf-8").alias("raw")
+    )
+    return (
+        raw.filter(F.octet_length("raw") >= 3 * PPM_W * 4)
+        .withColumn("ih", (F.lit(2) + F.col("doc_id") % 3).cast("int"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.encode(
+                    F.concat(
+                        F.lit(f"P6\n# synthetic raster\n{PPM_W} "),
+                        F.col("ih").cast("string"),
+                        F.lit("\n255\n"),
+                    ),
+                    "utf-8",
+                ),
+                F.expr(f"substring(raw, 1, {3 * PPM_W} * ih)"),
+            ).alias("payload"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+        )
+    )
+
+
+REAL_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, maxval int, n_px int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, px_min int, px_max int, "
+    "mean_milli bigint"
+)
+
+
+def _real_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = [
+        "doc_id", "width", "height", "maxval", "n_px",
+        "sum_r", "sum_g", "sum_b", "px_min", "px_max", "mean_milli",
+    ]
+    for pdf in batches:
+        out = []
+        for doc_id, payload, mime in zip(
+            pdf["doc_id"], pdf["payload"], pdf["mime"]
+        ):
+            m = decode_media(payload, mime)
+            px = m["pixels"]
+            out.append(
+                (
+                    doc_id,
+                    m["width"],
+                    m["height"],
+                    m["maxval"],
+                    m["width"] * m["height"],
+                    sum(px[0::3]),
+                    sum(px[1::3]),
+                    sum(px[2::3]),
+                    min(px),
+                    max(px),
+                    sum(px) * 1000 // len(px),
+                )
+            )
+        yield pd.DataFrame(out, columns=cols)
+
+
+def real_decode_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over (doc_id, payload, mime) running the
+    REAL `decode_media` parser; emits per-image integer pixel stats."""
+    return media_df.select("doc_id", "payload", "mime").mapInPandas(
+        _real_decode_batches, schema=REAL_FEATURE_SCHEMA
+    )
+
+
 @register(
     "mm_decode_features",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               2 + doc_id % 3 AS ih
+        FROM documents
+        WHERE octet_length(encode(text)) >= {3 * PPM_W * 4}
+    ),
+    px AS (
+        SELECT doc_id, ih, i,
+               (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2 * i + 2 AS BIGINT), 1)) - 1) AS v
+        FROM b, LATERAL unnest(range(0, {3 * PPM_W} * ih)) AS r(i)
+    )
+    SELECT doc_id,
+           CAST({PPM_W} AS INTEGER) AS width,
+           CAST(ih AS INTEGER) AS height,
+           CAST(255 AS INTEGER) AS maxval,
+           CAST({PPM_W} * ih AS INTEGER) AS n_px,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(SUM(v) * 1000 // ({3 * PPM_W} * ih) AS BIGINT) AS mean_milli
+    FROM px
+    GROUP BY doc_id, ih
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode end-to-end: synthesize a binary P6 PPM per doc
+    (comment-bearing header, per-doc dimensions), parse it with the
+    pure-Python `decode_media` inside Arrow-batched mapInPandas, and
+    emit integer pixel statistics.  The oracle recomputes the expected
+    stats from the raster-construction rule alone (hex-pair byte
+    arithmetic in DuckDB), so header parsing, raster offsets, and
+    channel layout are all certified byte-for-byte — the codec seam
+    the earlier rounds stubbed is now a working decoder."""
+    d = load_table(spark, sf_dir, "documents")
+    return real_decode_features(attach_ppm_payload(d))
+
+
+@register(
+    "mm_decode_plumbing",
     oracle="""
     WITH b AS (
         SELECT doc_id, hex(encode(text)) AS h,
@@ -200,16 +429,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n
     """,
 )
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode path end-to-end (binary column → Arrow batches →
-    Pandas features), now with a REAL oracle: the stand-in decoder emits
-    decoder-independent deterministic features — byte length, head/tail
-    hex slices, an md5 over the first 64 bytes' hex, and a 16-bucket
-    high-nibble byte histogram (comma-joined to a scalar string: the
-    result contract is flat sortable columns) — that DuckDB reproduces
-    over the same binary column.  This certifies the whole mapInPandas path (Arrow
-    batch shape, schema contract, partition parallelism) byte-for-byte
-    even while the real codec stays a stub (`decode_media`)."""
+def mm_decode_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoder-independent referee for the mapInPandas plumbing
+    (formerly `mm_decode_features`'s body): the deterministic stand-in
+    'decoder' emits byte length, head/tail hex slices, an md5 over the
+    first 64 bytes' hex, and a 16-bucket high-nibble histogram — all
+    reproducible by DuckDB over the same binary column.  Kept alongside
+    the real-decode query above so the Arrow batch shape and schema
+    contract stay certified independently of any codec."""
     d = load_table(spark, sf_dir, "documents")
     return fake_decode_features(attach_binary_payload(d))
 

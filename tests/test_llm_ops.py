@@ -77,9 +77,88 @@ def test_multimodal_decode_deterministic_and_schema_stable(spark, sf_dir):
     assert all(meta[x.doc_id] == x.n_bytes for x in f1)
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_real_decode_ppm_header_and_raster():
+    """P6 parser: comments between header tokens, arbitrary whitespace,
+    raster offset, and channel layout all land on known pixel bytes."""
+    raster = bytes(range(24))  # 4x2 RGB
+    ppm = b"P6\n# a comment\n4   2\n# another\n255\n" + raster
+    m = decode_media(ppm, "image/x-portable-pixmap")
+    assert (m["width"], m["height"], m["maxval"]) == (4, 2, 255)
+    assert m["pixels"] == raster
+    with pytest.raises(ValueError):  # truncated raster fails loudly
+        decode_media(ppm[:-1], "image/x-portable-pixmap")
+    with pytest.raises(ValueError):  # wrong magic
+        decode_media(b"P5\n1 1\n255\n\x00", "image/x-portable-pixmap")
+
+
+def _make_bmp(width: int, height: int, rgb_rows: list[bytes],
+              top_down: bool = False) -> bytes:
+    """Hand-roll a 24-bit BI_RGB BMP (BGR storage, 4-byte row padding,
+    bottom-up unless top_down)."""
+    import struct
+
+    stride = (3 * width + 3) & ~3
+    rows = [
+        bytes(row[3 * c + (2 - k)] for c in range(width) for k in range(3))
+        for row in rgb_rows  # RGB -> BGR per pixel
+    ]
+    order = rows if top_down else rows[::-1]
+    raster = b"".join(r + b"\x00" * (stride - 3 * width) for r in order)
+    data_off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return hdr + info + raster
+
+
+def test_real_decode_bmp_bottom_up_and_top_down():
+    """BMP parser: BGR→RGB flip, 4-byte row padding, and both row
+    orders produce identical row-major RGB output."""
+    rgb_rows = [bytes(range(9)), bytes(range(9, 18))]  # 3x2 RGB
+    want = b"".join(rgb_rows)
+    for top_down in (False, True):
+        m = decode_media(_make_bmp(3, 2, rgb_rows, top_down), "image/bmp")
+        assert (m["width"], m["height"], m["maxval"]) == (3, 2, 255)
+        assert m["pixels"] == want
+    with pytest.raises(ValueError):  # compressed / non-24bpp rejected
+        bad = bytearray(_make_bmp(3, 2, rgb_rows))
+        bad[28] = 8  # bpp -> 8
+        decode_media(bytes(bad), "image/bmp")
+
+
+def test_real_decode_unsupported_mime_fails_loudly():
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_real_decode_query_matches_fixture_bytes(spark, sf_dir):
+    """mm_decode_features end-to-end: decoded channel sums equal the
+    sums computed straight from the document bytes it was built from."""
+    from nyc_data_pipeline_spark.multimodal.binary_ops import (
+        PPM_W,
+        attach_ppm_payload,
+        real_decode_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    feats = {r.doc_id: r for r in
+             real_decode_features(attach_ppm_payload(d)).collect()}
+    assert feats
+    for row in d.collect():
+        raw = row.text.encode("utf-8")
+        if len(raw) < 3 * PPM_W * 4:
+            assert row.doc_id not in feats
+            continue
+        h = 2 + row.doc_id % 3
+        px = raw[: 3 * PPM_W * h]
+        f = feats[row.doc_id]
+        assert (f.width, f.height, f.n_px) == (PPM_W, h, PPM_W * h)
+        assert f.sum_r == sum(px[0::3])
+        assert f.sum_g == sum(px[1::3])
+        assert f.sum_b == sum(px[2::3])
+        assert (f.px_min, f.px_max) == (min(px), max(px))
 
 
 def test_simhash_hamming_symmetric_bound(spark, sf_dir):

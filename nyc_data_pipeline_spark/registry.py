@@ -51,26 +51,129 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-6 window: the r5 verdict's ask #1 — clear the backlog of 46
-# queries whose only driver verdict was r1-era, and PROTECT the slice
-# (additions capped to 4 in-window slots).  Positions 1-4 = the three
-# queries whose output changed this round plus the one new production
-# z-order query; positions 5-50 = all 46 r1-era rows; positions 51-52
-# = the two re-keyed production windows (locally triple-verified;
-# front of the r7 rotation).  Still r1/r2-era after this round: the
-# streaming T9/batch-equiv set (r7 with the 51-52 pair).
+# Round-7 window: the r6 verdict's ask #1 — every query with NO driver
+# verdict yet (the 37 r6 additions: 32 that sat at positions 51-82 of
+# the r6 list plus the 5 decision-layer ops that registered below it),
+# the 12 oldest r2-era rows, and — r6 precedent for output changes —
+# mm_decode_features, whose output changed when the real PPM decoder
+# replaced the stand-in features this round.  In-window additions are
+# capped to 0; new r7 queries register just below the window at the
+# head of the pre-staged r8 queue (ask #4).  After r7: zero registered
+# queries without a driver verdict, and 36 r2-era rows remain (the r8
+# queue below, in drain order).
 _VERIFY_FIRST = [
-    # -- r6 positions 1-4: queries whose OUTPUT changed this round
-    # (duplicate-payments time orientation; interpolate observed-
-    # cell rational; PageRank decimal-string rank) plus the new
-    # production z-order layout.
+    # ==== r7 window (positions 1-50): VERDICT r6 ask #1 — the
+    # entire never-driver-verified r6 catalog plus the oldest
+    # r2-era verdicts; in-window additions capped to 0 (the one
+    # new r7 query, mm_decode_plumbing, registers below).
+    # -- position 1: output CHANGED this round (real PPM decode
+    # replaced the stand-in features; r6 precedent: changed
+    # outputs verify first).
+    "mm_decode_features",
+    # -- positions 2-33: the 32 r6 additions with no driver
+    # verdict yet (each locally triple-verified at
+    # sf0.001/0.01/0.1 in r6; ab_bootstrap_ci /
+    # approx_kmv_set_ops / dq_benford_digits re-verified after
+    # this round's advice fixes).
+    "agg_equidepth_segment",
+    "events_cusum_sharded",
+    "dedup_semantic_cluster",
+    "join_fuzzy_trigram",
+    "sim_pq_adc_recall",
+    "text_bpe_merge_step",
+    "text_dsir_importance",
+    "sample_neyman_threshold",
+    "sample_temperature_mix",
+    "approx_join_cardinality",
+    "approx_quantile_histogram",
+    "graph_label_propagation",
+    "src_time_travel",
+    "dq_l_diversity",
+    "dedup_span_coverage",
+    "approx_kmv_set_ops",
+    "sample_weighted_es",
+    "text_bm25_topk",
+    "text_bigram_entropy",
+    "ab_bootstrap_ci",
+    "events_topk_sequences",
+    "dq_benford_digits",
+    "geo_point_in_polygon",
+    "orders_rfm_quintiles",
+    "orders_pareto_skyline",
+    "approx_cms_topk_prod",
+    "orders_abc_classes",
+    "ts_seasonal_decompose",
+    "dq_dp_noisy_counts",
+    "ml_feature_hashing",
+    "orders_ohlc_monthly",
+    "events_markov_transitions",
+    # -- positions 34-38: the five r6 decision-layer ops that
+    # registered below the protected r6 window.
+    "ab_test_proportions",
+    "dq_k_anonymity",
+    "dq_table_diff",
+    "ts_seasonal_mase",
+    "sim_rrf_fusion",
+    # -- positions 39-50: the 12 oldest r2-era verdicts (the
+    # streaming batch-equiv set + the first text wave).
+    "join_stream_stream",
+    "join_stream_static",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_corpus_curate",
+    "stream_dedup_replay",
+    "stateful_user_profile",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    # ==== r8 queue (pre-staged, VERDICT r6 ask #4): first the
+    # queries added in r7 (never driver-verified), then the 36
+    # remaining r2-era rows — drain order is list order.
+    "mm_decode_plumbing",
+    "agg_pivot",
+    "agg_skew_salted",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_keep_one",
+    "dedup_exact_hash",
+    "dedup_jaccard_df_capped",
+    "dedup_jaccard_unigram",
+    "dedup_minhash_closure",
+    "dedup_minhash_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_keep_one",
+    "fn_conditional_null",
+    "fn_hash_digests",
+    "fn_json_suite",
+    "fn_map_suite",
+    "join_asof_tolerance",
+    "mm_frame_sample",
+    "mm_metadata",
+    "pack_token_budget",
+    "pipeline_corpus_clean",
+    "ref_pivoted_counts",
+    "sample_weighted_mix",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "sim_topk_lsh",
+    "sim_topk_pandas_udf",
+    "sink_bucketed_join",
+    "sink_decimal_contract",
+    "sink_partitioned_pruning",
+    "src_json_scan",
+    "text_boilerplate_score",
+    "text_decontaminate",
+    "text_ngram_freq",
+    "window_range_frame",
+    # ==== driver-green r3-r6 at current code (COVERAGE.md
+    # ledger); order past the 50-slot window does not matter.
     "dq_duplicate_payments",
     "window_interpolate_linear",
     "graph_pagerank",
     "sink_zorder_stats_prod",
-    # -- r6 positions 5-50: the 46 queries whose only driver
-    # verdict was r1-era (VERDICT r5 ask #1 — the full backlog;
-    # additions this round were capped so the slice fits).
     "join_inner_shuffle",
     "join_broadcast_dims",
     "join_left_outer",
@@ -117,96 +220,6 @@ _VERIFY_FIRST = [
     "ref_hourly_statistics",
     "ref_vendor_performance",
     "sql_dashboard_kpis",
-    # -- positions 51-52: the r6 re-keyed production forms of the
-    # corpus-fraction windows (ask #4) — verified locally at
-    # sf0.001/0.01/0.1; first in line for the r7 driver window.
-    "agg_equidepth_segment",
-    "events_cusum_sharded",
-    # -- position 53: r6 SemDeDup-style semantic dedup (locally
-    # triple-verified at sf0.001/0.01/0.1; r7 rotation with 51-52).
-    "dedup_semantic_cluster",
-    # -- position 54: r6 fuzzy string join (trigram blocking +
-    # Levenshtein verify; locally triple-verified; r7 rotation).
-    "join_fuzzy_trigram",
-    # -- position 55: r6 PQ-ADC shortlist+rerank recall audit
-    # (locally triple-verified; r7 rotation).
-    "sim_pq_adc_recall",
-    # -- position 56: r6 distributed BPE merge step (vocab-level
-    # pair counting; locally triple-verified; r7 rotation).
-    "text_bpe_merge_step",
-    # -- position 57: r6 DSIR-style importance selection (locally
-    # triple-verified; r7 rotation).
-    "text_dsir_importance",
-    # -- position 58: r6 Neyman-allocation threshold sampler
-    # (locally triple-verified; r7 rotation).
-    "sample_neyman_threshold",
-    # -- positions 59-60: r6 temperature language mixture and CMS
-    # inner-product join-cardinality estimate (locally
-    # triple-verified; r7 rotation).
-    "sample_temperature_mix",
-    "approx_join_cardinality",
-    # -- positions 61-62: r6 histogram-quantile readout and clamped
-    # label propagation (locally triple-verified; r7 rotation).
-    "approx_quantile_histogram",
-    "graph_label_propagation",
-    # -- position 63: r6 manifest time-travel reads (locally
-    # triple-verified; r7 rotation).
-    "src_time_travel",
-    # -- position 64: r6 l-diversity audit (locally triple-verified;
-    # r7 rotation).
-    "dq_l_diversity",
-    # -- position 65: r6 span-level duplicated-text coverage (Lee et
-    # al. ExactSubstr, distributed; locally triple-verified at
-    # sf0.001/0.01/0.1; r7 rotation).
-    "dedup_span_coverage",
-    # -- position 66: r6 KMV/theta sketch set-operation estimates
-    # (locally triple-verified; r7 rotation).
-    "approx_kmv_set_ops",
-    # -- position 67: r6 Efraimidis-Spirakis weighted sample
-    # (locally triple-verified; r7 rotation).
-    "sample_weighted_es",
-    # -- position 68: r6 BM25 ranked retrieval (locally
-    # triple-verified; r7 rotation).
-    "text_bm25_topk",
-    # -- positions 69-70: r6 per-language bigram conditional entropy
-    # and Poisson-bootstrap CI (locally triple-verified; r7 rotation).
-    "text_bigram_entropy",
-    "ab_bootstrap_ci",
-    # -- positions 71-73: r6 top-k event sequences, Benford digit
-    # audit, ray-cast point-in-polygon (locally triple-verified; r7
-    # rotation).
-    "events_topk_sequences",
-    "dq_benford_digits",
-    "geo_point_in_polygon",
-    # -- position 74: r6 exact-quintile RFM via the reusable two-phase
-    # rank (locally triple-verified; r7 rotation).
-    "orders_rfm_quintiles",
-    # -- position 75: r6 Pareto skyline via two-phase prefix mins
-    # (locally triple-verified; r7 rotation).
-    "orders_pareto_skyline",
-    # -- position 76: r6 CMS-driven candidate top-k, production path
-    # (locally triple-verified; r7 rotation).
-    "approx_cms_topk_prod",
-    # -- position 77: r6 ABC cumulative-share classes via two-phase
-    # prefix sum (locally triple-verified; r7 rotation).
-    "orders_abc_classes",
-    # -- position 78: r6 ratio-to-MA seasonal decomposition (locally
-    # triple-verified; r7 rotation).
-    "ts_seasonal_decompose",
-    # -- positions 79-80: r6 Laplace-mechanism noisy counts and
-    # hashing-trick feature export (locally triple-verified; r7
-    # rotation).
-    "dq_dp_noisy_counts",
-    "ml_feature_hashing",
-    # -- position 81: r6 OHLC bars (locally triple-verified; r7
-    # rotation).
-    "orders_ohlc_monthly",
-    # -- position 82: r6 Markov transition matrix (locally
-    # triple-verified; r7 rotation).
-    "events_markov_transitions",
-    # ---- below here: driver-green in r2-r5 at current code
-    # (COVERAGE.md ledger); order past the 50-slot window does
-    # not matter to the driver.
     "events_survival_curve",
     "events_dau_mau",
     "orders_open_backlog",
@@ -255,7 +268,6 @@ _VERIFY_FIRST = [
     "merge_upsert_bucketed",
     "orders_pareto_topk_share",
     "approx_hll_user_reach",
-    "mm_decode_features",
     "agg_incremental_merge",
     "agg_histogram_merge",
     "join_incremental_delta",
@@ -330,54 +342,6 @@ _VERIFY_FIRST = [
     "sample_reservoir_per_key",
     "stream_cdc_upsert",
     "fn_array_suite",
-    "fn_json_suite",
-    "fn_conditional_null",
-    "fn_hash_digests",
-    "fn_map_suite",
-    "agg_skew_salted",
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "join_stream_static",
-    "join_stream_stream",
-    "stream_dedup_replay",
-    "stateful_user_profile",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_ngram_freq",
-    "dedup_exact_hash",
-    "dedup_jaccard_unigram",
-    "dedup_jaccard_df_capped",
-    "dedup_minhash_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_simhash_keep_one",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh_keep_one",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_pandas_udf",
-    "sim_topk_ivf",
-    "mm_metadata",
-    "mm_frame_sample",
-    "sink_partitioned_pruning",
-    "src_json_scan",
-    "ref_pivoted_counts",
-    "agg_pivot",
-    "sink_decimal_contract",
-    "dedup_minhash_closure",
-    "sim_topk_ivf_kmeans",
-    "pipeline_corpus_clean",
-    "sink_bucketed_join",
-    "stream_corpus_curate",
-    "window_range_frame",
-    "join_asof_tolerance",
-    "text_boilerplate_score",
-    "text_decontaminate",
-    "sample_weighted_mix",
-    "pack_token_budget",
 ]
 
 

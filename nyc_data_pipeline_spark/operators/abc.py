@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.two_phase import bucket_prefix, range_buckets
 from ..registry import register
 
 ABC_BUCKETS = 64
@@ -76,22 +77,11 @@ def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def abc_classes(rev: DataFrame, value: str, ident: str) -> DataFrame:
     """Cumulative-share ABC classes over (value desc, ident) via the
-    bucketed two-phase prefix sum."""
-    rng = rev.agg(
-        F.min(value).alias("lo"),
-        F.max(value).alias("hi"),
-        F.sum(value).alias("total_cents"),
-    )
-    b = rev.crossJoin(F.broadcast(rng)).withColumn(
-        "bucket",
-        F.least(
-            (
-                (F.col(value) - F.col("lo")).cast("bigint")
-                * ABC_BUCKETS
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("bigint"),
-            F.lit(ABC_BUCKETS - 1),
-        ),
+    shared two-phase engine (plans/two_phase.py) with SUM as the
+    prefix aggregate; the grand total rides the bucketing broadcast."""
+    b = range_buckets(
+        rev, value, ABC_BUCKETS,
+        extra_aggs=[F.sum(value).alias("total_cents")],
     )
     # ident DESC inside ties: "strictly after p in the DESC
     # (value desc, ident asc) walk" is exactly "strictly before p in
@@ -109,21 +99,8 @@ def abc_classes(rev: DataFrame, value: str, ident: str) -> DataFrame:
             F.lit(0),
         ),
     )
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.sum(value).alias("bsum"))
-        .withColumn(
-            "below_buckets",
-            F.coalesce(
-                F.sum("bsum").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "below_buckets")
+    offsets = bucket_prefix(
+        b, F.sum(value), F.sum, "below_buckets", F.lit(0)
     )
     return (
         local.join(F.broadcast(offsets), "bucket")

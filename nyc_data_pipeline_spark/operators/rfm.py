@@ -7,20 +7,12 @@ quintile of rank, then bucket the 3-digit RFM code into named
 segments.
 The statistical core is three EXACT rank-to-quintile assignments —
 and a naive ``row_number() OVER (ORDER BY dim)`` funnels the whole
-customer table through one partition.  This module generalizes the
-two-phase global-rownum technique (plans/relational.py:484 — the
-order_global_rownum lesson) into a reusable ``two_phase_rank``:
-
-  1. bucket by value RANGE (order-aligned: every value in bucket i
-     sorts before bucket i+1; equal values share a bucket), local
-     row_number per bucket;
-  2. prefix-sum the 64 bucket counts (a bounded 64-row window),
-     broadcast offsets back; global rank = offset + local rank.
-
-One corpus shuffle per dimension, no single-partition sort.  Range
-buckets are uneven under skew — production swaps in sampled quantile
-boundaries (the sink_zorder_stats_prod pattern); the referee oracle
-uses a plain window ROW_NUMBER, which DuckDB runs exactly.
+customer table through one partition.  Each rank runs on the shared
+two-phase bucketed-prefix engine (plans/two_phase.py): order-aligned
+range buckets + per-bucket row_number + a bounded prefix-sum of
+bucket counts broadcast back — one corpus shuffle per dimension, no
+single-partition sort.  The referee oracle uses a plain window
+ROW_NUMBER, which DuckDB runs exactly.
 
 Quintile label: q = 1 + (5·(rank−1)) div n — defined by this exact
 integer formula in BOTH engines (deliberately not NTILE, whose
@@ -29,11 +21,12 @@ uneven-group convention differs subtly and adds nothing here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exprs import ts_us
+from ..plans.two_phase import two_phase_rownum
 from ..registry import register
 
 RFM_BUCKETS = 64
@@ -50,46 +43,14 @@ END"""
 def two_phase_rank(
     df: DataFrame, value: str, ident: str, out: str
 ) -> DataFrame:
-    """Exact dense global rank of (value, ident) without a global sort:
-    order-aligned range buckets + per-bucket row_number + broadcast
-    prefix-sum offsets.  ``df`` must have columns ``value``/``ident``;
-    returns ``ident``, ``out`` (rank, 1-based)."""
-    rng = df.agg(
-        F.min(value).alias("lo"), F.max(value).alias("hi")
-    )
-    b = df.crossJoin(F.broadcast(rng)).withColumn(
-        "bucket",
-        F.least(
-            (
-                (F.col(value) - F.col("lo")).cast("bigint")
-                * RFM_BUCKETS
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("bigint"),
-            F.lit(RFM_BUCKETS - 1),
-        ),
-    )
-    local = b.withColumn(
-        "local_rn",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy(value, ident)
-        ),
-    )
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "offset",
-            F.sum("n").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-        )
-        .select("bucket", F.coalesce("offset", F.lit(0)).alias("offset"))
-    )
-    return local.join(F.broadcast(offsets), "bucket").select(
-        ident, (F.col("offset") + F.col("local_rn")).alias(out)
-    )
+    """Exact global rank of (value, ident) without a global sort —
+    the shared engine in plans/two_phase.py does the bucketing, the
+    per-bucket row_number, and the bounded prefix-sum offsets.
+    Returns ``ident``, ``out`` (rank, 1-based)."""
+    return two_phase_rownum(
+        df.select(value, ident), [value, ident], out=out,
+        n_buckets=RFM_BUCKETS,
+    ).select(ident, out)
 
 
 def _quintile(rank: str, n: str) -> str:

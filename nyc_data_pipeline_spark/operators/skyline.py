@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.two_phase import bucket_prefix, range_buckets
 from ..registry import register
 
 SKY_BUCKETS = 64
@@ -97,19 +98,10 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pareto_skyline(pts: DataFrame, x: str, y: str) -> DataFrame:
     """Rows of ``pts`` not dominated on (minimize x, minimize y),
-    via bucketed two-phase prefix mins."""
-    rng = pts.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
-    b = pts.crossJoin(F.broadcast(rng)).withColumn(
-        "bucket",
-        F.least(
-            (
-                (F.col(x) - F.col("lo")).cast("bigint")
-                * SKY_BUCKETS
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("bigint"),
-            F.lit(SKY_BUCKETS - 1),
-        ),
-    )
+    via the shared two-phase engine (plans/two_phase.py) with MIN as
+    the prefix aggregate; the RANGE-frame lt/le local sweep is the
+    skyline-specific phase 2."""
+    b = range_buckets(pts, x, SKY_BUCKETS)
     in_bucket = Window.partitionBy("bucket").orderBy(x)
     local = b.withColumn(
         "loc_lt",
@@ -118,18 +110,8 @@ def pareto_skyline(pts: DataFrame, x: str, y: str) -> DataFrame:
         "loc_le",
         F.min(y).over(in_bucket.rangeBetween(Window.unboundedPreceding, 0)),
     )
-    prev_mins = (
-        b.groupBy("bucket")
-        .agg(F.min(y).alias("bmin"))
-        .withColumn(
-            "prev_min",
-            F.min("bmin").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-        )
-        .select("bucket", F.coalesce("prev_min", F.lit(_BIG)).alias("prev_min"))
+    prev_mins = bucket_prefix(
+        b, F.min(y), F.min, "prev_min", F.lit(_BIG)
     )
     return (
         local.join(F.broadcast(prev_mins), "bucket")

@@ -494,47 +494,15 @@ def order_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once, on the bucket key; the only single-partition work is
     the 64-row prefix sum.  Same technique enumerates 100 TB.
     """
+    from .two_phase import two_phase_rownum
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber"
     )
-    mx = li.agg(F.max("l_orderkey").alias("max_key"))
-    b = (
-        li.crossJoin(F.broadcast(mx))
-        # bucket by orderkey range: order-aligned because orderkey is the
-        # leading sort key (ties stay inside one bucket).
-        .withColumn(
-            "bucket",
-            F.least(
-                (F.col("l_orderkey") * ROWNUM_BUCKETS / (F.col("max_key") + 1))
-                .cast("bigint"),
-                F.lit(ROWNUM_BUCKETS - 1),
-            ),
-        )
-    )
-    local = b.withColumn(
-        "local_rn",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy("l_orderkey", "l_linenumber")
-        ),
-    )
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "offset",
-            F.sum("n").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-        )
-        .select("bucket", F.coalesce("offset", F.lit(0)).alias("offset"))
-    )
-    return local.join(F.broadcast(offsets), "bucket").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("offset") + F.col("local_rn")).alias("rn"),
-    )
+    return two_phase_rownum(
+        li, ["l_orderkey", "l_linenumber"], out="rn",
+        n_buckets=ROWNUM_BUCKETS,
+    ).select("l_orderkey", "l_linenumber", "rn")
 
 
 @register(

@@ -359,3 +359,76 @@ def test_fuzzy_trigram_join_stays_on_equi_paths(spark, sf_dir):
     p = plan_str(QUERIES["join_fuzzy_trigram"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_two_phase_rownum_matches_plain_window(spark):
+    """The shared two-phase engine (plans/two_phase.py) must equal a
+    single-partition ROW_NUMBER on an adversarial frame: heavy ties on
+    the leading key (whole frame in one bucket when all-equal) and a
+    skewed value range."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import two_phase_rownum
+
+    rows = [(v, i) for i, v in enumerate(
+        [0] * 50 + [1, 1, 2, 3, 5, 8, 1000, 1000, 10**12] * 10
+    )]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        (r.v, r.id): r.rn
+        for r in two_phase_rownum(df, ["v", "id"]).collect()
+    }
+    want = {
+        (r.v, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+    # all-equal leading key: single bucket, still exact
+    eq = spark.createDataFrame([(7, i) for i in range(40)], "v long, id long")
+    ranks = sorted(
+        r.rn for r in two_phase_rownum(eq, ["v", "id"]).collect()
+    )
+    assert ranks == list(range(1, 41))
+
+
+def test_adc_from_index_searches_persisted_artifacts(spark, sf_dir):
+    """The search plan must read the committed index store (codebook +
+    code table parquet) rather than re-deriving either from the corpus;
+    the only embeddings scans are the query/rerank sides."""
+    p = plan_str(QUERIES["sim_adc_from_index"](spark, sf_dir))
+    assert p.count("pq_index") >= 2, p[:2000]  # codebook + codes scans
+    assert "BatchEvalPython" not in p
+
+
+def test_pq_index_probe_many_without_rebuild(spark, sf_dir):
+    """Build once, probe twice: the second probe loads the manifest and
+    returns identical results with no further build pass."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.similarity.adc import _micro_rows
+    from nyc_data_pipeline_spark.similarity.brute_force import N_QUERIES
+    from nyc_data_pipeline_spark.similarity.index_store import (
+        adc_search,
+        build_pq_index,
+        load_pq_index,
+    )
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = scratch_dir("pq_index_probe", sf_dir)
+    build_pq_index(emb, table_dir)
+    queries = (
+        _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), "dim",
+                F.col("vi").alias("qi"))
+    )
+    runs = []
+    for _ in range(2):
+        cmicro, codes = load_pq_index(spark, table_dir)
+        runs.append(sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.dist)
+            for r in adc_search(queries, cmicro, codes, emb).collect()
+        ))
+    assert runs[0] == runs[1] and len(runs[0]) > 0

@@ -132,6 +132,7 @@ _VERIFY_FIRST = [
     # queries added in r7 (never driver-verified), then the 36
     # remaining r2-era rows — drain order is list order.
     "mm_decode_plumbing",
+    "sim_adc_from_index",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",
@@ -413,6 +414,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.matryoshka",
     "nyc_data_pipeline_spark.similarity.fusion",
     "nyc_data_pipeline_spark.similarity.adc",
+    "nyc_data_pipeline_spark.similarity.index_store",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

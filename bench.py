@@ -200,6 +200,13 @@ HEADLINE = [
     "orders_ohlc_monthly",
     # r6: first-order Markov transition matrix
     "events_markov_transitions",
+    # r7: REAL raster decode through mapInPandas (PPM parse + pixel
+    # stats) and the decoder-independent plumbing referee
+    "mm_decode_features",
+    "mm_decode_plumbing",
+    # r7: build-once/probe-many ADC search against the persisted PQ
+    # index (includes the index build + manifest commit)
+    "sim_adc_from_index",
 ]
 
 

@@ -52,6 +52,29 @@ def file_json_stream(spark: SparkSession, path: str, schema: T.StructType) -> Da
     )
 
 
+def file_json_stream_bounded(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """T6: admission-bounded file stream — `maxFilesPerTrigger` is the
+    file-source equivalent of Kafka's `maxOffsetsPerTrigger`: each
+    micro-batch admits at most N backlog files, so per-batch memory and
+    latency stay bounded no matter how deep the backlog grows (a
+    restart after downtime otherwise swallows the whole backlog in one
+    giant batch).  The reference throttles on the PRODUCER side with a
+    sleep loop (kafka_producer.py:142-145); a consumer-side engine
+    bounds admission instead — same backpressure contract, enforced
+    where the engine can guarantee it."""
+    return (
+        spark.readStream.schema(schema)
+        .option("timestampFormat", MICROS_TS_FORMAT)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """S10/T6: synthetic rate source (timestamp, value) — replaces the
     reference producer's sleep-loop throttling (kafka_producer.py:142-187)

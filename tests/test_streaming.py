@@ -913,3 +913,42 @@ def test_jdbc_epoch_delete_gates_on_live_table_existence(spark, tmp_path):
         assert sink._table_exists(conn, "elsewhere.gate3")
     finally:
         conn.close()
+
+
+def test_bounded_admission_caps_every_micro_batch(spark, tmp_path):
+    """T6 backpressure: with a 6-file backlog and maxFilesPerTrigger=2,
+    the engine must process exactly 3 micro-batches of <= 20 rows each
+    — never one giant catch-up batch — and lose nothing."""
+    from nyc_data_pipeline_spark.streaming.ingest import (
+        file_json_stream_bounded,
+    )
+
+    src = tmp_path / "bounded_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    for f in range(6):  # backlog exists BEFORE the query starts
+        with open(src / f"f{f}.json", "w") as fh:
+            for i in range(10):
+                fh.write(json.dumps({"k": f, "v": i}) + "\n")
+
+    batches = []
+    q = (
+        file_json_stream_bounded(spark, str(src), schema,
+                                 max_files_per_trigger=2)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.count()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = [n for _bid, n in batches if n > 0]
+    assert len(counts) == 3, batches
+    assert all(n <= 20 for n in counts), batches
+    assert sum(n for _bid, n in batches) == 60

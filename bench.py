@@ -207,6 +207,15 @@ HEADLINE = [
     # r7: build-once/probe-many ADC search against the persisted PQ
     # index (includes the index build + manifest commit)
     "sim_adc_from_index",
+    # r7: zone-map file skipping (write clustered layout + stats
+    # manifest, answer a range slice reading only overlapping files)
+    "src_zone_map_pruning",
+    # r7: g3 functional-dependency audit (3 FDs, two-level hash agg)
+    "dq_functional_dependency",
+    # r7: degree-oriented triangle count + clustering coefficient
+    "graph_triangle_count",
+    # r7: per-file bloom bitsets — point-lookup file skipping
+    "src_bloom_file_skipping",
 ]
 
 

@@ -715,3 +715,97 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS within_tail",
         )
     )
+
+
+# --- Approximate functional-dependency audit -------------------------------
+#
+# The data-profiling question schema tools (Deequ, Metanome) answer
+# before anyone writes a join: does column A determine column B, and if
+# not, how badly is the dependency violated?  The standard measure is
+# Kivinen-Mannila's g3: the minimum fraction of rows that must be
+# removed for A -> B to hold exactly, computed per LHS group as
+# (group size - dominant-RHS count).  A real profiler sweeps candidate
+# pairs; this audit pins the algebra on three representative FDs — one
+# that holds by construction (l_orderkey -> o_orderkey parity via
+# lineitem's own key), one plausibly-but-not holding (l_partkey ->
+# l_suppkey: parts have multiple suppliers), one behavioral
+# (o_custkey -> o_orderpriority: customers use many priorities).
+#
+# Scale shape: groupBy (lhs, rhs) with map-side combine, then groupBy
+# lhs (SUM / MAX / COUNT — no window, no argmax materialization), then
+# a global 1-row fold.  Two key-hashed shuffles whose cardinality is
+# the DISTINCT pair count, never raw rows twice.  ppm arithmetic stays
+# in int64 up to ~9e12 rows.
+
+_FD_SPECS = [
+    ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey",
+     "l_returnflag"),
+]
+
+
+def _fd_oracle_one(fd: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{fd}' AS fd, CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(SUM(n) - SUM(keep) AS BIGINT) AS rows_to_remove,
+           CAST((SUM(n) - SUM(keep)) * 1000000 // SUM(n) AS BIGINT)
+               AS g3_error_ppm,
+           SUM(n) = SUM(keep) AS holds
+    FROM (
+        SELECT lhs, SUM(cnt) AS n, MAX(cnt) AS keep,
+               COUNT(*) AS n_rhs
+        FROM (
+            SELECT {lhs} AS lhs, {rhs} AS rhs, COUNT(*) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ) GROUP BY lhs
+    )"""
+
+
+def fd_audit(df: DataFrame, fd: str, lhs: str, rhs: str) -> DataFrame:
+    """One-row g3 audit of the functional dependency lhs -> rhs."""
+    pairs = df.groupBy(
+        F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs")
+    ).agg(F.count("*").alias("cnt"))
+    per_lhs = pairs.groupBy("lhs").agg(
+        F.sum("cnt").alias("n"),
+        F.max("cnt").alias("keep"),
+        F.count("*").alias("n_rhs"),
+    )
+    return per_lhs.agg(
+        F.lit(fd).alias("fd"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_lhs"),
+        F.sum((F.col("n_rhs") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_violating_lhs"),
+        (F.sum("n") - F.sum("keep")).cast("bigint").alias("rows_to_remove"),
+        F.expr("CAST((SUM(n) - SUM(keep)) * 1000000 div SUM(n) AS BIGINT)")
+        .alias("g3_error_ppm"),
+        (F.sum("n") == F.sum("keep")).alias("holds"),
+    ).select(
+        "fd", "total_rows", "n_lhs", "n_violating_lhs",
+        "rows_to_remove", "g3_error_ppm", "holds",
+    )
+
+
+@register(
+    "dq_functional_dependency",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_one(fd, t, l, r) for fd, t, l, r in _FD_SPECS
+    ),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3-measure audit of three candidate FDs (one exact-by-schema,
+    two behavioral): per-FD total rows, violating LHS count, minimum
+    row removals, and ppm error — the profiling pass run before
+    trusting a key for joins or dedup."""
+    out = None
+    for fd, table, lhs, rhs in _FD_SPECS:
+        one = fd_audit(load_table(spark, sf_dir, table), fd, lhs, rhs)
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -133,6 +133,10 @@ _VERIFY_FIRST = [
     # remaining r2-era rows — drain order is list order.
     "mm_decode_plumbing",
     "sim_adc_from_index",
+    "src_zone_map_pruning",
+    "dq_functional_dependency",
+    "graph_triangle_count",
+    "src_bloom_file_skipping",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",
@@ -388,6 +392,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.rfm",
     "nyc_data_pipeline_spark.operators.skyline",
     "nyc_data_pipeline_spark.operators.abc",
+    "nyc_data_pipeline_spark.operators.triangles",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
@@ -420,6 +425,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.sources.contracts",
     "nyc_data_pipeline_spark.sources.jdbc",
     "nyc_data_pipeline_spark.sources.timetravel",
+    "nyc_data_pipeline_spark.sources.zonemap",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",

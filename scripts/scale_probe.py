@@ -703,6 +703,87 @@ def probe(spark, k: int) -> dict[str, float]:
             adc_search(queries_k, cmicro_k, codes_k, embk),
         )
 
+    # r7 — zone-map pruned read: orders grow k× (key-shifted, same date
+    # span, so file count stays ZM_FILES and the predicate still skips
+    # the same fraction).  Timed: clustered write + manifest + pruned
+    # aggregate — the write's range-bucketed shuffle is the linear term.
+    if not only or "zone_map_rt" in only:
+        from nyc_data_pipeline_spark.sources.scans import scratch_dir
+        from nyc_data_pipeline_spark.sources.zonemap import (
+            _US_PER_DAY,
+            ZM_HI_DAY,
+            ZM_LO_DAY,
+            read_pruned,
+            write_zone_mapped,
+        )
+
+        zbase = ordk.select(
+            "o_orderkey",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                f" div {_US_PER_DAY}"
+            ).alias("day"),
+        )
+        zdir = scratch_dir(f"zonemap_probe_k{k}", SF_DIR)
+        t0 = time.perf_counter()
+        write_zone_mapped(zbase, zdir, "day", ["cents"])
+        zdf, _s, _t = read_pruned(spark, zdir, "day", ZM_LO_DAY, ZM_HI_DAY)
+        zdf.filter(F.col("day").between(ZM_LO_DAY, ZM_HI_DAY)).groupBy(
+            "zb"
+        ).agg(F.sum("cents")).write.format("noop").mode("overwrite").save()
+        times["zone_map_rt"] = round(time.perf_counter() - t0, 2)
+
+    # r7 — degree-oriented triangle count: k disjoint copies of the
+    # co-purchase graph (BOTH endpoints shifted per copy, so node count
+    # grows k× at constant density — the scaling regime the algorithm
+    # targets; growing density on fixed nodes is a property of the
+    # graph, not the plan).  Expect linear.
+    if not only or "triangle_count" in only:
+        from nyc_data_pipeline_spark.operators.triangles import (
+            TRI_HI,
+            TRI_LO,
+            triangle_count,
+        )
+
+        li0 = (
+            load_table(spark, SF_DIR, "lineitem")
+            .filter(F.col("l_shipdate").cast("date").between(TRI_LO, TRI_HI))
+            .select("l_orderkey", "l_partkey")
+        )
+        lik = li0
+        for i in range(1, k):
+            lik = lik.unionByName(
+                li0.withColumn("l_orderkey", F.col("l_orderkey") + i * 10**9)
+                .withColumn("l_partkey", F.col("l_partkey") + i * 10**9)
+            )
+        edges = (
+            lik.alias("a")
+            .join(
+                lik.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+        )
+        run("triangle_count", triangle_count(edges))
+
+    # r7 — g3 functional-dependency audit: pure two-level hash agg,
+    # expect linear with flat output.
+    if not only or "fd_audit" in only:
+        from nyc_data_pipeline_spark.pipelines.quality import fd_audit
+
+        run(
+            "fd_audit",
+            fd_audit(li, "fd_probe", "l_partkey", "l_suppkey"),
+        )
+
     return times
 
 

@@ -1019,3 +1019,48 @@ def test_markov_transitions_row_stochastic(spark, sf_dir):
             assert r.p_cond_ppm == r.n_transitions * 1_000_000 // tot
         s = sum(r.p_cond_ppm for r in cell_rows)
         assert 1_000_000 - len(cell_rows) <= s <= 1_000_000
+
+
+def test_triangle_count_known_graph(spark):
+    """Golden graph: K4 plus a pendant vertex — exactly 4 triangles,
+    7 edges, and wedges = Σ d(d-1)/2 over degrees (3,3,3,4,1) = 15."""
+    from nyc_data_pipeline_spark.operators.triangles import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(k4, "u long, v long")
+    r = triangle_count(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+    assert r.n_wedges == 15
+    assert r.clustering_ppm == 3 * 4 * 1_000_000 // 15
+
+
+def test_triangle_count_triangle_free_graph(spark):
+    """A star (bipartite) has wedges but zero triangles."""
+    from nyc_data_pipeline_spark.operators.triangles import triangle_count
+
+    star = [(1, i) for i in range(2, 8)]
+    r = triangle_count(spark.createDataFrame(star, "u long, v long")).collect()[0]
+    assert r.n_triangles == 0 and r.clustering_ppm == 0
+    assert r.n_wedges == 6 * 5 // 2
+
+
+def test_fd_audit_exact_and_violated(spark):
+    """A constructed exact FD reports holds=True with zero removals; a
+    violated one reports the exact g3 minimum."""
+    from nyc_data_pipeline_spark.pipelines.quality import fd_audit
+
+    rows = [(1, "a"), (1, "a"), (2, "b"), (3, "a")]
+    exact = fd_audit(
+        spark.createDataFrame(rows, "k long, v string"), "k->v", "k", "v"
+    ).collect()[0]
+    assert exact.holds and exact.rows_to_remove == 0
+    assert exact.g3_error_ppm == 0
+
+    # key 1 maps to {a, a, b}: dominant keeps 2, removes 1 of 5 rows
+    rows_v = rows + [(1, "b")]
+    viol = fd_audit(
+        spark.createDataFrame(rows_v, "k long, v string"), "k->v", "k", "v"
+    ).collect()[0]
+    assert not viol.holds
+    assert (viol.total_rows, viol.n_violating_lhs, viol.rows_to_remove) == (5, 1, 1)
+    assert viol.g3_error_ppm == 1_000_000 // 5

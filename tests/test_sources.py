@@ -470,3 +470,94 @@ def test_time_travel_snapshot_isolation_and_partial_rewrite(spark, sf_dir):
     v2_parts = {d for d in os.listdir(os.path.join(table_dir, "v2")) if d.startswith("pb=")}
     assert v1_parts == {f"pb={i}" for i in range(TT_PARTS)}
     assert v2_parts == {"pb=0"}  # untouched partitions were not rewritten
+
+
+def test_zone_map_read_lists_only_overlapping_files(spark, sf_dir):
+    """File skipping must happen at the metadata layer: the pruned
+    DataFrame's file listing contains exactly the manifest-selected
+    files, and a full-range read lists all of them."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        ZM_FILES,
+        ZM_HI_DAY,
+        ZM_LO_DAY,
+        _US_PER_DAY,
+        read_pruned,
+        write_zone_mapped,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+        ).alias("day"),
+    )
+    table_dir = scratch_dir("zonemap_plan", sf_dir)
+    manifest = write_zone_mapped(base, table_dir, "day", ["cents"])
+    assert len(manifest["files"]) == ZM_FILES
+
+    narrow, n_scan, n_total = read_pruned(
+        spark, table_dir, "day", ZM_LO_DAY, ZM_HI_DAY
+    )
+    assert 0 < n_scan < n_total == ZM_FILES
+    assert len(narrow.inputFiles()) == n_scan  # unopened files never listed
+
+    full, n_all, _ = read_pruned(spark, table_dir, "day", -10**9, 10**9)
+    assert n_all == ZM_FILES
+    assert len(full.inputFiles()) == ZM_FILES
+    # nothing lost: pruned read + residual filter == full-scan filter
+    pred = F.col("day").between(ZM_LO_DAY, ZM_HI_DAY)
+    assert narrow.filter(pred).count() == full.filter(pred).count()
+
+    # stats honesty: every file's manifest interval contains its rows
+    for _zb, meta in manifest["files"].items():
+        lo, hi = meta["stats"]["day"]
+        assert lo <= hi and meta["n_rows"] > 0
+
+
+def test_bloom_file_skipping_never_false_negative(spark, sf_dir):
+    """Bloom admission must be a superset of true containment (no
+    false negatives), and absent keys at healthy sizing should open
+    few or zero files."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.plans.two_phase import range_buckets
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        ZM_FILES,
+        _US_PER_DAY,
+        bloom_probe_files,
+        write_bloom_manifest,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+        ).alias("day"),
+    )
+    table_dir = scratch_dir("bloomskip_test", sf_dir)
+    manifest = write_bloom_manifest(base, table_dir, "o_orderkey")
+
+    # true containment per file, from the same bucketing rule
+    truth = {
+        str(r.zb): set(r.keys)
+        for r in range_buckets(base, "day", ZM_FILES)
+        .withColumnRenamed("bucket", "zb")
+        .groupBy("zb")
+        .agg(F.collect_set("o_orderkey").alias("keys"))
+        .collect()
+    }
+    some_keys = [r.o_orderkey for r in base.limit(25).collect()]
+    for key in some_keys:
+        admitted = set(bloom_probe_files(manifest, key))
+        holders = {zb for zb, ks in truth.items() if key in ks}
+        assert holders <= admitted, (key, holders, admitted)
+    # absent keys: tiny admission rate under adaptive sizing
+    absent_admits = sum(
+        len(bloom_probe_files(manifest, 10**13 + i)) for i in range(20)
+    )
+    assert absent_admits <= 0.25 * 20 * ZM_FILES

@@ -216,6 +216,12 @@ HEADLINE = [
     "graph_triangle_count",
     # r7: per-file bloom bitsets — point-lookup file skipping
     "src_bloom_file_skipping",
+    # r7: copy-on-write MERGE (v1 commit + 2-file rewrite + both reads)
+    "merge_zone_map_cow",
+    # r7: change data feed (v1-vs-v2 diff over rewritten files only)
+    "src_cow_change_feed",
+    # r7: exact-integer autocorrelation diagnostics (lags 1-6)
+    "ts_autocorrelation",
 ]
 
 

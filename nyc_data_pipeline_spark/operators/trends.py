@@ -463,3 +463,144 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div si_ppm AS BIGINT) AS deseason_cents",
         )
     )
+
+
+# --- Autocorrelation function (ACF) ----------------------------------------
+#
+# The first diagnostic anyone runs on a time series before choosing a
+# model: acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², lags 1..ACF_MAX_LAG,
+# here over each priority's monthly-revenue series (~80 points — the
+# corpus touches only the first rollup; everything after is bounded).
+#
+# Exactness discipline: clearing x̄ = S/n by multiplying through by n²
+# makes both sides integer —
+#   n²·num_k = n²·C_k − n·S·(A_k+B_k) + (n−k)·S²
+#   n²·den   = n²·Q − n·S²
+# with C_k = Σ x_t·x_{t+k} over the lag pairs, A_k/B_k the pairs'
+# lead/lag sums, Q = Σx².  Monthly cents ~1e10 square to ~1e20 and
+# n²·C_k reaches ~1e26 — int64 is gone, so every carrier is
+# decimal(38,0)/HUGEINT (the ABC/seasonal lesson).  num_k can be
+# NEGATIVE: the final ppm uses sign-split division so Spark's
+# truncating `div` and DuckDB's flooring `//` agree (the
+# emb_quantize_int8 rule).
+
+ACF_MAX_LAG = 6
+
+
+def _acf_signed_div(num: str, den: str, engine_div: str, carrier: str) -> str:
+    # carrier must be the engine's true-integer wide type (DuckDB
+    # HUGEINT, Spark DECIMAL(38,0)) — DuckDB's `//` over DECIMAL is not
+    # the integral truncating division this identity needs (observed
+    # off-by-one on negative numerators).
+    scaled = f"CAST({num} AS {carrier}) * 1000000"
+    return (
+        f"CASE WHEN {num} >= 0 THEN CAST(({scaled}) {engine_div} {den}"
+        f" AS BIGINT) ELSE -CAST((-({scaled})) {engine_div} {den}"
+        f" AS BIGINT) END"
+    )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS pr,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT) AS midx,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT pr, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(x * x) AS HUGEINT) AS q
+        FROM series GROUP BY pr
+    ),
+    pairs AS (
+        SELECT a.pr, l.lag,
+               CAST(SUM(a.x * b.x) AS HUGEINT) AS c,
+               CAST(SUM(a.x) AS HUGEINT) AS sa,
+               CAST(SUM(b.x) AS HUGEINT) AS sb,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM series a
+        JOIN LATERAL (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag)
+             l ON TRUE
+        JOIN series b ON b.pr = a.pr AND b.midx = a.midx + l.lag
+        GROUP BY a.pr, l.lag
+    ),
+    nd AS (
+        SELECT p.pr, p.lag, p.n_pairs,
+               s.n * s.n * p.c - s.n * s.s * (p.sa + p.sb)
+                   + (s.n - p.lag) * s.s * s.s AS num,
+               s.n * s.n * s.q - s.n * s.s * s.s AS den
+        FROM pairs p JOIN stats s ON s.pr = p.pr
+    )
+    SELECT pr, CAST(lag AS BIGINT) AS lag, n_pairs,
+           {_acf_signed_div('num', 'den', '//', 'HUGEINT')} AS acf_ppm
+    FROM nd
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority ACF of monthly revenue at lags 1..{ACF_MAX_LAG},
+    reported in exact ppm (decimal(38,0) carriers end-to-end)."""
+    o = load_table(spark, sf_dir, "orders")
+    series = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate)"
+                " AS BIGINT)"
+            ).alias("midx"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS DECIMAL(38,0))"
+            ).alias("x")
+        )
+    )
+    stats = series.groupBy("pr").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("s"),
+        F.expr("CAST(SUM(x * x) AS DECIMAL(38,0))").alias("q"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+    ).alias("lag")
+    a = series.select("pr", "midx", F.col("x").alias("xa")).select(
+        "*", lags
+    )
+    b = series.select(
+        F.col("pr").alias("pr_b"),
+        F.col("midx").alias("midx_b"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("pr_b") == F.col("pr"))
+            & (F.col("midx_b") == F.col("midx") + F.col("lag")),
+        )
+        .groupBy("pr", "lag")
+        .agg(
+            F.expr("CAST(SUM(xa * xb) AS DECIMAL(38,0))").alias("c"),
+            F.expr("CAST(SUM(xa) AS DECIMAL(38,0))").alias("sa"),
+            F.expr("CAST(SUM(xb) AS DECIMAL(38,0))").alias("sb"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    nd = pairs.join(F.broadcast(stats), "pr").selectExpr(
+        "pr",
+        "lag",
+        "n_pairs",
+        "CAST(n * n * c - n * s * (sa + sb) + (n - lag) * s * s"
+        " AS DECIMAL(38,0)) AS num",
+        "CAST(n * n * q - n * s * s AS DECIMAL(38,0)) AS den",
+    )
+    return nd.selectExpr(
+        "pr",
+        "CAST(lag AS BIGINT) AS lag",
+        "n_pairs",
+        f"{_acf_signed_div('num', 'den', 'div', 'DECIMAL(38,0)')} AS acf_ppm",
+    )

@@ -137,6 +137,9 @@ _VERIFY_FIRST = [
     "dq_functional_dependency",
     "graph_triangle_count",
     "src_bloom_file_skipping",
+    "merge_zone_map_cow",
+    "src_cow_change_feed",
+    "ts_autocorrelation",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",

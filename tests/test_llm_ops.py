@@ -1064,3 +1064,18 @@ def test_fd_audit_exact_and_violated(spark):
     assert not viol.holds
     assert (viol.total_rows, viol.n_violating_lhs, viol.rows_to_remove) == (5, 1, 1)
     assert viol.g3_error_ppm == 1_000_000 // 5
+
+
+def test_acf_bounds_and_constant_series(spark):
+    """acf_ppm must lie in [-1e6, 1e6] (a Cauchy-Schwarz consequence
+    the integer identity must preserve) and cover every lag 1..max."""
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["ts_autocorrelation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(-1_000_000 <= r.acf_ppm <= 1_000_000 for r in rows)
+
+    from nyc_data_pipeline_spark.operators.trends import ACF_MAX_LAG
+    assert sorted({r.lag for r in rows}) == list(range(1, ACF_MAX_LAG + 1))

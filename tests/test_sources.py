@@ -561,3 +561,32 @@ def test_bloom_file_skipping_never_false_negative(spark, sf_dir):
         len(bloom_probe_files(manifest, 10**13 + i)) for i in range(20)
     )
     assert absent_admits <= 0.25 * 20 * ZM_FILES
+
+
+def test_cow_merge_rewrites_only_touched_files(spark, sf_dir):
+    """Copy-on-write economy: after the v2 commit, untouched buckets'
+    v2 manifest entries still point at the v1 files (inherited paths),
+    and only the stats-overlapping buckets have v2 data files."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+
+    rows = {r.version: r for r in
+            QUERIES["merge_zone_map_cow"](spark, sf_dir).collect()}
+    assert rows[1].files_rewritten == 0
+    assert 0 < rows[2].files_rewritten < rows[2].files_total
+
+    table_dir = scratch_dir("zm_merge", sf_dir)
+    with open(_os.path.join(table_dir, "manifest-v1.json")) as f:
+        m1 = _json.load(f)
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    inherited = [z for z in m2["files"] if m2["files"][z] == m1["files"][z]]
+    rewritten = [z for z in m2["files"] if m2["files"][z] != m1["files"][z]]
+    assert len(rewritten) == rows[2].files_rewritten
+    assert len(inherited) == rows[2].files_total - rows[2].files_rewritten
+    assert all("v2" in m2["files"][z] for z in rewritten)
+    assert m2["bounds"] == m1["bounds"]  # partition spec frozen

@@ -222,6 +222,8 @@ HEADLINE = [
     "src_cow_change_feed",
     # r7: exact-integer autocorrelation diagnostics (lags 1-6)
     "ts_autocorrelation",
+    # r7: join-key skew audit (salting-decision profiling pass)
+    "dq_join_skew_audit",
 ]
 
 

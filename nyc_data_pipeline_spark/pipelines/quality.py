@@ -809,3 +809,94 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = fd_audit(load_table(spark, sf_dir, table), fd, lhs, rhs)
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- Join-key skew audit ---------------------------------------------------
+#
+# The profiling pass behind every salting/AQE-skew decision (the
+# operators/skew.py machinery assumes you KNOW the key is skewed): for
+# each candidate join key, the share of rows carried by the heaviest
+# key and the heaviest ten.  At 100 TB a key holding >0.1% of a fact
+# table means one reducer gets >100 GB — this audit is how that is
+# found BEFORE the join stalls, from one groupBy per key (map-side
+# combined) plus a 10-row TakeOrdered heap, never a sort.
+#
+# Determinism at the top-10 boundary: ties in cnt make the CHOICE of
+# rank-10 row engine-dependent, but every choice has the same cnt, so
+# SUM(top-10 cnt) — the only thing reported — is tie-independent.
+
+SKEW_FLAG_PPM = 1000  # heaviest key > 0.1% of rows -> flag
+
+_SKEW_SPECS = [
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+
+
+def _skew_oracle_one(name: str, table: str, col: str) -> str:
+    return f"""
+    SELECT '{name}' AS key_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top1_ppm,
+           CAST((SELECT SUM(cnt) FROM
+                    (SELECT cnt FROM (SELECT {col} AS k, COUNT(*) AS cnt
+                                      FROM {table} GROUP BY 1)
+                     ORDER BY cnt DESC, k LIMIT 10))
+                * 1000000 // SUM(cnt) AS BIGINT) AS top10_ppm,
+           MAX(cnt) * 1000000 // SUM(cnt) > {SKEW_FLAG_PPM} AS skewed
+    FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+    """
+
+
+def join_key_skew(df: DataFrame, name: str, col: str) -> DataFrame:
+    """One-row skew profile of a candidate join key."""
+    from ..catalog import persist_scoped
+
+    # the counts table feeds both the global fold and the top-10 heap —
+    # a diamond; persist_scoped (never bare persist) bounds the cache.
+    counts = persist_scoped(
+        f"skew.counts.{name}",
+        df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("cnt")),
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("t10"))
+    )
+    out = (
+        counts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("top1"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .selectExpr(
+            f"'{name}' AS key_col",
+            "n_rows",
+            "n_keys",
+            "CAST(top1 * 1000000 div n_rows AS BIGINT) AS top1_ppm",
+            "CAST(t10 * 1000000 div n_rows AS BIGINT) AS top10_ppm",
+            f"top1 * 1000000 div n_rows > {SKEW_FLAG_PPM} AS skewed",
+        )
+    )
+    return out
+
+
+@register(
+    "dq_join_skew_audit",
+    oracle=" UNION ALL ".join(
+        _skew_oracle_one(n, t, c) for n, t, c in _SKEW_SPECS
+    ),
+)
+def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-join-key skew profile: rows, distinct keys,
+    heaviest-key and heaviest-10 shares in ppm, and the salting flag
+    (>0.1% on one key) — the measurement that justifies (or spares)
+    the operators/skew.py two-phase treatment."""
+    out = None
+    for name, table, col in _SKEW_SPECS:
+        one = join_key_skew(load_table(spark, sf_dir, table), name, col)
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -140,6 +140,7 @@ _VERIFY_FIRST = [
     "merge_zone_map_cow",
     "src_cow_change_feed",
     "ts_autocorrelation",
+    "dq_join_skew_audit",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",

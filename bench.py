@@ -224,6 +224,10 @@ HEADLINE = [
     "ts_autocorrelation",
     # r7: join-key skew audit (salting-decision profiling pass)
     "dq_join_skew_audit",
+    # r7: batch probe against the persisted minhash dedup index
+    "dedup_index_persisted",
+    # r7: Theil-Sen robust trend (median pairwise slopes, bounded series)
+    "ts_theil_sen",
 ]
 
 

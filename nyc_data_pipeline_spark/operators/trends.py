@@ -604,3 +604,138 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         f"{_acf_signed_div('num', 'den', 'div', 'DECIMAL(38,0)')} AS acf_ppm",
     )
+
+
+# --- Theil-Sen robust trend ------------------------------------------------
+#
+# The robust complement to `grouped_ols_trend`: OLS slope is arbitrary
+# under one corrupted month; the Theil-Sen estimator (median of all
+# pairwise slopes) has a 29% breakdown point and is the standard
+# robust trend for monitoring series.  Pairs are O(n²) PER GROUP but
+# the groups are bounded month series (~80 points → 3,160 pairs), the
+# accepted rollup-level regime — the corpus contributes one linear
+# rollup, everything after is bounded.
+#
+# Exactness: the statistic is DEFINED on milli-cent/month integer
+# slopes — (y2−y1)·1000 over (x2−x1) with SIGN-SPLIT division (slopes
+# go negative; Spark `div` truncates, DuckDB `//` floors) — so both
+# engines rank identical integers; the median is the lower order
+# statistic at rank (n+1)//2 with a full (slope, t1, t2) tiebreak.
+# The intercept is the median residual y·1000 − slope·x at the group
+# slope, same discipline.
+
+def _ts_sdiv(num: str, den: str, idiv: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num}) * 1000 {idiv} ({den}) "
+        f"ELSE -((-({num})) * 1000 {idiv} ({den})) END"
+    )
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS pr,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.pr, a.x AS x1, b.x AS x2,
+               {_ts_sdiv('b.y - a.y', 'b.x - a.x', '//')} AS s
+        FROM series a JOIN series b ON b.pr = a.pr AND b.x > a.x
+    ),
+    ranked AS (
+        SELECT pr, s,
+               ROW_NUMBER() OVER (PARTITION BY pr
+                                  ORDER BY s, x1, x2) AS rk,
+               COUNT(*) OVER (PARTITION BY pr) AS np
+        FROM slopes
+    ),
+    med AS (
+        SELECT pr, CAST(MAX(np) AS BIGINT) AS n_pairs,
+               CAST(MAX(CASE WHEN rk = (np + 1) // 2 THEN s END)
+                    AS BIGINT) AS slope_milli
+        FROM ranked GROUP BY pr
+    ),
+    resid AS (
+        SELECT s.pr, s.x,
+               s.y * 1000 - m.slope_milli * s.x AS r
+        FROM series s JOIN med m ON m.pr = s.pr
+    ),
+    rr AS (
+        SELECT pr, r,
+               ROW_NUMBER() OVER (PARTITION BY pr ORDER BY r, x) AS rk,
+               COUNT(*) OVER (PARTITION BY pr) AS n
+        FROM resid
+    )
+    SELECT m.pr, CAST(MAX(rr.n) AS BIGINT) AS n_points, m.n_pairs,
+           m.slope_milli,
+           CAST(MAX(CASE WHEN rr.rk = (rr.n + 1) // 2 THEN rr.r END)
+                AS BIGINT) AS intercept_milli
+    FROM med m JOIN rr ON rr.pr = m.pr
+    GROUP BY m.pr, m.n_pairs, m.slope_milli
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil-Sen robust trend of monthly revenue: median
+    pairwise slope (milli-cents/month) + median-residual intercept,
+    exact integers end-to-end over bounded month series."""
+    o = load_table(spark, sf_dir, "orders")
+    series = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+        ).alias("x"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("y")
+    )
+    return theil_sen(series)
+
+
+def theil_sen(series: DataFrame) -> DataFrame:
+    """Composable core: (pr, x, y bigint) bounded series -> one robust
+    fit per pr (n_points, n_pairs, slope_milli, intercept_milli)."""
+    from pyspark.sql import Window
+
+    from ..catalog import persist_scoped
+
+    series = persist_scoped("theilsen.series", series)
+    a = series.selectExpr("pr", "x AS x1", "y AS y1")
+    b = series.selectExpr("pr AS pr_b", "x AS x2", "y AS y2")
+    slopes = (
+        a.join(b, (F.col("pr_b") == F.col("pr")) & (F.col("x2") > F.col("x1")))
+        .selectExpr(
+            "pr", "x1", "x2",
+            f"{_ts_sdiv('y2 - y1', 'x2 - x1', 'div')} AS s",
+        )
+    )
+    w = Window.partitionBy("pr")
+    ranked = slopes.withColumn(
+        "rk", F.row_number().over(w.orderBy("s", "x1", "x2"))
+    ).withColumn("np", F.count("*").over(w))
+    med = ranked.groupBy("pr").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(np + 1) div 2"), F.col("s"))
+        ).cast("bigint").alias("slope_milli"),
+    )
+    resid = series.join(F.broadcast(med), "pr").selectExpr(
+        "pr", "x", "n_pairs", "slope_milli",
+        "y * 1000 - slope_milli * x AS r",
+    )
+    rr = resid.withColumn(
+        "rk", F.row_number().over(w.orderBy("r", "x"))
+    ).withColumn("n", F.count("*").over(w))
+    return rr.groupBy("pr", "n_pairs", "slope_milli").agg(
+        F.max("n").cast("bigint").alias("n_points"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("r"))
+        ).cast("bigint").alias("intercept_milli"),
+    ).select(
+        "pr", "n_points", "n_pairs", "slope_milli", "intercept_milli"
+    )

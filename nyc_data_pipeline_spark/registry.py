@@ -141,6 +141,8 @@ _VERIFY_FIRST = [
     "src_cow_change_feed",
     "ts_autocorrelation",
     "dq_join_skew_audit",
+    "dedup_index_persisted",
+    "ts_theil_sen",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",

@@ -774,6 +774,51 @@ def probe(spark, k: int) -> dict[str, float]:
         )
         run("triangle_count", triangle_count(edges))
 
+    # r7 — persisted minhash-index probe, FIXED batch vs k× corpus:
+    # the realistic incremental regime (a day's crawl against a growing
+    # corpus).  Index built per k OUTSIDE the timer; the probe is
+    # broadcast batch bands over the parquet band table + candidate-
+    # only verify.  NOTE the clone-regime trap, measured before this
+    # reshape: scaling the BATCH with k too makes every batch doc
+    # collide with all k textual corpus clones — Ω(k²) candidate pairs
+    # by construction (k=16 measured 285 s) — the same artifact the
+    # pair-emitting dedup probes document; candidates here grow k× per
+    # fixed batch doc (true duplicate multiplicity), which is the
+    # honest linear bound.
+    if not only or "dedup_index_probe" in only:
+        from nyc_data_pipeline_spark.dedup.incremental import (
+            BATCH_MOD,
+            build_minhash_index,
+            probe_minhash_index,
+        )
+        from nyc_data_pipeline_spark.functions.text import (
+            spark_token_hashes as _sth,
+            spark_tokens as _st,
+        )
+        from nyc_data_pipeline_spark.sources.scans import (
+            scratch_dir as _sdir,
+        )
+
+        def _sets(df):
+            return df.selectExpr(
+                "doc_id",
+                f"array_distinct({_sth(_st('text'))}) AS elems",
+            ).repartition("doc_id")
+
+        corpus_k = _sets(docsk).filter(F.col("doc_id") % BATCH_MOD != 0)
+        batch_1 = _sets(
+            load_table(spark, SF_DIR, "documents")
+        ).filter(F.col("doc_id") % BATCH_MOD == 0)
+        idx_dir = _sdir(f"minhash_index_probe_k{k}", SF_DIR)
+        build_minhash_index(corpus_k, idx_dir)
+        import json as _json
+        with open(f"{idx_dir}/manifest-v1.json") as fh:
+            _manifest = _json.load(fh)
+        run(
+            "dedup_index_probe",
+            probe_minhash_index(spark, _manifest, batch_1),
+        )
+
     # r7 — g3 functional-dependency audit: pure two-level hash agg,
     # expect linear with flat output.
     if not only or "fd_audit" in only:

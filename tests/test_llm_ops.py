@@ -1079,3 +1079,24 @@ def test_acf_bounds_and_constant_series(spark):
 
     from nyc_data_pipeline_spark.operators.trends import ACF_MAX_LAG
     assert sorted({r.lag for r in rows}) == list(range(1, ACF_MAX_LAG + 1))
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A clean slope-7 line with one wild outlier: Theil-Sen recovers
+    slope 7 exactly (milli = 7000), while the OLS slope on the same
+    data is far off — the robustness claim, machine-checked."""
+    from nyc_data_pipeline_spark.operators.trends import theil_sen
+
+    pts = [("g", x, 7 * x + 100) for x in range(1, 21)]
+    pts[9] = ("g", 10, 10**9)  # corrupted month
+    series = spark.createDataFrame(pts, "pr string, x long, y long")
+    r = theil_sen(series).collect()[0]
+    assert r.slope_milli == 7000
+    assert r.n_points == 20 and r.n_pairs == 190
+    # OLS on the same points is dominated by the outlier
+    import statistics
+    xs = [p[1] for p in pts]; ys = [p[2] for p in pts]
+    n = len(xs)
+    ols = (n * sum(x*y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x*x for x in xs) - sum(xs) ** 2)
+    assert abs(ols - 7) > 1000  # wildly off; Theil-Sen was exact

@@ -432,3 +432,12 @@ def test_pq_index_probe_many_without_rebuild(spark, sf_dir):
             for r in adc_search(queries, cmicro, codes, emb).collect()
         ))
     assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
+def test_dedup_persisted_index_probe_reads_artifacts(spark, sf_dir):
+    """The probe plan must read the committed band/elems parquet for
+    the corpus side; document scans in the plan are batch-side only
+    (batch bands + batch token sets + output spine)."""
+    p = plan_str(QUERIES["dedup_index_persisted"](spark, sf_dir))
+    assert "minhash_index" in p
+    assert "BatchEvalPython" not in p

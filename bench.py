@@ -228,6 +228,8 @@ HEADLINE = [
     "dedup_index_persisted",
     # r7: Theil-Sen robust trend (median pairwise slopes, bounded series)
     "ts_theil_sen",
+    # r7: ANALYZE-style optimizer column statistics
+    "dq_analyze_stats",
 ]
 
 

@@ -900,3 +900,71 @@ def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = join_key_skew(load_table(spark, sf_dir, table), name, col)
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- ANALYZE-style column statistics ---------------------------------------
+#
+# The `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` surface every
+# cost-based optimizer feeds on: per-column row/null counts, exact NDV,
+# and min/max.  One scan computes ALL columns' statistics (Spark plans
+# the multi-COUNT(DISTINCT) via a single expand + two-level aggregate,
+# DuckDB equivalently); the 1-row result broadcasts into five typed
+# per-column rows.  Cross-engine min/max reprs are pinned per column
+# type (ints as decimal strings, money as exact cents, dates as epoch
+# days) — never a raw double's engine-formatted string.
+
+_AN_COLS = [
+    ("o_orderkey", "CAST({m}(o_orderkey) AS {S})", "o_orderkey"),
+    ("o_custkey", "CAST({m}(o_custkey) AS {S})", "o_custkey"),
+    ("o_orderstatus", "{m}(o_orderstatus)", "o_orderstatus"),
+    ("o_totalprice_cents",
+     "CAST({m}(CAST(floor(o_totalprice * 100) AS BIGINT)) AS {S})",
+     "o_totalprice"),
+    ("o_orderdate_day",
+     "CAST({m}(epoch_us(CAST(o_orderdate AS TIMESTAMP)) {d} 86400000000)"
+     " AS {S})",
+     "o_orderdate"),
+]
+
+
+def _analyze_oracle() -> str:
+    arms = []
+    for name, mexpr, col in _AN_COLS:
+        mn = mexpr.format(m="MIN", S="VARCHAR", d="//")
+        mx = mexpr.format(m="MAX", S="VARCHAR", d="//")
+        arms.append(f"""
+        SELECT '{name}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+               {mn} AS min_repr, {mx} AS max_repr
+        FROM orders""")
+    return " UNION ALL ".join(arms)
+
+
+@register("dq_analyze_stats", oracle=_analyze_oracle())
+def dq_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer column statistics for orders: per-column rows, nulls,
+    exact NDV, and type-pinned min/max representations — the ANALYZE
+    pass a CBO consumes for join ordering and selectivity."""
+    o = load_table(spark, sf_dir, "orders")
+    out = None
+    for name, mexpr, col in _AN_COLS:
+        mn = mexpr.format(m="MIN", S="STRING", d="div").replace(
+            "epoch_us", "unix_micros"
+        )
+        mx = mexpr.format(m="MAX", S="STRING", d="div").replace(
+            "epoch_us", "unix_micros"
+        )
+        one = o.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(col).cast("bigint").alias("ndv"),
+            F.expr(mn).alias("min_repr"),
+            F.expr(mx).alias("max_repr"),
+        ).select(
+            F.lit(name).alias("col_name"),
+            "n_rows", "n_nulls", "ndv", "min_repr", "max_repr",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

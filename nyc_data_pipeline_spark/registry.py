@@ -64,8 +64,8 @@ def register(name: str, oracle: str | None = None):
 _VERIFY_FIRST = [
     # ==== r7 window (positions 1-50): VERDICT r6 ask #1 — the
     # entire never-driver-verified r6 catalog plus the oldest
-    # r2-era verdicts; in-window additions capped to 0 (the one
-    # new r7 query, mm_decode_plumbing, registers below).
+    # r2-era verdicts; in-window additions capped to 0 (all 13 new
+    # r7 queries register below, at the head of the r8 queue).
     # -- position 1: output CHANGED this round (real PPM decode
     # replaced the stand-in features; r6 precedent: changed
     # outputs verify first).
@@ -128,9 +128,12 @@ _VERIFY_FIRST = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    # ==== r8 queue (pre-staged, VERDICT r6 ask #4): first the
-    # queries added in r7 (never driver-verified), then the 36
-    # remaining r2-era rows — drain order is list order.
+    # ==== r8 queue (pre-staged, VERDICT r6 ask #4): first the 13
+    # queries added in r7 (never driver-verified; each locally
+    # triple-verified at sf0.001/0.01/0.1 and re-proven by the
+    # end-of-round replay + sf0.1 sweep), then the 36 remaining
+    # r2-era rows — 49 entries, fitting one 50-slot window with a
+    # slot to spare; drain order is list order.
     "mm_decode_plumbing",
     "sim_adc_from_index",
     "src_zone_map_pruning",
@@ -143,6 +146,7 @@ _VERIFY_FIRST = [
     "dq_join_skew_audit",
     "dedup_index_persisted",
     "ts_theil_sen",
+    "dq_analyze_stats",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",

@@ -276,3 +276,142 @@ def test_cms_estimate_matches_python_sketch(spark, user_ids):
             for i, (a, b) in enumerate(CMS_AB)
         )
         assert est >= c
+
+
+# ---- two-phase engine: rownum equals the plain window on ANY data ---------
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_rownum_equals_plain_window(spark, vals):
+    """For arbitrary (negative, tied, skewed) leading keys, the shared
+    two-phase engine must reproduce the single-partition ROW_NUMBER
+    exactly — the invariant every rank/skyline/ABC call site rests on
+    (order-aligned buckets: every row in bucket i precedes bucket
+    i+1)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nyc_data_pipeline_spark.plans.two_phase import two_phase_rownum
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        (r.v, r.id): r.rn for r in two_phase_rownum(df, ["v", "id"]).collect()
+    }
+    want = {
+        (r.v, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+# ---- raster parsers: random-image round trips -----------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_ppm_roundtrip_random_images(w, h, data):
+    from nyc_data_pipeline_spark.multimodal.binary_ops import decode_media
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    payload = f"P6\n{w} {h}\n255\n".encode() + px
+    m = decode_media(payload, "image/x-portable-pixmap")
+    assert (m["width"], m["height"], m["pixels"]) == (w, h, px)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=7),
+    h=st.integers(min_value=1, max_value=7),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_random_images(w, h, top_down, data):
+    import struct
+
+    from nyc_data_pipeline_spark.multimodal.binary_ops import decode_media
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    rows = [rgb[3 * w * r : 3 * w * (r + 1)] for r in range(h)]
+    stride = (3 * w + 3) & ~3
+    bgr_rows = [
+        bytes(row[3 * c + (2 - k)] for c in range(w) for k in range(3))
+        for row in rows
+    ]
+    order = bgr_rows if top_down else bgr_rows[::-1]
+    raster = b"".join(r + b"\x00" * (stride - 3 * w) for r in order)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h,
+        1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    m = decode_media(hdr + info + raster, "image/bmp")
+    assert (m["width"], m["height"], m["pixels"]) == (w, h, rgb)
+
+
+# ---- Theil-Sen equals a pure-Python reference -----------------------------
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_theil_sen_equals_python_reference(spark, ys):
+    """Median milli-slope and median-residual intercept against a
+    direct Python model with identical sign-split truncating division
+    and (value, tiebreak) lower-median rule."""
+    from nyc_data_pipeline_spark.operators.trends import theil_sen
+
+    xs = list(range(1, len(ys) + 1))
+    series = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "pr string, x long, y long"
+    )
+    r = theil_sen(series).collect()[0]
+
+    def sdiv(num, den):
+        return (num * 1000) // den if num >= 0 else -((-num * 1000) // den)
+
+    slopes = sorted(
+        (sdiv(ys[j] - ys[i], xs[j] - xs[i]), xs[i], xs[j])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    want_slope = slopes[(len(slopes) + 1) // 2 - 1][0]
+    resid = sorted((y * 1000 - want_slope * x, x) for x, y in zip(xs, ys))
+    want_icept = resid[(len(resid) + 1) // 2 - 1][0]
+    assert (r.slope_milli, r.intercept_milli) == (want_slope, want_icept)
+    assert r.n_pairs == len(slopes) and r.n_points == len(xs)

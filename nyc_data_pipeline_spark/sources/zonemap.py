@@ -275,9 +275,18 @@ def write_bloom_manifest(
         .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
         .collect()
     )
+
+    def pack(positions) -> str:
+        # packed bitmap, hex-encoded — the parquet-bloom metadata shape
+        # (~bits/8 bytes/file) instead of a set-bit integer list (~10×).
+        bm = bytearray((n_bits + 7) // 8)
+        for w in positions:
+            bm[w >> 3] |= 1 << (w & 7)
+        return bytes(bm).hex()
+
     manifest = {
         "bits": n_bits,
-        "files": {str(r["zb"]): list(r["bits"]) for r in bits},
+        "files": {str(r["zb"]): pack(r["bits"]) for r in bits},
     }
     os.makedirs(table_dir, exist_ok=True)
     with open(os.path.join(table_dir, "bloom.json"), "w") as f:
@@ -286,17 +295,18 @@ def write_bloom_manifest(
 
 
 def bloom_probe_files(manifest: dict, key: int) -> list[str]:
-    """File ids whose bloom bitset admits `key` (all hash bits set)."""
+    """File ids whose bloom bitmap admits `key` (all hash bits set)."""
     P = 2_147_483_647
     want = [
         ((key % P) * a + b) % P % manifest["bits"]
         for a, b in BLOOM_HASHES
     ]
-    return [
-        zb
-        for zb, bits in sorted(manifest["files"].items())
-        if all(w in set(bits) for w in want)
-    ]
+    out = []
+    for zb, hexmap in sorted(manifest["files"].items()):
+        bm = bytes.fromhex(hexmap)
+        if all((bm[w >> 3] >> (w & 7)) & 1 for w in want):
+            out.append(zb)
+    return out
 
 
 def _bloom_oracle() -> str:

@@ -947,24 +947,38 @@ def dq_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimizer column statistics for orders: per-column rows, nulls,
     exact NDV, and type-pinned min/max representations — the ANALYZE
     pass a CBO consumes for join ordering and selectivity."""
+    from ..catalog import persist_scoped
+
     o = load_table(spark, sf_dir, "orders")
-    out = None
-    for name, mexpr, col in _AN_COLS:
+    # ONE aggregate computes every column's statistics (Spark plans the
+    # multi-COUNT(DISTINCT) via a single expand); the persisted 1-row
+    # result then fans out into the five per-column output rows — the
+    # first draft ran one aggregate PER column (5 table scans), which
+    # is exactly the anti-pattern the module docstring warns about.
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for i, (_name, mexpr, col) in enumerate(_AN_COLS):
         mn = mexpr.format(m="MIN", S="STRING", d="div").replace(
             "epoch_us", "unix_micros"
         )
         mx = mexpr.format(m="MAX", S="STRING", d="div").replace(
             "epoch_us", "unix_micros"
         )
-        one = o.agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            (F.count("*") - F.count(col)).cast("bigint").alias("n_nulls"),
-            F.countDistinct(col).cast("bigint").alias("ndv"),
-            F.expr(mn).alias("min_repr"),
-            F.expr(mx).alias("max_repr"),
-        ).select(
+        aggs += [
+            (F.count("*") - F.count(col)).cast("bigint").alias(f"nn_{i}"),
+            F.countDistinct(col).cast("bigint").alias(f"ndv_{i}"),
+            F.expr(mn).alias(f"mn_{i}"),
+            F.expr(mx).alias(f"mx_{i}"),
+        ]
+    stats = persist_scoped("analyze.stats", o.agg(*aggs))
+    out = None
+    for i, (name, _mexpr, _col) in enumerate(_AN_COLS):
+        one = stats.select(
             F.lit(name).alias("col_name"),
-            "n_rows", "n_nulls", "ndv", "min_repr", "max_repr",
+            "n_rows",
+            F.col(f"nn_{i}").alias("n_nulls"),
+            F.col(f"ndv_{i}").alias("ndv"),
+            F.col(f"mn_{i}").alias("min_repr"),
+            F.col(f"mx_{i}").alias("max_repr"),
         )
         out = one if out is None else out.unionByName(one)
     return out

@@ -539,6 +539,7 @@ def _acf_signed_div(num: str, den: str, engine_div: str, carrier: str) -> str:
     SELECT pr, CAST(lag AS BIGINT) AS lag, n_pairs,
            {_acf_signed_div('num', 'den', '//', 'HUGEINT')} AS acf_ppm
     FROM nd
+    WHERE den > 0
     """,
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +599,11 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DECIMAL(38,0)) AS num",
         "CAST(n * n * q - n * s * s AS DECIMAL(38,0)) AS den",
     )
-    return nd.selectExpr(
+    # den = n²·Σ(x−x̄)² is zero for a CONSTANT series, where acf is
+    # undefined — filter rather than divide (ANSI Spark and DuckDB both
+    # raise on integer division by zero; a silent NULL would be the
+    # dq_benford_digits lesson repeated).
+    return nd.filter(F.col("den") > 0).selectExpr(
         "pr",
         "CAST(lag AS BIGINT) AS lag",
         "n_pairs",

@@ -1100,3 +1100,29 @@ def test_theil_sen_robust_to_outlier(spark):
     ols = (n * sum(x*y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
         n * sum(x*x for x in xs) - sum(xs) ** 2)
     assert abs(ols - 7) > 1000  # wildly off; Theil-Sen was exact
+
+
+def test_acf_constant_series_filtered_not_error(spark, sf_dir):
+    """A constant series has zero variance — acf is undefined; the
+    operator must drop the group (loudly absent) rather than raise an
+    ANSI divide-by-zero or emit NULL ppm rows.  One order per month at
+    a fixed price makes the monthly-revenue series exactly constant."""
+    import datetime as _dt
+
+    from nyc_data_pipeline_spark.operators import trends
+    from nyc_data_pipeline_spark.registry import QUERIES
+
+    const = spark.createDataFrame(
+        [
+            ("1-URGENT", _dt.datetime(1995, m, 1), 100.0)
+            for m in range(1, 13)
+        ],
+        "o_orderpriority string, o_orderdate timestamp, o_totalprice double",
+    )
+    orig = trends.load_table
+    try:
+        trends.load_table = lambda s, d, t: const
+        rows = QUERIES["ts_autocorrelation"](spark, sf_dir).collect()
+    finally:
+        trends.load_table = orig
+    assert rows == []

@@ -51,89 +51,22 @@ def register(name: str, oracle: str | None = None):
 # in front, already-green ones go last.  Rotate this list each round —
 # COVERAGE.md records which round verified which query.
 #
-# Round-7 window: the r6 verdict's ask #1 — every query with NO driver
-# verdict yet (the 37 r6 additions: 32 that sat at positions 51-82 of
-# the r6 list plus the 5 decision-layer ops that registered below it),
-# the 12 oldest r2-era rows, and — r6 precedent for output changes —
-# mm_decode_features, whose output changed when the real PPM decoder
-# replaced the stand-in features this round.  In-window additions are
-# capped to 0; new r7 queries register just below the window at the
-# head of the pre-staged r8 queue (ask #4).  After r7: zero registered
-# queries without a driver verdict, and 36 r2-era rows remain (the r8
-# queue below, in drain order).
+# Round-8 window: the r7 verdict's ask #1 — drain the queue exactly as
+# pre-staged at r7 close: the 13 r7 additions (storage/stats/index
+# layer) first, then the 36 remaining r2-era rows.  The single spare
+# slot takes this round's one in-window addition (cap <=1):
+# sim_ivf_adc_from_index, the composed IVF x PQ persisted index
+# (ask #3).  Any further r8 queries register BELOW the window at the
+# head of the r9 queue.  After r8: every registered query has a driver
+# verdict at least once and no verdict is older than r3.
 _VERIFY_FIRST = [
-    # ==== r7 window (positions 1-50): VERDICT r6 ask #1 — the
-    # entire never-driver-verified r6 catalog plus the oldest
-    # r2-era verdicts; in-window additions capped to 0 (all 13 new
-    # r7 queries register below, at the head of the r8 queue).
-    # -- position 1: output CHANGED this round (real PPM decode
-    # replaced the stand-in features; r6 precedent: changed
-    # outputs verify first).
-    "mm_decode_features",
-    # -- positions 2-33: the 32 r6 additions with no driver
-    # verdict yet (each locally triple-verified at
-    # sf0.001/0.01/0.1 in r6; ab_bootstrap_ci /
-    # approx_kmv_set_ops / dq_benford_digits re-verified after
-    # this round's advice fixes).
-    "agg_equidepth_segment",
-    "events_cusum_sharded",
-    "dedup_semantic_cluster",
-    "join_fuzzy_trigram",
-    "sim_pq_adc_recall",
-    "text_bpe_merge_step",
-    "text_dsir_importance",
-    "sample_neyman_threshold",
-    "sample_temperature_mix",
-    "approx_join_cardinality",
-    "approx_quantile_histogram",
-    "graph_label_propagation",
-    "src_time_travel",
-    "dq_l_diversity",
-    "dedup_span_coverage",
-    "approx_kmv_set_ops",
-    "sample_weighted_es",
-    "text_bm25_topk",
-    "text_bigram_entropy",
-    "ab_bootstrap_ci",
-    "events_topk_sequences",
-    "dq_benford_digits",
-    "geo_point_in_polygon",
-    "orders_rfm_quintiles",
-    "orders_pareto_skyline",
-    "approx_cms_topk_prod",
-    "orders_abc_classes",
-    "ts_seasonal_decompose",
-    "dq_dp_noisy_counts",
-    "ml_feature_hashing",
-    "orders_ohlc_monthly",
-    "events_markov_transitions",
-    # -- positions 34-38: the five r6 decision-layer ops that
-    # registered below the protected r6 window.
-    "ab_test_proportions",
-    "dq_k_anonymity",
-    "dq_table_diff",
-    "ts_seasonal_mase",
-    "sim_rrf_fusion",
-    # -- positions 39-50: the 12 oldest r2-era verdicts (the
-    # streaming batch-equiv set + the first text wave).
-    "join_stream_stream",
-    "join_stream_static",
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "stream_corpus_curate",
-    "stream_dedup_replay",
-    "stateful_user_profile",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    # ==== r8 queue (pre-staged, VERDICT r6 ask #4): first the 13
-    # queries added in r7 (never driver-verified; each locally
-    # triple-verified at sf0.001/0.01/0.1 and re-proven by the
-    # end-of-round replay + sf0.1 sweep), then the 36 remaining
-    # r2-era rows — 49 entries, fitting one 50-slot window with a
-    # slot to spare; drain order is list order.
+    # ==== r8 window (positions 1-50): VERDICT r7 ask #1 — drain the
+    # pre-staged queue exactly as staged at r7 close.  After this
+    # window every one of the catalog's queries carries a driver
+    # verdict at least once and no verdict is older than r3.
+    # -- positions 1-13: the 13 r7 additions (storage/stats/index
+    # layer), never driver-verified; each locally triple-verified at
+    # sf0.001/0.01/0.1 and re-proven by the r7 end-of-round replay.
     "mm_decode_plumbing",
     "sim_adc_from_index",
     "src_zone_map_pruning",
@@ -147,6 +80,8 @@ _VERIFY_FIRST = [
     "dedup_index_persisted",
     "ts_theil_sen",
     "dq_analyze_stats",
+    # -- positions 14-49: the 36 remaining r2-era rows (oldest
+    # standing verdicts in the catalog).
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",
@@ -183,8 +118,65 @@ _VERIFY_FIRST = [
     "text_decontaminate",
     "text_ngram_freq",
     "window_range_frame",
-    # ==== driver-green r3-r6 at current code (COVERAGE.md
-    # ledger); order past the 50-slot window does not matter.
+    # -- position 50: the single in-window r8 addition (cap <=1,
+    # VERDICT r7 ask #3): the composed IVF x PQ persisted index.
+    "sim_ivf_adc_from_index",
+    # ==== r9 queue (pre-staged): new r8 queries register here, below
+    # the protected window, in drain order.
+    # ==== driver-green at current code (COVERAGE.md ledger); order
+    # past the 50-slot window does not matter.  First the 50 rows the
+    # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
+    # r3-r6 green tail.
+    "mm_decode_features",
+    "agg_equidepth_segment",
+    "events_cusum_sharded",
+    "dedup_semantic_cluster",
+    "join_fuzzy_trigram",
+    "sim_pq_adc_recall",
+    "text_bpe_merge_step",
+    "text_dsir_importance",
+    "sample_neyman_threshold",
+    "sample_temperature_mix",
+    "approx_join_cardinality",
+    "approx_quantile_histogram",
+    "graph_label_propagation",
+    "src_time_travel",
+    "dq_l_diversity",
+    "dedup_span_coverage",
+    "approx_kmv_set_ops",
+    "sample_weighted_es",
+    "text_bm25_topk",
+    "text_bigram_entropy",
+    "ab_bootstrap_ci",
+    "events_topk_sequences",
+    "dq_benford_digits",
+    "geo_point_in_polygon",
+    "orders_rfm_quintiles",
+    "orders_pareto_skyline",
+    "approx_cms_topk_prod",
+    "orders_abc_classes",
+    "ts_seasonal_decompose",
+    "dq_dp_noisy_counts",
+    "ml_feature_hashing",
+    "orders_ohlc_monthly",
+    "events_markov_transitions",
+    "ab_test_proportions",
+    "dq_k_anonymity",
+    "dq_table_diff",
+    "ts_seasonal_mase",
+    "sim_rrf_fusion",
+    "join_stream_stream",
+    "join_stream_static",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_corpus_curate",
+    "stream_dedup_replay",
+    "stateful_user_profile",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
     "dq_duplicate_payments",
     "window_interpolate_linear",
     "graph_pagerank",

@@ -42,6 +42,29 @@ from pyspark.sql import functions as F
 N_BUCKETS = 64
 
 
+def bucket_expr(
+    value: Column, lo: Column, hi: Column, n_buckets: int
+) -> Column:
+    """The ONE order-aligned range-bucket rule, shared by every call
+    site (range_buckets below, the zone-map frozen-bounds insert
+    routing in sources/zonemap.py) and recomputed verbatim by the
+    DuckDB oracles with `//`:
+
+        least(((v - lo) * n) div (hi - lo + 1), n - 1)
+
+    All arithmetic is bigint and the division is Spark's integral
+    `div` — exact at every magnitude, unlike float `/` whose 53-bit
+    mantissa silently mis-buckets once (v - lo) * n exceeds 2**53
+    (microsecond-epoch recency values already do).  Monotone in
+    `value`, so bucket order extends to value order; ties share a
+    bucket."""
+    span = hi.cast("bigint") - lo.cast("bigint") + F.lit(1)
+    scaled = (value.cast("bigint") - lo.cast("bigint")) * F.lit(n_buckets)
+    return F.least(
+        F.call_function("div", scaled, span), F.lit(n_buckets - 1)
+    )
+
+
 def range_buckets(
     df: DataFrame,
     value: str,
@@ -57,14 +80,7 @@ def range_buckets(
     )
     return df.crossJoin(F.broadcast(rng)).withColumn(
         "bucket",
-        F.least(
-            (
-                (F.col(value) - F.col("lo")).cast("bigint")
-                * n_buckets
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("bigint"),
-            F.lit(n_buckets - 1),
-        ),
+        bucket_expr(F.col(value), F.col("lo"), F.col("hi"), n_buckets),
     )
 
 

@@ -48,9 +48,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..plans.two_phase import range_buckets
+from ..plans.two_phase import bucket_expr, range_buckets
 from ..registry import register
 from .scans import scratch_dir
+
+
+def _read_json_table(path: str) -> list[dict]:
+    """Assemble manifest entries from a DataFrame-written JSON-lines
+    table (the executor-side stats/bitmap write).  The driver's role
+    is reduced to this metadata assembly + the manifest-pointer swap —
+    it never computes per-file stats or packs bitmaps itself."""
+    rows: list[dict] = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("part-") and not name.endswith(".crc"):
+            with open(os.path.join(path, name)) as f:
+                rows.extend(
+                    json.loads(line) for line in f if line.strip()
+                )
+    return rows
 
 ZM_FILES = 8
 _US_PER_DAY = 86_400_000_000
@@ -81,7 +96,13 @@ def write_zone_mapped(
         .partitionBy("zb")
         .parquet(data_dir)
     )
-    stats = (
+    # Per-file stats are computed AND persisted executor-side (one
+    # aggregate per bucket, written as a JSON-lines table by the
+    # DataFrame writer — the Iceberg manifest-file shape); the driver
+    # only assembles the written rows into the manifest pointer.  No
+    # `.collect()` over per-file rows anywhere in the build path.
+    files_dir = os.path.join(table_dir, "manifest_files")
+    (
         b.groupBy("zb")
         .agg(
             F.count("*").alias("n_rows"),
@@ -91,7 +112,8 @@ def write_zone_mapped(
                 for name, agg in (("min", F.min), ("max", F.max))
             ],
         )
-        .collect()
+        .write.mode("overwrite")
+        .json(files_dir)
     )
     manifest = {
         "files": {
@@ -103,7 +125,7 @@ def write_zone_mapped(
                     for c in [day_col, *stat_cols]
                 },
             }
-            for r in stats
+            for r in _read_json_table(files_dir)
         },
         "cluster_col": day_col,
     }
@@ -262,7 +284,25 @@ def write_bloom_manifest(
         F.expr(_bloom_pos_sql(key_col, a, h, n_bits)).alias(f"p{j}")
         for j, (a, h) in enumerate(BLOOM_HASHES)
     ]
-    bits = (
+
+    def pack(pdf):
+        # packed bitmap, hex-encoded — the parquet-bloom metadata shape
+        # (~bits/8 bytes/file) instead of a set-bit integer list (~10×).
+        # Runs EXECUTOR-side (one Arrow batch per file): at 10⁵-10⁶
+        # files × MB-scale bitmaps the pack is distributed work, never
+        # a driver loop.
+        import numpy as np
+        import pandas as pd
+
+        w = pdf["pos"].to_numpy(dtype=np.int64)
+        bm = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        np.bitwise_or.at(bm, w >> 3, (1 << (w & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"zb": [int(pdf["zb"].iloc[0])], "hexmap": [bm.tobytes().hex()]}
+        )
+
+    bloom_dir = os.path.join(table_dir, "bloom_files")
+    (
         b.select("zb", *pos_cols)
         .selectExpr(
             "zb",
@@ -272,21 +312,15 @@ def write_bloom_manifest(
         )
         .distinct()
         .groupBy("zb")
-        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
-        .collect()
+        .applyInPandas(pack, "zb bigint, hexmap string")
+        .write.mode("overwrite")
+        .json(bloom_dir)
     )
-
-    def pack(positions) -> str:
-        # packed bitmap, hex-encoded — the parquet-bloom metadata shape
-        # (~bits/8 bytes/file) instead of a set-bit integer list (~10×).
-        bm = bytearray((n_bits + 7) // 8)
-        for w in positions:
-            bm[w >> 3] |= 1 << (w & 7)
-        return bytes(bm).hex()
-
     manifest = {
         "bits": n_bits,
-        "files": {str(r["zb"]): pack(r["bits"]) for r in bits},
+        "files": {
+            str(r["zb"]): r["hexmap"] for r in _read_json_table(bloom_dir)
+        },
     }
     os.makedirs(table_dir, exist_ok=True)
     with open(os.path.join(table_dir, "bloom.json"), "w") as f:
@@ -357,7 +391,8 @@ def _bloom_oracle() -> str:
     )
     SELECT h.probe AS probe_key, h.n_rows,
            CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS files_admitted,
-           CAST({ZM_FILES} AS BIGINT) AS files_total,
+           (SELECT CAST(COUNT(DISTINCT zb) AS BIGINT) FROM b)
+               AS files_total,
            h.n_rows > 0 AS found
     FROM hits h
     LEFT JOIN (SELECT probe, COUNT(*) AS n_admitted
@@ -413,7 +448,12 @@ def src_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(key).cast("bigint").alias("probe_key"),
             "n_rows",
             F.lit(len(admitted)).cast("bigint").alias("files_admitted"),
-            F.lit(ZM_FILES).cast("bigint").alias("files_total"),
+            # actual manifest entry count, not the nominal ZM_FILES —
+            # an empty range bucket writes no file and the evidence
+            # column must say so (the oracle counts DISTINCT zb).
+            F.lit(len(manifest["files"])).cast("bigint").alias(
+                "files_total"
+            ),
             (F.col("n_rows") > 0).alias("found"),
         )
         out = one if out is None else out.unionByName(one)
@@ -562,16 +602,18 @@ def merge_zone_map_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = _zm_versioned_write(
         b1, table_dir, 1, [str(z) for z in range(ZM_FILES)], None, (lo, hi)
     )
-    stats = {
-        r["zb"]: (r["f_lo"], r["f_hi"])
+    # candidate-file selection: the stats overlap test runs in Spark,
+    # and only the SURVIVING file ids reach the driver (the planner's
+    # pruned file list), never the full per-file stats rows.
+    touched = sorted(
+        str(r["zb"])
         for r in b1.groupBy("zb")
         .agg(F.min("day").alias("f_lo"), F.max("day").alias("f_hi"))
+        .filter(
+            (F.col("f_lo") <= ZM_HI_DAY) & (F.col("f_hi") >= ZM_LO_DAY)
+        )
+        .select("zb")
         .collect()
-    }
-    touched = sorted(
-        str(z)
-        for z, (f_lo, f_hi) in stats.items()
-        if f_lo <= ZM_HI_DAY and f_hi >= ZM_LO_DAY
     )
 
     # rewrite ONLY the touched files: read them via the v1 manifest,
@@ -597,14 +639,12 @@ def merge_zone_map_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("k") + MRG_INS_KEY).alias("k"),
                 (F.col("cents") + 1).alias("cents"),
                 "day",
-                # frozen-bounds routing (identical to the v1 rule)
-                F.least(
-                    (
-                        (F.col("day") - F.lit(int(lo))).cast("bigint")
-                        * ZM_FILES
-                        / F.lit(int(hi) - int(lo) + 1)
-                    ).cast("bigint"),
-                    F.lit(ZM_FILES - 1),
+                # frozen-bounds routing: the SAME shared bucket rule
+                # as the v1 clustered write (plans/two_phase.py
+                # bucket_expr), with the v1 manifest's frozen (lo, hi)
+                # — one expression, so the rules cannot drift.
+                bucket_expr(
+                    F.col("day"), F.lit(int(lo)), F.lit(int(hi)), ZM_FILES
                 ).alias("zb"),
             )
         )
@@ -702,8 +742,12 @@ def src_cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, not the table.  Emits (key, insert/update/delete,
     pre_cents, post_cents)."""
     table_dir = scratch_dir("zm_merge", sf_dir)
-    # ensure the two commits exist (idempotent rebuild)
-    merge_zone_map_cow(spark, sf_dir).collect()
+    # Ensure the two commits exist; REUSE them when the v2 manifest is
+    # already committed (scratch is pid-scoped, so an existing v2 was
+    # written by this process with this code — a change-feed consumer
+    # reads committed history, it never re-runs the producer's merge).
+    if not os.path.exists(os.path.join(table_dir, "manifest-v2.json")):
+        merge_zone_map_cow(spark, sf_dir).collect()
     with open(os.path.join(table_dir, "manifest-v1.json")) as f:
         m1 = json.load(f)
     with open(os.path.join(table_dir, "manifest-v2.json")) as f:

@@ -207,6 +207,9 @@ HEADLINE = [
     # r7: build-once/probe-many ADC search against the persisted PQ
     # index (includes the index build + manifest commit)
     "sim_adc_from_index",
+    # r8: composed IVFPQ — cell-partitioned code table, static cid
+    # partition pruning, nprobe/K_CELLS scan fraction (build included)
+    "sim_ivf_adc_from_index",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -53,6 +53,7 @@ from .adc import (
 )
 from .brute_force import N_QUERIES, TOP_K
 from .centroids import MICRO, PQ_SUB_DIMS
+from .ivf import K_CELLS
 
 
 def build_pq_index(emb: DataFrame, table_dir: str, version: int = 1) -> dict:
@@ -103,32 +104,30 @@ def load_pq_index(
     )
 
 
-def adc_search(
-    queries: DataFrame, cmicro: DataFrame, codes: DataFrame, corpus: DataFrame
-) -> DataFrame:
-    """The probe side of the two-stage search, against an ALREADY-BUILT
-    index: per-query LUT (broadcast), ADC shortlist over the persisted
-    code table, exact integer-L2 rerank on shortlist members.
-    `queries` = (query_id, dim, qi) micro rows; `corpus` = the raw
-    vector table (rerank reads true vectors, as production does)."""
+def _query_lut(queries: DataFrame, cmicro: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: squared distance from each query
+    subvector to every (sub, code) codebook entry — |queries| × N_SUB ×
+    N_CODES integer rows, broadcast-sized."""
     qd = F.col("qi") - F.col("ci")
-    lut = (
+    return (
         queries.join(F.broadcast(cmicro), "dim")
         .groupBy("query_id", "sub", "code")
         .agg(F.sum(qd * qd).alias("ld"))
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .where(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("ld").alias("adc_dist"))
-    )
+
+
+def _shortlist_rerank(
+    adc: DataFrame, corpus: DataFrame, shortlist: int = SHORTLIST
+) -> DataFrame:
+    """Stage 2 shared by every ADC search: top-`shortlist` by ADC
+    distance, exact integer-L2 rerank against true vectors, top-TOP_K.
+    `adc` = (query_id, neighbor_id, adc_dist)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
     short = (
         adc.withColumn("rank", F.row_number().over(w_adc))
-        .where(F.col("rank") <= SHORTLIST)
+        .where(F.col("rank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
     m = corpus.selectExpr("vec_id", f"{_MICRO_ARR} AS m")
@@ -154,6 +153,24 @@ def adc_search(
             F.col("dist").cast("bigint").alias("dist"),
         )
     )
+
+
+def adc_search(
+    queries: DataFrame, cmicro: DataFrame, codes: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """The probe side of the two-stage search, against an ALREADY-BUILT
+    index: per-query LUT (broadcast), ADC shortlist over the persisted
+    code table, exact integer-L2 rerank on shortlist members.
+    `queries` = (query_id, dim, qi) micro rows; `corpus` = the raw
+    vector table (rerank reads true vectors, as production does)."""
+    lut = _query_lut(queries, cmicro)
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    return _shortlist_rerank(adc, corpus)
 
 
 @register(
@@ -249,3 +266,286 @@ def sim_adc_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "dim", "vi"
     ).withColumnRenamed("vi", "qi")
     return adc_search(queries, cmicro, codes, emb)
+
+
+# --- Composed IVF x PQ: cell-pruned ADC over one persisted index -----------
+#
+# `sim_topk_ivf` prunes cells but reranks raw vectors; `sim_adc_from_index`
+# searches compressed codes but scans ALL of them.  Production ANN
+# (FAISS IVFPQ) composes the two: the code table is CLUSTERED BY COARSE
+# CELL at build time, a query ranks the K_CELLS centroids, and the ADC
+# stage reads only its NPROBE cells' codes — at 100 TB the scan cost is
+# nprobe/K of the code table, delivered here as genuine parquet
+# PARTITION PRUNING (the codes artifact is written partitionBy(cid), so
+# the probe's cid IN (...) filter prunes directories before any I/O).
+#
+# Everything stays in the integer micro-unit algebra (floor(v*1e6)):
+# the coarse metric is exact integer L2 against the first-K_CELLS seed
+# centroids (the sim_topk_ivf referee policy), so build, probe, and
+# rerank are all bit-exact against the DuckDB oracle, which recomputes
+# the entire index — cells, codebook, codes, probes — from the raw
+# table.  Recall@TOP_K vs the exact scan is the measured gate
+# (tests/test_similarity.py + scripts/scale_probe.py).
+#
+# IVFPQ tuning: the composition STACKS two approximations — a missed
+# cell can never be recovered, and extra cells' codes pollute a
+# fixed-size ADC shortlist — so BOTH knobs widen together, the FAISS
+# discipline (shortlist scales with the candidate pool).  Measured
+# recall@5 vs the exact integer-L2 scan at sf0.001/0.01/0.1:
+#   nprobe=2, shortlist=50:  0.92 / 0.92 / 0.60   (cell misses)
+#   nprobe=4, shortlist=50:  0.82 / 0.76 / 0.50   (shortlist pollution)
+#   nprobe=4, shortlist=200: 0.94 / 0.92 / 0.90   (shipped)
+# For calibration, the full-scan ADC parent (sim_adc_from_index,
+# shortlist 50 over ALL codes) measures 0.54 / 0.30 at sf0.01/0.1 —
+# cell restriction + the wider shortlist IMPROVE recall while reading
+# 1/4 of the code table.
+
+IVFPQ_NPROBE = 4
+IVFPQ_SHORTLIST = SHORTLIST * IVFPQ_NPROBE
+
+
+def _cell_centroids(v: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroid micro rows: the first K_CELLS vectors
+    (deterministic seed policy shared with sim_topk_ivf)."""
+    return v.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("vi").alias("cc")
+    )
+
+
+def _nearest_cells(rows: DataFrame, cent: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Rank the K_CELLS centroids by exact integer L2 per `id_col` and
+    keep the nearest `n` (ties -> lower cid).  `rows` = (id_col, dim,
+    value-col named vi or qi) micro rows."""
+    val = "vi" if "vi" in rows.columns else "qi"
+    d = F.col(val) - F.col("cc")
+    ranked = (
+        rows.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(d * d).alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+            ),
+        )
+    )
+    return ranked.where(F.col("rk") <= n).select(id_col, "cid")
+
+
+def build_ivf_pq_index(emb: DataFrame, table_dir: str, version: int = 1) -> dict:
+    """One corpus pass commits the composed index: coarse centroids
+    (K_CELLS x dims micro rows), PQ codebook, and the code table WITH
+    its cell assignment, written partitionBy(cid) so later probes prune
+    whole cell directories.  Returns the manifest dict."""
+    v = _micro_rows(emb)
+    cent = _cell_centroids(v)
+    assign = _nearest_cells(v, cent, "vec_id", 1)
+    cmicro = _codebook(v)
+    vdir = os.path.join(table_dir, f"v{version}")
+    cent_path = os.path.join(vdir, "centroids")
+    cb_path = os.path.join(vdir, "codebook")
+    codes_path = os.path.join(vdir, "codes")
+    cent.write.mode("overwrite").parquet(cent_path)
+    cmicro.write.mode("overwrite").parquet(cb_path)
+    (
+        pq_assign(v, cmicro)
+        .join(assign, "vec_id")
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(codes_path)
+    )
+    manifest = {
+        "version": version,
+        "centroids": cent_path,
+        "codebook": cb_path,
+        "codes": codes_path,
+        "params": {
+            "k_cells": K_CELLS,
+            "nprobe": IVFPQ_NPROBE,
+            "n_codes": N_CODES,
+            "n_sub": N_SUB,
+            "sub_dims": PQ_SUB_DIMS,
+            "seed_split": SEED_SPLIT,
+            "micro": MICRO,
+        },
+    }
+    os.makedirs(table_dir, exist_ok=True)
+    with open(
+        os.path.join(table_dir, f"ivfpq-manifest-v{version}.json"), "w"
+    ) as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def load_ivf_pq_index(
+    spark: SparkSession, table_dir: str, version: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, codes) from the manifest — parquet scans
+    only; nothing is recomputed from the raw corpus."""
+    with open(
+        os.path.join(table_dir, f"ivfpq-manifest-v{version}.json")
+    ) as f:
+        manifest = json.load(f)
+    return (
+        spark.read.parquet(manifest["centroids"]),
+        spark.read.parquet(manifest["codebook"]),
+        spark.read.parquet(manifest["codes"]),
+    )
+
+
+def ivf_adc_search(
+    queries: DataFrame,
+    cent: DataFrame,
+    cmicro: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Cell-pruned ADC probe against an already-built IVFPQ index:
+    rank centroids per query, keep NPROBE cells, restrict the ADC join
+    to those cells' codes (a static cid IN (...) filter the parquet
+    source turns into partition pruning), then the shared shortlist +
+    exact rerank."""
+    probe = _nearest_cells(queries, cent, "query_id", IVFPQ_NPROBE)
+    # The probed cell set is planner metadata: <= N_QUERIES * NPROBE
+    # ids, collected once to drive STATIC partition pruning of the
+    # codes artifact (the 100 TB win — unprobed cell directories are
+    # never listed, let alone read).
+    probed = sorted({r["cid"] for r in probe.collect()})
+    lut = _query_lut(queries, cmicro)
+    adc = (
+        codes.where(F.col("cid").isin([int(c) for c in probed]))
+        .join(F.broadcast(probe), "cid")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    return _shortlist_rerank(adc, corpus, IVFPQ_SHORTLIST)
+
+
+@register(
+    "sim_ivf_adc_from_index",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label * {SEED_SPLIT} + vec_id % {SEED_SPLIT} AS seed,
+               i - 1 AS dim, (i - 1) // {PQ_SUB_DIMS} AS sub,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    cent AS (
+        SELECT vec_id AS cid, dim, vi AS cc FROM v WHERE vec_id < {K_CELLS}
+    ),
+    celld AS (
+        SELECT v.vec_id, c.cid, SUM((v.vi - c.cc) * (v.vi - c.cc)) AS d2
+        FROM v JOIN cent c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM celld
+        ) WHERE rk = 1
+    ),
+    cb AS (
+        SELECT seed AS code, sub, dim,
+               CAST(SUM(vi) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY seed, sub, dim
+    ),
+    cmicro AS (
+        SELECT code, sub, dim,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS ci
+        FROM cb
+    ),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               SUM((v.vi - c.ci) * (v.vi - c.ci)) AS dist_sq
+        FROM v JOIN cmicro c ON v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    codes AS (
+        SELECT k.vec_id, k.sub, k.code, a.cid FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist_sq ASC, code ASC) AS rk
+            FROM dists
+        ) k JOIN assign a ON a.vec_id = k.vec_id
+        WHERE k.rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, dim, vi AS qi
+          FROM v WHERE vec_id < {N_QUERIES}),
+    qcelld AS (
+        SELECT q.query_id, c.cid, SUM((q.qi - c.cc) * (q.qi - c.cc)) AS d2
+        FROM q JOIN cent c ON q.dim = c.dim
+        GROUP BY q.query_id, c.cid
+    ),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM qcelld
+        ) WHERE rk <= {IVFPQ_NPROBE}
+    ),
+    lut AS (
+        SELECT q.query_id, c.sub, c.code,
+               SUM((q.qi - c.ci) * (q.qi - c.ci)) AS ld
+        FROM q JOIN cmicro c ON q.dim = c.dim
+        GROUP BY q.query_id, c.sub, c.code
+    ),
+    adc AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               SUM(l.ld) AS adc_dist
+        FROM codes k
+        JOIN probe p ON p.cid = k.cid
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = k.sub AND l.code = k.code
+        WHERE l.query_id <> k.vec_id
+        GROUP BY l.query_id, k.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {IVFPQ_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               SUM((q.qi - v.vi) * (q.qi - v.vi)) AS dist
+        FROM short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id AND q.dim = v.dim
+        GROUP BY s.query_id, s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           CAST(dist AS BIGINT) AS dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY dist ASC, neighbor_id) AS rank
+        FROM rr
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_adc_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IVFPQ-shaped search from one persisted index: commit
+    centroids + codebook + cell-partitioned code table, then answer the
+    top-{TOP_K} searches scanning ONLY the {IVFPQ_NPROBE}/{K_CELLS} probed
+    cells' codes (static partition pruning, plan-asserted) and never
+    re-deriving any artifact from the corpus.  The oracle rebuilds the
+    whole index independently in DuckDB, so cell assignment, code
+    assignment, pruning, and rerank are all hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = scratch_dir("ivfpq_index", sf_dir)
+    build_ivf_pq_index(emb, table_dir, version=1)
+    cent, cmicro, codes = load_ivf_pq_index(spark, table_dir, version=1)
+    queries = _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    return ivf_adc_search(queries, cent, cmicro, codes, emb)

@@ -1126,3 +1126,68 @@ def test_acf_constant_series_filtered_not_error(spark, sf_dir):
     finally:
         trends.load_table = orig
     assert rows == []
+
+
+def test_ivfpq_index_recall_and_probe_many(spark, sf_dir):
+    """The composed IVFPQ persisted index is gated on MEASURED recall:
+    top-5 by cell-pruned ADC + exact rerank must overlap >= 0.9 with
+    the exact integer-L2 top-5 (it measures 0.94/0.92/0.90 at
+    sf0.001/0.01/0.1 — see similarity/index_store.py's tuning table).
+    A second probe from the same committed artifacts must return
+    identical rows with no rebuild."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.similarity.adc import (
+        _INT_L2,
+        _MICRO_ARR,
+        _micro_rows,
+    )
+    from nyc_data_pipeline_spark.similarity.brute_force import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from nyc_data_pipeline_spark.similarity.index_store import (
+        build_ivf_pq_index,
+        ivf_adc_search,
+        load_ivf_pq_index,
+    )
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = scratch_dir("ivfpq_probe", sf_dir)
+    build_ivf_pq_index(emb, table_dir)
+    queries = _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    runs = []
+    for _ in range(2):
+        cent, cmicro, codes = load_ivf_pq_index(spark, table_dir)
+        runs.append(sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.dist)
+            for r in ivf_adc_search(
+                queries, cent, cmicro, codes, emb
+            ).collect()
+        ))
+    assert runs[0] == runs[1] and len(runs[0]) == N_QUERIES * TOP_K
+
+    m = emb.selectExpr("vec_id", f"{_MICRO_ARR} AS m")
+    qm = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", f"{_MICRO_ARR} AS qm"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in m.join(
+            F.broadcast(qm), F.col("query_id") != F.col("vec_id")
+        )
+        .selectExpr("query_id", "vec_id AS neighbor_id", f"{_INT_L2} AS dist")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .collect()
+    }
+    got = {(q, n) for q, _rk, n, _d in runs[0]}
+    recall = len(exact & got) / (N_QUERIES * TOP_K)
+    assert recall >= 0.9, f"IVFPQ recall@{TOP_K} = {recall}"

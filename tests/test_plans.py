@@ -441,3 +441,18 @@ def test_dedup_persisted_index_probe_reads_artifacts(spark, sf_dir):
     p = plan_str(QUERIES["dedup_index_persisted"](spark, sf_dir))
     assert "minhash_index" in p
     assert "BatchEvalPython" not in p
+
+
+def test_ivfpq_from_index_prunes_cells_and_reads_artifacts(spark, sf_dir):
+    """The composed IVFPQ search must (a) scan the persisted index
+    store (centroids + codebook + cell-partitioned codes), (b) prune
+    unprobed cell directories via a STATIC cid partition filter on the
+    codes scan, and (c) stay free of Python-row evaluation."""
+    p = plan_str(QUERIES["sim_ivf_adc_from_index"](spark, sf_dir))
+    assert p.count("ivfpq_index") >= 3, p[:2000]
+    pf = [
+        ln for ln in p.splitlines()
+        if "PartitionFilters" in ln and "cid" in ln and "INSET" in ln
+    ]
+    assert pf, "codes scan lost its static cid partition-pruning filter"
+    assert "BatchEvalPython" not in p

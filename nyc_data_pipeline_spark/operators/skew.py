@@ -110,3 +110,100 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- The audit -> treatment decision loop ----------------------------------
+#
+# `dq_join_skew_audit` (pipelines/quality.py) MEASURES per-key skew and
+# the functions above APPLY the two-phase treatment, but a production
+# optimizer needs the connecting rule: given a measured key profile and
+# the other side's size, pick the physical join strategy.  This is the
+# decision a CBO makes from ANALYZE statistics (dq_analyze_stats is the
+# per-column half of the same story); encoding it as one audited
+# function turns the two demos into the feedback loop a 100 TB engine
+# actually runs — stats in, strategy out, strategy golden-tested
+# against the three regimes it must separate.
+
+BROADCAST_BYTES = 64 * 1024 * 1024  # session.py autoBroadcastJoinThreshold
+
+
+def choose_join_strategy(
+    stats,
+    small_side_bytes: int | None = None,
+    broadcast_threshold: int = BROADCAST_BYTES,
+) -> str:
+    """Pick 'broadcast' | 'salted' | 'plain' from a `join_key_skew`
+    profile of the BIG side's join key (dict or Row with `top1_ppm`,
+    and optionally `skewed`) plus an estimate of the small side's
+    bytes.
+
+    Rule, in precedence order:
+    1. small side fits the broadcast threshold -> 'broadcast' — the
+       big side never shuffles, so key skew is irrelevant;
+    2. the audit flagged the key (heaviest key > SKEW_FLAG_PPM of
+       rows) -> 'salted' — guarantee fan-out up front rather than
+       waiting for AQE to split an already-materialized straggler;
+    3. otherwise -> 'plain' — the ordinary shuffle join, where salting
+       would only add a pointless explode of the small side.
+    """
+    from ..pipelines.quality import SKEW_FLAG_PPM
+
+    if small_side_bytes is not None and small_side_bytes <= broadcast_threshold:
+        return "broadcast"
+    skewed = (
+        stats["skewed"]
+        if "skewed" in stats
+        else stats["top1_ppm"] > SKEW_FLAG_PPM
+    )
+    return "salted" if skewed else "plain"
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (the same number the
+    broadcast-threshold rule consumes inside Spark)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def audited_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    salt_src: str,
+    small_side_bytes: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Measure, decide, apply: profile the big side's join key with
+    `join_key_skew`, choose the strategy, and return (joined_df,
+    strategy).  The salted arm is the `join_skew_salted` pattern —
+    deterministic salt on the big side, explode-replicated small side,
+    (key, salt) equi-join — which changes only the physical
+    distribution, never the result.  `small_side_bytes` overrides
+    Catalyst's size estimate (the usual CBO stats-hint escape hatch —
+    Catalyst under-estimates computed columns, e.g. wide generated
+    strings, at their type's defaultSize)."""
+    from ..pipelines.quality import join_key_skew
+
+    stats = join_key_skew(big, big_key, big_key).collect()[0]
+    if small_side_bytes is None:
+        small_side_bytes = estimated_bytes(small)
+    strategy = choose_join_strategy(stats, small_side_bytes)
+    if strategy == "broadcast":
+        joined = big.join(
+            F.broadcast(small), big[big_key] == small[small_key]
+        )
+    elif strategy == "salted":
+        b = big.withColumn(
+            "_salt", F.pmod(F.hash(F.col(salt_src)), F.lit(N_SALTS))
+        )
+        s = small.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+        )
+        joined = b.join(
+            s.hint("shuffle_hash"),
+            (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        ).drop("_salt")
+    else:
+        joined = big.join(small, big[big_key] == small[small_key])
+    return joined, strategy

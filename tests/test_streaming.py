@@ -952,3 +952,163 @@ def test_bounded_admission_caps_every_micro_batch(spark, tmp_path):
     assert len(counts) == 3, batches
     assert all(n <= 20 for n in counts), batches
     assert sum(n for _bid, n in batches) == 60
+
+
+def test_reference_topology_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's WHOLE pipeline chained as ONE proof
+    (kafka_producer.py:51-65 wire serialization + spark_consumer.py:
+    40-132 consume->parse->enrich->JDBC sink + streamlit.py:38-55
+    dashboard SQL — each piece is separately driver-green; this test
+    is the chained topology):
+
+      fixture -> producer wire JSON (one message per line, 3 files)
+      -> bounded-admission file stream (maxFilesPerTrigger=1)
+      -> parse_wire_records -> trip synthesis + enrich_trips (P4-P13)
+      -> epoch-idempotent Derby JDBC sink
+      -> dashboard KPI GROUP BY executed BY the database
+
+    and the dashboard frame must equal the KPIs computed in one batch
+    pass over the raw fixture (all summed measures are exact integer
+    micro-units, so equality is bitwise)."""
+    from nyc_data_pipeline_spark.operators.enrichment import enrich_trips
+    from nyc_data_pipeline_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+    from nyc_data_pipeline_spark.streaming.batch_equiv import _WIRE_TS_FORMAT
+    from nyc_data_pipeline_spark.streaming.ingest import parse_wire_records
+    from nyc_data_pipeline_spark.streaming.sinks import (
+        JdbcEpochIdempotentSink,
+        start_foreach_batch,
+    )
+
+    # --- producer: events -> one JSON wire message per line, 3 files
+    ev = load_table(spark, sf_dir, "events")
+    wire_dir = str(tmp_path / "wire")
+    (
+        ev.select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.date_format(
+                        F.col("ts").cast("timestamp"), _WIRE_TS_FORMAT
+                    ).alias("ts_str"),
+                    F.get_json_object("props", "$.k")
+                    .cast("int")
+                    .alias("k"),
+                )
+            ).alias("value")
+        )
+        .repartition(3)
+        .write.text(wire_dir)
+    )
+
+    # --- consumer: bounded admission, wire parse, trips, enrichment
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_str", T.StringType()),
+            T.StructField("k", T.IntegerType()),
+        ]
+    )
+
+    def to_kpi_rows(records):
+        parsed = parse_wire_records(records, wire_schema)
+        trips = (
+            parsed.withColumn(
+                "pickup_dt",
+                F.to_timestamp(F.col("ts_str"), _WIRE_TS_FORMAT),
+            )
+            .withColumn(
+                "dropoff_dt", F.expr("timestampadd(MINUTE, k, pickup_dt)")
+            )
+            .select(
+                "event_id",
+                "pickup_dt",
+                "dropoff_dt",
+                (F.col("value") / 10.0).alias("trip_distance"),
+                F.col("value").alias("fare_amount"),
+                (F.col("event_id") % 20).cast("double").alias("tip_amount"),
+            )
+        )
+        return enrich_trips(trips).select(
+            "event_id",
+            "trip_category",
+            F.floor(F.col("fare_amount") * 1_000_000)
+            .cast("bigint")
+            .alias("fare_micro"),
+            F.floor(F.col("tip_amount") * 1_000_000)
+            .cast("bigint")
+            .alias("tip_micro"),
+            F.floor(F.col("duration_min") * 1_000_000)
+            .cast("bigint")
+            .alias("dur_micro"),
+        )
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1").text(wire_dir)
+    )
+    url = derby_url(str(tmp_path / "derby_e2e"))
+    props = {"driver": DERBY_DRIVER}
+    sink = JdbcEpochIdempotentSink(
+        url, "trip_kpis", props, column_types="trip_category VARCHAR(10)"
+    )
+    q = start_foreach_batch(
+        to_kpi_rows(stream), sink, str(tmp_path / "ckpt_e2e")
+    )
+    q.processAllAvailable()
+    q.stop()
+    # bounded admission: the 3-file backlog arrived as >= 3 epochs
+    assert len(sink.batches_seen) >= 3
+
+    # --- dashboard: the KPI GROUP BY runs IN the database
+    kpi_sql = (
+        'SELECT "trip_category" AS "trip_category", '
+        'CAST(COUNT(*) AS BIGINT) AS "n", '
+        'CAST(SUM("fare_micro") AS BIGINT) AS "sum_fare_micro", '
+        'CAST(SUM("tip_micro") AS BIGINT) AS "sum_tip_micro", '
+        'CAST(MIN("dur_micro") AS BIGINT) AS "min_dur_micro", '
+        'CAST(MAX("dur_micro") AS BIGINT) AS "max_dur_micro" '
+        'FROM trip_kpis GROUP BY "trip_category"'
+    )
+    got = {
+        (r.trip_category, r.n, r.sum_fare_micro, r.sum_tip_micro,
+         r.min_dur_micro, r.max_dur_micro)
+        for r in read_jdbc(spark, url, kpi_sql, props).collect()
+    }
+
+    # --- referee: one batch pass over the raw fixture, same algebra
+    batch_wire = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.col("ts").cast("timestamp"), _WIRE_TS_FORMAT).alias(
+            "ts_str"
+        ),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    want = {
+        (r.trip_category, r.n, r.sum_fare_micro, r.sum_tip_micro,
+         r.min_dur_micro, r.max_dur_micro)
+        for r in to_kpi_rows(
+            batch_wire.select(F.to_json(F.struct("*")).alias("value"))
+        )
+        .groupBy("trip_category")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("fare_micro").cast("bigint").alias("sum_fare_micro"),
+            F.sum("tip_micro").cast("bigint").alias("sum_tip_micro"),
+            F.min("dur_micro").cast("bigint").alias("min_dur_micro"),
+            F.max("dur_micro").cast("bigint").alias("max_dur_micro"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -78,13 +78,14 @@ ZM_HI_DAY = 9677   # 1996-06-30
 
 
 def write_zone_mapped(
-    df: DataFrame, table_dir: str, day_col: str, stat_cols: list[str]
+    df: DataFrame, table_dir: str, day_col: str, stat_cols: list[str],
+    n_files: int = ZM_FILES,
 ) -> dict:
-    """Cluster `df` into ZM_FILES range buckets of `day_col` (one data
+    """Cluster `df` into `n_files` range buckets of `day_col` (one data
     file per bucket, written under an opaque zb=<id> path), and publish
     a manifest with per-file row counts and min/max stats for `day_col`
     plus every `stat_cols` entry.  Returns the manifest dict."""
-    b = range_buckets(df, day_col, ZM_FILES).withColumnRenamed(
+    b = range_buckets(df, day_col, n_files).withColumnRenamed(
         "bucket", "zb"
     ).drop("lo", "hi")
     data_dir = os.path.join(table_dir, "data")
@@ -259,10 +260,10 @@ BLOOM_HASHES = [(1_804_289_383, 846_930_886), (1_681_692_777, 1_714_636_915)]
 BLOOM_PROBES = [1, 7, 32, 10**14 + 1, 10**14 + 2, 10**14 + 3]
 
 
-def bloom_width(n_rows: int) -> int:
+def bloom_width(n_rows: int, n_files: int = ZM_FILES) -> int:
     """Deterministic width rule shared with the oracle:
     BLOOM_BITS_PER_KEY × (rows ÷ files + 1)."""
-    return BLOOM_BITS_PER_KEY * (n_rows // ZM_FILES + 1)
+    return BLOOM_BITS_PER_KEY * (n_rows // n_files + 1)
 
 
 def _bloom_pos_sql(key: str, a: int, b: int, bits) -> str:
@@ -270,16 +271,16 @@ def _bloom_pos_sql(key: str, a: int, b: int, bits) -> str:
 
 
 def write_bloom_manifest(
-    df: DataFrame, table_dir: str, key_col: str
+    df: DataFrame, table_dir: str, key_col: str, n_files: int = ZM_FILES
 ) -> dict:
     """Extend the zone-mapped layout with per-file bloom bitsets on
     `key_col`: bucket exactly as write_zone_mapped's range clustering
     did, then record each file's set-bit list (sorted, deduplicated) in
     a bloom manifest."""
-    b = range_buckets(df, "day", ZM_FILES).withColumnRenamed(
+    b = range_buckets(df, "day", n_files).withColumnRenamed(
         "bucket", "zb"
     ).drop("lo", "hi")
-    n_bits = bloom_width(df.count())
+    n_bits = bloom_width(df.count(), n_files)
     pos_cols = [
         F.expr(_bloom_pos_sql(key_col, a, h, n_bits)).alias(f"p{j}")
         for j, (a, h) in enumerate(BLOOM_HASHES)
@@ -529,6 +530,101 @@ def _zm_read_version(
     return out
 
 
+def cow_merge(
+    spark: SparkSession, base: DataFrame, table_dir: str,
+    n_files: int = ZM_FILES,
+) -> DataFrame:
+    """The composable MERGE core behind `merge_zone_map_cow` (also
+    driven by scripts/storage_probe.py at 10× data / 10× files):
+    commit v1 of `base` (k, cents, day) date-clustered over `n_files`
+    buckets, apply the fixed CDC batch by rewriting only the
+    stats-overlapping files, and return the two-version summary."""
+    lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+    b1 = range_buckets(base, "day", n_files).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    m1 = _zm_versioned_write(
+        b1, table_dir, 1, [str(z) for z in range(n_files)], None, (lo, hi)
+    )
+    # candidate-file selection: the stats overlap test runs in Spark,
+    # and only the SURVIVING file ids reach the driver (the planner's
+    # pruned file list), never the full per-file stats rows.
+    touched = sorted(
+        str(r["zb"])
+        for r in b1.groupBy("zb")
+        .agg(F.min("day").alias("f_lo"), F.max("day").alias("f_hi"))
+        .filter(
+            (F.col("f_lo") <= ZM_HI_DAY) & (F.col("f_hi") >= ZM_LO_DAY)
+        )
+        .select("zb")
+        .collect()
+    )
+
+    # rewrite ONLY the touched files: read them via the v1 manifest,
+    # apply the batch, re-bucket inserts under the FROZEN v1 bounds.
+    tdf = None
+    for z in touched:
+        piece = spark.read.parquet(m1["files"][z]).withColumn(
+            "zb", F.lit(int(z))
+        )
+        tdf = piece if tdf is None else tdf.unionByName(piece)
+    in_slice = F.col("day").between(ZM_LO_DAY, ZM_HI_DAY)
+    merged = (
+        tdf.filter(~(in_slice & (F.col("k") % MRG_DEL_MOD == 0)))
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(
+                in_slice & (F.col("k") % MRG_UPD_MOD == 0), MRG_UPLIFT
+            ).otherwise(0),
+        )
+        .unionByName(
+            tdf.filter(in_slice & (F.col("k") % MRG_INS_MOD == 0)).select(
+                (F.col("k") + MRG_INS_KEY).alias("k"),
+                (F.col("cents") + 1).alias("cents"),
+                "day",
+                # frozen-bounds routing: the SAME shared bucket rule
+                # as the v1 clustered write (plans/two_phase.py
+                # bucket_expr), with the v1 manifest's frozen (lo, hi)
+                # — one expression, so the rules cannot drift.
+                bucket_expr(
+                    F.col("day"), F.lit(int(lo)), F.lit(int(hi)), n_files
+                ).alias("zb"),
+            )
+        )
+    )
+    _zm_versioned_write(merged, table_dir, 2, touched, m1, (lo, hi))
+
+    def summarize(version: int, rewritten: int) -> DataFrame:
+        return (
+            _zm_read_version(spark, table_dir, version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(version).alias("version"),
+                "n_rows",
+                "sum_cents",
+                F.lit(rewritten).cast("bigint").alias("files_rewritten"),
+                F.lit(n_files).cast("bigint").alias("files_total"),
+            )
+        )
+
+    return summarize(1, 0).unionByName(summarize(2, len(touched)))
+
+
+def _orders_kcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, cents, day) projection of orders — the COW fixture base."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+        ).alias("day"),
+    )
+
+
 @register(
     "merge_zone_map_cow",
     oracle=f"""
@@ -587,87 +683,9 @@ def merge_zone_map_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH manifest versions back — v1 totals reproducing after the v2
     commit is snapshot isolation at file granularity, and
     files_rewritten records the copy-on-write economy."""
-    table_dir = scratch_dir("zm_merge", sf_dir)
-    base = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.expr(
-            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
-        ).alias("day"),
+    return cow_merge(
+        spark, _orders_kcd(spark, sf_dir), scratch_dir("zm_merge", sf_dir)
     )
-    lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
-    b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
-        "bucket", "zb"
-    ).drop("lo", "hi")
-    m1 = _zm_versioned_write(
-        b1, table_dir, 1, [str(z) for z in range(ZM_FILES)], None, (lo, hi)
-    )
-    # candidate-file selection: the stats overlap test runs in Spark,
-    # and only the SURVIVING file ids reach the driver (the planner's
-    # pruned file list), never the full per-file stats rows.
-    touched = sorted(
-        str(r["zb"])
-        for r in b1.groupBy("zb")
-        .agg(F.min("day").alias("f_lo"), F.max("day").alias("f_hi"))
-        .filter(
-            (F.col("f_lo") <= ZM_HI_DAY) & (F.col("f_hi") >= ZM_LO_DAY)
-        )
-        .select("zb")
-        .collect()
-    )
-
-    # rewrite ONLY the touched files: read them via the v1 manifest,
-    # apply the batch, re-bucket inserts under the FROZEN v1 bounds.
-    tdf = None
-    for z in touched:
-        piece = spark.read.parquet(m1["files"][z]).withColumn(
-            "zb", F.lit(int(z))
-        )
-        tdf = piece if tdf is None else tdf.unionByName(piece)
-    in_slice = F.col("day").between(ZM_LO_DAY, ZM_HI_DAY)
-    merged = (
-        tdf.filter(~(in_slice & (F.col("k") % MRG_DEL_MOD == 0)))
-        .withColumn(
-            "cents",
-            F.col("cents")
-            + F.when(
-                in_slice & (F.col("k") % MRG_UPD_MOD == 0), MRG_UPLIFT
-            ).otherwise(0),
-        )
-        .unionByName(
-            tdf.filter(in_slice & (F.col("k") % MRG_INS_MOD == 0)).select(
-                (F.col("k") + MRG_INS_KEY).alias("k"),
-                (F.col("cents") + 1).alias("cents"),
-                "day",
-                # frozen-bounds routing: the SAME shared bucket rule
-                # as the v1 clustered write (plans/two_phase.py
-                # bucket_expr), with the v1 manifest's frozen (lo, hi)
-                # — one expression, so the rules cannot drift.
-                bucket_expr(
-                    F.col("day"), F.lit(int(lo)), F.lit(int(hi)), ZM_FILES
-                ).alias("zb"),
-            )
-        )
-    )
-    _zm_versioned_write(merged, table_dir, 2, touched, m1, (lo, hi))
-
-    def summarize(version: int, rewritten: int) -> DataFrame:
-        return (
-            _zm_read_version(spark, table_dir, version)
-            .agg(
-                F.count("*").cast("bigint").alias("n_rows"),
-                F.sum("cents").cast("bigint").alias("sum_cents"),
-            )
-            .select(
-                F.lit(version).alias("version"),
-                "n_rows",
-                "sum_cents",
-                F.lit(rewritten).cast("bigint").alias("files_rewritten"),
-                F.lit(ZM_FILES).cast("bigint").alias("files_total"),
-            )
-        )
-
-    return summarize(1, 0).unionByName(summarize(2, len(touched)))
 
 
 # --- Change data feed: version diff reading only rewritten files -----------
@@ -748,6 +766,13 @@ def src_cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads committed history, it never re-runs the producer's merge).
     if not os.path.exists(os.path.join(table_dir, "manifest-v2.json")):
         merge_zone_map_cow(spark, sf_dir).collect()
+    return change_feed_from(spark, table_dir)
+
+
+def change_feed_from(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The composable feed core: diff an ALREADY-COMMITTED v1/v2 pair
+    reading only the rewritten files (also driven by
+    scripts/storage_probe.py against 10×-file layouts)."""
     with open(os.path.join(table_dir, "manifest-v1.json")) as f:
         m1 = json.load(f)
     with open(os.path.join(table_dir, "manifest-v2.json")) as f:

@@ -1,0 +1,149 @@
+"""Storage-layer probe at sf1 (VERDICT r7 ask #2): measure the r7
+metadata layer's RATIOS — zone-map pruning fraction, bloom
+false-positive rate at 16 bits/key, COW touched-file fraction, and
+change-feed cost — as the data grows 10x (key-shifted sf0.1 clones =
+sf1) and as the layout grows to 10x files (8 -> 80).  The claims under
+test: pruning fractions are properties of the LAYOUT, not the data
+volume; bloom FPR is scale-invariant because the width rule is
+derived from COUNT(*); COW/feed cost tracks the touched-file
+fraction.
+
+One (k, n_files) config per process — fresh-session isolation for
+artifact writers (SCALE.md §15 lesson).  Also times the ANALYZE-shaped
+one-scan multi-distinct statistics aggregate at k* to complete the
+five-op storage/stats story.
+
+Usage: python scripts/storage_probe.py [k] [n_files]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nyc_data_pipeline_spark.catalog import load_table
+from nyc_data_pipeline_spark.session import get_spark
+from nyc_data_pipeline_spark.sources.scans import scratch_dir
+from nyc_data_pipeline_spark.sources.zonemap import (
+    _US_PER_DAY,
+    ZM_HI_DAY,
+    ZM_LO_DAY,
+    bloom_probe_files,
+    change_feed_from,
+    cow_merge,
+    read_pruned,
+    write_bloom_manifest,
+    write_zone_mapped,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_ABSENT_PROBES = 200
+
+
+def main(k: int, n_files: int) -> dict:
+    spark = get_spark()
+    out: dict = {"k": k, "n_files": n_files}
+
+    o = load_table(spark, SF_DIR, "orders")
+    ok = o
+    for i in range(1, k):
+        ok = ok.unionByName(
+            o.withColumn("o_orderkey", F.col("o_orderkey") + i * 10**9)
+        )
+    base = ok.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+        ).alias("day"),
+    )
+
+    # --- zone map: pruning fraction + pruned-vs-full read cost
+    zdir = scratch_dir(f"sp_zm_k{k}_f{n_files}", SF_DIR)
+    t0 = time.perf_counter()
+    write_zone_mapped(base, zdir, "day", ["cents"], n_files)
+    out["zm_t_write"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    zdf, n_scan, n_total = read_pruned(spark, zdir, "day", ZM_LO_DAY, ZM_HI_DAY)
+    (
+        zdf.filter(F.col("day").between(ZM_LO_DAY, ZM_HI_DAY))
+        .groupBy("zb").agg(F.sum("cents"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["zm_t_pruned_agg"] = round(time.perf_counter() - t0, 2)
+    out["zm_files_scanned"], out["zm_files_total"] = n_scan, n_total
+    out["zm_pruned_frac"] = round(n_scan / n_total, 4)
+    t0 = time.perf_counter()
+    (
+        spark.read.option("basePath", os.path.join(zdir, "data"))
+        .parquet(os.path.join(zdir, "data"))
+        .filter(F.col("day").between(ZM_LO_DAY, ZM_HI_DAY))
+        .groupBy("zb").agg(F.sum("cents"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["zm_t_full_agg"] = round(time.perf_counter() - t0, 2)
+
+    # --- bloom: empirical FPR on absent keys (width rule adapts to k)
+    bdir = scratch_dir(f"sp_bloom_k{k}_f{n_files}", SF_DIR)
+    t0 = time.perf_counter()
+    manifest = write_bloom_manifest(
+        base.select("o_orderkey", "day"), bdir, "o_orderkey", n_files
+    )
+    out["bloom_t_build"] = round(time.perf_counter() - t0, 2)
+    out["bloom_bits_per_file"] = manifest["bits"]
+    t0 = time.perf_counter()
+    admitted = sum(
+        len(bloom_probe_files(manifest, 10**13 + 7 * i))
+        for i in range(N_ABSENT_PROBES)
+    )
+    out["bloom_t_probe"] = round(time.perf_counter() - t0, 2)
+    out["bloom_fpr"] = round(
+        admitted / (N_ABSENT_PROBES * len(manifest["files"])), 4
+    )
+
+    # --- copy-on-write merge: touched-file fraction + cost
+    mdir = scratch_dir(f"sp_cow_k{k}_f{n_files}", SF_DIR)
+    t0 = time.perf_counter()
+    rows = cow_merge(spark, base.withColumnRenamed("o_orderkey", "k"),
+                     mdir, n_files).collect()
+    out["cow_t_merge"] = round(time.perf_counter() - t0, 2)
+    v2 = next(r for r in rows if r["version"] == 2)
+    out["cow_files_rewritten"] = v2["files_rewritten"]
+    out["cow_files_total"] = v2["files_total"]
+    out["cow_touched_frac"] = round(
+        v2["files_rewritten"] / v2["files_total"], 4
+    )
+
+    # --- change feed off the committed pair: cost tracks touched files
+    t0 = time.perf_counter()
+    n_changes = change_feed_from(spark, mdir).count()
+    out["feed_t"] = round(time.perf_counter() - t0, 2)
+    out["feed_changes"] = n_changes
+
+    # --- ANALYZE-shaped statistics: one scan, multi-distinct aggregate
+    t0 = time.perf_counter()
+    (
+        ok.agg(
+            F.count("*"),
+            F.count_distinct("o_orderkey"),
+            F.count_distinct("o_custkey"),
+            F.count_distinct("o_orderstatus"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+            F.min("o_orderdate"), F.max("o_orderdate"),
+        ).write.format("noop").mode("overwrite").save()
+    )
+    out["analyze_t"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    print(json.dumps(main(k, n_files)))

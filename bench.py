@@ -210,6 +210,11 @@ HEADLINE = [
     # r8: composed IVFPQ — cell-partitioned code table, static cid
     # partition pruning, nprobe/K_CELLS scan fraction (build included)
     "sim_ivf_adc_from_index",
+    # r8: bounded-round k-core peel (localCheckpoint per round),
+    # one-pass exact correlation matrix, s16le PCM window energy
+    "graph_kcore_peel",
+    "dq_corr_matrix",
+    "mm_audio_rms_windows",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -505,3 +505,117 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("rep").cast("bigint").alias("rep_id"))
     )
+
+
+# --- Audio: s16le PCM window energy ----------------------------------------
+#
+# The audio leg of the multimodal story (images: PPM/BMP decode above;
+# video: frame sampling): fixed-rate PCM is the raw-audio interchange
+# format, and the first feature every audio pipeline computes is
+# windowed energy/RMS (VAD, silence trimming, loudness normalization).
+# The payload is SYNTHESIZED deterministically (the doc's leading
+# AUDIO_BYTES utf-8 bytes reinterpreted as little-endian signed 16-bit
+# samples — the fixture ships no .wav files), and then decoded FOR
+# REAL: numpy `frombuffer(dtype='<i2')` inside Arrow-batched
+# mapInPandas, where byte order and two's-complement signedness are
+# load-bearing.  The DuckDB oracle never sees numpy — it re-derives
+# every sample from hex-pair arithmetic over the same bytes
+# (lo + 256*hi, minus 65536 when the sign bit is set), so an
+# endianness or sign bug breaks the hash.  Energy ships as the exact
+# integer Σx² carrier (rms = sqrt(energy/n) is one float step for the
+# consumer).
+
+AUDIO_BYTES = 128           # 64 samples per doc
+WIN_SAMPLES = 8             # -> 8 windows per doc
+
+PCM_WINDOW_SCHEMA = (
+    "doc_id bigint, widx int, n_samples int, energy bigint, peak int"
+)
+
+
+def attach_pcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the s16le payload: the doc's first AUDIO_BYTES utf-8
+    bytes (docs too short are excluded so the contract is uniform)."""
+    raw = df.select(
+        "doc_id", F.encode(F.col(text_col), "utf-8").alias("raw")
+    )
+    return raw.filter(F.octet_length("raw") >= AUDIO_BYTES).select(
+        "doc_id",
+        F.expr(f"substring(raw, 1, {AUDIO_BYTES})").alias("payload"),
+    )
+
+
+def _pcm_window_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    cols = ["doc_id", "widx", "n_samples", "energy", "peak"]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+            for w in range(len(x) // WIN_SAMPLES):
+                seg = x[w * WIN_SAMPLES:(w + 1) * WIN_SAMPLES]
+                out.append(
+                    (
+                        int(doc_id),
+                        w,
+                        int(seg.size),
+                        int((seg * seg).sum()),
+                        int(np.abs(seg).max()),
+                    )
+                )
+        yield pd.DataFrame(out, columns=cols)
+
+
+def pcm_window_energy(pcm_df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> per-window (widx, n_samples, energy, peak)
+    via the real numpy s16le decode in Arrow-batched mapInPandas."""
+    return pcm_df.mapInPandas(_pcm_window_batches, PCM_WINDOW_SCHEMA)
+
+
+def _audio_oracle() -> str:
+    hv = "(strpos('0123456789ABCDEF', {c}) - 1)"
+    lo = (
+        f"(16 * {hv.format(c='substr(h, 4 * i + 1, 1)')}"
+        f" + {hv.format(c='substr(h, 4 * i + 2, 1)')})"
+    )
+    hi = (
+        f"(16 * {hv.format(c='substr(h, 4 * i + 3, 1)')}"
+        f" + {hv.format(c='substr(h, 4 * i + 4, 1)')})"
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id,
+               substr(hex(encode(text)), 1, {2 * AUDIO_BYTES}) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) >= {AUDIO_BYTES}
+    ),
+    samples AS (
+        SELECT doc_id, i,
+               CASE WHEN {hi} * 256 + {lo} >= 32768
+                    THEN {hi} * 256 + {lo} - 65536
+                    ELSE {hi} * 256 + {lo} END AS s
+        FROM b, LATERAL unnest(range(0, {AUDIO_BYTES // 2})) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(i // {WIN_SAMPLES} AS INTEGER) AS widx,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS INTEGER) AS peak
+    FROM samples
+    GROUP BY doc_id, i // {WIN_SAMPLES}
+    """
+
+
+@register("mm_audio_rms_windows", oracle=_audio_oracle())
+def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over real s16le PCM decode: synthesize the
+    byte stream per doc, decode with numpy frombuffer inside
+    mapInPandas ({WIN_SAMPLES}-sample windows), emit exact integer
+    energy and peak per window.  The oracle re-derives every sample
+    from hex-pair arithmetic (lo + 256·hi, two's complement), so byte
+    order and signedness are certified sample-for-sample."""
+    d = load_table(spark, sf_dir, "documents")
+    return pcm_window_energy(attach_pcm_payload(d))

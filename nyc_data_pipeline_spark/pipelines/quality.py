@@ -982,3 +982,104 @@ def dq_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- One-pass exact correlation matrix -------------------------------------
+#
+# The pairwise half of the ANALYZE story (dq_analyze_stats covers the
+# per-column half): a CBO and every feature-engineering pipeline wants
+# corr(x_i, x_j) for ALL column pairs, and the naive per-pair query
+# rescans the table C(m,2) times.  One ungrouped aggregate computes
+# every Σx_i, Σx_i², and Σx_i·x_j — m + m + C(m,2) integer carriers in
+# a single scan with map-side partials — and the matrix assembles from
+# the broadcast 1-row frame.  Exactness follows agg_corr_exact's
+# policy: milli-unit ints keep every per-row product inside int64, the
+# sums carry in decimal(38,0) (oracle HUGEINT), and the shipped
+# carriers are the integral covariance/variance numerators scaled by
+# n² — corr = cov/sqrt(vx·vy) is one float step for any consumer, so
+# the engine-side contract stays bit-exact at every SF.
+
+_CM_COLS = [
+    ("qty", "CAST(floor(l_quantity * 1000) AS BIGINT)"),
+    ("price", "CAST(floor(l_extendedprice * 1000) AS BIGINT)"),
+    ("disc", "CAST(floor(l_discount * 1000) AS BIGINT)"),
+    ("tax", "CAST(floor(l_tax * 1000) AS BIGINT)"),
+]
+_CM_PAIRS = [
+    (i, j) for i in range(len(_CM_COLS)) for j in range(len(_CM_COLS)) if i < j
+]
+
+
+def _corr_matrix_oracle() -> str:
+    sel = ", ".join(
+        f"{expr} AS x{i}" for i, (_n, expr) in enumerate(_CM_COLS)
+    )
+    aggs = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i in range(len(_CM_COLS)):
+        aggs.append(f"CAST(SUM(x{i}) AS HUGEINT) AS s{i}")
+        aggs.append(f"SUM(CAST(x{i} AS HUGEINT) * x{i}) AS q{i}")
+    for i, j in _CM_PAIRS:
+        aggs.append(f"SUM(CAST(x{i} AS HUGEINT) * x{j}) AS p{i}_{j}")
+    arms = []
+    for i, j in _CM_PAIRS:
+        arms.append(f"""
+        SELECT '{_CM_COLS[i][0]}' AS col_x, '{_CM_COLS[j][0]}' AS col_y,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * p{i}_{j} - s{i} * s{j} AS VARCHAR) AS cov_num,
+               CAST(n * q{i} - s{i} * s{i} AS VARCHAR) AS var_x_num,
+               CAST(n * q{j} - s{j} * s{j} AS VARCHAR) AS var_y_num
+        FROM s""")
+    return (
+        f"WITH v AS (SELECT {sel} FROM lineitem),\n"
+        f"s AS (SELECT {', '.join(aggs)} FROM v)\n"
+        + " UNION ALL ".join(arms)
+    )
+
+
+@register("dq_corr_matrix", oracle=_corr_matrix_oracle())
+def dq_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson carriers for EVERY pair of four lineitem measures
+    from ONE table scan: the single wide aggregate computes all sums,
+    squares, and cross-products (map-side partial, 1-row result), and
+    the six matrix entries assemble from the broadcast frame —
+    rescanning per pair is what this op exists to avoid."""
+    from ..catalog import persist_scoped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.selectExpr(
+        *[f"{expr} AS x{i}" for i, (_n, expr) in enumerate(_CM_COLS)]
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(_CM_COLS)):
+        aggs.append(F.sum(f"x{i}").alias(f"s{i}"))
+        aggs.append(
+            F.sum(
+                (F.col(f"x{i}") * F.col(f"x{i}")).cast("decimal(38,0)")
+            ).alias(f"q{i}")
+        )
+    for i, j in _CM_PAIRS:
+        aggs.append(
+            F.sum(
+                (F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,0)")
+            ).alias(f"p{i}_{j}")
+        )
+    s = persist_scoped("corr_matrix.s", v.agg(*aggs))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    out = None
+    for i, j in _CM_PAIRS:
+        one = s.select(
+            F.lit(_CM_COLS[i][0]).alias("col_x"),
+            F.lit(_CM_COLS[j][0]).alias("col_y"),
+            F.col("n").cast("bigint").alias("n"),
+            (d("n") * d(f"p{i}_{j}") - d(f"s{i}") * d(f"s{j}"))
+            .cast("string")
+            .alias("cov_num"),
+            (d("n") * d(f"q{i}") - d(f"s{i}") * d(f"s{i}"))
+            .cast("string")
+            .alias("var_x_num"),
+            (d("n") * d(f"q{j}") - d(f"s{j}") * d(f"s{j}"))
+            .cast("string")
+            .alias("var_y_num"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

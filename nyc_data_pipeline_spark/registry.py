@@ -122,7 +122,11 @@ _VERIFY_FIRST = [
     # VERDICT r7 ask #3): the composed IVF x PQ persisted index.
     "sim_ivf_adc_from_index",
     # ==== r9 queue (pre-staged): new r8 queries register here, below
-    # the protected window, in drain order.
+    # the protected window, in drain order.  Each locally
+    # triple-verified at sf0.001/0.01/0.1 in r8.
+    "graph_kcore_peel",
+    "dq_corr_matrix",
+    "mm_audio_rms_windows",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -395,6 +399,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.skyline",
     "nyc_data_pipeline_spark.operators.abc",
     "nyc_data_pipeline_spark.operators.triangles",
+    "nyc_data_pipeline_spark.operators.kcore",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

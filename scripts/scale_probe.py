@@ -767,7 +767,7 @@ def probe(spark, k: int) -> dict[str, float]:
     # grows k× at constant density — the scaling regime the algorithm
     # targets; growing density on fixed nodes is a property of the
     # graph, not the plan).  Expect linear.
-    if not only or "triangle_count" in only:
+    if not only or "triangle_count" in only or "kcore_peel" in only:
         from nyc_data_pipeline_spark.operators.triangles import (
             TRI_HI,
             TRI_LO,
@@ -799,6 +799,62 @@ def probe(spark, k: int) -> dict[str, float]:
             .distinct()
         )
         run("triangle_count", triangle_count(edges))
+
+        # r8 — bounded-round k-core peel on the same disjoint-copy
+        # graph regime (nodes grow k×, density constant).  Rounds are
+        # fixed, each is two shuffles over localCheckpoint'ed edges.
+        # Timed INLINE because the per-round localCheckpoints execute
+        # eagerly at plan-construction time — a run(df) wrapper would
+        # miss them.  Expect linear with a per-round constant.
+        if not only or "kcore_peel" in only:
+            from nyc_data_pipeline_spark.operators.kcore import (
+                K_CORE,
+                PEEL_ROUNDS,
+                kcore_peel,
+            )
+
+            t0 = time.perf_counter()
+            kcore_peel(edges, K_CORE, PEEL_ROUNDS).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times["kcore_peel"] = round(time.perf_counter() - t0, 2)
+
+    # r8 — one-pass correlation matrix: single wide aggregate (sums +
+    # squares + cross-products), map-side partial, 1-row reduce.
+    # Expect linear with the q1_style_agg constant.
+    if not only or "corr_matrix" in only:
+        from nyc_data_pipeline_spark.pipelines.quality import _CM_COLS
+
+        vk = scaled(
+            load_table(spark, SF_DIR, "lineitem"), "l_orderkey", k, 10**9
+        ).selectExpr(
+            *[f"{expr} AS x{i}" for i, (_n, expr) in enumerate(_CM_COLS)]
+        )
+        aggs = [F.count("*")]
+        for i in range(len(_CM_COLS)):
+            aggs.append(F.sum(f"x{i}"))
+            aggs.append(F.sum(
+                (F.col(f"x{i}") * F.col(f"x{i}")).cast("decimal(38,0)")
+            ))
+            for j in range(i + 1, len(_CM_COLS)):
+                aggs.append(F.sum(
+                    (F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,0)")
+                ))
+        run("corr_matrix", vk.agg(*aggs))
+
+    # r8 — s16le PCM window energy: Arrow-batched mapInPandas over
+    # fixed 128-byte payloads; linear, zero shuffle before the final
+    # per-window aggregate (which happens inside the Python pass).
+    if not only or "audio_windows" in only:
+        from nyc_data_pipeline_spark.multimodal.binary_ops import (
+            attach_pcm_payload,
+            pcm_window_energy,
+        )
+
+        dk = scaled(
+            load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9
+        )
+        run("audio_windows", pcm_window_energy(attach_pcm_payload(dk)))
 
     # r7 — persisted minhash-index probe, FIXED batch vs k× corpus:
     # the realistic incremental regime (a day's crawl against a growing

@@ -1191,3 +1191,115 @@ def test_ivfpq_index_recall_and_probe_many(spark, sf_dir):
     got = {(q, n) for q, _rk, n, _d in runs[0]}
     recall = len(exact & got) / (N_QUERIES * TOP_K)
     assert recall >= 0.9, f"IVFPQ recall@{TOP_K} = {recall}"
+
+
+def test_kcore_peel_contains_true_core_and_shrinks(spark, sf_dir):
+    """Peel invariants: (a) the node set never grows round over round;
+    (b) no peel round can remove a member of the TRUE k-core (each
+    core member keeps >= k core neighbors at every step), so the
+    fixpoint core is a subset of the bounded-round survivors; (c) at
+    the fixpoint every node has degree >= k."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.kcore import (
+        K_CORE,
+        PEEL_ROUNDS,
+        kcore_peel,
+    )
+    from nyc_data_pipeline_spark.operators.triangles import TRI_HI, TRI_LO
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between(TRI_LO, TRI_HI)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()
+    )
+
+    sizes = [
+        kcore_peel(edges, K_CORE, r).count() for r in range(1, PEEL_ROUNDS + 1)
+    ]
+    assert sizes == sorted(sizes, reverse=True)  # monotone shrink
+
+    # fixpoint by driver loop (fixture-sized graph)
+    e = {(r.u, r.v) for r in edges.collect()}
+    while True:
+        deg: dict = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= K_CORE}
+        e2 = {(u, v) for u, v in e if u in keep and v in keep}
+        if e2 == e:
+            break
+        e = e2
+    fix_nodes = {n for uv in e for n in uv}
+    assert all(deg[n] >= K_CORE for n in fix_nodes)
+    survivors = {
+        r.node for r in kcore_peel(edges, K_CORE, PEEL_ROUNDS).collect()
+    }
+    assert fix_nodes <= survivors
+
+
+def test_corr_matrix_carriers_match_float_corr(spark, sf_dir):
+    """The integral carriers must reproduce Spark's own float corr()
+    to ~1e-6 for every pair and stay inside [-1, 1].  (The synthetic
+    fixture's measures are mutually near-independent — measured
+    qty~price corr is ~-0.01 — so no sign assertions.)"""
+    import math
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["dq_corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_quantity * 1000) AS BIGINT)").alias("qty"),
+        F.expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)").alias("price"),
+        F.expr("CAST(floor(l_discount * 1000) AS BIGINT)").alias("disc"),
+        F.expr("CAST(floor(l_tax * 1000) AS BIGINT)").alias("tax"),
+    )
+    for r in rows:
+        got = int(r.cov_num) / math.sqrt(
+            int(r.var_x_num) * int(r.var_y_num)
+        )
+        want = li.stat.corr(r.col_x, r.col_y)
+        assert abs(got - want) < 1e-6, (r.col_x, r.col_y, got, want)
+        assert -1.0 <= got <= 1.0
+
+
+def test_audio_pcm_windows_match_struct_unpack(spark, sf_dir):
+    """The numpy s16le decode must agree with Python's struct.unpack
+    ('<h', two's complement little-endian) window for window on real
+    payload bytes — byte order and signedness are the load-bearing
+    bits the oracle also certifies."""
+    import struct
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.multimodal.binary_ops import (
+        AUDIO_BYTES,
+        WIN_SAMPLES,
+        attach_pcm_payload,
+        pcm_window_energy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pcm = attach_pcm_payload(d)
+    sample = pcm.limit(5).collect()
+    got = {
+        (r.doc_id, r.widx): (r.n_samples, r.energy, r.peak)
+        for r in pcm_window_energy(pcm).collect()
+    }
+    assert got and all(n == WIN_SAMPLES for n, _e, _p in got.values())
+    for row in sample:
+        xs = struct.unpack(f"<{AUDIO_BYTES // 2}h", bytes(row.payload))
+        for w in range(len(xs) // WIN_SAMPLES):
+            seg = xs[w * WIN_SAMPLES:(w + 1) * WIN_SAMPLES]
+            want = (
+                WIN_SAMPLES,
+                sum(s * s for s in seg),
+                max(abs(s) for s in seg),
+            )
+            assert got[(row.doc_id, w)] == want

@@ -215,6 +215,10 @@ HEADLINE = [
     "graph_kcore_peel",
     "dq_corr_matrix",
     "mm_audio_rms_windows",
+    # r8: trailing-7d distinct reach (grid x bounded-spine range join),
+    # bit_or/popcount activity bitmaps
+    "events_sliding_distinct_users",
+    "events_activity_bitmask",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -1232,3 +1232,114 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- Sliding-window distinct users (exact, bounded-day regime) -------------
+#
+# "Distinct users in the trailing 7 days, per day" — the rolling-reach
+# metric every product dashboard carries.  COUNT(DISTINCT) cannot ride
+# a sliding window frame (distinct state is not subtractable), so the
+# warehouse-exact form is: reduce the corpus ONCE to the distinct
+# (day, user) grid (linear, map-side combined), then range-join that
+# grid against the bounded day spine — each grid row lands in at most
+# 7 windows, so the join output is 7x the grid, never user x day.  The
+# day spine is rollup-bounded and broadcasts; the corpus never joins
+# itself.  (The sketch path for unbounded windows is
+# approx_hll_user_reach's mergeable-HLL union; this is the exact
+# referee shape.)
+
+_US_PER_DAY_A = 86_400_000_000
+SLIDE_DAYS = 7
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY_A} AS day, user_id
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du)
+    SELECT spine.day AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
+    FROM spine
+    JOIN du ON du.day BETWEEN spine.day - {SLIDE_DAYS - 1} AND spine.day
+    GROUP BY spine.day
+    """,
+)
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact trailing-{SLIDE_DAYS}-day distinct users per day: one
+    distinct (day, user) reduction of the corpus, then a broadcast
+    range join against the bounded day spine (each grid row matches at
+    most {SLIDE_DAYS} spine days — linear output, no self-join)."""
+    return sliding_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def sliding_distinct_users(ev: DataFrame) -> DataFrame:
+    """The composable core (also driven by scripts/scale_probe.py)."""
+    du = ev.select(
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY_A}").alias("day"),
+        "user_id",
+    ).distinct()
+    spine = du.select("day").distinct().withColumnRenamed("day", "sday")
+    return (
+        du.join(
+            F.broadcast(spine),
+            F.col("day").between(
+                F.col("sday") - (SLIDE_DAYS - 1), F.col("sday")
+            ),
+        )
+        .groupBy(F.col("sday").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+    )
+
+
+# --- Activity bitmaps: bit_or masks + popcount rollup ----------------------
+#
+# The retention-bitmap pattern (ClickHouse/Druid territory): each
+# user-month compresses to ONE integer whose bit d-1 marks activity on
+# day-of-month d — set-of-days state becomes a 4-byte bitwise OR that
+# partial-aggregates map-side and merges associatively at any fan-in.
+# Downstream counts active days with a popcount instead of re-touching
+# events.  Output here is the (month, active_days) histogram — built
+# from the masks alone, certifying bit_or AND bit_count cross-engine.
+
+@register(
+    "events_activity_bitmask",
+    oracle="""
+    WITH masks AS (
+        SELECT strftime(ts, '%Y-%m') AS month, user_id,
+               bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS mask
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT month,
+           CAST(bit_count(mask) AS INTEGER) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM masks
+    GROUP BY month, bit_count(mask)
+    """,
+)
+def events_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, month) day-of-month activity bitmask via bit_or of
+    1 << (day-1), rolled up to the (month, popcount) user histogram —
+    distinct-day state as one associative integer OR, the form that
+    partial-aggregates at 100 TB without collect_set memory."""
+    return activity_bitmask_hist(load_table(spark, sf_dir, "events"))
+
+
+def activity_bitmask_hist(ev: DataFrame) -> DataFrame:
+    """The composable core (also driven by scripts/scale_probe.py)."""
+    masks = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    ).agg(
+        F.expr("bit_or(CAST(1 AS BIGINT) << (day(ts) - 1))").alias("mask")
+    )
+    return (
+        masks.select("month", F.expr("bit_count(mask)").alias("active_days"))
+        .groupBy("month", F.col("active_days").cast("int").alias("active_days"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select("month", "active_days", "n_users")
+    )

@@ -127,6 +127,8 @@ _VERIFY_FIRST = [
     "graph_kcore_peel",
     "dq_corr_matrix",
     "mm_audio_rms_windows",
+    "events_sliding_distinct_users",
+    "events_activity_bitmask",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -856,6 +856,19 @@ def probe(spark, k: int) -> dict[str, float]:
         )
         run("audio_windows", pcm_window_energy(attach_pcm_payload(dk)))
 
+    # r8 — sliding distinct reach + activity bitmasks over k× users
+    # (user_id-shifted clones: distinct state grows k×, day spine
+    # fixed).  Both are linear map-side-combined shapes.
+    if not only or "sliding_distinct" in only or "activity_bitmask" in only:
+        from nyc_data_pipeline_spark.operators.analytics import (
+            activity_bitmask_hist,
+            sliding_distinct_users,
+        )
+
+        evk2 = scaled(load_table(spark, SF_DIR, "events"), "user_id", k, 10**9)
+        run("sliding_distinct", sliding_distinct_users(evk2))
+        run("activity_bitmask", activity_bitmask_hist(evk2))
+
     # r7 — persisted minhash-index probe, FIXED batch vs k× corpus:
     # the realistic incremental regime (a day's crawl against a growing
     # corpus).  Index built per k OUTSIDE the timer; the probe is

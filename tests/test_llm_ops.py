@@ -1303,3 +1303,61 @@ def test_audio_pcm_windows_match_struct_unpack(spark, sf_dir):
                 max(abs(s) for s in seg),
             )
             assert got[(row.doc_id, w)] == want
+
+
+def test_sliding_distinct_users_window_semantics(spark, sf_dir):
+    """The range-join form must equal a direct per-day python referee
+    (trailing-7-day distinct over the (day,user) grid), and each day's
+    7-day reach must be >= that day's 1-day reach."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.operators.analytics import (
+        _US_PER_DAY_A,
+        SLIDE_DAYS,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = {
+        (r.day, r.user_id)
+        for r in ev.select(
+            F.expr(f"unix_micros(ts) div {_US_PER_DAY_A}").alias("day"),
+            "user_id",
+        ).distinct().collect()
+    }
+    days = sorted({d for d, _u in grid})
+    want = {
+        d: len({u for dd, u in grid if d - (SLIDE_DAYS - 1) <= dd <= d})
+        for d in days
+    }
+    got = {
+        r.day: r.n_users_7d
+        for r in QUERIES["events_sliding_distinct_users"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    daily = {d: len({u for dd, u in grid if dd == d}) for d in days}
+    assert all(got[d] >= daily[d] for d in days)
+
+
+def test_activity_bitmask_popcount_equals_distinct_days(spark, sf_dir):
+    """Histogram mass per month must equal the month's user count, and
+    popcounts must equal each user's true distinct active days."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        (r.month, r.user_id): r.nd
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+        )
+        .agg(F.count_distinct(F.dayofmonth("ts")).alias("nd"))
+        .collect()
+    }
+    hist = QUERIES["events_activity_bitmask"](spark, sf_dir).collect()
+    from collections import Counter
+
+    want = Counter((m, nd) for (m, _u), nd in truth.items())
+    got = {(r.month, r.active_days): r.n_users for r in hist}
+    assert got == dict(want)

@@ -121,14 +121,64 @@ _VERIFY_FIRST = [
     # -- position 50: the single in-window r8 addition (cap <=1,
     # VERDICT r7 ask #3): the composed IVF x PQ persisted index.
     "sim_ivf_adc_from_index",
-    # ==== r9 queue (pre-staged): new r8 queries register here, below
-    # the protected window, in drain order.  Each locally
-    # triple-verified at sf0.001/0.01/0.1 in r8.
+    # ==== r9 queue (pre-staged, exactly 50 = one full window):
+    # first the 5 r8 additions (never driver-verified; each locally
+    # triple-verified at sf0.001/0.01/0.1 in r8), then the 45 oldest
+    # standing verdicts — the 32 remaining r3-era rows plus the 13
+    # oldest r4-era rows (computed from CORRECTNESS_r01-r07 latest
+    # verdicts; drain order is list order).  At r9 start, rotate this
+    # whole block into positions 1-50; after r9 no verdict is older
+    # than r4.
     "graph_kcore_peel",
     "dq_corr_matrix",
     "mm_audio_rms_windows",
     "events_sliding_distinct_users",
     "events_activity_bitmask",
+    "curriculum_quality_buckets",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q2_best_supplier",
+    "q11_important_stock",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "chunk_documents_stride",
+    "vocab_oov_rate",
+    "stream_trending_topk",
+    "events_funnel",
+    "retention_cohorts",
+    "join_skew_salted",
+    "emb_norm_outliers",
+    "events_transition_matrix",
+    "src_csv_scan",
+    "parse_wire_batch",
+    "agg_ungrouped_kpis",
+    "dedup_cc_fixpoint",
+    "merge_upsert_latest",
+    "src_orc_scan",
+    "events_topk_paths",
+    "text_classifier_score",
+    "sample_reservoir_per_key",
+    "stream_cdc_upsert",
+    "fn_array_suite",
+    "approx_hll_user_reach",
+    "agg_incremental_merge",
+    "agg_histogram_merge",
+    "join_incremental_delta",
+    "reshape_unpivot",
+    "join_click_unattributed",
+    "text_bigram_lm",
+    "agg_mode_argmax",
+    "emb_quantize_int8",
+    "dedup_containment_rep",
+    "window_cume_share",
+    "sink_partition_overwrite",
+    "window_gap_islands",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -280,19 +330,6 @@ _VERIFY_FIRST = [
     "src_text_scan",
     "merge_upsert_bucketed",
     "orders_pareto_topk_share",
-    "approx_hll_user_reach",
-    "agg_incremental_merge",
-    "agg_histogram_merge",
-    "join_incremental_delta",
-    "reshape_unpivot",
-    "join_click_unattributed",
-    "text_bigram_lm",
-    "agg_mode_argmax",
-    "emb_quantize_int8",
-    "dedup_containment_rep",
-    "window_cume_share",
-    "sink_partition_overwrite",
-    "window_gap_islands",
     "join_date_dim",
     "emb_gram_power_step",
     "orders_rfm_segments",
@@ -323,38 +360,6 @@ _VERIFY_FIRST = [
     "text_repetition_metrics",
     "text_pii_scrub",
     "sample_lang_balanced",
-    "curriculum_quality_buckets",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q2_best_supplier",
-    "q11_important_stock",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "chunk_documents_stride",
-    "vocab_oov_rate",
-    "stream_trending_topk",
-    "events_funnel",
-    "retention_cohorts",
-    "join_skew_salted",
-    "emb_norm_outliers",
-    "events_transition_matrix",
-    "src_csv_scan",
-    "parse_wire_batch",
-    "agg_ungrouped_kpis",
-    "dedup_cc_fixpoint",
-    "merge_upsert_latest",
-    "src_orc_scan",
-    "events_topk_paths",
-    "text_classifier_score",
-    "sample_reservoir_per_key",
-    "stream_cdc_upsert",
-    "fn_array_suite",
 ]
 
 

@@ -53,11 +53,14 @@ def bucket_expr(
         least(((v - lo) * n) div (hi - lo + 1), n - 1)
 
     All arithmetic is bigint and the division is Spark's integral
-    `div` — exact at every magnitude, unlike float `/` whose 53-bit
-    mantissa silently mis-buckets once (v - lo) * n exceeds 2**53
-    (microsecond-epoch recency values already do).  Monotone in
-    `value`, so bucket order extends to value order; ties share a
-    bucket."""
+    `div` — exact wherever (v - lo) * n fits int64 (span up to
+    ~2**57 for 64 buckets; microsecond-epoch spans are ~2**51),
+    unlike float `/` whose 53-bit mantissa silently mis-buckets once
+    the product exceeds 2**53 — which those epoch values already do.
+    Beyond the int64 domain ANSI mode fails LOUDLY with an overflow
+    instead of mis-routing (golden-tested in test_plans.py); a wider
+    domain would need a decimal carrier.  Monotone in `value`, so
+    bucket order extends to value order; ties share a bucket."""
     span = hi.cast("bigint") - lo.cast("bigint") + F.lit(1)
     scaled = (value.cast("bigint") - lo.cast("bigint")) * F.lit(n_buckets)
     return F.least(

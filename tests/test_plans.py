@@ -456,3 +456,49 @@ def test_ivfpq_from_index_prunes_cells_and_reads_artifacts(spark, sf_dir):
     ]
     assert pf, "codes scan lost its static cid partition-pruning filter"
     assert "BatchEvalPython" not in p
+
+
+def test_bucket_expr_exact_past_float_precision(spark):
+    """The shared range-bucket rule must match exact integer '//' at
+    magnitudes where (v - lo) * n exceeds 2**53 — microsecond-epoch
+    recency values already do, and the float-division draft this
+    replaced silently mis-bucketed there (ADVICE r7)."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import bucket_expr
+
+    lo, hi, n = 0, 2**52 - 1, 64  # (v-lo)*n up to 2**58: inside the
+    # rule's documented int64 domain, far past float53 exactness
+    # values straddling bucket boundaries at 2**53+ magnitudes, plus
+    # the extremes and a few mid-range points
+    span = hi - lo + 1
+    vals = [lo, hi, 2**53 - 1, 2**53, 2**53 + 1]
+    for b in (1, 31, 63):
+        edge = (b * span + n - 1) // n  # first value in bucket b
+        vals += [edge - 1, edge, edge + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v",
+            bucket_expr(F.col("v"), F.lit(lo), F.lit(hi), n).alias("b"),
+        ).collect()
+    }
+    want = {v: min((v - lo) * n // span, n - 1) for v in vals}
+    assert got == want
+    # monotone: bucket order extends value order
+    ordered = [got[v] for v in sorted(vals)]
+    assert ordered == sorted(ordered)
+
+
+def test_bucket_expr_overflow_is_loud(spark):
+    """Past the int64 domain the rule must FAIL (ANSI overflow), never
+    silently mis-route a row to the wrong file."""
+    import pytest
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import bucket_expr
+
+    df = spark.createDataFrame([(2**60,)], "v long")
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        df.select(
+            bucket_expr(F.col("v"), F.lit(0), F.lit(2**60), 64).alias("b")
+        ).collect()

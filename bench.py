@@ -219,6 +219,9 @@ HEADLINE = [
     # bit_or/popcount activity bitmaps
     "events_sliding_distinct_users",
     "events_activity_bitmask",
+    # r8: embedding-space benchmark decontamination (cell-pruned
+    # candidates, exact integer cross-multiplied cosine flag)
+    "emb_semantic_decontaminate",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

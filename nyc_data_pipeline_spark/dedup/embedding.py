@@ -247,3 +247,160 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{cos} AS rep_cosine",
         f"(vec_id = rep_id) OR ({cos} < {SEM_TAU}) AS keep",
     )
+
+
+# --- Semantic decontamination (benchmark-vs-corpus, embedding space) -------
+#
+# The embedding-space twin of functions/textops.py's n-gram
+# `text_decontaminate`: a paraphrased benchmark item shares few 5-grams
+# with its source but sits at high cosine — modern pipelines
+# (GPT-3/Llama eval hygiene) therefore ALSO flag training docs whose
+# embedding is close to any eval-benchmark embedding.  Shape is the
+# decontamination shape, not the dedup shape: the benchmark side is
+# tiny and BROADCASTS (assignments + vectors), the corpus streams once
+# through its coarse-cell probe, and candidates are confined to shared
+# cells (the index_store coarse quantizer, reused verbatim so the cell
+# rule cannot drift from the IVFPQ index).
+#
+# The flag is exact integer algebra end-to-end: micro-unit dot and
+# squared norms, cosine >= {tau} tested as
+#     idot > 0  AND  {d}·idot² >= {n}·|v|²·|b|²
+# (cross-multiplied squares — no sqrt, no float), carried in
+# decimal(38,0)/HUGEINT, so both engines agree bit-for-bit.  τ = 0.4
+# because the fixture's isotropic vectors top out near cosine 0.46
+# (dedup_embedding_cosine's calibration); a real corpus uses ~0.95 —
+# the knob, not the algebra, is corpus-specific.
+
+DECON_BENCH_MOD = 97     # benchmark = vec_id % 97 == 0 (~1%)
+DECON_NPROBE = 2         # corpus-side probed cells
+DECON_T2_NUM, DECON_T2_DEN = 4, 25   # tau^2 = 0.16
+
+
+def _decon_oracle() -> str:
+    from ..similarity.adc import SEED_SPLIT
+    from ..similarity.centroids import MICRO, PQ_SUB_DIMS
+    from ..similarity.ivf import K_CELLS
+
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    cent AS (
+        SELECT vec_id AS cid, dim, vi AS cc FROM v WHERE vec_id < {K_CELLS}
+    ),
+    celld AS (
+        SELECT v.vec_id, c.cid, SUM((v.vi - c.cc) * (v.vi - c.cc)) AS d2
+        FROM v JOIN cent c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rk
+        FROM celld
+    ),
+    probe AS (SELECT vec_id, cid FROM ranked WHERE rk <= {DECON_NPROBE}),
+    bassign AS (
+        SELECT vec_id AS bid, cid FROM ranked
+        WHERE rk = 1 AND vec_id % {DECON_BENCH_MOD} = 0
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id, b.bid
+        FROM probe p JOIN bassign b ON b.cid = p.cid
+    ),
+    norms AS (
+        SELECT vec_id, SUM(CAST(vi AS HUGEINT) * vi) AS sq FROM v GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.vec_id, c.bid,
+               SUM(CAST(a.vi AS HUGEINT) * b.vi) AS idot
+        FROM cand c
+        JOIN v a ON a.vec_id = c.vec_id
+        JOIN v b ON b.vec_id = c.bid AND b.dim = a.dim
+        GROUP BY c.vec_id, c.bid
+    ),
+    hits AS (
+        SELECT d.vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nb ON nb.vec_id = d.bid
+        WHERE d.idot > 0
+          AND {DECON_T2_DEN} * d.idot * d.idot
+              >= {DECON_T2_NUM} * na.sq * nb.sq
+        GROUP BY d.vec_id
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+           COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT vec_id FROM v) e
+    LEFT JOIN hits h ON h.vec_id = e.vec_id
+    """
+
+
+@register("emb_semantic_decontaminate", oracle=_decon_oracle())
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus vectors within cosine τ of ANY benchmark vector
+    (benchmark = vec_id % {DECON_BENCH_MOD} == 0): coarse-cell
+    candidate generation (corpus probes {DECON_NPROBE} cells, bench
+    assignments broadcast), exact integer cross-multiplied cosine
+    test on candidates only.  Output: every corpus vector with its
+    benchmark-hit count and flag — benchmark members flag themselves
+    (cos = 1), the decontamination base case."""
+    from ..similarity.adc import _MICRO_ARR, _micro_rows
+    from ..similarity.index_store import _cell_centroids, _nearest_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _micro_rows(emb)
+    cent = _cell_centroids(v)
+    probe = _nearest_cells(v, cent, "vec_id", DECON_NPROBE)
+    bench = emb.filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+    bassign = _nearest_cells(
+        _micro_rows(bench), cent, "vec_id", 1
+    ).withColumnRenamed("vec_id", "bid")
+    m = emb.selectExpr("vec_id", f"{_MICRO_ARR} AS mv")
+    bm = bench.selectExpr("vec_id AS bid", f"{_MICRO_ARR} AS bv")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    hits = (
+        probe.join(F.broadcast(bassign), "cid")
+        .select("vec_id", "bid")
+        .distinct()
+        .join(m, "vec_id")
+        .join(F.broadcast(bm), "bid")
+        .selectExpr(
+            "vec_id",
+            "bid",
+            "aggregate(zip_with(mv, bv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot",
+            "aggregate(zip_with(mv, mv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sqv",
+            "aggregate(zip_with(bv, bv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sqb",
+        )
+        .where(
+            (F.col("idot") > 0)
+            & (
+                F.lit(DECON_T2_DEN) * d("idot") * d("idot")
+                >= F.lit(DECON_T2_NUM) * d("sqv") * d("sqb")
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_bench_hits"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_bench_hits", F.lit(0)).cast("bigint").alias(
+                "n_bench_hits"
+            ),
+            (F.coalesce("n_bench_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -869,6 +869,60 @@ def probe(spark, k: int) -> dict[str, float]:
         run("sliding_distinct", sliding_distinct_users(evk2))
         run("activity_bitmask", activity_bitmask_hist(evk2))
 
+    # r8 — semantic decontamination, benchmark FIXED (the base
+    # corpus's % 97 slice) vs k× corpus clones: the decontamination
+    # regime — bench assignments/vectors broadcast, corpus probes its
+    # cells once.  Expect linear in the corpus.
+    if not only or "semantic_decon" in only:
+        from nyc_data_pipeline_spark.dedup.embedding import (
+            DECON_NPROBE,
+            DECON_T2_DEN,
+            DECON_T2_NUM,
+        )
+        from nyc_data_pipeline_spark.similarity.adc import (
+            _MICRO_ARR,
+            _micro_rows,
+        )
+        from nyc_data_pipeline_spark.similarity.index_store import (
+            _cell_centroids,
+            _nearest_cells,
+        )
+
+        emb0 = load_table(spark, SF_DIR, "embeddings")
+        embk3 = scaled(emb0, "vec_id", k, 10**9)
+        vk3 = _micro_rows(embk3)
+        cent3 = _cell_centroids(_micro_rows(emb0))
+        probe3 = _nearest_cells(vk3, cent3, "vec_id", DECON_NPROBE)
+        bench3 = emb0.filter(F.col("vec_id") % 97 == 0)
+        bassign3 = _nearest_cells(
+            _micro_rows(bench3), cent3, "vec_id", 1
+        ).withColumnRenamed("vec_id", "bid")
+        mk3 = embk3.selectExpr("vec_id", f"{_MICRO_ARR} AS mv")
+        bm3 = bench3.selectExpr("vec_id AS bid", f"{_MICRO_ARR} AS bv")
+        dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        run(
+            "semantic_decon",
+            probe3.join(F.broadcast(bassign3), "cid")
+            .select("vec_id", "bid").distinct()
+            .join(mk3, "vec_id").join(F.broadcast(bm3), "bid")
+            .selectExpr(
+                "vec_id", "bid",
+                "aggregate(zip_with(mv, bv, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot",
+                "aggregate(zip_with(mv, mv, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sqv",
+                "aggregate(zip_with(bv, bv, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sqb",
+            )
+            .where(
+                (F.col("idot") > 0)
+                & (F.lit(DECON_T2_DEN) * dd("idot") * dd("idot")
+                   >= F.lit(DECON_T2_NUM) * dd("sqv") * dd("sqb"))
+            )
+            .groupBy("vec_id")
+            .agg(F.count("*").alias("n_bench_hits")),
+        )
+
     # r7 — persisted minhash-index probe, FIXED batch vs k× corpus:
     # the realistic incremental regime (a day's crawl against a growing
     # corpus).  Index built per k OUTSIDE the timer; the probe is

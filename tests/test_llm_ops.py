@@ -1361,3 +1361,21 @@ def test_activity_bitmask_popcount_equals_distinct_days(spark, sf_dir):
     want = Counter((m, nd) for (m, _u), nd in truth.items())
     got = {(r.month, r.active_days): r.n_users for r in hist}
     assert got == dict(want)
+
+
+def test_semantic_decontaminate_flags_all_benchmark_members(spark, sf_dir):
+    """A benchmark member present in the corpus is the decontamination
+    base case (cosine 1 to itself; its own cell is always probed) —
+    every vec_id % DECON_BENCH_MOD == 0 must come back contaminated
+    with at least one hit, and flags must be exactly the rows with
+    n_bench_hits > 0."""
+    from nyc_data_pipeline_spark.dedup.embedding import DECON_BENCH_MOD
+
+    rows = QUERIES["emb_semantic_decontaminate"](spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    bench = [v for v in by_id if v % DECON_BENCH_MOD == 0]
+    assert bench
+    assert all(
+        by_id[v].contaminated and by_id[v].n_bench_hits >= 1 for v in bench
+    )
+    assert all((r.n_bench_hits > 0) == r.contaminated for r in rows)

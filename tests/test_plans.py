@@ -502,3 +502,36 @@ def test_bucket_expr_overflow_is_loud(spark):
         df.select(
             bucket_expr(F.col("v"), F.lit(0), F.lit(2**60), 64).alias("b")
         ).collect()
+
+
+def test_corr_matrix_single_materialization(spark, sf_dir):
+    """All six pair rows must assemble from ONE cached wide aggregate
+    (InMemoryTableScan per union arm over a single InMemoryRelation) —
+    never six rescans of lineitem."""
+    p = plan_str(QUERIES["dq_corr_matrix"](spark, sf_dir))
+    assert p.count("InMemoryTableScan") >= 6
+    assert "Union" in p
+    # the cached subtree holds the one real scan; every arm shares its
+    # node id, so the distinct scan-node count is 1
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 1, scan_ids
+
+
+def test_sliding_distinct_broadcasts_day_spine(spark, sf_dir):
+    """The trailing-window range join must be grid x BROADCAST spine
+    (BroadcastNestedLoopJoin on the BETWEEN condition) — the corpus
+    never self-joins and never shuffles for the window."""
+    p = plan_str(QUERIES["events_sliding_distinct_users"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_activity_bitmask_is_pure_aggregation(spark, sf_dir):
+    """Two-level rollup with zero joins: masks then histogram, both
+    map-side-combined hash aggregates."""
+    p = plan_str(QUERIES["events_activity_bitmask"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 4  # 2 levels x partial+final

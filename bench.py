@@ -222,6 +222,9 @@ HEADLINE = [
     # r8: embedding-space benchmark decontamination (cell-pruned
     # candidates, exact integer cross-multiplied cosine flag)
     "emb_semantic_decontaminate",
+    # r8: append commit on the COW table (new files only, multi-file
+    # manifest inheritance)
+    "src_zone_map_append",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -182,6 +182,7 @@ _VERIFY_FIRST = [
     # ==== r10 queue: r8 additions past the full r9 window (drain in
     # r10 ahead of the then-oldest rows).
     "emb_semantic_decontaminate",
+    "src_zone_map_append",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

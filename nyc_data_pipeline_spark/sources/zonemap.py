@@ -811,3 +811,171 @@ def change_feed_from(spark: SparkSession, table_dir: str) -> DataFrame:
             F.col("post_cents").cast("bigint").alias("post_cents"),
         )
     )
+
+
+# --- Append commit: new files under frozen bounds, no rewrites -------------
+#
+# The third commit type, completing the table's write story (v1
+# clustered OVERWRITE, v2 copy-on-write MERGE — above): an APPEND
+# lands a new batch as NEW files only.  Batch rows route to their
+# range buckets under the FROZEN v1 bounds (the shared bucket_expr —
+# a table's partition spec is stable across commits), each touched
+# bucket gains one additional file, and the v3 manifest lists
+# MULTIPLE file entries per bucket: every v2 entry inherited
+# byte-identical plus the appended entries.  Readers union a bucket's
+# file list; zone-map pruning still works per file.  Cost is O(batch)
+# write + O(#files) manifest — no data file is ever rewritten, which
+# is why appends are the cheap commit on a 100 TB table.
+
+MRG_APP_MOD, MRG_APP_KEY = 499, 2 * 10**12  # append batch: k%499, re-keyed
+
+
+def _zm_append(
+    spark: SparkSession, batch: DataFrame, table_dir: str, version: int,
+    n_files: int = ZM_FILES,
+) -> dict:
+    """Append `batch` (k, cents, day) to the committed v{version-1}:
+    route rows under the FROZEN manifest bounds, write one new file per
+    touched bucket under v{version}/, publish manifest-v{version} whose
+    per-bucket file LISTS inherit every previous entry."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version - 1}.json")
+    ) as f:
+        prev = json.load(f)
+    lo, hi = prev["bounds"]
+    vdir = os.path.join(table_dir, f"v{version}")
+    routed = batch.withColumn(
+        "zb",
+        bucket_expr(F.col("day"), F.lit(int(lo)), F.lit(int(hi)), n_files),
+    )
+    (
+        routed.repartition(F.col("zb"))
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(vdir)
+    )
+    appended = sorted(
+        str(r["zb"])
+        for r in routed.select("zb").distinct().collect()
+    )
+    # per-bucket file LISTS: inherited entries + this commit's files
+    files = {
+        z: (paths if isinstance(paths, list) else [paths])
+        for z, paths in prev["files"].items()
+    }
+    for z in appended:
+        files.setdefault(z, []).append(os.path.join(vdir, f"zb={z}"))
+    manifest = {
+        "files": files,
+        "bounds": [lo, hi],
+        "version": version,
+        "appended_buckets": appended,
+    }
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json"), "w"
+    ) as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+@register(
+    "src_zone_map_append",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    ),
+    touched AS (
+        SELECT zb FROM file_stats
+        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
+    ),
+    v2 AS (
+        -- the post-merge table: untouched buckets verbatim + merged
+        -- touched buckets (same algebra as merge_zone_map_cow)
+        SELECT k, cents, zb FROM b WHERE zb NOT IN (SELECT zb FROM touched)
+        UNION ALL
+        SELECT k,
+               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                             AND k % {MRG_UPD_MOD} = 0
+                            THEN {MRG_UPLIFT} ELSE 0 END,
+               zb
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                   AND k % {MRG_DEL_MOD} = 0)
+        UNION ALL
+        SELECT k + {MRG_INS_KEY}, cents + 1, zb
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+          AND k % {MRG_INS_MOD} = 0
+    ),
+    batch AS (
+        SELECT k + {MRG_APP_KEY} AS k, cents + 2 AS cents, zb
+        FROM b WHERE k % {MRG_APP_MOD} = 0
+    ),
+    v3 AS (
+        SELECT k, cents, zb FROM v2
+        UNION ALL
+        SELECT k, cents, zb FROM batch
+    )
+    SELECT CAST(zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT COUNT(*) FROM batch x WHERE x.zb = v3.zb)
+                AS BIGINT) AS n_appended
+    FROM v3
+    GROUP BY zb
+    """,
+)
+def src_zone_map_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND commit on the COW table: reuse (or build) the v1/v2
+    commits, append a re-keyed batch as NEW files only under the
+    frozen bucket bounds, and read v3 back through its multi-file
+    manifest — per-bucket totals plus the appended-row evidence.  The
+    oracle recomputes v2's merge algebra AND the append routing, so
+    inheritance (no v2 row lost, none changed) and the frozen-bounds
+    file routing are both hash-checked."""
+    table_dir = scratch_dir("zm_merge", sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v2.json")):
+        merge_zone_map_cow(spark, sf_dir).collect()
+    batch = (
+        _orders_kcd(spark, sf_dir)
+        .filter(F.col("k") % MRG_APP_MOD == 0)
+        .select(
+            (F.col("k") + MRG_APP_KEY).alias("k"),
+            (F.col("cents") + 2).alias("cents"),
+            "day",
+        )
+    )
+    m3 = _zm_append(spark, batch, table_dir, 3)
+    out = None
+    for z, paths in sorted(m3["files"].items()):
+        piece = (
+            spark.read.parquet(*paths)
+            .select("k", "cents")
+            .withColumn("zb", F.lit(int(z)))
+            .withColumn(
+                "is_new",
+                (F.col("k") >= MRG_APP_KEY).cast("bigint"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.groupBy(F.col("zb").cast("bigint").alias("zb")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum("is_new").cast("bigint").alias("n_appended"),
+    )

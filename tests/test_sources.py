@@ -590,3 +590,49 @@ def test_cow_merge_rewrites_only_touched_files(spark, sf_dir):
     assert len(inherited) == rows[2].files_total - rows[2].files_rewritten
     assert all("v2" in m2["files"][z] for z in rewritten)
     assert m2["bounds"] == m1["bounds"]  # partition spec frozen
+
+
+def test_zone_map_append_inherits_and_isolates(spark, sf_dir):
+    """Append-commit invariants: every v2 manifest entry appears
+    verbatim in v3's per-bucket file lists (no rewrite), the appended
+    entries are new v3 paths only, and reading v2 AFTER the v3 commit
+    reproduces the pre-append totals (snapshot isolation for
+    appends)."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.zonemap import _zm_read_version
+
+    load_all()
+    import pyspark.sql.functions as F
+
+    # drive the append (builds v1/v2 if needed)
+    QUERIES["src_zone_map_append"](spark, sf_dir).collect()
+    table_dir = scratch_dir("zm_merge", sf_dir)
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    with open(_os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = _json.load(f)
+    for z, path in m2["files"].items():
+        assert path in m3["files"][z], z  # inherited verbatim
+    extra = [
+        p
+        for z, paths in m3["files"].items()
+        for p in paths
+        if p not in m2["files"].values()
+    ]
+    assert extra and all("/v3/" in p for p in extra)
+    # snapshot isolation: v2 read-back unchanged post-append
+    v2_total = (
+        _zm_read_version(spark, table_dir, 2)
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()[0]
+    )
+    v3_rows = {
+        r.zb: r
+        for r in QUERIES["src_zone_map_append"](spark, sf_dir).collect()
+    }
+    assert v2_total.n == sum(
+        r.n_rows - r.n_appended for r in v3_rows.values()
+    )

@@ -127,6 +127,19 @@ def main(k: int, n_files: int) -> dict:
     out["feed_t"] = round(time.perf_counter() - t0, 2)
     out["feed_changes"] = n_changes
 
+    # --- append commit: O(batch) write + manifest, no rewrites
+    from nyc_data_pipeline_spark.sources.zonemap import _zm_append
+
+    batch = base.select(
+        (F.col("o_orderkey") + 3 * 10**12).alias("k"),
+        (F.col("cents") + 2).alias("cents"),
+        "day",
+    ).filter(F.col("k") % 499 == 0)
+    t0 = time.perf_counter()
+    m3 = _zm_append(spark, batch, mdir, 3, n_files)
+    out["append_t"] = round(time.perf_counter() - t0, 2)
+    out["append_buckets"] = len(m3["appended_buckets"])
+
     # --- ANALYZE-shaped statistics: one scan, multi-distinct aggregate
     t0 = time.perf_counter()
     (

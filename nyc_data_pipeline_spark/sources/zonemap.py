@@ -979,3 +979,131 @@ def src_zone_map_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.sum("is_new").cast("bigint").alias("n_appended"),
     )
+
+
+# DELETE commit: the third leg of the DML triad (MERGE rewrites,
+# APPEND adds files, DELETE removes rows copy-on-write).  The delete
+# slice sits at the opposite end of the date range from the merge
+# slice so the two fixtures prune DIFFERENT buckets.
+DEL_LO_DAY, DEL_HI_DAY = 11323, 11600  # 2001-01-01 .. past max
+DEL_MOD = 3                            # delete k % 3 == 0 in-slice
+
+
+def cow_delete(
+    spark: SparkSession, base: DataFrame, table_dir: str,
+    n_files: int = ZM_FILES,
+) -> DataFrame:
+    """Copy-on-write DELETE core (also driven by the storage probe):
+    commit v1 of `base` (k, cents, day) date-clustered, then apply
+    DELETE WHERE day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY} AND
+    k % {DEL_MOD} = 0 by rewriting ONLY the files whose manifest
+    [min, max] day interval overlaps the slice — every other file is
+    inherited untouched by the v2 manifest.  At 100 TB a point-in-time
+    retention delete touches the retention window's files and nothing
+    else; cost is O(overlapping files), never O(table)."""
+    lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+    b1 = range_buckets(base, "day", n_files).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    m1 = _zm_versioned_write(
+        b1, table_dir, 1, [str(z) for z in range(n_files)], None, (lo, hi)
+    )
+    # candidate files: stats-overlap test runs in Spark; only the
+    # surviving ids (the pruned file list) reach the driver.
+    touched = sorted(
+        str(r["zb"])
+        for r in b1.groupBy("zb")
+        .agg(F.min("day").alias("f_lo"), F.max("day").alias("f_hi"))
+        .filter(
+            (F.col("f_lo") <= DEL_HI_DAY) & (F.col("f_hi") >= DEL_LO_DAY)
+        )
+        .select("zb")
+        .collect()
+    )
+    tdf = None
+    for z in touched:
+        piece = spark.read.parquet(m1["files"][z]).withColumn(
+            "zb", F.lit(int(z))
+        )
+        tdf = piece if tdf is None else tdf.unionByName(piece)
+    in_slice = F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)
+    kept = tdf.filter(~(in_slice & (F.col("k") % DEL_MOD == 0)))
+    _zm_versioned_write(kept, table_dir, 2, touched, m1, (lo, hi))
+
+    def summarize(version: int, rewritten: int) -> DataFrame:
+        return (
+            _zm_read_version(spark, table_dir, version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(version).alias("version"),
+                "n_rows",
+                "sum_cents",
+                F.lit(rewritten).cast("bigint").alias("files_rewritten"),
+                F.lit(n_files).cast("bigint").alias("files_total"),
+            )
+        )
+
+    return summarize(1, 0).unionByName(summarize(2, len(touched)))
+
+
+@register(
+    "src_cow_delete",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    ),
+    touched AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_rewritten
+        FROM file_stats
+        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
+    ),
+    v2 AS (
+        SELECT k, cents FROM b
+        WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+                   AND k % {DEL_MOD} = 0)
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST({ZM_FILES} AS BIGINT) AS files_total
+    FROM b
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           t.files_rewritten, CAST({ZM_FILES} AS BIGINT)
+    FROM v2, touched t
+    GROUP BY t.files_rewritten
+    """,
+)
+def src_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE: commit v1 date-clustered, delete the
+    {DEL_LO_DAY}+ retention slice's k%{DEL_MOD} rows by rewriting only
+    the stats-overlapping file(s) (1 of {ZM_FILES} at this layout),
+    then read BOTH versions back — v1 totals reproducing after the v2
+    commit is snapshot isolation, files_rewritten records the
+    copy-on-write economy, and the oracle independently recomputes the
+    overlap test so a file deleted-from-but-not-overlapping (or vice
+    versa) breaks the hash.  Completes the DML triad with
+    `merge_zone_map_cow` (update/insert) and `src_zone_map_append`.
+
+    Reference parity: the retention DELETEs a production
+    database_handler.py:167-180-style store would run via B-tree range
+    scans, re-expressed as manifest-pruned file rewrites."""
+    table_dir = scratch_dir("zm_delete", sf_dir)
+    return cow_delete(spark, _orders_kcd(spark, sf_dir), table_dir)

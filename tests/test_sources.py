@@ -636,3 +636,57 @@ def test_zone_map_append_inherits_and_isolates(spark, sf_dir):
     assert v2_total.n == sum(
         r.n_rows - r.n_appended for r in v3_rows.values()
     )
+
+
+def test_cow_delete_prunes_and_isolates(spark, sf_dir):
+    """DELETE-commit invariants: only stats-overlapping files are
+    rewritten (the 2001+ slice lands in exactly one of the 8 date
+    buckets), untouched v1 entries are inherited verbatim by the v2
+    manifest, reading v1 AFTER the v2 commit reproduces the pre-delete
+    totals (snapshot isolation), and no surviving row matches the
+    delete predicate."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        DEL_HI_DAY,
+        DEL_LO_DAY,
+        DEL_MOD,
+        _zm_read_version,
+    )
+
+    load_all()
+    import pyspark.sql.functions as F
+
+    rows = {
+        r.version: r
+        for r in QUERIES["src_cow_delete"](spark, sf_dir).collect()
+    }
+    assert rows[2].files_rewritten == 1  # the one overlapping bucket
+    assert rows[2].n_rows < rows[1].n_rows  # something was deleted
+    table_dir = scratch_dir("zm_delete", sf_dir)
+    with open(_os.path.join(table_dir, "manifest-v1.json")) as f:
+        m1 = _json.load(f)
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    inherited = [z for z in m1["files"] if m2["files"][z] == m1["files"][z]]
+    assert len(inherited) == 8 - rows[2].files_rewritten
+    # snapshot isolation: v1 read-back reproduces pre-delete totals
+    v1 = (
+        _zm_read_version(spark, table_dir, 1)
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()[0]
+    )
+    assert (v1.n, v1.s) == (rows[1].n_rows, rows[1].sum_cents)
+    # no surviving row matches the delete predicate (the versioned
+    # files store `day` alongside k/cents, so check it directly)
+    leftover = (
+        _zm_read_version(spark, table_dir, 2)
+        .filter(
+            F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)
+            & (F.col("k") % DEL_MOD == 0)
+        )
+        .count()
+    )
+    assert leftover == 0

@@ -225,6 +225,10 @@ HEADLINE = [
     # r8: append commit on the COW table (new files only, multi-file
     # manifest inheritance)
     "src_zone_map_append",
+    # r8: copy-on-write DELETE (retention slice, 1-of-8 file rewrite)
+    "src_cow_delete",
+    # r8: JL sign-projection recall audit (16 codegen sums per row)
+    "emb_random_projection",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

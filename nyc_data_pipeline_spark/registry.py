@@ -183,6 +183,8 @@ _VERIFY_FIRST = [
     # r10 ahead of the then-oldest rows).
     "emb_semantic_decontaminate",
     "src_zone_map_append",
+    "src_cow_delete",
+    "emb_random_projection",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -438,6 +440,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.fusion",
     "nyc_data_pipeline_spark.similarity.adc",
     "nyc_data_pipeline_spark.similarity.index_store",
+    "nyc_data_pipeline_spark.similarity.randproj",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",
     "nyc_data_pipeline_spark.sources.contracts",

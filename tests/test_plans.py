@@ -535,3 +535,25 @@ def test_activity_bitmask_is_pure_aggregation(spark, sf_dir):
     p = plan_str(QUERIES["events_activity_bitmask"](spark, sf_dir))
     assert "Join" not in p
     assert p.count("HashAggregate") >= 4  # 2 levels x partial+final
+
+
+def test_random_projection_is_pure_codegen(spark, sf_dir):
+    """The JL sign projection must stay a JVM codegen projection: no
+    Python eval nodes anywhere, the query side broadcast (the
+    cosine_topk contract), and the sign matrix balanced enough that
+    no output dim degenerates to a near-copy of the input sum."""
+    from nyc_data_pipeline_spark.similarity.randproj import (
+        PROJ_DIMS,
+        SRC_DIMS,
+        SIGNS,
+    )
+
+    p = plan_str(QUERIES["emb_random_projection"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p  # tiny query set broadcasts
+    assert len(SIGNS) == PROJ_DIMS and all(
+        len(row) == SRC_DIMS for row in SIGNS
+    )
+    for row in SIGNS:  # seeded balance: no dim is >75% one sign
+        pos = sum(1 for s in row if s > 0)
+        assert SRC_DIMS // 4 <= pos <= 3 * SRC_DIMS // 4

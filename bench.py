@@ -229,6 +229,8 @@ HEADLINE = [
     "src_cow_delete",
     # r8: JL sign-projection recall audit (16 codegen sums per row)
     "emb_random_projection",
+    # r8: deterministic hash-shard export (write 16 shards + stats read-back)
+    "sample_shard_export",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import duck_tokens
 from ..registry import register
 
 HASH_MOD = 1_000_000_007
@@ -297,5 +298,87 @@ def weighted_es_sample(orders: DataFrame) -> DataFrame:
             "o_orderkey",
             "weight",
             "lnu_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: the curated corpus's LAST hop before the
+# trainer.  Three properties a 100 TB export must have, all delivered
+# by one hash-partitioned linear pass:
+#   1. DETERMINISM — shard assignment and intra-shard order are pure
+#      functions of doc_id (re-running the export after a cluster
+#      failure yields byte-identical shards; `df.sample`/`rand()`
+#      would not);
+#   2. BALANCE — the multiplicative hash spreads doc_ids uniformly, so
+#      no trainer data-loader straggles on a fat shard;
+#   3. DECORRELATION — the intra-shard ORDER is a second, independent
+#      hash, so a shard read sequentially is an unbiased sample of the
+#      whole corpus (source/time runs in doc_id order never survive
+#      into the training stream — the "global shuffle" trainers need,
+#      without a global sort).
+# Scale shape: one shuffle keyed by shard, sortWithinPartitions (no
+# global sort barrier), one file per shard directory; stats read back
+# from the committed files so the oracle certifies WHAT WAS WRITTEN.
+# The two hashes use distinct primes per the mixing.py/splits.py
+# one-hash-one-decision discipline.
+N_SHARDS = 16
+SHARD_MULT = 1_540_483_477  # murmur2 multiplier — shard decision
+ORDER_MULT = 2_038_074_743  # distinct prime — intra-shard order
+
+_SHARD = f"(((doc_id % {HASH_MOD}) * {SHARD_MULT}) % {HASH_MOD}) % {N_SHARDS}"
+_ORDER = f"((doc_id % {HASH_MOD}) * {ORDER_MULT}) % {HASH_MOD}"
+
+
+@register(
+    "sample_shard_export",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SHARD} AS shard, {_ORDER} AS order_key,
+               CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(order_key) AS BIGINT) AS head_key,
+           CAST(arg_min(doc_id, order_key) AS BIGINT) AS head_doc
+    FROM d GROUP BY shard
+    """,
+)
+def sample_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the corpus into {N_SHARDS} deterministic
+    hash-shards (shard = h1(doc_id), intra-shard order = h2(doc_id)),
+    then read the COMMITTED files back and report per-shard stats —
+    n_docs/sum_tokens certify balance and completeness, head_key/
+    head_doc certify the deterministic order actually written.  The
+    oracle recomputes both hashes from raw rows, so a doc routed to
+    the wrong shard (or an order drift) breaks the hash."""
+    from ..functions.text import spark_tokens
+    from ..sources.scans import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        f"{_SHARD} AS shard",
+        f"{_ORDER} AS order_key",
+        f"CAST(size({spark_tokens('text')}) AS BIGINT) AS n_tokens",
+    )
+    out = scratch_dir("train_shards", sf_dir)
+    (
+        d.repartition(N_SHARDS, F.col("shard"))
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("order_key").cast("bigint").alias("head_key"),
+            F.min_by("doc_id", "order_key").cast("bigint").alias("head_doc"),
         )
     )

@@ -185,6 +185,7 @@ _VERIFY_FIRST = [
     "src_zone_map_append",
     "src_cow_delete",
     "emb_random_projection",
+    "sample_shard_export",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

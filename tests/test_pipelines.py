@@ -200,3 +200,34 @@ def test_bootstrap_ci_brackets_and_width(spark, sf_dir):
         # shrinking as 1/sqrt(n) at larger fixtures.
         width = r.hi_milli - r.lo_milli
         assert 0 < width < 0.15 * r.point_milli
+
+
+def test_shard_export_deterministic_balanced_and_sorted(spark, sf_dir):
+    """Export invariants: two runs commit identical stats (determinism
+    through a full rewrite), all 16 shards exist and partition the
+    corpus exactly, no shard is pathologically fat (the balance the
+    trainer's data loader depends on), and each committed file is
+    physically ordered by order_key (the decorrelated read order)."""
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.pipelines.splits import N_SHARDS
+
+    load_all()
+    q = QUERIES["sample_shard_export"]
+    run1 = {r.shard: tuple(r) for r in q(spark, sf_dir).collect()}
+    run2 = {r.shard: tuple(r) for r in q(spark, sf_dir).collect()}
+    assert run1 == run2  # byte-stable re-run after the full rewrite
+    assert sorted(run1) == list(range(N_SHARDS))
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    sizes = [run1[s][1] for s in run1]
+    assert sum(sizes) == total  # exact partition of the corpus
+    mean = total / N_SHARDS
+    assert max(sizes) < 2 * mean  # no straggler shard
+    # physical order inside a committed shard file
+    import pyspark.sql.functions as F
+
+    one = spark.read.parquet(
+        f"{scratch_dir('train_shards', sf_dir)}/shard=0"
+    )
+    keys = [r.order_key for r in one.select("order_key").collect()]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)

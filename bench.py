@@ -231,6 +231,8 @@ HEADLINE = [
     "emb_random_projection",
     # r8: deterministic hash-shard export (write 16 shards + stats read-back)
     "sample_shard_export",
+    # r8: common-neighbor/RA link prediction (hub-capped wedge join)
+    "graph_common_neighbors",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -186,6 +186,7 @@ _VERIFY_FIRST = [
     "src_cow_delete",
     "emb_random_projection",
     "sample_shard_export",
+    "graph_common_neighbors",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -414,6 +415,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.abc",
     "nyc_data_pipeline_spark.operators.triangles",
     "nyc_data_pipeline_spark.operators.kcore",
+    "nyc_data_pipeline_spark.operators.linkpred",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

@@ -76,3 +76,46 @@ def test_label_propagation_clamps_seeds_and_spreads(spark, sf_dir):
     for r in rows:
         if r.origin == "round1":
             assert nbrs.get(r.doc_id, set()) & seeds
+
+
+def test_common_neighbor_scores_on_constructed_graph(spark):
+    """Golden link-prediction check: star-plus-path graph where the
+    scores are hand-computable.  Graph: 1-2, 1-3, 2-3 (triangle),
+    2-4, 3-4 would close 1-4... use: edges 1-2, 1-3, 2-4, 3-4.
+    Non-edge (1,4) has common neighbors {2,3} (d=2 each):
+    n_common=2, ra = 2 * 1e6//2 = 1_000_000,
+    jaccard = 2*1e6 // (2+2-2) = 1_000_000.
+    Non-edge (2,3) has common neighbors {1,4}: symmetric, same scores.
+    Ties broken by (x, y) — (1,4) ranks first."""
+    from nyc_data_pipeline_spark.operators.linkpred import (
+        common_neighbor_topn,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "u bigint, v bigint"
+    )
+    rows = {r.rank: r for r in common_neighbor_topn(edges).collect()}
+    assert len(rows) == 2
+    assert (rows[1].x, rows[1].y) == (1, 4)
+    assert (rows[2].x, rows[2].y) == (2, 3)
+    for r in rows.values():
+        assert r.n_common == 2
+        assert r.ra_micro == 1_000_000
+        assert r.jaccard_ppm == 1_000_000
+
+
+def test_common_neighbor_hub_cap_excludes_hub_wedges(spark):
+    """A center above the cap contributes NO wedges: star graph with
+    hub 0 of degree 3 (> cap 2) — no candidate pairs survive."""
+    from nyc_data_pipeline_spark.operators.linkpred import (
+        common_neighbor_topn,
+    )
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "u bigint, v bigint"
+    )
+    assert common_neighbor_topn(star, hub_cap=2).count() == 0
+    # at cap >= 3 the three leaf pairs appear, scored through the hub
+    got = common_neighbor_topn(star, hub_cap=3).collect()
+    assert sorted((r.x, r.y) for r in got) == [(1, 2), (1, 3), (2, 3)]
+    assert all(r.ra_micro == 1_000_000 // 3 for r in got)

@@ -233,6 +233,8 @@ HEADLINE = [
     "sample_shard_export",
     # r8: common-neighbor/RA link prediction (hub-capped wedge join)
     "graph_common_neighbors",
+    # r8: real pixel resize (decode + 2x2 box downsample in mapInPandas)
+    "mm_thumbnail_resize",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

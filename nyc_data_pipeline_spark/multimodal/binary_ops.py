@@ -619,3 +619,137 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and signedness are certified sample-for-sample."""
     d = load_table(spark, sf_dir, "documents")
     return pcm_window_energy(attach_pcm_payload(d))
+
+
+# --- Real resize path -------------------------------------------------------
+#
+# The transform leg of the decode story: a genuine 2x2 box-average
+# downsample over the REAL decoded raster (mm_frame_sample's byte-
+# budget cut is the transport-level resize; this is the pixel-level
+# one).  Integer semantics end-to-end: each output pixel is the floor
+# mean of its 2x2 source block, odd trailing rows are dropped (floor
+# output height), so the DuckDB oracle can re-derive EVERY output
+# pixel from the raster-construction rule and certify placement via a
+# position-weighted checksum — a transposed block, swapped channel, or
+# off-by-one row silently changes the checksum.
+
+THUMB_SCHEMA = (
+    "doc_id bigint, out_w int, out_h int, t_sum_r bigint, t_sum_g bigint, "
+    "t_sum_b bigint, t_min int, t_max int, t_checksum bigint"
+)
+
+
+def _thumbnail_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    cols = [
+        "doc_id", "out_w", "out_h", "t_sum_r", "t_sum_g", "t_sum_b",
+        "t_min", "t_max", "t_checksum",
+    ]
+    for pdf in batches:
+        out = []
+        for doc_id, payload, mime in zip(
+            pdf["doc_id"], pdf["payload"], pdf["mime"]
+        ):
+            m = decode_media(payload, mime)
+            a = (
+                np.frombuffer(bytes(m["pixels"]), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(m["height"], m["width"], 3)
+            )
+            eh = (m["height"] // 2) * 2  # drop the odd trailing row
+            a = a[:eh]
+            t = (
+                a[0::2, 0::2] + a[0::2, 1::2]
+                + a[1::2, 0::2] + a[1::2, 1::2]
+            ) // 4
+            flat = t.reshape(-1)
+            weights = np.arange(1, flat.size + 1, dtype=np.int64)
+            out.append(
+                (
+                    doc_id,
+                    t.shape[1],
+                    t.shape[0],
+                    int(t[:, :, 0].sum()),
+                    int(t[:, :, 1].sum()),
+                    int(t[:, :, 2].sum()),
+                    int(flat.min()),
+                    int(flat.max()),
+                    int((flat * weights).sum()),
+                )
+            )
+        yield pd.DataFrame(out, columns=cols)
+
+
+def thumbnail_stats(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas: real decode + 2x2 integer box
+    downsample; emits thumbnail stats + placement checksum."""
+    return media_df.select("doc_id", "payload", "mime").mapInPandas(
+        _thumbnail_batches, schema=THUMB_SCHEMA
+    )
+
+
+def _hexv(i_expr: str) -> str:
+    """DuckDB: byte value at 0-based offset `i_expr` of the hex text."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr(hx, CAST(2 * ({i_expr}) + 1 "
+        f"AS BIGINT), 1)) - 1) * 16 + (strpos('0123456789ABCDEF', "
+        f"substr(hx, CAST(2 * ({i_expr}) + 2 AS BIGINT), 1)) - 1))"
+    )
+
+
+def _thumb_px(r: str = "r", c: str = "c", ch: str = "ch") -> str:
+    """DuckDB: the 2x2 floor box mean for thumb pixel (r, c, ch)."""
+    src = lambda dr, dc: _hexv(
+        f"3 * ((2 * {r} + {dr}) * {PPM_W} + (2 * {c} + {dc})) + {ch}"
+    )
+    return (
+        f"({src(0, 0)} + {src(0, 1)} + {src(1, 0)} + {src(1, 1)}) // 4"
+    )
+
+
+@register(
+    "mm_thumbnail_resize",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               2 + doc_id % 3 AS ih
+        FROM documents
+        WHERE octet_length(encode(text)) >= {3 * PPM_W * 4}
+    ),
+    t AS (
+        SELECT doc_id, ih, r, c, ch,
+               {_thumb_px()} AS v,
+               3 * (r * ({PPM_W} // 2) + c) + ch + 1 AS w8
+        FROM b,
+        LATERAL unnest(range(0, ih // 2)) AS rr(r),
+        LATERAL unnest(range(0, {PPM_W} // 2)) AS cc(c),
+        LATERAL unnest(range(0, 3)) AS cc2(ch)
+    )
+    SELECT doc_id,
+           CAST({PPM_W} // 2 AS INTEGER) AS out_w,
+           CAST(ih // 2 AS INTEGER) AS out_h,
+           CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS t_sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS t_sum_g,
+           CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS t_sum_b,
+           CAST(MIN(v) AS INTEGER) AS t_min,
+           CAST(MAX(v) AS INTEGER) AS t_max,
+           CAST(SUM(v * w8) AS BIGINT) AS t_checksum
+    FROM t
+    GROUP BY doc_id, ih
+    """,
+)
+def mm_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize end-to-end: synthesize the P6 payload, decode
+    it with the pure-Python parser, 2x2 integer box-downsample the
+    raster in numpy inside Arrow-batched mapInPandas, and emit
+    thumbnail stats + a position-weighted checksum.  The oracle
+    re-derives every OUTPUT pixel independently from the construction
+    rule (four hex-pair lookups + floor mean each), so block geometry,
+    channel layout, odd-row cropping, and pixel placement are all
+    hash-certified.  Completes decode → transform on the image lane
+    (mm_frame_sample remains the transport-level byte-budget cut)."""
+    d = load_table(spark, sf_dir, "documents")
+    return thumbnail_stats(attach_ppm_payload(d))

@@ -187,6 +187,7 @@ _VERIFY_FIRST = [
     "emb_random_projection",
     "sample_shard_export",
     "graph_common_neighbors",
+    "mm_thumbnail_resize",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -1379,3 +1379,35 @@ def test_semantic_decontaminate_flags_all_benchmark_members(spark, sf_dir):
         by_id[v].contaminated and by_id[v].n_bench_hits >= 1 for v in bench
     )
     assert all((r.n_bench_hits > 0) == r.contaminated for r in rows)
+
+
+def test_thumbnail_box_mean_and_odd_row_crop(spark):
+    """Hand-computed 2x2 box downsample: a 2x2 image whose four RGB
+    pixels average to a known single output pixel, and a 3-row image
+    whose odd trailing row must be cropped (out_h = 1)."""
+    from nyc_data_pipeline_spark.multimodal.binary_ops import (
+        thumbnail_stats,
+    )
+
+    def ppm(w, h, raster):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
+
+    # 2x2 image: pixels (r,g,b) = (0,10,20) (4,14,24) / (8,18,28) (12,22,32)
+    # box mean per channel: r=(0+4+8+12)//4=6, g=16, b=26
+    flat22 = [0, 10, 20, 4, 14, 24, 8, 18, 28, 12, 22, 32]
+    # 2x3 image (w=2, h=3): rows 0,1 as above, row 2 = all 255 (cropped)
+    flat23 = flat22 + [255] * 6
+    df = spark.createDataFrame(
+        [
+            (1, ppm(2, 2, flat22), "image/x-portable-pixmap"),
+            (2, ppm(2, 3, flat23), "image/x-portable-pixmap"),
+        ],
+        "doc_id bigint, payload binary, mime string",
+    )
+    rows = {r.doc_id: r for r in thumbnail_stats(df).collect()}
+    for r in rows.values():
+        assert (r.out_w, r.out_h) == (1, 1)
+        assert (r.t_sum_r, r.t_sum_g, r.t_sum_b) == (6, 16, 26)
+        assert (r.t_min, r.t_max) == (6, 26)
+        # checksum = 6*1 + 16*2 + 26*3 = 116 certifies channel order
+        assert r.t_checksum == 116

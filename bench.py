@@ -235,6 +235,8 @@ HEADLINE = [
     "graph_common_neighbors",
     # r8: real pixel resize (decode + 2x2 box downsample in mapInPandas)
     "mm_thumbnail_resize",
+    # r8: vacuum/snapshot expiration (reachability-ruled file reclaim)
+    "src_manifest_vacuum",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

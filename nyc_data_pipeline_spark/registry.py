@@ -188,6 +188,7 @@ _VERIFY_FIRST = [
     "sample_shard_export",
     "graph_common_neighbors",
     "mm_thumbnail_resize",
+    "src_manifest_vacuum",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -525,7 +525,8 @@ def _zm_read_version(
         manifest = json.load(f)
     out = None
     for z, path in sorted(manifest["files"].items()):
-        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
+        paths = path if isinstance(path, list) else [path]
+        piece = spark.read.parquet(*paths).withColumn("zb", F.lit(int(z)))
         out = piece if out is None else out.unionByName(piece)
     return out
 
@@ -1107,3 +1108,175 @@ def src_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, re-expressed as manifest-pruned file rewrites."""
     table_dir = scratch_dir("zm_delete", sf_dir)
     return cow_delete(spark, _orders_kcd(spark, sf_dir), table_dir)
+
+
+# VACUUM / snapshot expiration: the maintenance op every versioned
+# table needs — time travel keeps old files alive, and something must
+# eventually reclaim them WITHOUT touching any file a retained version
+# still references (the reachability rule Delta's VACUUM and Iceberg's
+# expire_snapshots both implement).
+RETAIN_VERSIONS = 2
+
+
+def manifest_vacuum(table_dir: str, latest: int) -> dict:
+    """Expire all manifests older than the newest {RETAIN_VERSIONS}
+    and delete data directories referenced by NO retained manifest.
+    Pure metadata + file ops: the reachable set comes from the
+    retained manifests alone (never a table scan), so vacuum cost is
+    O(#files), independent of data volume."""
+    import shutil
+
+    retained = range(latest - RETAIN_VERSIONS + 1, latest + 1)
+    reachable: set[str] = set()
+    for v in retained:
+        with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
+            m = json.load(f)
+        for paths in m["files"].values():
+            reachable.update(
+                paths if isinstance(paths, list) else [paths]
+            )
+    present = {
+        os.path.join(table_dir, vd, zd)
+        for vd in os.listdir(table_dir)
+        if vd.startswith("v")
+        and os.path.isdir(os.path.join(table_dir, vd))
+        for zd in os.listdir(os.path.join(table_dir, vd))
+        if zd.startswith("zb=")
+    }
+    removable = sorted(present - reachable)
+    for path in removable:
+        shutil.rmtree(path)
+    for v in range(1, latest - RETAIN_VERSIONS + 1):
+        mp = os.path.join(table_dir, f"manifest-v{v}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    return {
+        "dirs_before": len(present),
+        "dirs_removed": len(removable),
+        "dirs_after": len(present) - len(removable),
+    }
+
+
+@register(
+    "src_manifest_vacuum",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    ),
+    touched AS (
+        SELECT zb FROM file_stats
+        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
+    ),
+    v2 AS (
+        SELECT k, cents, zb FROM b WHERE zb NOT IN (SELECT zb FROM touched)
+        UNION ALL
+        SELECT k,
+               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                             AND k % {MRG_UPD_MOD} = 0
+                            THEN {MRG_UPLIFT} ELSE 0 END,
+               zb
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                   AND k % {MRG_DEL_MOD} = 0)
+        UNION ALL
+        SELECT k + {MRG_INS_KEY}, cents + 1, zb
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+          AND k % {MRG_INS_MOD} = 0
+    ),
+    batch AS (
+        SELECT k + {MRG_APP_KEY} AS k, cents + 2 AS cents, zb
+        FROM b WHERE k % {MRG_APP_MOD} = 0
+    ),
+    v3 AS (
+        SELECT k, cents FROM v2
+        UNION ALL
+        SELECT k, cents FROM batch
+    ),
+    dirs AS (
+        SELECT CAST({ZM_FILES} + t.n + a.n AS BIGINT) AS dirs_before,
+               CAST(t.n AS BIGINT) AS dirs_removed,
+               CAST({ZM_FILES} + a.n AS BIGINT) AS dirs_after
+        FROM (SELECT COUNT(*) AS n FROM touched) t,
+             (SELECT COUNT(DISTINCT zb) AS n FROM batch) a
+    )
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           d.dirs_before, d.dirs_removed, d.dirs_after
+    FROM v2, dirs d GROUP BY d.dirs_before, d.dirs_removed, d.dirs_after
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           d.dirs_before, d.dirs_removed, d.dirs_after
+    FROM v3, dirs d GROUP BY d.dirs_before, d.dirs_removed, d.dirs_after
+    """,
+)
+def src_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on a fresh three-version COW table (v1 clustered write →
+    v2 merge rewrite → v3 append): expire v1 (retain {RETAIN_VERSIONS})
+    and delete exactly the data directories no retained manifest
+    references — v1's superseded touched-bucket files and nothing
+    else, since untouched v1 files are still SHARED by v2/v3 (the
+    reachability rule, not an age rule).  Then read BOTH retained
+    versions through their manifests: totals reproducing after the
+    physical delete proves vacuum removed only garbage.  The oracle
+    re-predicts the reachability arithmetic (dirs before/removed/
+    after) from the raw rows alone."""
+    table_dir = scratch_dir("zm_vacuum", sf_dir)
+    base = _orders_kcd(spark, sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v3.json")):
+        if not os.path.exists(
+            os.path.join(table_dir, "manifest-v2.json")
+        ):
+            cow_merge(spark, base, table_dir).collect()
+        batch = base.filter(F.col("k") % MRG_APP_MOD == 0).select(
+            (F.col("k") + MRG_APP_KEY).alias("k"),
+            (F.col("cents") + 2).alias("cents"),
+            "day",
+        )
+        _zm_append(spark, batch, table_dir, 3)
+    # idempotent re-run: the vacuum record IS the commit — a second
+    # invocation reports the recorded reclamation, it does not vacuum
+    # an already-vacuumed table into different numbers.
+    record = os.path.join(table_dir, "vacuum-v3.json")
+    if os.path.exists(record):
+        with open(record) as f:
+            stats = json.load(f)
+    else:
+        stats = manifest_vacuum(table_dir, latest=3)
+        with open(record, "w") as f:
+            json.dump(stats, f, sort_keys=True)
+    out = None
+    for version in (2, 3):
+        piece = (
+            _zm_read_version(spark, table_dir, version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(version).alias("version"),
+                "n_rows",
+                "sum_cents",
+                F.lit(stats["dirs_before"]).cast("bigint").alias("dirs_before"),
+                F.lit(stats["dirs_removed"]).cast("bigint").alias("dirs_removed"),
+                F.lit(stats["dirs_after"]).cast("bigint").alias("dirs_after"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

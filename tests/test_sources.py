@@ -690,3 +690,46 @@ def test_cow_delete_prunes_and_isolates(spark, sf_dir):
         .count()
     )
     assert leftover == 0
+
+
+def test_vacuum_deletes_only_unreachable_dirs(spark, sf_dir):
+    """Reachability rule: after expiring v1, the deleted directories
+    are exactly the touched buckets' superseded v1 files; untouched v1
+    dirs SURVIVE because v2/v3 still reference them (age alone never
+    deletes).  The v1 manifest is gone, retained manifests stay, and a
+    re-run reports the recorded reclamation (idempotent commit)."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    q = QUERIES["src_manifest_vacuum"]
+    first = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    table_dir = scratch_dir("zm_vacuum", sf_dir)
+    assert not _os.path.exists(
+        _os.path.join(table_dir, "manifest-v1.json")
+    )
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    # every retained reference still exists on disk
+    for z, path in m2["files"].items():
+        for p in path if isinstance(path, list) else [path]:
+            assert _os.path.isdir(p), p
+    # v1 untouched dirs survive; v1 touched dirs are gone
+    v1_dirs = {
+        d for d in _os.listdir(_os.path.join(table_dir, "v1"))
+        if d.startswith("zb=")
+    }
+    referenced_v1 = {
+        _os.path.basename(p)
+        for path in m2["files"].values()
+        for p in (path if isinstance(path, list) else [path])
+        if "/v1/" in p
+    }
+    assert v1_dirs == referenced_v1  # survivors == exactly the referenced
+    dirs_removed = first[0][4]
+    assert dirs_removed > 0
+    # idempotent re-run: identical output incl. the reclamation stats
+    second = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert second == first

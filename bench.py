@@ -237,6 +237,8 @@ HEADLINE = [
     "mm_thumbnail_resize",
     # r8: vacuum/snapshot expiration (reachability-ruled file reclaim)
     "src_manifest_vacuum",
+    # r8: per-segment Gini via the composite-lead two-phase global rank
+    "orders_gini_concentration",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -189,6 +189,7 @@ _VERIFY_FIRST = [
     "graph_common_neighbors",
     "mm_thumbnail_resize",
     "src_manifest_vacuum",
+    "orders_gini_concentration",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -418,6 +419,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.triangles",
     "nyc_data_pipeline_spark.operators.kcore",
     "nyc_data_pipeline_spark.operators.linkpred",
+    "nyc_data_pipeline_spark.operators.inequality",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",

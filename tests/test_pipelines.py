@@ -231,3 +231,30 @@ def test_shard_export_deterministic_balanced_and_sorted(spark, sf_dir):
     )
     keys = [r.order_key for r in one.select("order_key").collect()]
     assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_gini_golden_values(spark):
+    """Hand-computed Gini: a perfectly equal segment scores exactly 0;
+    a winner-takes-all segment of 4 (0,0,0,x) scores
+    (2*4x - 5x)/(4x) = 750000 ppm; a 2-row (1,3) segment scores
+    (2*(1*1+2*3) - 3*4)/(2*4) = 2/8 = 250000 ppm."""
+    from nyc_data_pipeline_spark.operators.inequality import (
+        gini_by_segment,
+    )
+
+    rows = (
+        [(i, "EQUAL", 500) for i in range(4)]
+        + [(10 + i, "WINNER", c) for i, c in enumerate([0, 0, 0, 1000])]
+        + [(20, "PAIR", 1), (21, "PAIR", 3)]
+    )
+    spend = spark.createDataFrame(rows, "k bigint, seg string, cents bigint")
+    got = {
+        r.seg: r
+        for r in gini_by_segment(
+            spend, ["EQUAL", "PAIR", "WINNER"]
+        ).collect()
+    }
+    assert got["EQUAL"].gini_ppm == 0
+    assert got["WINNER"].gini_ppm == 750_000
+    assert got["PAIR"].gini_ppm == 250_000
+    assert got["PAIR"].n_customers == 2 and got["PAIR"].sum_cents == 4

@@ -239,6 +239,8 @@ HEADLINE = [
     "src_manifest_vacuum",
     # r8: per-segment Gini via the composite-lead two-phase global rank
     "orders_gini_concentration",
+    # r8: partition-spec evolution (per-epoch pruning, no rewrites)
+    "src_partition_evolution",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -1280,3 +1280,130 @@ def src_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+# PARTITION-SPEC EVOLUTION: the layout rule is a property of the
+# COMMIT, not the table.  Because readers prune on per-file STATS (the
+# manifest), never on path-encoded partition values, a table can start
+# life coarsely clustered and re-spec later commits finer — old files
+# are never rewritten and queries spanning the boundary prune BOTH
+# epochs correctly.  This is Iceberg's partition-evolution claim,
+# reproduced from first principles on the same manifest layer; Hive-
+# style path pruning (sources/scans.py) structurally cannot do this —
+# the path grammar IS the spec there.
+EVO_SPLIT_DAY = 10227        # 1998-01-01: the spec-change commit
+EVO_E1_FILES, EVO_E2_FILES = 4, 8
+EVO_LO_DAY, EVO_HI_DAY = 10043, 10407  # 1997-07-01..1998-06-30 straddle
+
+
+def _evo_epoch_sql(pred: str, n_files: int, tag: str) -> str:
+    """One epoch's bucket rule + slice aggregate as DuckDB CTE text."""
+    return f"""
+    e{tag} AS (SELECT * FROM base WHERE {pred}),
+    rng{tag} AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e{tag}),
+    b{tag} AS (
+        SELECT e{tag}.*,
+               LEAST((day - r.lo) * {n_files} // (r.hi - r.lo + 1),
+                     {n_files - 1}) AS zb
+        FROM e{tag}, rng{tag} r
+    ),
+    fs{tag} AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi
+        FROM b{tag} GROUP BY zb
+    ),
+    keep{tag} AS (
+        SELECT zb FROM fs{tag}
+        WHERE f_lo <= {EVO_HI_DAY} AND f_hi >= {EVO_LO_DAY}
+    )"""
+
+
+@register(
+    "src_partition_evolution",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    {_evo_epoch_sql(f"day < {EVO_SPLIT_DAY}", EVO_E1_FILES, "1")},
+    {_evo_epoch_sql(f"day >= {EVO_SPLIT_DAY}", EVO_E2_FILES, "2")},
+    spanned AS (
+        SELECT 1 AS epoch, zb, cents, day FROM b1
+        WHERE zb IN (SELECT zb FROM keep1)
+        UNION ALL
+        SELECT 2, zb, cents, day FROM b2
+        WHERE zb IN (SELECT zb FROM keep2)
+    ),
+    ev AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1) AS s1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2) AS s2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fs1)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM fs2) AS ft
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           ev.s1 AS files_scanned_e1, ev.s2 AS files_scanned_e2,
+           ev.ft AS files_total
+    FROM spanned, ev
+    WHERE day BETWEEN {EVO_LO_DAY} AND {EVO_HI_DAY}
+    GROUP BY epoch, zb, ev.s1, ev.s2, ev.ft
+    """,
+)
+def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit epoch 1 ({EVO_E1_FILES}-file coarse spec, pre-1998 rows)
+    and epoch 2 ({EVO_E2_FILES}-file fine spec, 1998+ rows) as two
+    layout generations of ONE logical table, then answer a 12-month
+    slice STRADDLING the spec boundary: each epoch prunes under its
+    own bucket rule off its own manifest stats (1 of 4 + 2 of 8 files
+    at this layout), no old file rewritten.  The oracle re-derives
+    both epochs' bucket rules and the per-epoch pruning decisions from
+    raw rows, so a reader that applied one epoch's spec to the other's
+    files breaks the hash."""
+    table_dir = scratch_dir("zm_evolution", sf_dir)
+    base = _orders_kcd(spark, sf_dir).withColumnRenamed("k", "o_orderkey")
+    e1 = base.filter(F.col("day") < EVO_SPLIT_DAY)
+    e2 = base.filter(F.col("day") >= EVO_SPLIT_DAY)
+    d1 = os.path.join(table_dir, "e1")
+    d2 = os.path.join(table_dir, "e2")
+    write_zone_mapped(e1, d1, "day", ["cents"], n_files=EVO_E1_FILES)
+    write_zone_mapped(e2, d2, "day", ["cents"], n_files=EVO_E2_FILES)
+    out = None
+    evidence = {}
+    for epoch, d in ((1, d1), (2, d2)):
+        df, n_scanned, n_total = read_pruned(
+            spark, d, "day", EVO_LO_DAY, EVO_HI_DAY
+        )
+        evidence[epoch] = (n_scanned, n_total)
+        if df is None:
+            continue
+        piece = (
+            df.filter(F.col("day").between(EVO_LO_DAY, EVO_HI_DAY))
+            .groupBy(F.col("zb").cast("bigint").alias("zb"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(epoch).cast("bigint").alias("epoch"),
+                "zb",
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return (
+        out.withColumn(
+            "files_scanned_e1",
+            F.lit(evidence[1][0]).cast("bigint"),
+        )
+        .withColumn(
+            "files_scanned_e2", F.lit(evidence[2][0]).cast("bigint")
+        )
+        .withColumn(
+            "files_total",
+            F.lit(evidence[1][1] + evidence[2][1]).cast("bigint"),
+        )
+    )

@@ -733,3 +733,26 @@ def test_vacuum_deletes_only_unreachable_dirs(spark, sf_dir):
     # idempotent re-run: identical output incl. the reclamation stats
     second = sorted(tuple(r) for r in q(spark, sf_dir).collect())
     assert second == first
+
+
+def test_partition_evolution_prunes_per_epoch(spark, sf_dir):
+    """Spec-evolution invariants: the straddling slice scans 1 of 4
+    coarse epoch-1 files and 2 of 8 fine epoch-2 files (each epoch
+    pruned under its OWN bucket rule), rows come from both epochs, and
+    the two epochs' data directories are disjoint (no rewrite at the
+    spec change)."""
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    rows = QUERIES["src_partition_evolution"](spark, sf_dir).collect()
+    assert {r.epoch for r in rows} == {1, 2}
+    r = rows[0]
+    assert (r.files_scanned_e1, r.files_scanned_e2) == (1, 2)
+    assert r.files_total == 12
+    table_dir = scratch_dir("zm_evolution", sf_dir)
+    e1_files = set(_os.listdir(_os.path.join(table_dir, "e1", "data")))
+    e2_files = set(_os.listdir(_os.path.join(table_dir, "e2", "data")))
+    assert len([d for d in e1_files if d.startswith("zb=")]) == 4
+    assert len([d for d in e2_files if d.startswith("zb=")]) == 8

@@ -978,6 +978,142 @@ def probe(spark, k: int) -> dict[str, float]:
             fd_audit(li, "fd_probe", "l_partkey", "l_suppkey"),
         )
 
+    # r8b — training-shard export over k× docs: one shard-keyed
+    # shuffle + partitioned write; expect linear in the corpus.
+    if not only or "shard_export" in only:
+        from nyc_data_pipeline_spark.pipelines.splits import (
+            _ORDER,
+            _SHARD,
+        )
+        from nyc_data_pipeline_spark.functions.text import spark_tokens as _spt
+        from nyc_data_pipeline_spark.sources.scans import scratch_dir as _sd2
+
+        dk3 = scaled(
+            load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9
+        )
+        d3 = dk3.selectExpr(
+            "doc_id",
+            f"{_SHARD} AS shard",
+            f"{_ORDER} AS order_key",
+            f"CAST(size({_spt('text')}) AS BIGINT) AS n_tokens",
+        )
+        t0 = time.perf_counter()
+        (
+            d3.repartition(16, F.col("shard"))
+            .sortWithinPartitions("shard", "order_key")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(_sd2(f"probe_shards_k{k}", SF_DIR))
+        )
+        times["shard_export"] = round(time.perf_counter() - t0, 2)
+
+    # r8b — common-neighbor link prediction over k× disjoint graph
+    # copies (orderkey+partkey shifted): wedges grow k×, expect linear.
+    if not only or "linkpred" in only:
+        from nyc_data_pipeline_spark.operators.linkpred import (
+            common_neighbor_topn,
+        )
+        from nyc_data_pipeline_spark.operators.triangles import (
+            TRI_HI,
+            TRI_LO,
+        )
+
+        li3 = (
+            load_table(spark, SF_DIR, "lineitem")
+            .filter(F.col("l_shipdate").cast("date").between(TRI_LO, TRI_HI))
+            .select("l_orderkey", "l_partkey")
+        )
+        lik = li3
+        for i in range(1, k):
+            lik = lik.unionByName(
+                li3.select(
+                    (F.col("l_orderkey") + i * 10**9).alias("l_orderkey"),
+                    (F.col("l_partkey") + i * 10**9).alias("l_partkey"),
+                )
+            )
+        edges_k = (
+            lik.alias("a")
+            .join(
+                lik.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+        )
+        run("linkpred", common_neighbor_topn(edges_k))
+
+    # r8b — per-segment Gini over k× customers (custkey-shifted in both
+    # tables): one composite-lead two-phase rank; expect linear.
+    if not only or "gini" in only:
+        from nyc_data_pipeline_spark.operators.inequality import (
+            _SEGS,
+            gini_by_segment,
+        )
+
+        ck = scaled(
+            load_table(spark, SF_DIR, "customer").select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "k", k, 10**9,
+        )
+        ok3 = scaled(
+            load_table(spark, SF_DIR, "orders").select(
+                F.col("o_custkey").alias("k"),
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            ),
+            "k", k, 10**9,
+        )
+        spend_k = ok3.groupBy("k").agg(F.sum("cents").alias("cents")).join(
+            ck, "k"
+        )
+        run("gini", gini_by_segment(spend_k, _SEGS))
+
+    # r8b — JL projection ranking over k× candidates (queries fixed at
+    # N_QUERIES): candidate stream grows k×, expect linear.
+    if not only or "randproj" in only:
+        from nyc_data_pipeline_spark.similarity.brute_force import (
+            N_QUERIES,
+            cosine_topk,
+        )
+        from nyc_data_pipeline_spark.similarity.randproj import (
+            spark_projected,
+        )
+        from nyc_data_pipeline_spark.functions.vectors import spark_sq_norm
+
+        ek3 = scaled(
+            load_table(spark, SF_DIR, "embeddings"), "vec_id", k, 10**9
+        )
+        v3 = ek3.selectExpr(
+            "vec_id", f"{spark_projected('embedding')} AS embedding"
+        ).selectExpr(
+            "vec_id", "embedding", f"{spark_sq_norm('embedding')} AS sq"
+        )
+        q3 = v3.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+            "vec_id AS query_id", "embedding AS q_emb", "sq AS q_sq"
+        )
+        run("randproj", cosine_topk(q3, v3))
+
+    # r8b — real thumbnail resize over k× docs: decode + numpy box
+    # mean through one Arrow pass; Python-worker-bound linear (the
+    # real_decode class).
+    if not only or "thumbnail" in only:
+        from nyc_data_pipeline_spark.multimodal.binary_ops import (
+            attach_ppm_payload,
+            thumbnail_stats,
+        )
+
+        dk4 = scaled(
+            load_table(spark, SF_DIR, "documents"), "doc_id", k, 10**9
+        )
+        run("thumbnail", thumbnail_stats(attach_ppm_payload(dk4)))
+
     return times
 
 

@@ -140,6 +140,61 @@ def main(k: int, n_files: int) -> dict:
     out["append_t"] = round(time.perf_counter() - t0, 2)
     out["append_buckets"] = len(m3["appended_buckets"])
 
+    # --- copy-on-write DELETE (r8): retention slice, cost ~ touched files
+    from nyc_data_pipeline_spark.sources.zonemap import cow_delete
+
+    ddir = scratch_dir(f"sp_del_k{k}_f{n_files}", SF_DIR)
+    t0 = time.perf_counter()
+    drows = cow_delete(spark, base.withColumnRenamed("o_orderkey", "k"),
+                       ddir, n_files).collect()
+    out["del_t"] = round(time.perf_counter() - t0, 2)
+    dv2 = next(r for r in drows if r["version"] == 2)
+    out["del_files_rewritten"] = dv2["files_rewritten"]
+    out["del_touched_frac"] = round(
+        dv2["files_rewritten"] / dv2["files_total"], 4
+    )
+
+    # --- VACUUM (r8): reachability reclaim on the merged+appended table
+    from nyc_data_pipeline_spark.sources.zonemap import manifest_vacuum
+
+    t0 = time.perf_counter()
+    vstats = manifest_vacuum(mdir, latest=3)
+    out["vacuum_t"] = round(time.perf_counter() - t0, 2)
+    out["vacuum_removed"] = vstats["dirs_removed"]
+    out["vacuum_before"] = vstats["dirs_before"]
+
+    # --- partition-spec evolution (r8): per-epoch pruning, straddle read
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        EVO_HI_DAY,
+        EVO_LO_DAY,
+        EVO_SPLIT_DAY,
+    )
+
+    edir = scratch_dir(f"sp_evo_k{k}_f{n_files}", SF_DIR)
+    e1 = base.filter(F.col("day") < EVO_SPLIT_DAY)
+    e2 = base.filter(F.col("day") >= EVO_SPLIT_DAY)
+    t0 = time.perf_counter()
+    write_zone_mapped(e1, os.path.join(edir, "e1"), "day", ["cents"],
+                      max(n_files // 2, 2))
+    write_zone_mapped(e2, os.path.join(edir, "e2"), "day", ["cents"],
+                      n_files)
+    out["evo_t_write"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    scanned = total = 0
+    for sub in ("e1", "e2"):
+        df, n_s, n_t = read_pruned(
+            spark, os.path.join(edir, sub), "day", EVO_LO_DAY, EVO_HI_DAY
+        )
+        scanned, total = scanned + n_s, total + n_t
+        if df is not None:
+            (
+                df.filter(F.col("day").between(EVO_LO_DAY, EVO_HI_DAY))
+                .groupBy("zb").agg(F.sum("cents"))
+                .write.format("noop").mode("overwrite").save()
+            )
+    out["evo_t_straddle_agg"] = round(time.perf_counter() - t0, 2)
+    out["evo_scanned_frac"] = round(scanned / total, 4)
+
     # --- ANALYZE-shaped statistics: one scan, multi-distinct aggregate
     t0 = time.perf_counter()
     (

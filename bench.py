@@ -241,6 +241,8 @@ HEADLINE = [
     "orders_gini_concentration",
     # r8: partition-spec evolution (per-epoch pruning, no rewrites)
     "src_partition_evolution",
+    # r8: merge-on-read deletion vectors (zero-rewrite delete commit)
+    "src_mor_delete_vectors",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

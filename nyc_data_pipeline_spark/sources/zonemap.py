@@ -1407,3 +1407,178 @@ def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(evidence[1][1] + evidence[2][1]).cast("bigint"),
         )
     )
+
+
+# MERGE-ON-READ deletion vectors: the same retention DELETE as
+# src_cow_delete, executed under the OTHER strategy.  Copy-on-write
+# pays the rewrite at delete time and keeps reads pure; merge-on-read
+# commits a tiny KEY-LIST SIDECAR per affected file (Delta deletion
+# vectors / Iceberg v2 delete files) and pays a broadcast anti-join at
+# read time.  At 100 TB the choice is a real knob: high-churn tables
+# amortize MOR's O(deleted keys) commits and compact later; scan-heavy
+# tables want COW's clean files.  Shipping BOTH against the same
+# predicate makes the trade measurable (storage probe) instead of
+# rhetorical.  Zone-map pruning applies to the DV COMMIT too: only
+# stats-overlapping files are probed for matches, so the delete commit
+# never scans the table.
+
+
+def _mor_delete_commit(
+    spark: SparkSession, table_dir: str, m1: dict,
+) -> dict:
+    """Write dv-v2: per-bucket deleted-key lists (executor-side JSON
+    lines — the manifest_files discipline) for the stats-overlapping
+    buckets only; manifest-v2 keeps EVERY v1 data file and points at
+    the sidecar."""
+    tdf = None
+    for z, path in sorted(m1["files"].items()):
+        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
+        stats = piece.agg(F.min("day"), F.max("day")).collect()[0]
+        if stats[0] is None or stats[0] > DEL_HI_DAY or stats[1] < DEL_LO_DAY:
+            continue
+        tdf = piece if tdf is None else tdf.unionByName(piece)
+    dv_dir = os.path.join(table_dir, "dv-v2")
+    in_slice = F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)
+    (
+        tdf.filter(in_slice & (F.col("k") % DEL_MOD == 0))
+        .select("zb", "k")
+        .write.mode("overwrite")
+        .json(dv_dir)
+    )
+    dv_buckets = sorted(
+        {str(r["zb"]) for r in _read_json_table(dv_dir)}
+    )
+    manifest = {
+        "files": dict(m1["files"]),
+        "bounds": m1["bounds"],
+        "version": 2,
+        "delete_vectors": dv_dir,
+        "dv_buckets": dv_buckets,
+    }
+    with open(os.path.join(table_dir, "manifest-v2.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Manifest read applying delete vectors: DV-bucket rows anti-join
+    the broadcast key list, clean buckets stream verbatim."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    out = None
+    dv = None
+    if m.get("delete_vectors"):
+        dv = spark.read.json(m["delete_vectors"]).select("zb", "k")
+    for z, path in sorted(m["files"].items()):
+        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
+        if dv is not None and z in m["dv_buckets"]:
+            piece = piece.join(
+                F.broadcast(dv.filter(F.col("zb") == int(z)).select("k")),
+                "k",
+                "left_anti",
+            )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@register(
+    "src_mor_delete_vectors",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    ),
+    touched AS (
+        SELECT zb FROM file_stats
+        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
+    ),
+    dv AS (
+        SELECT zb, k FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+          AND k % {DEL_MOD} = 0
+    ),
+    v2 AS (
+        SELECT k, cents FROM b
+        WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+                   AND k % {DEL_MOD} = 0)
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS dv_rows,
+           CAST((SELECT COUNT(*) FROM touched) AS BIGINT) AS dv_files
+    FROM b
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dv) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM touched) AS BIGINT)
+    FROM v2
+    """,
+)
+def src_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: commit v1 date-clustered, then commit the
+    retention delete as a KEY-LIST sidecar for the stats-overlapping
+    bucket(s) — files_rewritten is 0 BY CONSTRUCTION (the pytest
+    asserts data files byte-identical across versions) and dv_rows is
+    the commit's true cost.  Reads apply the vectors as a broadcast
+    anti-join on DV buckets only; v1 reads stay verbatim (snapshot
+    isolation without any file copy).  Same predicate as
+    `src_cow_delete`, so the two strategies are directly comparable in
+    the storage probe.  The oracle recomputes the overlap test, the
+    vector contents, and both versions' totals."""
+    table_dir = scratch_dir("zm_mor", sf_dir)
+    base = _orders_kcd(spark, sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v1.json")):
+        lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+        b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
+            "bucket", "zb"
+        ).drop("lo", "hi")
+        m1 = _zm_versioned_write(
+            b1, table_dir, 1,
+            [str(z) for z in range(ZM_FILES)], None, (lo, hi),
+        )
+    else:
+        with open(os.path.join(table_dir, "manifest-v1.json")) as f:
+            m1 = json.load(f)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v2.json")):
+        m2 = _mor_delete_commit(spark, table_dir, m1)
+    else:
+        with open(os.path.join(table_dir, "manifest-v2.json")) as f:
+            m2 = json.load(f)
+    dv_rows = len(_read_json_table(m2["delete_vectors"]))
+    out = None
+    for version in (1, 2):
+        piece = (
+            _mor_read(spark, table_dir, version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(version).alias("version"),
+                "n_rows",
+                "sum_cents",
+                F.lit(0).cast("bigint").alias("files_rewritten"),
+                F.lit(dv_rows).cast("bigint").alias("dv_rows"),
+                F.lit(len(m2["dv_buckets"])).cast("bigint").alias("dv_files"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

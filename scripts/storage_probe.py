@@ -154,6 +154,33 @@ def main(k: int, n_files: int) -> dict:
         dv2["files_rewritten"] / dv2["files_total"], 4
     )
 
+    # --- merge-on-read DELETE (r8): DV sidecar commit vs COW rewrite
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _mor_delete_commit,
+        _mor_read,
+        _zm_versioned_write,
+        range_buckets,
+    )
+
+    mor_dir = scratch_dir(f"sp_mor_k{k}_f{n_files}", SF_DIR)
+    kcd = base.withColumnRenamed("o_orderkey", "k")
+    lo_hi = kcd.agg(F.min("day"), F.max("day")).collect()[0]
+    b1 = range_buckets(kcd, "day", n_files).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    m1 = _zm_versioned_write(
+        b1, mor_dir, 1, [str(z) for z in range(n_files)], None,
+        (lo_hi[0], lo_hi[1]),
+    )
+    t0 = time.perf_counter()
+    _mor_delete_commit(spark, mor_dir, m1)
+    out["mor_t_commit"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _mor_read(spark, mor_dir, 2).agg(F.sum("cents")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["mor_t_read"] = round(time.perf_counter() - t0, 2)
+
     # --- VACUUM (r8): reachability reclaim on the merged+appended table
     from nyc_data_pipeline_spark.sources.zonemap import manifest_vacuum
 

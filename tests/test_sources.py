@@ -756,3 +756,38 @@ def test_partition_evolution_prunes_per_epoch(spark, sf_dir):
     e2_files = set(_os.listdir(_os.path.join(table_dir, "e2", "data")))
     assert len([d for d in e1_files if d.startswith("zb=")]) == 4
     assert len([d for d in e2_files if d.startswith("zb=")]) == 8
+
+
+def test_mor_delete_rewrites_nothing_and_reads_apply_vectors(spark, sf_dir):
+    """Merge-on-read invariants: after the DV commit every v1 data
+    file is byte-identical (no rewrite — the strategy's whole point),
+    the sidecar only covers stats-overlapping buckets, v2 reads equal
+    COW-delete semantics, and v1 reads still see the deleted rows
+    (snapshot isolation without copying a single file)."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    rows = {
+        r.version: r
+        for r in QUERIES["src_mor_delete_vectors"](spark, sf_dir).collect()
+    }
+    assert rows[1].files_rewritten == rows[2].files_rewritten == 0
+    assert rows[2].n_rows == rows[1].n_rows - rows[1].dv_rows
+    assert rows[1].dv_files == 1  # only the overlapping bucket
+    table_dir = scratch_dir("zm_mor", sf_dir)
+    with open(_os.path.join(table_dir, "manifest-v1.json")) as f:
+        m1 = _json.load(f)
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    assert m2["files"] == m1["files"]  # identical data-file pointers
+    # the same predicate under COW must yield the same surviving table
+    cow = {
+        r.version: r
+        for r in QUERIES["src_cow_delete"](spark, sf_dir).collect()
+    }
+    assert (rows[2].n_rows, rows[2].sum_cents) == (
+        cow[2].n_rows, cow[2].sum_cents,
+    )

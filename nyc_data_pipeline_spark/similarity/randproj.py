@@ -11,15 +11,25 @@ two, it must be MEASURED before being trusted: this operator reports
 per-query overlap between the exact full-dim top-k and the top-k
 computed in the 16-dim projected space (recall@k of the cheap pass).
 
-Engineering shape: the sign matrix is 64×16 literals baked into the
-expression text (the similarity/lsh.py plane discipline), so the
-projection is a pure codegen projection — 16 fixed-order signed sums
-per row, zero Python, zero shuffle, and the SAME operation sequence in
-Spark and DuckDB (left-to-right double adds over literal-signed
-elements) — bit-exact across engines with no tolerance.  The projected
-table is 4× smaller than the source; at 100 TB that is 4× less index
-I/O and 4× cheaper candidate dots for any downstream ANN stage, with
-this audit's recall as the accept/reject gate.
+Engineering shape — MEASURED, not assumed (the pandas_path.py
+discipline): the 16×64-term projection as inline Catalyst expression
+text blows past whole-stage codegen's method limits and falls back to
+interpreted eval (~0.24 ms/row), and because both the query and the
+candidate branch derive from it, Catalyst re-evaluates the subtree per
+branch — 44 s at 8× sf0.1 for what should be a linear pass.  The
+shipped path is the index_store build-once discipline instead:
+PROJECT ONCE through an Arrow-batched numpy pass (sequential per-dim
+adds, so the IEEE operation order is the exact left-to-right fold both
+engines' expression text performs — bit-exact, no tolerance), then
+`localCheckpoint` the 4×-smaller projected table so every downstream
+search plan reads materialized vectors with ZERO Python nodes
+(plan-asserted).  Same shape at 100 TB: the projection is one linear
+write, searches amortize it.  Measured at 8× sf0.1: 44 s inline vs
+~4 s project+checkpoint+search.
+
+The sign matrix stays importable as expression text
+(`spark_projected`, the lsh.py plane style) for the oracle twin
+`duck_projected` and for golden tests of the fold-order contract.
 
 Measured verdict on THIS corpus: recall@5 = 0.10 at m=16 (0.12 at
 m=32; the trained-prefix sibling sim_matryoshka_recall measures 0.08
@@ -94,6 +104,40 @@ def duck_projected(col: str) -> str:
     return "[" + ", ".join(dims) + "]"
 
 
+def project_checkpointed(e: DataFrame) -> DataFrame:
+    """Build step: JL-project (vec_id, embedding[SRC_DIMS]) →
+    materialized (vec_id, embedding[PROJ_DIMS]) via one Arrow-batched
+    numpy pass.  The per-dim loop adds source dims in ascending order,
+    one float64 op per term — the EXACT operation sequence of the
+    `spark_projected`/`duck_projected` expression text (0.0 +s1·x1
+    +s2·x2 …), so values are bit-identical to the oracle's fold.
+    `localCheckpoint(eager)` materializes the 4×-smaller table once;
+    downstream search plans scan concrete vectors (no Python nodes, no
+    per-branch recomputation — see module doc for the measurements)."""
+    import numpy as np
+    import pandas as pd
+
+    signs = [list(row) for row in zip(*SIGNS)]  # [i][j] layout
+
+    def batches(it):
+        for pdf in it:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(pdf), PROJ_DIMS), dtype=np.float64)
+            for i in range(SRC_DIMS):
+                acc = acc + x[:, [i]] * np.asarray(
+                    signs[i], dtype=np.float64
+                )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(acc)}
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(batches, schema="vec_id bigint, embedding array<double>")
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "emb_random_projection",
     oracle=f"""
@@ -111,13 +155,14 @@ def duck_projected(col: str) -> str:
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query overlap between the exact full-dim top-{TOP_K} and the
     top-{TOP_K} in the {PROJ_DIMS}-dim JL sign projection —
-    `n_overlap / k` is recall@{TOP_K} of the projected search.  The
-    projection itself is 16 codegen sums per row (no Python, no
-    shuffle); both rankings then reuse brute_force.cosine_topk."""
+    `n_overlap / k` is recall@{TOP_K} of the projected search.
+    Projection runs ONCE (Arrow pass + localCheckpoint); the two
+    rankings then reuse brute_force.cosine_topk over concrete
+    vectors."""
     e = load_table(spark, sf_dir, "embeddings")
 
-    def ranked(emb_expr: str) -> DataFrame:
-        v = e.selectExpr("vec_id", f"{emb_expr} AS embedding").selectExpr(
+    def ranked(src: DataFrame) -> DataFrame:
+        v = src.selectExpr(
             "vec_id", "embedding", f"{spark_sq_norm('embedding')} AS sq"
         )
         q = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
@@ -125,8 +170,8 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return cosine_topk(q, v).select("query_id", "neighbor_id")
 
-    full = ranked("embedding")
-    rp = ranked(spark_projected("embedding")).select(
+    full = ranked(e.select("vec_id", "embedding"))
+    rp = ranked(project_checkpointed(e)).select(
         F.col("query_id").alias("t_query"),
         F.col("neighbor_id").alias("t_neighbor"),
     )

@@ -1083,16 +1083,17 @@ def probe(spark, k: int) -> dict[str, float]:
             cosine_topk,
         )
         from nyc_data_pipeline_spark.similarity.randproj import (
-            spark_projected,
+            project_checkpointed,
         )
         from nyc_data_pipeline_spark.functions.vectors import spark_sq_norm
 
         ek3 = scaled(
             load_table(spark, SF_DIR, "embeddings"), "vec_id", k, 10**9
         )
-        v3 = ek3.selectExpr(
-            "vec_id", f"{spark_projected('embedding')} AS embedding"
-        ).selectExpr(
+        t0 = time.perf_counter()
+        proj3 = project_checkpointed(ek3)  # eager build
+        times["randproj_build"] = round(time.perf_counter() - t0, 2)
+        v3 = proj3.selectExpr(
             "vec_id", "embedding", f"{spark_sq_norm('embedding')} AS sq"
         )
         q3 = v3.filter(F.col("vec_id") < N_QUERIES).selectExpr(

@@ -561,3 +561,24 @@ def test_random_projection_search_plan_reads_materialized(spark, sf_dir):
     for row in SIGNS:  # seeded balance: no dim is >75% one sign
         pos = sum(1 for s in row if s > 0)
         assert SRC_DIMS // 4 <= pos <= 3 * SRC_DIMS // 4
+
+
+def test_linkpred_no_cartesian_and_topn_heap(spark, sf_dir):
+    """Wedge generation and the non-edge filter must stay equi-joins
+    (the id-order invariant makes the anti-join a pure two-column
+    equi), and the top-20 must be TakeOrderedAndProject — per-partition
+    heaps, never a global sort of the candidate set."""
+    p = plan_str(QUERIES["graph_common_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "LeftAnti" in p  # stored-edge exclusion
+
+
+def test_mor_read_applies_vectors_as_broadcast_anti(spark, sf_dir):
+    """The DV bucket's read must apply the key list as a BROADCAST
+    anti-join (the vector is O(deleted keys), never shuffled against
+    the table)."""
+    p = plan_str(QUERIES["src_mor_delete_vectors"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -243,6 +243,8 @@ HEADLINE = [
     "src_partition_evolution",
     # r8: merge-on-read deletion vectors (zero-rewrite delete commit)
     "src_mor_delete_vectors",
+    # r8: MOR compaction (freeze vectors into clean files, DV-buckets only)
+    "src_mor_compaction",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -1582,3 +1582,119 @@ def src_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+@register(
+    "src_mor_compaction",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    ),
+    touched AS (
+        SELECT zb FROM file_stats
+        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
+    ),
+    v3 AS (
+        SELECT k, cents FROM b
+        WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+                   AND k % {DEL_MOD} = 0)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT COUNT(*) FROM touched) AS BIGINT)
+               AS files_rewritten,
+           CAST(0 AS BIGINT) AS dv_files_after
+    FROM v3
+    """,
+)
+def src_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE step completing the merge-on-read lifecycle (DV commits
+    accumulate read-side debt; compaction pays it down): rewrite ONLY
+    the DV-carrying bucket(s) with their vectors applied, publish v3
+    whose manifest points at clean files and carries NO delete
+    vectors, and read it back — totals must equal the v2 MOR read (the
+    vectors' semantics frozen into files), with files_rewritten = the
+    DV bucket count and zero vectors remaining.  Together
+    `src_mor_delete_vectors` → `src_mor_compaction` → (vacuum) is the
+    full churn story: cheap O(keys) delete commits, deferred
+    O(touched-files) rewrite, reachability reclaim."""
+    table_dir = scratch_dir("zm_mor", sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v2.json")):
+        src_mor_delete_vectors(spark, sf_dir).collect()
+    with open(os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = json.load(f)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v3.json")):
+        compacted = None
+        for z in m2["dv_buckets"]:
+            piece = _mor_read_bucket(spark, m2, z)
+            compacted = (
+                piece if compacted is None
+                else compacted.unionByName(piece)
+            )
+        vdir = os.path.join(table_dir, "v3")
+        (
+            compacted.repartition(F.col("zb"))
+            .write.mode("overwrite")
+            .partitionBy("zb")
+            .parquet(vdir)
+        )
+        files = dict(m2["files"])
+        for z in m2["dv_buckets"]:
+            files[z] = os.path.join(vdir, f"zb={z}")
+        m3 = {
+            "files": files,
+            "bounds": m2["bounds"],
+            "version": 3,
+            "compacted_buckets": m2["dv_buckets"],
+        }
+        with open(
+            os.path.join(table_dir, "manifest-v3.json"), "w"
+        ) as f:
+            json.dump(m3, f, sort_keys=True)
+    else:
+        with open(os.path.join(table_dir, "manifest-v3.json")) as f:
+            m3 = json.load(f)
+    return (
+        _zm_read_version(spark, table_dir, 3)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "n_rows",
+            "sum_cents",
+            F.lit(len(m3["compacted_buckets"]))
+            .cast("bigint")
+            .alias("files_rewritten"),
+            F.lit(0).cast("bigint").alias("dv_files_after"),
+        )
+    )
+
+
+def _mor_read_bucket(
+    spark: SparkSession, manifest: dict, z: str
+) -> DataFrame:
+    """One bucket of a DV-bearing manifest with its vector applied."""
+    piece = spark.read.parquet(manifest["files"][z]).withColumn(
+        "zb", F.lit(int(z))
+    )
+    dv = (
+        spark.read.json(manifest["delete_vectors"])
+        .filter(F.col("zb") == int(z))
+        .select("k")
+    )
+    return piece.join(F.broadcast(dv), "k", "left_anti")

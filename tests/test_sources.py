@@ -791,3 +791,37 @@ def test_mor_delete_rewrites_nothing_and_reads_apply_vectors(spark, sf_dir):
     assert (rows[2].n_rows, rows[2].sum_cents) == (
         cow[2].n_rows, cow[2].sum_cents,
     )
+
+
+def test_mor_compaction_freezes_vectors_into_clean_files(spark, sf_dir):
+    """Compaction invariants: v3 totals equal the v2 vector-applied
+    read (semantics preserved), only the DV bucket was rewritten
+    (other pointers inherited verbatim), the v3 manifest carries no
+    delete vectors, and the v2 snapshot still reads THROUGH its
+    vectors afterward."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    comp = QUERIES["src_mor_compaction"](spark, sf_dir).collect()[0]
+    mor = {
+        r.version: r
+        for r in QUERIES["src_mor_delete_vectors"](spark, sf_dir).collect()
+    }
+    assert (comp.n_rows, comp.sum_cents) == (
+        mor[2].n_rows, mor[2].sum_cents,
+    )
+    table_dir = scratch_dir("zm_mor", sf_dir)
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    with open(_os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = _json.load(f)
+    assert "delete_vectors" not in m3
+    assert comp.files_rewritten == len(m2["dv_buckets"]) == 1
+    for z, p in m2["files"].items():
+        if z in m2["dv_buckets"]:
+            assert m3["files"][z] != p and "/v3/" in m3["files"][z]
+        else:
+            assert m3["files"][z] == p

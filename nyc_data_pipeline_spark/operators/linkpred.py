@@ -125,7 +125,13 @@ def common_neighbor_topn(
     edges: DataFrame, hub_cap: int = HUB_CAP, top_n: int = TOP_N
 ) -> DataFrame:
     """`edges` = undirected distinct (u < v) pairs → top-n scored
-    non-edges.  Reusable core (the triangles.triangle_count shape)."""
+    non-edges.  Reusable core (the triangles.triangle_count shape).
+    The edge set feeds THREE consumers (degrees, adjacency, the
+    non-edge anti-join), and its producer is typically an expensive
+    distinct self-join — localCheckpoint materializes it once instead
+    of re-deriving it per consumer (the dedup_cc_fixpoint
+    discipline)."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

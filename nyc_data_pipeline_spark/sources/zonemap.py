@@ -1429,13 +1429,25 @@ def _mor_delete_commit(
     """Write dv-v2: per-bucket deleted-key lists (executor-side JSON
     lines — the manifest_files discipline) for the stats-overlapping
     buckets only; manifest-v2 keeps EVERY v1 data file and points at
-    the sidecar."""
+    the sidecar.  Candidate selection is ONE Spark aggregate over the
+    manifest read (the cow_merge discipline): only surviving bucket
+    ids reach the driver, never a per-file stats loop."""
+    all_v1 = _zm_read_version(spark, table_dir, 1)
+    touched = {
+        str(r["zb"])
+        for r in all_v1.groupBy("zb")
+        .agg(F.min("day").alias("f_lo"), F.max("day").alias("f_hi"))
+        .filter(
+            (F.col("f_lo") <= DEL_HI_DAY) & (F.col("f_hi") >= DEL_LO_DAY)
+        )
+        .select("zb")
+        .collect()
+    }
     tdf = None
     for z, path in sorted(m1["files"].items()):
-        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
-        stats = piece.agg(F.min("day"), F.max("day")).collect()[0]
-        if stats[0] is None or stats[0] > DEL_HI_DAY or stats[1] < DEL_LO_DAY:
+        if z not in touched:
             continue
+        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
         tdf = piece if tdf is None else tdf.unionByName(piece)
     dv_dir = os.path.join(table_dir, "dv-v2")
     in_slice = F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)

@@ -659,8 +659,13 @@ def _thumbnail_batches(
                 .astype(np.int64)
                 .reshape(m["height"], m["width"], 3)
             )
-            eh = (m["height"] // 2) * 2  # drop the odd trailing row
-            a = a[:eh]
+            # floor-crop BOTH dims to even (odd trailing row/column
+            # dropped) — without the column crop numpy would silently
+            # BROADCAST the mismatched odd-width slices instead of
+            # erroring (caught by the hypothesis property test)
+            eh = (m["height"] // 2) * 2
+            ew = (m["width"] // 2) * 2
+            a = a[:eh, :ew]
             t = (
                 a[0::2, 0::2] + a[0::2, 1::2]
                 + a[1::2, 0::2] + a[1::2, 1::2]

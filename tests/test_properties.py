@@ -415,3 +415,109 @@ def test_theil_sen_equals_python_reference(spark, ys):
     want_icept = resid[(len(resid) + 1) // 2 - 1][0]
     assert (r.slope_milli, r.intercept_milli) == (want_slope, want_icept)
     assert r.n_pairs == len(slopes) and r.n_points == len(xs)
+
+
+# ---- r8 continuation: Gini vs direct formula, thumbnail vs loop -----------
+
+@given(
+    spends=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gini_matches_direct_formula(spark, spends):
+    """For arbitrary per-key spends (zeros, ties, single-row groups),
+    the composite-lead two-phase Gini must equal the direct sorted
+    formula floor((2·Σi·x − (n+1)·Σx)·1e6 / (n·Σx)) computed in plain
+    Python — covering the rank-offset subtraction, decimal carriers,
+    and tie handling in one shot.  All-zero groups (Σx = 0) are a
+    division-by-zero regime the operator's domain excludes (spend > 0
+    per order at the call site), so they are filtered here."""
+    from nyc_data_pipeline_spark.operators.inequality import gini_by_segment
+
+    rows = [(i, seg, c) for i, (seg, c) in enumerate(spends)]
+    by_seg = {}
+    for i, seg, c in rows:
+        by_seg.setdefault(seg, []).append((c, i))
+    expected = {}
+    for seg, vals in by_seg.items():
+        s0 = sum(c for c, _ in vals)
+        if s0 == 0:
+            continue
+        xs = [c for c, _ in sorted(vals)]
+        n = len(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        expected[seg] = (2 * s1 - (n + 1) * s0) * 10**6 // (n * s0)
+    keep = set(expected)
+    df = spark.createDataFrame(rows, "k bigint, seg string, cents bigint")
+    df = df.filter(df.seg.isin(list(keep)) if keep else df.seg.isNull())
+    got = {
+        r.seg: r.gini_ppm
+        for r in gini_by_segment(df, ["A", "B"]).collect()
+    }
+    assert got == expected
+
+
+@given(
+    w=st.integers(min_value=1, max_value=4),
+    h=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_thumbnail_matches_python_loop(spark, w, h, data):
+    """Random raster dims and pixels: the numpy box downsample must
+    equal a straightforward Python double loop (floor means, odd
+    row/col cropping), including the placement checksum."""
+    from nyc_data_pipeline_spark.multimodal.binary_ops import (
+        thumbnail_stats,
+    )
+
+    flat = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=3 * w * h,
+            max_size=3 * w * h,
+        )
+    )
+    ow, oh = w // 2, h // 2
+    if ow == 0 or oh == 0:
+        return  # degenerate thumbs are excluded by the op's contract
+    px = lambda r, c, ch: flat[3 * (r * w + c) + ch]
+    tvals = []
+    for r in range(oh):
+        for c in range(ow):
+            for ch in range(3):
+                tvals.append(
+                    (
+                        px(2 * r, 2 * c, ch)
+                        + px(2 * r, 2 * c + 1, ch)
+                        + px(2 * r + 1, 2 * c, ch)
+                        + px(2 * r + 1, 2 * c + 1, ch)
+                    )
+                    // 4
+                )
+    payload = f"P6\n{w} {h}\n255\n".encode() + bytes(flat)
+    df = spark.createDataFrame(
+        [(7, payload, "image/x-portable-pixmap")],
+        "doc_id bigint, payload binary, mime string",
+    )
+    r = thumbnail_stats(df).collect()[0]
+    assert (r.out_w, r.out_h) == (ow, oh)
+    assert r.t_sum_r == sum(tvals[0::3])
+    assert r.t_sum_g == sum(tvals[1::3])
+    assert r.t_sum_b == sum(tvals[2::3])
+    assert (r.t_min, r.t_max) == (min(tvals), max(tvals))
+    assert r.t_checksum == sum(v * (i + 1) for i, v in enumerate(tvals))

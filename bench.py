@@ -245,6 +245,8 @@ HEADLINE = [
     "src_mor_delete_vectors",
     # r8: MOR compaction (freeze vectors into clean files, DV-buckets only)
     "src_mor_compaction",
+    # r8: keyed pseudonymization with preserved joinability
+    "dq_pseudonymize_joinable",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

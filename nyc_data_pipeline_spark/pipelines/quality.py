@@ -1083,3 +1083,73 @@ def dq_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- Keyed pseudonymization with preserved joinability ---------------------
+#
+# The GDPR-pipeline primitive: replace a direct identifier with a
+# deterministic keyed pseudonym so downstream analytics JOIN exactly
+# as before while no raw identifier crosses the boundary.  Two
+# requirements a 100 TB pipeline cannot compromise on, both certified
+# here: (1) CONSISTENCY — the same salt+key yields the same pseudonym
+# in every table, so join cardinalities are preserved bit-for-bit
+# (the pytest replays the plaintext join and compares); (2) NO
+# PASSTHROUGH — the output schema carries pseudonyms only.  md5 is the
+# engine-portable keyed map (operators/scalars.py F8 note: Spark and
+# DuckDB md5 agree; xxhash64 seeds do not); 64 pseudonym bits keep the
+# birthday bound at ~n²/2⁶⁵ — at 10⁹ keys that is ~3%, so production
+# would take all 128 bits, while the audit's distinct-count evidence
+# column makes any collision VISIBLE rather than silent.  A salt
+# rotation is a one-constant change that severs every old pseudonym —
+# the revocation story.
+PSEUDO_SALT = "r8-rotation-2026-08"
+_PSEUDO = (
+    "substr(md5(concat('" + PSEUDO_SALT + "-', CAST({k} AS STRING))), 1, 16)"
+)
+
+
+@register(
+    "dq_pseudonymize_joinable",
+    oracle=f"""
+    WITH c AS (
+        SELECT {_PSEUDO.format(k='c_custkey')} AS pid,
+               c_mktsegment AS seg
+        FROM customer
+    ),
+    o AS (
+        SELECT {_PSEUDO.format(k='o_custkey')} AS pid,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT c.seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT c.pid) AS BIGINT) AS n_pseudonyms
+    FROM o JOIN c ON c.pid = o.pid
+    GROUP BY c.seg
+    """,
+)
+def dq_pseudonymize_joinable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize c_custkey/o_custkey under one salted md5 map and
+    run the segment-revenue join ON THE PSEUDONYMS — counts, sums, and
+    the distinct-pseudonym evidence column must all reproduce the
+    plaintext join's numbers (consistency), while neither side's
+    output frame carries a raw key (no-passthrough, schema-asserted in
+    the pytest)."""
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        f"{_PSEUDO.format(k='c_custkey')} AS pid",
+        "c_mktsegment AS seg",
+    )
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        f"{_PSEUDO.format(k='o_custkey')} AS pid",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    return (
+        orders.join(cust, "pid")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.countDistinct("pid").cast("bigint").alias("n_pseudonyms"),
+        )
+    )

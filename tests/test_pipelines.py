@@ -258,3 +258,51 @@ def test_gini_golden_values(spark):
     assert got["WINNER"].gini_ppm == 750_000
     assert got["PAIR"].gini_ppm == 250_000
     assert got["PAIR"].n_customers == 2 and got["PAIR"].sum_cents == 4
+
+
+def test_pseudonymize_preserves_join_and_hides_keys(spark, sf_dir):
+    """Consistency: the pseudonym join reproduces the plaintext join's
+    per-segment counts, sums, and distinct cardinalities exactly.
+    No-passthrough: the output schema carries no raw key column, and
+    no pseudonym equals its source key's string form.  Rotation: a
+    different salt yields disjoint pseudonyms for the same keys."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.pipelines.quality import _PSEUDO
+
+    load_all()
+    got = {
+        r.seg: (r.n_orders, r.sum_cents, r.n_pseudonyms)
+        for r in QUERIES["dq_pseudonymize_joinable"](spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = {
+        r.seg: (r.n_orders, r.sum_cents, r.n_keys)
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice*100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .collect()
+    }
+    assert got == plain
+    out_cols = QUERIES["dq_pseudonymize_joinable"](spark, sf_dir).columns
+    assert "pid" not in out_cols and not any(
+        "custkey" in c for c in out_cols
+    )
+    # rotation severs the mapping
+    p1 = _PSEUDO.format(k="c_custkey")
+    p2 = p1.replace("r8-rotation-2026-08", "r9-rotation")
+    overlap = (
+        cust.selectExpr(f"{p1} AS a", f"{p2} AS b")
+        .filter("a = b")
+        .count()
+    )
+    assert overlap == 0

@@ -247,6 +247,8 @@ HEADLINE = [
     "src_mor_compaction",
     # r8: keyed pseudonymization with preserved joinability
     "dq_pseudonymize_joinable",
+    # r8: trailing-window rational OLS slope (one row-frame pass)
+    "window_rolling_ols",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

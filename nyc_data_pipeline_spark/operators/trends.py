@@ -744,3 +744,90 @@ def theil_sen(series: DataFrame) -> DataFrame:
     ).select(
         "pr", "n_points", "n_pairs", "slope_milli", "intercept_milli"
     )
+
+
+ROLL_W = 8  # trailing window length (rows) for the rolling regression
+
+
+@register(
+    "window_rolling_ols",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS HUGEINT) AS x,
+               CAST(floor(value * {MICRO}) AS HUGEINT) AS y
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id,
+               COUNT(*) OVER tw AS n,
+               SUM(x) OVER tw AS sx,
+               SUM(y) OVER tw AS sy,
+               SUM(x * y) OVER tw AS sxy,
+               SUM(x * x) OVER tw AS sxx
+        FROM o
+        WINDOW tw AS (
+            PARTITION BY user_id ORDER BY x, event_id
+            ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+           CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
+    FROM w
+    """,
+)
+def window_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_W}-event OLS slope per user, exact: the four
+    rolling sums (Σx, Σy, Σxy, Σx²) come from ONE row-frame window
+    pass, and the slope ships as an integer rational (num, den) —
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — in decimal(38,0)/HUGEINT
+    carriers, since x is epoch-microseconds and Σx² alone is ~1e31.
+    Unlike `grouped_ols_per_user` (whole-history fit via
+    applyInPandas) this is the STREAMING-SHAPED form: windowed sums
+    are what an incremental maintainer keeps, there is no per-group
+    materialization, and the frame never exceeds {ROLL_W} rows — the
+    regime split documented on grouped_ols_per_user resolved in the
+    window engine's favor wherever trailing semantics suffice.
+    user_id is the high-cardinality bounded-group key (the house
+    window regime); rationals avoid cross-engine float division.
+
+    Reference parity: no regression surface in the reference; extends
+    the trend family (grouped_ols_trend, ts_theil_sen) with the
+    rolling member.  SURVEY §2 W3 frames extension."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.col("value") * MICRO).cast("decimal(38,0)").alias("y"),
+    )
+    return rolling_ols(o)
+
+
+def rolling_ols(o: DataFrame, w: int = ROLL_W) -> DataFrame:
+    """Core: (user_id, event_id, x, y) with decimal(38,0) carriers →
+    per-row trailing-w rational slope (see the query docstring)."""
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sums = o.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(tw).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(tw).alias("sx"),
+        F.sum("y").over(tw).alias("sy"),
+        F.sum(F.expr("x * y")).over(tw).alias("sxy"),
+        F.sum(F.expr("x * x")).over(tw).alias("sxx"),
+    )
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(n * sxy - sx * sy AS STRING)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS STRING)").alias("slope_den"),
+    )

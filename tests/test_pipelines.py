@@ -306,3 +306,29 @@ def test_pseudonymize_preserves_join_and_hides_keys(spark, sf_dir):
         .count()
     )
     assert overlap == 0
+
+
+def test_rolling_ols_golden_slope(spark):
+    """Hand-computed trailing-4 regression: y = 2x exactly → the
+    rational slope reduces to 2 at every full window, and the warm-up
+    rows (n < 4) fit their shorter prefix exactly too."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.operators.trends import rolling_ols
+
+    rows = [(1, i, i + 1, 2 * (i + 1)) for i in range(6)]
+    o = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, x bigint, y bigint"
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    got = {r.event_id: r for r in rolling_ols(o, w=4).collect()}
+    for eid, r in got.items():
+        num, den = int(r.slope_num), int(r.slope_den)
+        if r.n == 1:
+            assert num == den == 0  # degenerate single-point window
+        else:
+            assert num == 2 * den and den > 0
+    assert [got[i].n for i in range(6)] == [1, 2, 3, 4, 4, 4]

@@ -1112,3 +1112,36 @@ def test_reference_topology_end_to_end(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_shard_assignment_equals_batch(spark, sf_dir, tmp_path):
+    """The training-shard map (shard = h1(doc_id), order = h2(doc_id))
+    is a pure projection, so applying it inside a file stream must
+    reproduce the batch export's assignment row-for-row — the property
+    that lets a streaming ingest route documents onto the SAME shards
+    a batch backfill wrote (pipelines/splits.py sample_shard_export)."""
+    from nyc_data_pipeline_spark.pipelines.splits import _ORDER, _SHARD
+    from nyc_data_pipeline_spark.streaming.ingest import file_json_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    src = tmp_path / "docs_in"
+    docs.repartition(2).write.json(str(src))
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    stream = file_json_stream(spark, str(src), schema).selectExpr(
+        "doc_id", f"{_SHARD} AS shard", f"{_ORDER} AS order_key"
+    )
+    q = run_to_memory(stream, "shard_out", output_mode="append")
+    try:
+        got = {
+            r.doc_id: (r.shard, r.order_key)
+            for r in spark.sql("SELECT * FROM shard_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.doc_id: (r.shard, r.order_key)
+        for r in docs.selectExpr(
+            "doc_id", f"{_SHARD} AS shard", f"{_ORDER} AS order_key"
+        ).collect()
+    }
+    assert got == want

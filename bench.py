@@ -249,6 +249,8 @@ HEADLINE = [
     "dq_pseudonymize_joinable",
     # r8: trailing-window rational OLS slope (one row-frame pass)
     "window_rolling_ols",
+    # r8: Holt linear-trend smoothing (two-register integer fold)
+    "grouped_holt_forecast",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

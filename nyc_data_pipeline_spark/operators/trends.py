@@ -831,3 +831,104 @@ def rolling_ols(o: DataFrame, w: int = ROLL_W) -> DataFrame:
         F.expr("CAST(n * sxy - sx * sy AS STRING)").alias("slope_num"),
         F.expr("CAST(n * sxx - sx * sx AS STRING)").alias("slope_den"),
     )
+
+
+@register(
+    "grouped_holt_forecast",
+    oracle="""
+    WITH o AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS y,
+               epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               list(y ORDER BY us, event_id) AS ys
+        FROM o GROUP BY user_id
+    ),
+    folded AS (
+        -- two smoothing registers packed into ONE bigint
+        -- s = (l + OFF) * K + (b + OFF), OFF = 2^30, K = 2^31:
+        -- duckdb 1.0's list_reduce mis-evaluates STRUCT accumulators
+        -- after the first step (verified: step-2 trend register reads
+        -- a stale/blended acc), while scalar accumulators fold
+        -- correctly — so the oracle transports the pair through one
+        -- integer.  Exact while |l|, |b| < 2^30 micro-units (fixture
+        -- values are < 2^8 units); the engine side keeps the readable
+        -- struct accumulator, the integer sequences are identical.
+        SELECT user_id, n,
+               list_reduce(
+                   list_prepend(
+                       CAST((ys[1] + 1073741824) * CAST(2147483648 AS BIGINT) + 1073741824
+                            AS BIGINT),
+                       ys[2:]
+                   ),
+                   (s, y) -> (
+                       ((s // 2147483648 - 1073741824) + (s % 2147483648 - 1073741824) + y) // 2
+                       + 1073741824
+                   ) * CAST(2147483648 AS BIGINT)
+                     + ((s % 2147483648 - 1073741824)
+                        + (((s // 2147483648 - 1073741824) + (s % 2147483648 - 1073741824) + y) // 2
+                           - (s // 2147483648 - 1073741824))) // 2 + 1073741824
+               ) AS s
+        FROM g
+    )
+    SELECT user_id, n,
+           CAST(s // 2147483648 - 1073741824 AS BIGINT) AS level_micro,
+           CAST(s % 2147483648 - 1073741824 AS BIGINT) AS trend_micro,
+           CAST((s // 2147483648 - 1073741824) + (s % 2147483648 - 1073741824) AS BIGINT)
+               AS forecast_micro
+    FROM folded
+    """,
+)
+def grouped_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt LINEAR-TREND smoothing, α = β = 1/2: the two-state
+    recurrence l_t = (l_{{t-1}} + b_{{t-1}} + y_t) div 2,
+    b_t = (b_{{t-1}} + (l_t − l_{{t-1}})) div 2 with l_1 = y_1, b_1 = 0
+    — SES (`grouped_ses_forecast`) tracks a level only and lags any
+    drifting series; the trend state closes that lag, and the one-step
+    forecast is l + b.  A stateful two-register fold no window frame
+    expresses; both engines replay the IDENTICAL integer sequence —
+    Spark `aggregate` with a struct accumulator; DuckDB `list_reduce`
+    with the pair PACKED into one bigint, because duckdb 1.0
+    mis-evaluates struct accumulators after the first reduce step
+    (bug isolated in the oracle's comment; single-step folds are
+    fine).  The trend
+    register goes NEGATIVE on declining series, so the engines'
+    integer divisions must agree on negatives: Spark `div` and DuckDB
+    `//` both truncate toward zero (verified -5 div 2 = -2 on both),
+    which is exactly why the recurrence is written with div, never
+    shift (>> floors, giving -3).  Same bounded-group regime note as
+    SES."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.floor(F.col("value") * MICRO).cast("bigint").alias("y"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    g = o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(us, event_id, y))),"
+            " s -> s.y)"
+        ).alias("ys"),
+    )
+    return g.selectExpr(
+        "user_id",
+        "n",
+        "aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),"
+        " named_struct('l', ys[0], 'b', CAST(0 AS BIGINT)),"
+        " (a, y) -> named_struct("
+        "   'l', (a.l + a.b + y) div 2,"
+        "   'b', (a.b + ((a.l + a.b + y) div 2 - a.l)) div 2)"
+        ") AS st",
+    ).selectExpr(
+        "user_id",
+        "n",
+        "CAST(st.l AS BIGINT) AS level_micro",
+        "CAST(st.b AS BIGINT) AS trend_micro",
+        "CAST(st.l + st.b AS BIGINT) AS forecast_micro",
+    )

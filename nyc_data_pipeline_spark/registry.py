@@ -195,6 +195,7 @@ _VERIFY_FIRST = [
     "src_mor_compaction",
     "dq_pseudonymize_joinable",
     "window_rolling_ols",
+    "grouped_holt_forecast",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -332,3 +332,47 @@ def test_rolling_ols_golden_slope(spark):
         else:
             assert num == 2 * den and den > 0
     assert [got[i].n for i in range(6)] == [1, 2, 3, 4, 4, 4]
+
+
+def test_holt_matches_python_reference(spark):
+    """The two-register Holt fold vs a plain Python replay on a series
+    that rises then crashes — exercising the negative trend register
+    and the agreed truncation-toward-zero division."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+
+    def ref(ys):
+        def tdiv(x):
+            q = abs(x) // 2
+            return q if x >= 0 else -q
+
+        l, b = ys[0], 0
+        for y in ys[1:]:
+            nl = tdiv(l + b + y)
+            b = tdiv(b + (nl - l))
+            l = nl
+        return l, b
+
+    ys = [10, 20, 30, 40, -15, 7]
+    rows = [(1, i, float(y) / 1e6) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, value double")
+    o = df.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+        (F.col("event_id") * 1000).alias("us"),
+        "event_id",
+    )
+    g = o.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(us, event_id, y))),"
+            " s -> s.y)"
+        ).alias("ys"),
+    )
+    got = g.selectExpr(
+        "aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),"
+        " named_struct('l', ys[0], 'b', CAST(0 AS BIGINT)),"
+        " (a, y) -> named_struct("
+        "   'l', (a.l + a.b + y) div 2,"
+        "   'b', (a.b + ((a.l + a.b + y) div 2 - a.l)) div 2)) AS st"
+    ).collect()[0].st
+    assert (got.l, got.b) == ref(ys) == (7, -6)

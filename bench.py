@@ -251,6 +251,8 @@ HEADLINE = [
     "window_rolling_ols",
     # r8: Holt linear-trend smoothing (two-register integer fold)
     "grouped_holt_forecast",
+    # r8: incremental ANN index append (frozen artifacts, new files only)
+    "sim_index_append",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -196,6 +196,7 @@ _VERIFY_FIRST = [
     "dq_pseudonymize_joinable",
     "window_rolling_ols",
     "grouped_holt_forecast",
+    "sim_index_append",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

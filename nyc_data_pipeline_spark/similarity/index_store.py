@@ -549,3 +549,225 @@ def sim_ivf_adc_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
     )
     return ivf_adc_search(queries, cent, cmicro, codes, emb)
+
+
+# --- Incremental index maintenance: APPEND under frozen artifacts ----------
+#
+# Production ANN corpora GROW; rebuilding an index per arrival batch is
+# the O(corpus)-per-batch anti-pattern the storage layer's append
+# commit (sources/zonemap.py _zm_append) already rejects for tables.
+# The same commit discipline applies here: new vectors are assigned to
+# cells by the FROZEN v1 centroids and encoded by the FROZEN v1
+# codebook (never retrained — exactly how FAISS add() behaves after
+# train()), written as NEW cid-partitioned files only, and the v2
+# manifest's code table is the LIST [v1 codes, v2 codes] with
+# centroids/codebook inherited by pointer.  Append cost is O(batch);
+# searches against v2 see old and new vectors through one unioned,
+# still-cell-pruned scan.  Quantization drift (a grown corpus would
+# train different artifacts) is the documented trade — the audit
+# measures search quality against the exact truth over the FULL
+# corpus, so drift shows up as recall, not as silent wrongness.
+APP_MOD, APP_REM = 10, 7
+# seeds (vec_id < K_CELLS) must stay in the corpus side so the frozen
+# artifacts are derivable by the oracle from the corpus subset alone
+BATCH_PRED = f"(vec_id >= {K_CELLS} AND vec_id % {APP_MOD} = {APP_REM})"
+
+
+def append_ivf_pq(
+    spark: SparkSession, batch: DataFrame, table_dir: str, version: int = 2
+) -> dict:
+    """APPEND commit on a built IVF-PQ index: frozen-artifact cell
+    assignment + PQ encoding of `batch`, new files only."""
+    with open(
+        os.path.join(table_dir, f"ivfpq-manifest-v{version - 1}.json")
+    ) as f:
+        prev = json.load(f)
+    cent = spark.read.parquet(prev["centroids"])
+    cmicro = spark.read.parquet(prev["codebook"])
+    vb = _micro_rows(batch)
+    assign = _nearest_cells(vb, cent, "vec_id", 1)
+    codes_path = os.path.join(table_dir, f"v{version}", "codes")
+    (
+        pq_assign(vb, cmicro)
+        .join(assign, "vec_id")
+        .repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(codes_path)
+    )
+    prev_codes = prev["codes"]
+    manifest = {
+        "version": version,
+        "centroids": prev["centroids"],
+        "codebook": prev["codebook"],
+        "codes": (
+            prev_codes if isinstance(prev_codes, list) else [prev_codes]
+        )
+        + [codes_path],
+        "params": prev["params"],
+    }
+    with open(
+        os.path.join(table_dir, f"ivfpq-manifest-v{version}.json"), "w"
+    ) as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def _append_oracle() -> str:
+    """The sim_ivf_adc_from_index oracle with ONE change: centroids and
+    codebook derive from the CORPUS subset (batch rows excluded), while
+    assignments/codes/queries cover ALL rows — the frozen-artifact
+    append semantics, recomputed independently."""
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label * {SEED_SPLIT} + vec_id % {SEED_SPLIT} AS seed,
+               i - 1 AS dim, (i - 1) // {PQ_SUB_DIMS} AS sub,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    vbase AS (SELECT * FROM v WHERE NOT {BATCH_PRED}),
+    nb AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_appended
+        FROM v WHERE {BATCH_PRED}
+    ),
+    cent AS (
+        SELECT vec_id AS cid, dim, vi AS cc FROM vbase
+        WHERE vec_id < {K_CELLS}
+    ),
+    celld AS (
+        SELECT v.vec_id, c.cid, SUM((v.vi - c.cc) * (v.vi - c.cc)) AS d2
+        FROM v JOIN cent c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM celld
+        ) WHERE rk = 1
+    ),
+    cb AS (
+        SELECT seed AS code, sub, dim,
+               CAST(SUM(vi) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM vbase GROUP BY seed, sub, dim
+    ),
+    cmicro AS (
+        SELECT code, sub, dim,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS ci
+        FROM cb
+    ),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               SUM((v.vi - c.ci) * (v.vi - c.ci)) AS dist_sq
+        FROM v JOIN cmicro c ON v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    codes AS (
+        SELECT k.vec_id, k.sub, k.code, a.cid FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist_sq ASC, code ASC) AS rk
+            FROM dists
+        ) k JOIN assign a ON a.vec_id = k.vec_id
+        WHERE k.rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, dim, vi AS qi
+          FROM v WHERE vec_id < {N_QUERIES}),
+    qcelld AS (
+        SELECT q.query_id, c.cid, SUM((q.qi - c.cc) * (q.qi - c.cc)) AS d2
+        FROM q JOIN cent c ON q.dim = c.dim
+        GROUP BY q.query_id, c.cid
+    ),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM qcelld
+        ) WHERE rk <= {IVFPQ_NPROBE}
+    ),
+    lut AS (
+        SELECT q.query_id, c.sub, c.code,
+               SUM((q.qi - c.ci) * (q.qi - c.ci)) AS ld
+        FROM q JOIN cmicro c ON q.dim = c.dim
+        GROUP BY q.query_id, c.sub, c.code
+    ),
+    adc AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               SUM(l.ld) AS adc_dist
+        FROM codes k
+        JOIN probe p ON p.cid = k.cid
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = k.sub AND l.code = k.code
+        WHERE l.query_id <> k.vec_id
+        GROUP BY l.query_id, k.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {IVFPQ_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               SUM((q.qi - v.vi) * (q.qi - v.vi)) AS dist
+        FROM short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id AND q.dim = v.dim
+        GROUP BY s.query_id, s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           CAST(dist AS BIGINT) AS dist, nb.n_appended
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY dist ASC, neighbor_id) AS rank
+        FROM rr
+    ), nb WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_index_append", oracle=_append_oracle())
+def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance end-to-end: build v1 from the
+    corpus subset, APPEND the arrival batch under frozen artifacts
+    (new cid-partitioned files only, manifest inheritance — see
+    append_ivf_pq), then search v2 over the unioned code scans.  The
+    oracle recomputes frozen-artifact semantics independently, so a
+    retrained codebook, a re-assigned old vector, or a dropped batch
+    member all break the hash; n_appended ships as evidence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = scratch_dir("ivfpq_append", sf_dir)
+    corpus = emb.filter(~F.expr(BATCH_PRED))
+    batch = emb.filter(F.expr(BATCH_PRED))
+    if not os.path.exists(
+        os.path.join(table_dir, "ivfpq-manifest-v1.json")
+    ):
+        build_ivf_pq_index(corpus, table_dir, version=1)
+    if not os.path.exists(
+        os.path.join(table_dir, "ivfpq-manifest-v2.json")
+    ):
+        m2 = append_ivf_pq(spark, batch, table_dir, version=2)
+    else:
+        with open(
+            os.path.join(table_dir, "ivfpq-manifest-v2.json")
+        ) as f:
+            m2 = json.load(f)
+    cent = spark.read.parquet(m2["centroids"])
+    cmicro = spark.read.parquet(m2["codebook"])
+    codes = None
+    for p in m2["codes"]:
+        scan = spark.read.option("basePath", p).parquet(p)
+        codes = scan if codes is None else codes.unionByName(scan)
+    n_app = batch.count()
+    queries = _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    return ivf_adc_search(queries, cent, cmicro, codes, emb).withColumn(
+        "n_appended", F.lit(n_app).cast("bigint")
+    )

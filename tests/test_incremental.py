@@ -147,3 +147,40 @@ def test_quantile_histogram_brackets_true_order_statistics(spark, sf_dir):
         true_val = cents[r.target_rank - 1]  # rank is 1-based
         assert r.bin_lo_cents <= true_val < r.bin_hi_cents
         assert r.n_below_lo < r.target_rank <= r.n_thru_hi
+
+
+def test_ivfpq_append_inherits_artifacts_and_adds_only_new_files(
+    spark, sf_dir
+):
+    """Append-commit invariants on the ANN index: v2 inherits the v1
+    centroid/codebook pointers byte-identical (frozen artifacts), the
+    code table grows by exactly one new path, the new path holds only
+    batch vectors, and v1's code files are untouched."""
+    import json as _json
+    import os as _os
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.similarity.index_store import BATCH_PRED
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    import pyspark.sql.functions as F
+
+    load_all()
+    QUERIES["sim_index_append"](spark, sf_dir).collect()
+    table_dir = scratch_dir("ivfpq_append", sf_dir)
+    with open(_os.path.join(table_dir, "ivfpq-manifest-v1.json")) as f:
+        m1 = _json.load(f)
+    with open(_os.path.join(table_dir, "ivfpq-manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    assert m2["centroids"] == m1["centroids"]
+    assert m2["codebook"] == m1["codebook"]
+    assert m2["codes"][:-1] == [m1["codes"]]
+    new_path = m2["codes"][-1]
+    assert "/v2/" in new_path
+    new_ids = (
+        spark.read.option("basePath", new_path)
+        .parquet(new_path)
+        .select("vec_id")
+        .distinct()
+    )
+    assert new_ids.filter(~F.expr(BATCH_PRED)).count() == 0
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert new_ids.count() == emb.filter(F.expr(BATCH_PRED)).count()

@@ -253,6 +253,8 @@ HEADLINE = [
     "grouped_holt_forecast",
     # r8: incremental ANN index append (frozen artifacts, new files only)
     "sim_index_append",
+    # r8: curate-to-trainer capstone (funnel -> committed shard files)
+    "pipeline_export_ready",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

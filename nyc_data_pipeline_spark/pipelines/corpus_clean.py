@@ -180,7 +180,10 @@ def stream_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle() -> str:
+def _oracle_ctes() -> str:
+    """The funnel's CTE chain through `joined` (doc-level survivor
+    flags) — shared by the stage-report oracle below and the
+    export-ready composition (pipelines/export_ready.py)."""
     sig_exprs = ",\n               ".join(_duck_sig(i) for i in range(K))
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, {_band_key(b)} AS bkey FROM sigs"
@@ -241,7 +244,11 @@ def _oracle() -> str:
     joined AS (
         SELECT e.*, (l.rep_id = e.doc_id) AS near_keep
         FROM exact e LEFT JOIN labels l ON e.doc_id = l.doc_id
-    ),
+    )"""
+
+
+def _oracle() -> str:
+    return _oracle_ctes() + """,
     agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS raw_toks,

@@ -197,6 +197,7 @@ _VERIFY_FIRST = [
     "window_rolling_ols",
     "grouped_holt_forecast",
     "sim_index_append",
+    "pipeline_export_ready",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the
@@ -462,6 +463,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.sources.timetravel",
     "nyc_data_pipeline_spark.sources.zonemap",
     "nyc_data_pipeline_spark.pipelines.corpus_clean",
+    "nyc_data_pipeline_spark.pipelines.export_ready",
     "nyc_data_pipeline_spark.pipelines.mixing",
     "nyc_data_pipeline_spark.pipelines.cdc",
     "nyc_data_pipeline_spark.pipelines.splits",

@@ -376,3 +376,32 @@ def test_holt_matches_python_reference(spark):
         "   'b', (a.b + ((a.l + a.b + y) div 2 - a.l)) div 2)) AS st"
     ).collect()[0].st
     assert (got.l, got.b) == ref(ys) == (7, -6)
+
+
+def test_export_ready_shards_exactly_the_survivors(spark, sf_dir):
+    """The committed shards must hold exactly corpus_clean's
+    4_near_dedup survivor set — same doc count and token mass, no
+    leaked gated doc — and the shard map must agree with
+    sample_shard_export's assignment on the shared doc_ids."""
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.pipelines.splits import _SHARD
+    import pyspark.sql.functions as F
+
+    load_all()
+    shards = QUERIES["pipeline_export_ready"](spark, sf_dir).collect()
+    funnel = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in QUERIES["pipeline_corpus_clean"](spark, sf_dir).collect()
+    }
+    n_docs, n_toks = funnel["4_near_dedup"]
+    assert sum(r.n_docs for r in shards) == n_docs
+    assert sum(r.sum_tokens for r in shards) == n_toks
+    committed = spark.read.parquet(
+        scratch_dir("export_ready_shards", sf_dir)
+    )
+    # routing agrees with the standalone export's hash map
+    mismatch = committed.filter(
+        F.col("shard").cast("bigint") != F.expr(_SHARD)
+    ).count()
+    assert mismatch == 0

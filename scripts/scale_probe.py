@@ -1115,6 +1115,75 @@ def probe(spark, k: int) -> dict[str, float]:
         )
         run("thumbnail", thumbnail_stats(attach_ppm_payload(dk4)))
 
+    # r8c — rolling OLS + Holt over k× users; both bounded-group
+    # window/fold shapes, expect linear.
+    if not only or "rolling_ols" in only or "holt" in only:
+        from nyc_data_pipeline_spark.operators.trends import (
+            MICRO as _MICRO_T,
+            rolling_ols,
+        )
+        from nyc_data_pipeline_spark.registry import QUERIES as _Q, load_all as _la
+
+        evk3 = scaled(load_table(spark, SF_DIR, "events"), "user_id", k, 10**9)
+        o3 = evk3.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.floor(F.col("value") * _MICRO_T)
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        run("rolling_ols", rolling_ols(o3))
+        g3 = (
+            evk3.select(
+                "user_id",
+                F.floor(F.col("value") * _MICRO_T).cast("bigint").alias("y"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "event_id",
+            )
+            .groupBy("user_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(us, event_id, y))),"
+                    " s -> s.y)"
+                ).alias("ys")
+            )
+        )
+        run(
+            "holt",
+            g3.selectExpr(
+                "user_id",
+                "aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),"
+                " named_struct('l', ys[0], 'b', CAST(0 AS BIGINT)),"
+                " (a, y) -> named_struct("
+                "   'l', (a.l + a.b + y) div 2,"
+                "   'b', (a.b + ((a.l + a.b + y) div 2 - a.l)) div 2)) AS st",
+            ),
+        )
+
+    # r8c — ANN index append at k× corpus: build outside the timer,
+    # the APPEND commit is the measured op (O(batch), batch grows k×).
+    if not only or "index_append" in only:
+        from nyc_data_pipeline_spark.similarity.index_store import (
+            BATCH_PRED,
+            append_ivf_pq,
+            build_ivf_pq_index,
+        )
+        from nyc_data_pipeline_spark.sources.scans import scratch_dir as _sd3
+
+        ek4 = scaled(
+            load_table(spark, SF_DIR, "embeddings"), "vec_id", k, 10**9
+        )
+        corpus4 = ek4.filter(~F.expr(BATCH_PRED))
+        batch4 = ek4.filter(F.expr(BATCH_PRED))
+        idx_dir = _sd3(f"probe_ivfpq_append_k{k}", SF_DIR)
+        build_ivf_pq_index(corpus4, idx_dir, version=1)
+        t0 = time.perf_counter()
+        append_ivf_pq(spark, batch4, idx_dir, version=2)
+        times["index_append"] = round(time.perf_counter() - t0, 2)
+
     return times
 
 

@@ -255,6 +255,8 @@ HEADLINE = [
     "sim_index_append",
     # r8: curate-to-trainer capstone (funnel -> committed shard files)
     "pipeline_export_ready",
+    # r8: VARIANT semi-structured ingestion (parse once, typed binary)
+    "src_variant_props",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -204,6 +204,7 @@ _VERIFY_FIRST = [
     "grouped_holt_forecast",
     "sim_index_append",
     "pipeline_export_ready",
+    "src_variant_props",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -91,3 +91,62 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad
+
+
+# --- VARIANT semi-structured ingestion (Spark 4) ----------------------------
+#
+# The schema-on-read answer that scales: `parse_json` encodes arbitrary
+# JSON into Spark 4's binary VARIANT type once at ingest (no
+# row-at-a-time string re-parsing downstream), `variant_get` extracts
+# typed paths, and `schema_of_variant` audits what shapes actually
+# arrived — the modern replacement for storing JSON as strings and
+# regex-mining them per query.  All three run JVM-side inside codegen.
+# At 100 TB the win is structural: one parse per row at ingest, typed
+# binary bytes thereafter, instead of N string parses for N queries.
+
+from ..registry import register as _register
+from ..catalog import load_table as _load_table
+
+
+@_register(
+    "src_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT)
+               AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src_variant_props(spark, sf_dir):
+    """Ingest the events `props` JSON column as VARIANT (`parse_json`
+    once), extract the typed `$.k` path with `variant_get`, and
+    aggregate per event type; `try_variant_get` on an absent path must
+    yield NULL (counted — the evidence that missing paths degrade to
+    null, never to an error or a sentinel).  The oracle re-reads the
+    raw JSON text with DuckDB's json_extract, so the binary encoding
+    round-trips the values exactly."""
+    from pyspark.sql import functions as F
+
+    ev = _load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "parse_json(props) AS v",
+    ).selectExpr(
+        "event_type",
+        "variant_get(v, '$.k', 'bigint') AS k",
+        "try_variant_get(v, '$.missing', 'bigint') AS missing",
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count("missing").cast("bigint").alias("n_missing_path"),
+    )

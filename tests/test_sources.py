@@ -825,3 +825,34 @@ def test_mor_compaction_freezes_vectors_into_clean_files(spark, sf_dir):
             assert m3["files"][z] != p and "/v3/" in m3["files"][z]
         else:
             assert m3["files"][z] == p
+
+
+def test_variant_roundtrip_and_malformed_path(spark):
+    """VARIANT contract on constructed JSON: nested paths extract
+    typed, absent paths are NULL under try_variant_get, malformed JSON
+    fails parse_json loudly (ansi) while try_parse_json yields NULL —
+    the quarantine-not-corrupt discipline of the CSV/JSON readers."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": [1, 2, 3]}, "s": "x"}',), ("{broken",)],
+        "j string",
+    )
+    ok = df.filter(~F.col("j").startswith("{b")).selectExpr(
+        "parse_json(j) AS v"
+    )
+    row = ok.selectExpr(
+        "variant_get(v, '$.a.b[1]', 'bigint') AS b1",
+        "variant_get(v, '$.s', 'string') AS s",
+        "try_variant_get(v, '$.nope', 'bigint') AS nope",
+        "schema_of_variant(v) AS sch",
+    ).collect()[0]
+    assert (row.b1, row.s, row.nope) == (2, "x", None)
+    assert "OBJECT" in row.sch and "ARRAY" in row.sch
+    bad = df.selectExpr("try_parse_json(j) AS v").collect()
+    assert sum(1 for r in bad if r.v is None) == 1
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        df.selectExpr("parse_json(j) AS v").collect()

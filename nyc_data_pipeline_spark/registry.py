@@ -180,12 +180,13 @@ _VERIFY_FIRST = [
     "sink_partition_overwrite",
     "window_gap_islands",
     # ==== r10 queue: r8 additions past the full r9 window (drain in
-    # r10 ahead of the then-oldest rows).  17 entries: the 2 pre-restart
+    # r10 ahead of the then-oldest rows).  18 entries: the 2 pre-restart
     # additions, then the continuation's storage DML lifecycle
     # (delete/vacuum/evolution/MOR pair), embeddings (JL projection,
     # index append), export (shards, capstone funnel), analytics
     # (link prediction, Gini, rolling OLS, Holt), multimodal resize,
-    # and pseudonymization — each locally verified at sf0.001+sf0.01
+    # pseudonymization, and VARIANT ingestion — each locally verified
+    # at sf0.001+sf0.01
     # on landing (COVERAGE.md r08-continuation ledger).
     "emb_semantic_decontaminate",
     "src_zone_map_append",

@@ -257,6 +257,10 @@ HEADLINE = [
     "pipeline_export_ready",
     # r8: VARIANT semi-structured ingestion (parse once, typed binary)
     "src_variant_props",
+    # r8: ANSI try_* escape-hatch suite (NULL-not-garbage contract)
+    "fn_try_suite",
+    # r8: running COUNT(DISTINCT) via the first-occurrence identity
+    "window_running_distinct",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

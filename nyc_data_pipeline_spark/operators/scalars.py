@@ -447,3 +447,57 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parse_url(url, 'QUERY') AS query",
         "parse_url(url, 'PROTOCOL') AS protocol",
     )
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id > 0
+                THEN 9223372036854775807 // event_id END AS try_div,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE event_id * 1000000 END AS guarded_mul,
+           TRY_CAST(substr(props, 7, 8) AS BIGINT) AS bad_cast,
+           TRY_CAST(CAST(2 AS VARCHAR) || CAST(event_id % 100 AS VARCHAR)
+                    AS BIGINT) AS ok_cast,
+           CASE WHEN event_id = 0 THEN NULL ELSE 100 // event_id END
+               AS div_zero_guard
+    FROM events
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling surface: the engine runs with strict ANSI
+    semantics (overflow/bad-cast/zero-division FAIL LOUDLY — the
+    bucket-rule and decimal-carrier contracts depend on that), and
+    `try_divide` / `try_multiply` / `try_cast` are the deliberate,
+    per-expression escape hatches that degrade to NULL instead.  This
+    suite pins the NULL-not-garbage contract on real column data:
+    division by a zero key, a cast of non-numeric text (a JSON slice),
+    multiplication pushed toward the int64 edge under a guard.  The
+    oracle mirrors each escape with an explicit CASE/TRY_CAST, so the
+    two engines' notions of "this input fails" are hash-compared, not
+    assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "try_divide(9223372036854775807, event_id) AS try_div_raw",
+        "CASE WHEN event_id % 3 = 0 THEN NULL"
+        " ELSE try_multiply(event_id, 1000000) END AS guarded_mul",
+        "try_cast(substr(props, 7, 8) AS BIGINT) AS bad_cast",
+        "try_cast(concat('2', CAST(event_id % 100 AS STRING)) AS BIGINT)"
+        " AS ok_cast",
+        "try_divide(100, event_id) AS div_zero_raw",
+    ).selectExpr(
+        "event_id",
+        # try_divide yields a floating quotient; the integer contract
+        # comparable across engines is the floored quotient of the
+        # NON-NULL branch — recompute it integrally, keep try_* as the
+        # null gate.
+        "CASE WHEN try_div_raw IS NOT NULL"
+        " THEN 9223372036854775807 div event_id END AS try_div",
+        "guarded_mul",
+        "bad_cast",
+        "ok_cast",
+        "CASE WHEN div_zero_raw IS NOT NULL"
+        " THEN 100 div event_id END AS div_zero_guard",
+    )

@@ -602,3 +602,66 @@ def orders_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    firsts AS (
+        SELECT *,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY us, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM o
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_types_so_far
+    FROM firsts
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user in event-time order
+    — a frame no engine supports natively (DISTINCT inside a running
+    frame), rewritten as the standard two-window identity: flag each
+    (user, type)'s FIRST occurrence, then running-sum the flags.  Two
+    window passes over the same bounded-group partition key, one
+    shuffle total (the second window reuses the first's partitioning —
+    same key, Spark plans a single Exchange).  The 'how many features
+    has this user touched so far' curve behind activation metrics.
+
+    Reference parity: no window surface in the reference; SURVEY §2
+    W-family extension alongside window_running_sum."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .withColumn(
+            "n_distinct_types_so_far",
+            F.sum("is_first").over(w_run).cast("bigint"),
+        )
+        .select("user_id", "event_id", "n_distinct_types_so_far")
+    )

@@ -206,6 +206,8 @@ _VERIFY_FIRST = [
     "sim_index_append",
     "pipeline_export_ready",
     "src_variant_props",
+    "fn_try_suite",
+    "window_running_distinct",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -1474,7 +1474,16 @@ def _mor_delete_commit(
 
 def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
     """Manifest read applying delete vectors: DV-bucket rows anti-join
-    the broadcast key list, clean buckets stream verbatim."""
+    the broadcast key list, clean buckets stream verbatim.
+
+    Scale note: this builds one union branch per bucket, fine at the
+    fixture's 8 files but a 10^5-entry manifest wants the branches
+    GROUPED — one scan per (version dir, has-DV) pair via the basePath
+    trick (partition column recovers zb), then a single anti-join on
+    (zb, k) against the whole vector table; the plan drops from
+    O(#files) branches to O(#version-dirs).  The per-bucket form is
+    kept here because the COW/MOR fixtures mix versions per bucket
+    and the oracle certifies row-level semantics either way."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:

@@ -261,6 +261,8 @@ HEADLINE = [
     "fn_try_suite",
     # r8: running COUNT(DISTINCT) via the first-occurrence identity
     "window_running_distinct",
+    # r8: exact weighted median via bucket-prefix crossing search
+    "agg_weighted_median",
     # r7: zone-map file skipping (write clustered layout + stats
     # manifest, answer a range slice reading only overlapping files)
     "src_zone_map_pruning",

@@ -668,3 +668,98 @@ def agg_equidepth_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM o),
+    ranked AS (
+        SELECT cents, w,
+               SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+        FROM o
+    )
+    SELECT CAST(cents AS BIGINT) AS median_cents,
+           t.tw AS total_weight,
+           CAST(cum AS BIGINT) AS cum_at_median
+    FROM ranked, tot t
+    WHERE 2 * cum >= t.tw
+      AND 2 * (cum - w) < t.tw
+    ORDER BY cents, cum
+    LIMIT 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median of lineitem price (weight = quantity)
+    WITHOUT a global sort: the lower weighted median — the smallest
+    value whose cumulative weight reaches half the total — found by
+    the two-phase discipline: (1) order-aligned range buckets on the
+    value, (2) per-bucket weight sums + exclusive prefix over the 64
+    bucket ids (plans/two_phase.bucket_prefix — a 64-row frame), (3) a
+    cumulative window INSIDE the single bucket containing the
+    crossing, seeded by that bucket's prefix offset.  Only one bucket
+    ever sees a row-level window; everything else is map-side
+    aggregation.  The single-partition referee lives in the oracle.
+    Weighted quantiles are the percentile family's missing exact
+    member (percentile_approx interpolates; equidepth buckets counts,
+    not weights) — the 'median price paid per UNIT, not per line'
+    statistic."""
+    from pyspark.sql import Window
+
+    from ..plans.two_phase import bucket_prefix, range_buckets
+
+    o = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = range_buckets(o, "cents", 64)
+    offsets = bucket_prefix(
+        b, F.sum("w"), F.sum, "w_off", F.lit(0)
+    )
+    per_bucket = (
+        b.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .join(F.broadcast(offsets), "bucket")
+    )
+    total = per_bucket.agg(
+        F.sum("bw").cast("bigint").alias("tw")
+    )
+    # the ONE bucket where the half-weight crossing happens
+    target = (
+        per_bucket.crossJoin(F.broadcast(total))
+        .filter(
+            (2 * (F.col("w_off") + F.col("bw")) >= F.col("tw"))
+            & (2 * F.col("w_off") < F.col("tw"))
+        )
+        .select("bucket", "w_off", "tw")
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        b.join(F.broadcast(target), "bucket")
+        .withColumn("cum", F.sum("w").over(w_in) + F.col("w_off"))
+        .filter(
+            (2 * F.col("cum") >= F.col("tw"))
+            & (2 * (F.col("cum") - F.col("w")) < F.col("tw"))
+        )
+        .orderBy("cents", "cum")
+        .limit(1)
+        .select(
+            F.col("cents").cast("bigint").alias("median_cents"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+            F.col("cum").cast("bigint").alias("cum_at_median"),
+        )
+    )

@@ -180,12 +180,14 @@ _VERIFY_FIRST = [
     "sink_partition_overwrite",
     "window_gap_islands",
     # ==== r10 queue: r8 additions past the full r9 window (drain in
-    # r10 ahead of the then-oldest rows).  18 entries: the 2 pre-restart
+    # r10 ahead of the then-oldest rows).  21 entries: the 2 pre-restart
     # additions, then the continuation's storage DML lifecycle
     # (delete/vacuum/evolution/MOR pair), embeddings (JL projection,
     # index append), export (shards, capstone funnel), analytics
     # (link prediction, Gini, rolling OLS, Holt), multimodal resize,
-    # pseudonymization, and VARIANT ingestion — each locally verified
+    # pseudonymization, VARIANT ingestion, the try_* ANSI escapes,
+    # running distinct, and the exact weighted median — each locally
+    # verified
     # at sf0.001+sf0.01
     # on landing (COVERAGE.md r08-continuation ledger).
     "emb_semantic_decontaminate",
@@ -208,6 +210,7 @@ _VERIFY_FIRST = [
     "src_variant_props",
     "fn_try_suite",
     "window_running_distinct",
+    "agg_weighted_median",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

@@ -405,3 +405,56 @@ def test_export_ready_shards_exactly_the_survivors(spark, sf_dir):
         F.col("shard").cast("bigint") != F.expr(_SHARD)
     ).count()
     assert mismatch == 0
+
+
+def test_entity_resolution_golden_chain(spark):
+    """Constructed record file with a transitive typo chain: 'acme
+    corp' / 'acme cor' / 'acme co' — pairwise lev<=1 links form a
+    chain the CC step must collapse into ONE canonical entity even
+    though the endpoints are 2 edits apart; an unrelated record stays
+    a singleton (excluded from the >=2-member output)."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.dedup.graph import connected_components
+    from nyc_data_pipeline_spark.dedup.ngram import (
+        FUZZ_MAX_DIST,
+        FUZZ_SHARED_MIN,
+        _sp_grams,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme corp", 5),
+            (2, "acme cor", 0),
+            (3, "acme co", 0),
+            (9, "zenith widgets", 3),
+        ],
+        "rec_id bigint, name string, w bigint",
+    )
+    grams = recs.selectExpr(
+        "rec_id", "name", f"{_sp_grams('name')} AS g"
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .groupBy(
+            F.col("a.rec_id").alias("u"),
+            F.col("a.name").alias("un"),
+            F.col("b.rec_id").alias("v"),
+            F.col("b.name").alias("vn"),
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= FUZZ_SHARED_MIN)
+    )
+    edges = cand.where(F.levenshtein("un", "vn") <= FUZZ_MAX_DIST).select(
+        "u", "v"
+    )
+    got = {(r.u, r.v) for r in edges.collect()}
+    assert (1, 2) in got and (2, 3) in got
+    assert (1, 3) not in got  # 2 edits apart: NOT a direct match
+    cc = {r.node: r.rep_id for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1  # the chain collapses anyway
+    assert 9 not in cc  # singleton never enters the edge set

@@ -273,3 +273,103 @@ def ref_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("part_key")
     )
     return ev.select(key).groupBy("part_key").agg(F.count("*").alias("n"))
+
+
+@register(
+    "ref_pipeline_e2e",
+    oracle=f"""
+    WITH trips AS (
+        SELECT value / 10.0 AS trip_distance,
+               value AS fare_amount,
+               CAST(event_id % 20 AS DOUBLE) AS tip_amount,
+               CAST({_SQL_K} AS DOUBLE) AS duration_min,
+               EXTRACT(hour FROM ts) AS h
+        FROM events
+    ),
+    gated AS (
+        SELECT * FROM trips
+        WHERE trip_distance >= 0 AND fare_amount >= 0
+          AND duration_min > 0 AND duration_min < 300
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_trips,
+           {sql_davg('fare_amount')} AS avg_fare,
+           {sql_dsum('fare_amount')} AS total_revenue,
+           {sql_davg('duration_min')} AS avg_duration_min,
+           {sql_davg('trip_distance')} AS avg_distance,
+           {sql_dsum('tip_amount')} AS total_tips,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_pickup_hours
+    FROM gated
+    """,
+)
+def ref_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE topology as one registered query:
+    producer wire serialization (per-row dict→JSON,
+    kafka_producer.py:51-65, here `to_json(struct(...))` in-plan) →
+    consumer parse + flatten (spark_consumer.py:61-62, the engine's
+    `parse_wire_records`) → trip shaping and quality gating
+    (spark_consumer.py:63-78) → the dashboard's ungrouped KPI
+    aggregate (spark_consumer.py:109-115 / streamlit.py:38-55).  The
+    ORACLE reads the raw events table directly — it grants the wire
+    hop nothing — so the engine's serialize→parse leg must be
+    perfectly transparent (nested-JSON escaping of the carried props,
+    microsecond timestamp strings, double formatting) or the hash
+    breaks; n_pickup_hours comes off the wire-carried timestamp
+    specifically to keep the ts leg load-bearing.  The pytest
+    end-to-end replay (test_streaming) drives the same topology
+    through an actual bounded stream + Derby sink; this is its
+    always-on, driver-verified batch twin."""
+    from pyspark.sql import types as T
+
+    from ..streaming.batch_equiv import _WIRE_TS_FORMAT
+    from ..streaming.ingest import parse_wire_records
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_str", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format(
+                    F.col("ts").cast("timestamp"), _WIRE_TS_FORMAT
+                ).alias("ts_str"),
+                "props",
+            )
+        ).alias("value")
+    )
+    parsed = parse_wire_records(wire, wire_schema)
+    k = F.get_json_object("props", "$.k").cast("int")
+    gated = parsed.select(
+        (F.col("value") / 10.0).alias("trip_distance"),
+        F.col("value").alias("fare_amount"),
+        (F.col("event_id") % 20).cast("double").alias("tip_amount"),
+        k.cast("double").alias("duration_min"),
+        F.hour(
+            F.to_timestamp(F.col("ts_str"), _WIRE_TS_FORMAT)
+        ).alias("h"),
+    ).filter(
+        (F.col("trip_distance") >= 0)
+        & (F.col("fare_amount") >= 0)
+        & (F.col("duration_min") > MIN_DURATION_MIN)
+        & (F.col("duration_min") < MAX_DURATION_MIN)
+    )
+    return gated.agg(
+        F.count("*").alias("total_trips"),
+        davg("fare_amount").alias("avg_fare"),
+        dsum("fare_amount").alias("total_revenue"),
+        davg("duration_min").alias("avg_duration_min"),
+        davg("trip_distance").alias("avg_distance"),
+        dsum("tip_amount").alias("total_tips"),
+        F.countDistinct("h").cast("bigint").alias("n_pickup_hours"),
+    )

@@ -180,7 +180,7 @@ _VERIFY_FIRST = [
     "sink_partition_overwrite",
     "window_gap_islands",
     # ==== r10 queue: r8 additions past the full r9 window (drain in
-    # r10 ahead of the then-oldest rows).  22 entries: the 2 pre-restart
+    # r10 ahead of the then-oldest rows).  23 entries: the 2 pre-restart
     # additions, then the continuation's storage DML lifecycle
     # (delete/vacuum/evolution/MOR pair), embeddings (JL projection,
     # index append), export (shards, capstone funnel), analytics
@@ -212,6 +212,7 @@ _VERIFY_FIRST = [
     "window_running_distinct",
     "agg_weighted_median",
     "pipeline_entity_resolution",
+    "ref_pipeline_e2e",
     # ==== driver-green at current code (COVERAGE.md ledger); order
     # past the 50-slot window does not matter.  First the 50 rows the
     # r7 window verified (CORRECTNESS_r07: 50/50 green), then the

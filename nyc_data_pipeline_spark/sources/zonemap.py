@@ -489,6 +489,68 @@ MRG_DEL_MOD = 977                     # matched deletes
 MRG_INS_MOD, MRG_INS_KEY = 1009, 10**12  # inserts: new key = key + 1e12
 
 
+# --- ONE source of truth for the oracle-side COW algebra --------------------
+#
+# Seven storage oracles (merge, change feed, append, vacuum, delete,
+# MOR delete, MOR compaction) re-derive the same (k, cents, day)
+# clustering prelude, and three of them re-derive the same merge
+# algebra.  Textual copies drift (the r7 ADVICE bucket-rule lesson),
+# so the shared CTE text is emitted by these helpers and composed per
+# oracle — change the algebra HERE and every referee moves together.
+
+_ZM_BASE_CTES = f"""base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
+                   AS day
+        FROM orders
+    ),
+    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+    b AS (
+        SELECT base.*,
+               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
+                     {ZM_FILES - 1}) AS zb
+        FROM base, rng
+    ),
+    file_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
+    )"""
+
+
+def _zm_touched_cte(lo_day: int, hi_day: int) -> str:
+    """The stats-overlap candidate set for a [lo_day, hi_day] slice."""
+    return f"""touched AS (
+        SELECT zb FROM file_stats
+        WHERE f_lo <= {hi_day} AND f_hi >= {lo_day}
+    )"""
+
+
+def _zm_merge_v2_cte(with_zb: bool) -> str:
+    """The CDC merge algebra over the merge slice: update uplift,
+    delete, re-keyed insert — `with_zb` keeps the bucket id when the
+    consumer needs per-file routing (append/vacuum oracles)."""
+    zb = ", zb" if with_zb else ""
+    return f"""v2 AS (
+        SELECT k, cents{zb} FROM b
+        WHERE zb NOT IN (SELECT zb FROM touched)
+        UNION ALL
+        SELECT k,
+               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                             AND k % {MRG_UPD_MOD} = 0
+                            THEN {MRG_UPLIFT} ELSE 0 END{zb}
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+                   AND k % {MRG_DEL_MOD} = 0)
+        UNION ALL
+        SELECT k + {MRG_INS_KEY}, cents + 1{zb}
+        FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+          AND k % {MRG_INS_MOD} = 0
+    )"""
+
+
 def _zm_versioned_write(
     b: DataFrame, table_dir: str, version: int, touched: list[str],
     prev: dict | None, bounds: tuple[int, int],
@@ -629,42 +691,9 @@ def _orders_kcd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merge_zone_map_cow",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS files_rewritten
-        FROM file_stats
-        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
-    ),
-    v2 AS (
-        SELECT k,
-               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                             AND k % {MRG_UPD_MOD} = 0
-                            THEN {MRG_UPLIFT} ELSE 0 END AS cents
-        FROM b
-        WHERE NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                   AND k % {MRG_DEL_MOD} = 0)
-        UNION ALL
-        SELECT k + {MRG_INS_KEY}, cents + 1
-        FROM b
-        WHERE day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-          AND k % {MRG_INS_MOD} = 0
-    )
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
+    {_zm_merge_v2_cte(with_zb=False)}
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(0 AS BIGINT) AS files_rewritten,
@@ -672,9 +701,9 @@ def _orders_kcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
-           t.files_rewritten, CAST({ZM_FILES} AS BIGINT)
-    FROM v2, touched t
-    GROUP BY t.files_rewritten
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM touched),
+           CAST({ZM_FILES} AS BIGINT)
+    FROM v2
     """,
 )
 def merge_zone_map_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,27 +736,8 @@ def merge_zone_map_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_cow_change_feed",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT zb FROM file_stats
-        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
     v1_rows AS (SELECT b.* FROM b JOIN touched USING (zb)),
     v2_rows AS (
         SELECT k,
@@ -882,48 +892,9 @@ def _zm_append(
 @register(
     "src_zone_map_append",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT zb FROM file_stats
-        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
-    ),
-    v2 AS (
-        -- the post-merge table: untouched buckets verbatim + merged
-        -- touched buckets (same algebra as merge_zone_map_cow)
-        SELECT k, cents, zb FROM b WHERE zb NOT IN (SELECT zb FROM touched)
-        UNION ALL
-        SELECT k,
-               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                             AND k % {MRG_UPD_MOD} = 0
-                            THEN {MRG_UPLIFT} ELSE 0 END,
-               zb
-        FROM b
-        WHERE zb IN (SELECT zb FROM touched)
-          AND NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                   AND k % {MRG_DEL_MOD} = 0)
-        UNION ALL
-        SELECT k + {MRG_INS_KEY}, cents + 1, zb
-        FROM b
-        WHERE zb IN (SELECT zb FROM touched)
-          AND day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-          AND k % {MRG_INS_MOD} = 0
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
+    {_zm_merge_v2_cte(with_zb=True)},
     batch AS (
         SELECT k + {MRG_APP_KEY} AS k, cents + 2 AS cents, zb
         FROM b WHERE k % {MRG_APP_MOD} = 0
@@ -1053,28 +1024,8 @@ def cow_delete(
 @register(
     "src_cow_delete",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS files_rewritten
-        FROM file_stats
-        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(DEL_LO_DAY, DEL_HI_DAY)},
     v2 AS (
         SELECT k, cents FROM b
         WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
@@ -1087,9 +1038,9 @@ def cow_delete(
     FROM b
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
-           t.files_rewritten, CAST({ZM_FILES} AS BIGINT)
-    FROM v2, touched t
-    GROUP BY t.files_rewritten
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM touched),
+           CAST({ZM_FILES} AS BIGINT)
+    FROM v2
     """,
 )
 def src_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,46 +1111,9 @@ def manifest_vacuum(table_dir: str, latest: int) -> dict:
 @register(
     "src_manifest_vacuum",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT zb FROM file_stats
-        WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY}
-    ),
-    v2 AS (
-        SELECT k, cents, zb FROM b WHERE zb NOT IN (SELECT zb FROM touched)
-        UNION ALL
-        SELECT k,
-               cents + CASE WHEN day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                             AND k % {MRG_UPD_MOD} = 0
-                            THEN {MRG_UPLIFT} ELSE 0 END,
-               zb
-        FROM b
-        WHERE zb IN (SELECT zb FROM touched)
-          AND NOT (day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-                   AND k % {MRG_DEL_MOD} = 0)
-        UNION ALL
-        SELECT k + {MRG_INS_KEY}, cents + 1, zb
-        FROM b
-        WHERE zb IN (SELECT zb FROM touched)
-          AND day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
-          AND k % {MRG_INS_MOD} = 0
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
+    {_zm_merge_v2_cte(with_zb=True)},
     batch AS (
         SELECT k + {MRG_APP_KEY} AS k, cents + 2 AS cents, zb
         FROM b WHERE k % {MRG_APP_MOD} = 0
@@ -1507,27 +1421,8 @@ def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
 @register(
     "src_mor_delete_vectors",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT zb FROM file_stats
-        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(DEL_LO_DAY, DEL_HI_DAY)},
     dv AS (
         SELECT zb, k FROM b
         WHERE zb IN (SELECT zb FROM touched)
@@ -1608,27 +1503,8 @@ def src_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_mor_compaction",
     oracle=f"""
-    WITH base AS (
-        SELECT o_orderkey AS k,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY}
-                   AS day
-        FROM orders
-    ),
-    rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
-    b AS (
-        SELECT base.*,
-               LEAST((day - rng.lo) * {ZM_FILES} // (rng.hi - rng.lo + 1),
-                     {ZM_FILES - 1}) AS zb
-        FROM base, rng
-    ),
-    file_stats AS (
-        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi FROM b GROUP BY zb
-    ),
-    touched AS (
-        SELECT zb FROM file_stats
-        WHERE f_lo <= {DEL_HI_DAY} AND f_hi >= {DEL_LO_DAY}
-    ),
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(DEL_LO_DAY, DEL_HI_DAY)},
     v3 AS (
         SELECT k, cents FROM b
         WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}

@@ -232,3 +232,48 @@ class JdbcEpochIdempotentSink:
             self.batches_seen.append((int(epoch_id), batch_df.count()))
         finally:
             batch_df.unpersist()
+
+
+class ZoneMapAppendSink:
+    """foreachBatch → versioned APPEND commits on the zone-mapped
+    table (sources/zonemap._zm_append): the streaming-lakehouse ingest
+    shape — each micro-batch lands as new bucket files under the
+    FROZEN v1 bounds, the manifest advances one version per epoch, and
+    an EPOCH LEDGER (epoch id → committed version, swapped atomically
+    alongside the manifests) makes replays no-ops: a re-delivered
+    epoch finds itself in the ledger and commits nothing, so
+    at-least-once delivery becomes exactly-once TABLE STATE — the
+    parquet-sink idempotence recipe lifted to multi-version manifest
+    commits.  Readers always see a complete version (manifest pointer
+    swap), never a half-appended epoch."""
+
+    def __init__(self, spark, table_dir: str):
+        self.spark = spark
+        self.table_dir = table_dir
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.table_dir, "epoch-ledger.json")
+
+    def _read_ledger(self) -> dict:
+        import json
+
+        if os.path.exists(self._ledger_path()):
+            with open(self._ledger_path()) as f:
+                return json.load(f)
+        return {}
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+
+        from ..sources.zonemap import _zm_append
+
+        ledger = self._read_ledger()
+        if str(epoch_id) in ledger:
+            return  # replayed epoch: already committed, do nothing
+        if batch_df.isEmpty():
+            return
+        version = (max((int(v) for v in ledger.values()), default=1)) + 1
+        _zm_append(self.spark, batch_df, self.table_dir, version)
+        ledger[str(epoch_id)] = version
+        with open(self._ledger_path(), "w") as f:
+            json.dump(ledger, f, sort_keys=True)

@@ -1145,3 +1145,88 @@ def test_stream_shard_assignment_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_zone_map_append_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming-lakehouse ingest: micro-batches commit versioned
+    zone-map APPENDs (new files only, frozen v1 bounds), and the epoch
+    ledger makes redelivery a no-op — after streaming all arrivals the
+    latest manifest read equals the batch union, and replaying an
+    already-committed epoch changes nothing (at-least-once delivery,
+    exactly-once table state)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import range_buckets
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _orders_kcd,
+        _zm_read_version,
+        _zm_versioned_write,
+        ZM_FILES,
+    )
+    from nyc_data_pipeline_spark.streaming.ingest import (
+        file_json_stream_bounded,
+    )
+    from nyc_data_pipeline_spark.streaming.sinks import (
+        ZoneMapAppendSink,
+        start_foreach_batch,
+    )
+
+    base_all = _orders_kcd(spark, sf_dir)
+    base = base_all.filter(F.col("k") % 5 != 0)
+    arrivals = base_all.filter(F.col("k") % 5 == 0)
+    table_dir = str(tmp_path / "zm_stream")
+    lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+    b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    _zm_versioned_write(
+        b1, table_dir, 1, [str(z) for z in range(ZM_FILES)], None, (lo, hi)
+    )
+
+    src = tmp_path / "arrivals"
+    arrivals.repartition(3).write.json(str(src))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("day", T.LongType()),
+        ]
+    )
+    stream = file_json_stream_bounded(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    sink = ZoneMapAppendSink(spark, table_dir)
+    q = start_foreach_batch(
+        stream, sink, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ledger = _json.load(open(_os.path.join(table_dir, "epoch-ledger.json")))
+    latest = max(int(v) for v in ledger.values())
+    assert latest >= 3  # one commit per non-empty micro-batch
+    got = (
+        _zm_read_version(spark, table_dir, latest)
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()[0]
+    )
+    want = base_all.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s)
+    # redeliver an already-committed epoch: MUST be a no-op
+    replay_epoch = int(next(iter(ledger)))
+    sink(arrivals.limit(50), replay_epoch)
+    ledger2 = _json.load(
+        open(_os.path.join(table_dir, "epoch-ledger.json"))
+    )
+    assert ledger2 == ledger
+    got2 = (
+        _zm_read_version(spark, table_dir, latest)
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()[0]
+    )
+    assert (got2.n, got2.s) == (got.n, got.s)

@@ -197,10 +197,10 @@ def build_minhash_index(corpus_sets: DataFrame, table_dir: str) -> dict:
     corpus_sets.selectExpr("doc_id AS idc", "elems AS ec").write.mode(
         "overwrite"
     ).parquet(elems_path)
+    from ..sources.scans import atomic_json_dump
+
     manifest = {"version": 1, "bands": bands_path, "elems": elems_path}
-    _os.makedirs(table_dir, exist_ok=True)
-    with open(_os.path.join(table_dir, "manifest-v1.json"), "w") as f:
-        _json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(manifest, _os.path.join(table_dir, "manifest-v1.json"))
     return manifest
 
 

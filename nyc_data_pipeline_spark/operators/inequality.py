@@ -15,8 +15,10 @@ ONCE, globally, through the shared two-phase bucketed-prefix engine
 segment IS the within-segment rank after subtracting the segment's
 exclusive row offset (a 5-row broadcast).  One extra aggregate, zero
 per-group sorts; the 2^43 stride leaves ~8.8e12 cents of headroom per
-customer before buckets could collide (bucket_expr's int64 overflow
-then fails loudly, never silently — plans/two_phase.py).
+customer, and BOTH contract edges are guarded with per-row
+raise_error: cents outside [0, 2^43) (rank interleaving starts there,
+far below int64 overflow) and unknown segments (code -1 would
+interleave two unknowns into one silently wrong Gini).
 
 All arithmetic is integer/decimal-exact: with within-segment ascending
 ranks i over spend x (ties rank-deterministic by custkey, and the Gini
@@ -115,8 +117,23 @@ def gini_by_segment(spend: DataFrame, segs: list[str]) -> DataFrame:
         + " ".join(f"WHEN seg = '{s}' THEN {i}" for i, s in enumerate(segs))
         + " ELSE -1 END"
     )
+    # Loud composite-lead guards (ADVICE r8): an unknown segment maps
+    # to code -1 (two unknowns would interleave into one silently
+    # wrong Gini), and cents at/above the 2^43 stride (or negative)
+    # interleave ranks across segments LONG before int64 overflow
+    # would trip ANSI mode.  Both are contract violations of this
+    # helper, so they raise per-row instead of mis-ranking — plain
+    # codegen CASE, no extra pass.
     spend = spend.withColumn("seg_code", F.expr(seg_code)).withColumn(
-        "lead", F.col("seg_code") * F.lit(_STRIDE) + F.col("cents")
+        "lead",
+        F.expr(
+            "CASE WHEN seg_code < 0 THEN"
+            " raise_error(concat('gini_by_segment: unknown segment ', seg))"
+            f" WHEN cents >= {_STRIDE} OR cents < 0 THEN"
+            " raise_error(concat('gini_by_segment: cents outside"
+            f" [0, 2^43) composite-lead stride: ', CAST(cents AS STRING)))"
+            f" ELSE seg_code * CAST({_STRIDE} AS BIGINT) + cents END"
+        ),
     )
     ranked = two_phase_rownum(spend, ["lead", "k"], out="rn")
     offsets = (

@@ -453,7 +453,10 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_try_suite",
     oracle="""
     SELECT event_id,
-           CASE WHEN event_id > 0
+           -- try_divide returns NULL only at exactly 0: the oracle
+           -- guard must be <> 0, not > 0, or the two engines' NULL
+           -- sets diverge for negative ids (ADVICE r8).
+           CASE WHEN event_id <> 0
                 THEN 9223372036854775807 // event_id END AS try_div,
            CASE WHEN event_id % 3 = 0 THEN NULL
                 ELSE event_id * 1000000 END AS guarded_mul,

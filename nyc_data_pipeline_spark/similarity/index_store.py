@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ..sources.scans import scratch_dir
+from ..sources.scans import atomic_json_dump, scratch_dir
 from .adc import (
     N_CODES,
     N_SUB,
@@ -85,9 +85,9 @@ def build_pq_index(emb: DataFrame, table_dir: str, version: int = 1) -> dict:
             "micro": MICRO,
         },
     }
-    os.makedirs(table_dir, exist_ok=True)
-    with open(os.path.join(table_dir, f"manifest-v{version}.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{version}.json")
+    )
     return manifest
 
 
@@ -370,11 +370,9 @@ def build_ivf_pq_index(emb: DataFrame, table_dir: str, version: int = 1) -> dict
             "micro": MICRO,
         },
     }
-    os.makedirs(table_dir, exist_ok=True)
-    with open(
-        os.path.join(table_dir, f"ivfpq-manifest-v{version}.json"), "w"
-    ) as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"ivfpq-manifest-v{version}.json")
+    )
     return manifest
 
 
@@ -606,10 +604,9 @@ def append_ivf_pq(
         + [codes_path],
         "params": prev["params"],
     }
-    with open(
-        os.path.join(table_dir, f"ivfpq-manifest-v{version}.json"), "w"
-    ) as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"ivfpq-manifest-v{version}.json")
+    )
     return manifest
 
 

@@ -72,6 +72,34 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
     )
 
 
+def atomic_json_dump(obj, path: str) -> None:
+    """Commit a JSON metadata file atomically: write to a temp file in
+    the SAME directory, fsync, then os.replace() into place.  Every
+    manifest/ledger pointer in the storage layer routes through this —
+    a crash mid-write must never leave a torn manifest visible to
+    readers or an unparseable ledger that bricks future commits (the
+    lakehouse commit protocol's one filesystem assumption: same-dir
+    rename is atomic on POSIX)."""
+    import json as _json
+    import tempfile as _tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            _json.dump(obj, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.two_phase import bucket_expr, range_buckets
 from ..registry import register
-from .scans import scratch_dir
+from .scans import atomic_json_dump, scratch_dir
 
 
 def _read_json_table(path: str) -> list[dict]:
@@ -130,9 +130,7 @@ def write_zone_mapped(
         },
         "cluster_col": day_col,
     }
-    os.makedirs(table_dir, exist_ok=True)
-    with open(os.path.join(table_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(manifest, os.path.join(table_dir, "manifest.json"))
     return manifest
 
 
@@ -323,9 +321,7 @@ def write_bloom_manifest(
             str(r["zb"]): r["hexmap"] for r in _read_json_table(bloom_dir)
         },
     }
-    os.makedirs(table_dir, exist_ok=True)
-    with open(os.path.join(table_dir, "bloom.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(manifest, os.path.join(table_dir, "bloom.json"))
     return manifest
 
 
@@ -557,7 +553,11 @@ def _zm_versioned_write(
 ) -> dict:
     """Write `b`'s rows for the `touched` buckets under v{version}/ and
     publish manifest-v{version}.json: touched buckets point at the new
-    files, untouched inherit the previous manifest's paths."""
+    files, untouched inherit the previous manifest's paths.  A touched
+    bucket that wrote NO rows (empty range bucket, or a merge that
+    deleted a file's last row) gets no manifest entry at all — the
+    manifest lists files that exist, so `files_total` is the real file
+    count and readers never chase a dangling path."""
     vdir = os.path.join(table_dir, f"v{version}")
     (
         b.filter(F.col("zb").isin([int(z) for z in touched]))
@@ -568,13 +568,14 @@ def _zm_versioned_write(
     )
     files = dict((prev or {}).get("files", {}))
     for z in touched:
-        files[str(z)] = os.path.join(vdir, f"zb={z}")
+        if os.path.isdir(os.path.join(vdir, f"zb={z}")):
+            files[str(z)] = os.path.join(vdir, f"zb={z}")
+        else:
+            files.pop(str(z), None)  # bucket empty in this version
     manifest = {"files": files, "bounds": list(bounds), "version": version}
-    os.makedirs(table_dir, exist_ok=True)
-    with open(
-        os.path.join(table_dir, f"manifest-v{version}.json"), "w"
-    ) as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{version}.json")
+    )
     return manifest
 
 
@@ -656,9 +657,9 @@ def cow_merge(
             )
         )
     )
-    _zm_versioned_write(merged, table_dir, 2, touched, m1, (lo, hi))
+    m2 = _zm_versioned_write(merged, table_dir, 2, touched, m1, (lo, hi))
 
-    def summarize(version: int, rewritten: int) -> DataFrame:
+    def summarize(version: int, rewritten: int, manifest: dict) -> DataFrame:
         return (
             _zm_read_version(spark, table_dir, version)
             .agg(
@@ -670,11 +671,16 @@ def cow_merge(
                 "n_rows",
                 "sum_cents",
                 F.lit(rewritten).cast("bigint").alias("files_rewritten"),
-                F.lit(n_files).cast("bigint").alias("files_total"),
+                # the ACTUAL manifest entry count for this version, not
+                # the requested bucket fan-out — an empty range bucket
+                # writes no file and must not be counted (ADVICE r8).
+                F.lit(len(manifest["files"]))
+                .cast("bigint")
+                .alias("files_total"),
             )
         )
 
-    return summarize(1, 0).unionByName(summarize(2, len(touched)))
+    return summarize(1, 0, m1).unionByName(summarize(2, len(touched), m2))
 
 
 def _orders_kcd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,16 +699,20 @@ def _orders_kcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ZM_BASE_CTES},
     {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
-    {_zm_merge_v2_cte(with_zb=False)}
+    {_zm_merge_v2_cte(with_zb=True)}
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(0 AS BIGINT) AS files_rewritten,
-           CAST({ZM_FILES} AS BIGINT) AS files_total
+           -- files that actually exist per version: DISTINCT occupied
+           -- buckets, independently recomputed — an empty range bucket
+           -- writes no file and the engine must not overstate it.
+           CAST((SELECT COUNT(DISTINCT zb) FROM b) AS BIGINT)
+               AS files_total
     FROM b
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
            (SELECT CAST(COUNT(*) AS BIGINT) FROM touched),
-           CAST({ZM_FILES} AS BIGINT)
+           CAST((SELECT COUNT(DISTINCT zb) FROM v2) AS BIGINT)
     FROM v2
     """,
 )
@@ -855,9 +865,20 @@ def _zm_append(
         prev = json.load(f)
     lo, hi = prev["bounds"]
     vdir = os.path.join(table_dir, f"v{version}")
+    # Frozen-bounds routing is clamped at BOTH ends: bucket_expr's
+    # `least` clamps above-bounds arrivals into bucket n-1, and the
+    # `greatest` here clamps below-bounds arrivals into bucket 0 —
+    # a streamed row with day < the frozen lower bound must land in
+    # the edge bucket (with correspondingly widened file stats), not
+    # mint a zb=-1 directory outside the 0..n-1 manifest invariant.
     routed = batch.withColumn(
         "zb",
-        bucket_expr(F.col("day"), F.lit(int(lo)), F.lit(int(hi)), n_files),
+        F.greatest(
+            F.lit(0),
+            bucket_expr(
+                F.col("day"), F.lit(int(lo)), F.lit(int(hi)), n_files
+            ),
+        ),
     )
     (
         routed.repartition(F.col("zb"))
@@ -882,10 +903,9 @@ def _zm_append(
         "version": version,
         "appended_buckets": appended,
     }
-    with open(
-        os.path.join(table_dir, f"manifest-v{version}.json"), "w"
-    ) as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{version}.json")
+    )
     return manifest
 
 
@@ -1000,9 +1020,9 @@ def cow_delete(
         tdf = piece if tdf is None else tdf.unionByName(piece)
     in_slice = F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)
     kept = tdf.filter(~(in_slice & (F.col("k") % DEL_MOD == 0)))
-    _zm_versioned_write(kept, table_dir, 2, touched, m1, (lo, hi))
+    m2 = _zm_versioned_write(kept, table_dir, 2, touched, m1, (lo, hi))
 
-    def summarize(version: int, rewritten: int) -> DataFrame:
+    def summarize(version: int, rewritten: int, manifest: dict) -> DataFrame:
         return (
             _zm_read_version(spark, table_dir, version)
             .agg(
@@ -1014,11 +1034,16 @@ def cow_delete(
                 "n_rows",
                 "sum_cents",
                 F.lit(rewritten).cast("bigint").alias("files_rewritten"),
-                F.lit(n_files).cast("bigint").alias("files_total"),
+                # actual manifest entry count (cow_merge discipline):
+                # a bucket emptied by the delete drops out of the
+                # manifest and must drop out of the count.
+                F.lit(len(manifest["files"]))
+                .cast("bigint")
+                .alias("files_total"),
             )
         )
 
-    return summarize(1, 0).unionByName(summarize(2, len(touched)))
+    return summarize(1, 0, m1).unionByName(summarize(2, len(touched), m2))
 
 
 @register(
@@ -1034,12 +1059,16 @@ def cow_delete(
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(0 AS BIGINT) AS files_rewritten,
-           CAST({ZM_FILES} AS BIGINT) AS files_total
+           CAST((SELECT COUNT(DISTINCT zb) FROM b) AS BIGINT)
+               AS files_total
     FROM b
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
            (SELECT CAST(COUNT(*) AS BIGINT) FROM touched),
-           CAST({ZM_FILES} AS BIGINT)
+           CAST((SELECT COUNT(DISTINCT zb)
+                 FROM (SELECT zb FROM b
+                       WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+                                  AND k % {DEL_MOD} = 0))) AS BIGINT)
     FROM v2
     """,
 )
@@ -1124,10 +1153,14 @@ def manifest_vacuum(table_dir: str, latest: int) -> dict:
         SELECT k, cents FROM batch
     ),
     dirs AS (
-        SELECT CAST({ZM_FILES} + t.n + a.n AS BIGINT) AS dirs_before,
+        -- v1's physical directory count is the OCCUPIED bucket count
+        -- (an empty range bucket writes no dir), recomputed from raw
+        -- rows rather than assumed equal to the bucket fan-out.
+        SELECT CAST(v1.n + t.n + a.n AS BIGINT) AS dirs_before,
                CAST(t.n AS BIGINT) AS dirs_removed,
-               CAST({ZM_FILES} + a.n AS BIGINT) AS dirs_after
-        FROM (SELECT COUNT(*) AS n FROM touched) t,
+               CAST(v1.n + a.n AS BIGINT) AS dirs_after
+        FROM (SELECT COUNT(DISTINCT zb) AS n FROM b) v1,
+             (SELECT COUNT(*) AS n FROM touched) t,
              (SELECT COUNT(DISTINCT zb) AS n FROM batch) a
     )
     SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1173,8 +1206,7 @@ def src_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats = json.load(f)
     else:
         stats = manifest_vacuum(table_dir, latest=3)
-        with open(record, "w") as f:
-            json.dump(stats, f, sort_keys=True)
+        atomic_json_dump(stats, record)
     out = None
     for version in (2, 3):
         piece = (
@@ -1381,8 +1413,7 @@ def _mor_delete_commit(
         "delete_vectors": dv_dir,
         "dv_buckets": dv_buckets,
     }
-    with open(os.path.join(table_dir, "manifest-v2.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    atomic_json_dump(manifest, os.path.join(table_dir, "manifest-v2.json"))
     return manifest
 
 
@@ -1438,13 +1469,13 @@ def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(0 AS BIGINT) AS files_rewritten,
            CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS dv_rows,
-           CAST((SELECT COUNT(*) FROM touched) AS BIGINT) AS dv_files
+           CAST((SELECT COUNT(DISTINCT zb) FROM dv) AS BIGINT) AS dv_files
     FROM b
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
            CAST(0 AS BIGINT),
            CAST((SELECT COUNT(*) FROM dv) AS BIGINT),
-           CAST((SELECT COUNT(*) FROM touched) AS BIGINT)
+           CAST((SELECT COUNT(DISTINCT zb) FROM dv) AS BIGINT)
     FROM v2
     """,
 )
@@ -1505,6 +1536,12 @@ def src_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ZM_BASE_CTES},
     {_zm_touched_cte(DEL_LO_DAY, DEL_HI_DAY)},
+    dv AS (
+        SELECT zb, k FROM b
+        WHERE zb IN (SELECT zb FROM touched)
+          AND day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
+          AND k % {DEL_MOD} = 0
+    ),
     v3 AS (
         SELECT k, cents FROM b
         WHERE NOT (day BETWEEN {DEL_LO_DAY} AND {DEL_HI_DAY}
@@ -1512,7 +1549,12 @@ def src_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
-           CAST((SELECT COUNT(*) FROM touched) AS BIGINT)
+           -- buckets that actually carry vectors (DISTINCT zb of the
+           -- vector rows), NOT the stats-overlap candidate set: a
+           -- candidate file with zero in-slice matches gets no vector
+           -- and is not rewritten (ADVICE r8: referee and engine must
+           -- share the "buckets carrying vectors" semantics).
+           CAST((SELECT COUNT(DISTINCT zb) FROM dv) AS BIGINT)
                AS files_rewritten,
            CAST(0 AS BIGINT) AS dv_files_after
     FROM v3
@@ -1558,10 +1600,7 @@ def src_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version": 3,
             "compacted_buckets": m2["dv_buckets"],
         }
-        with open(
-            os.path.join(table_dir, "manifest-v3.json"), "w"
-        ) as f:
-            json.dump(m3, f, sort_keys=True)
+        atomic_json_dump(m3, os.path.join(table_dir, "manifest-v3.json"))
     else:
         with open(os.path.join(table_dir, "manifest-v3.json")) as f:
             m3 = json.load(f)

@@ -263,8 +263,6 @@ class ZoneMapAppendSink:
         return {}
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        import json
-
         from ..sources.zonemap import _zm_append
 
         ledger = self._read_ledger()
@@ -274,6 +272,7 @@ class ZoneMapAppendSink:
             return
         version = (max((int(v) for v in ledger.values()), default=1)) + 1
         _zm_append(self.spark, batch_df, self.table_dir, version)
+        from ..sources.scans import atomic_json_dump
+
         ledger[str(epoch_id)] = version
-        with open(self._ledger_path(), "w") as f:
-            json.dump(ledger, f, sort_keys=True)
+        atomic_json_dump(ledger, self._ledger_path())

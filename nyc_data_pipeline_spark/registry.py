@@ -426,6 +426,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.operators.linkpred",
     "nyc_data_pipeline_spark.operators.inequality",
     "nyc_data_pipeline_spark.streaming.batch_equiv",
+    "nyc_data_pipeline_spark.streaming.mor_cdc",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.functions.bpe",

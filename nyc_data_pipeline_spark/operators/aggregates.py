@@ -670,6 +670,41 @@ def agg_equidepth_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _narrow_to_crossing(b: DataFrame) -> DataFrame:
+    """One weighted-median descent round: `b` has (bucket, cents, w,
+    …, w_off, tw) with `bucket` an order-aligned range bucket of cents
+    and `w_off` the exclusive global weight before these rows.  Keep
+    only the ONE bucket containing the half-weight crossing and fold
+    that bucket's exclusive prefix into w_off.  Each round is a 64-row
+    metadata window plus one broadcast semi-join — never a row-level
+    window."""
+    from ..plans.two_phase import bucket_prefix
+
+    offsets = bucket_prefix(b, F.sum("w"), F.sum, "w_in_off", F.lit(0))
+    per = (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("w").alias("bw"),
+            F.first("w_off").alias("off0"),
+            F.first("tw").alias("tw0"),
+        )
+        .join(F.broadcast(offsets), "bucket")
+    )
+    target = per.filter(
+        (2 * (F.col("off0") + F.col("w_in_off") + F.col("bw"))
+         >= F.col("tw0"))
+        & (2 * (F.col("off0") + F.col("w_in_off")) < F.col("tw0"))
+    ).select(
+        "bucket", (F.col("off0") + F.col("w_in_off")).alias("_new_off")
+    )
+    return (
+        b.join(F.broadcast(target), "bucket")
+        .withColumn("w_off", F.col("_new_off"))
+        .drop("_new_off")
+    )
+
+
+
 @register(
     "agg_weighted_median",
     oracle="""
@@ -697,24 +732,29 @@ def agg_equidepth_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 1
     """,
 )
+
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact WEIGHTED median of lineitem price (weight = quantity)
     WITHOUT a global sort: the lower weighted median — the smallest
     value whose cumulative weight reaches half the total — found by
-    the two-phase discipline: (1) order-aligned range buckets on the
-    value, (2) per-bucket weight sums + exclusive prefix over the 64
-    bucket ids (plans/two_phase.bucket_prefix — a 64-row frame), (3) a
-    cumulative window INSIDE the single bucket containing the
-    crossing, seeded by that bucket's prefix offset.  Only one bucket
-    ever sees a row-level window; everything else is map-side
-    aggregation.  The single-partition referee lives in the oracle.
-    Weighted quantiles are the percentile family's missing exact
-    member (percentile_approx interpolates; equidepth buckets counts,
-    not weights) — the 'median price paid per UNIT, not per line'
-    statistic."""
+    RECURSIVE bucket descent (the two-phase discipline applied twice,
+    VERDICT r8 ask #4): (1) order-aligned range buckets on the value +
+    exclusive bucket prefix (a 64-row frame) locate the one crossing
+    bucket; (2) the SAME round re-buckets inside that bucket, bounding
+    the final row-level cumulative window to ~n/4096 rows in one
+    partition (one descent round per 64× of scale headroom — a third
+    round would bound n/262144); (3) the window, seeded by the folded
+    prefix offsets, picks the crossing row.  Equal cents always share
+    a bucket (bucket_expr is a function of cents), so descent never
+    splits a tie group and the within-bucket (cents, orderkey,
+    linenumber) order extends the global order.  The single-partition
+    referee lives in the oracle.  Weighted quantiles are the
+    percentile family's missing exact member (percentile_approx
+    interpolates; equidepth buckets counts, not weights) — the
+    'median price paid per UNIT, not per line' statistic."""
     from pyspark.sql import Window
 
-    from ..plans.two_phase import bucket_prefix, range_buckets
+    from ..plans.two_phase import range_buckets
 
     o = load_table(spark, sf_dir, "lineitem").select(
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
@@ -724,33 +764,32 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    b = range_buckets(o, "cents", 64)
-    offsets = bucket_prefix(
-        b, F.sum("w"), F.sum, "w_off", F.lit(0)
-    )
-    per_bucket = (
-        b.groupBy("bucket")
-        .agg(F.sum("w").alias("bw"))
-        .join(F.broadcast(offsets), "bucket")
-    )
-    total = per_bucket.agg(
-        F.sum("bw").cast("bigint").alias("tw")
-    )
-    # the ONE bucket where the half-weight crossing happens
-    target = (
-        per_bucket.crossJoin(F.broadcast(total))
-        .filter(
-            (2 * (F.col("w_off") + F.col("bw")) >= F.col("tw"))
-            & (2 * F.col("w_off") < F.col("tw"))
+    # level 1: global range buckets; the grand total rides the same
+    # 1-row broadcast frame as the (lo, hi) bounds.
+    b = (
+        range_buckets(
+            o, "cents", 64,
+            extra_aggs=[F.sum("w").cast("bigint").alias("tw")],
         )
-        .select("bucket", "w_off", "tw")
+        .drop("lo", "hi")
+        .withColumn("w_off", F.lit(0).cast("bigint"))
     )
+    narrowed = _narrow_to_crossing(b)
+    # truncate lineage before re-bucketing: level 2 walks the crossing
+    # bucket (~n/64 rows) three times (bounds, prefix, join) — without
+    # the checkpoint each walk would recompute the full level-1 chain.
+    narrowed = narrowed.localCheckpoint(eager=False)
+    # level 2: re-bucket INSIDE the crossing bucket under its own
+    # (lo, hi); w_off/tw carry through untouched.
+    b2 = range_buckets(narrowed.drop("bucket"), "cents", 64).drop(
+        "lo", "hi"
+    )
+    final = _narrow_to_crossing(b2)
     w_in = Window.partitionBy("bucket").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        b.join(F.broadcast(target), "bucket")
-        .withColumn("cum", F.sum("w").over(w_in) + F.col("w_off"))
+        final.withColumn("cum", F.sum("w").over(w_in) + F.col("w_off"))
         .filter(
             (2 * F.col("cum") >= F.col("tw"))
             & (2 * (F.col("cum") - F.col("w")) < F.col("tw"))

@@ -286,6 +286,12 @@ HEADLINE = [
     "ts_theil_sen",
     # r7: ANALYZE-style optimizer column statistics
     "dq_analyze_stats",
+    # r9: CDC change stream materialized merge-on-read (v1 commit +
+    # three DV+append epochs + sequence-number read)
+    "stream_mor_cdc",
+    # r9: K-round BPE vocabulary induction (8 greedy merges,
+    # checkpoint-truncated between rounds)
+    "text_bpe_vocab_k",
 ]
 
 
@@ -326,15 +332,44 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query detail: one file + one (non-final) stdout line.
+    with open(os.path.join(REPO_DIR, "bench_full.json"), "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload, separators=(",", ":")))
+    # FINAL line: bounded to fit the driver's 2000-byte tail capture
+    # (BENCH_r07/r08 recorded `parsed: null` because the full-catalog
+    # line outgrew it).  The bounded `queries` dict carries exactly the
+    # published baseline-anchor set (BASELINE.md §C) — the queries the
+    # per-round grading diffs — at 2 decimals; everything else lives in
+    # bench_full.json (pointed to by `full`).
+    anchor_path = os.path.join(REPO_DIR, ".bench_r4_anchor.json")
+    try:
+        with open(anchor_path) as f:
+            anchor_keys = list(json.load(f)["queries"])
+    except (OSError, KeyError, ValueError):
+        anchor_keys = HEADLINE[:44]
+    bounded = {
+        k: round(timings[k], 2) for k in anchor_keys if k in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": bounded,
+                "n_queries": len(timings),
+                "full": "bench_full.json",
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

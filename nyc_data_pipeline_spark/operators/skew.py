@@ -131,6 +131,7 @@ def choose_join_strategy(
     stats,
     small_side_bytes: int | None = None,
     broadcast_threshold: int = BROADCAST_BYTES,
+    aqe_skew_join: bool = False,
 ) -> str:
     """Pick 'broadcast' | 'salted' | 'plain' from a `join_key_skew`
     profile of the BIG side's join key (dict or Row with `top1_ppm`,
@@ -141,11 +142,24 @@ def choose_join_strategy(
     1. small side fits the broadcast threshold -> 'broadcast' — the
        big side never shuffles, so key skew is irrelevant;
     2. the audit flagged the key (heaviest key > SKEW_FLAG_PPM of
-       rows) -> 'salted' — guarantee fan-out up front rather than
-       waiting for AQE to split an already-materialized straggler;
+       rows) -> 'salted', UNLESS the caller asserts AQE skew-join is
+       active with thresholds sized to its partitions
+       (`aqe_skew_join=True`) -> 'plain';
     3. otherwise -> 'plain' — the ordinary shuffle join, where salting
        would only add a pointless explode of the small side.
-    """
+
+    Why rule 2 defers to a tuned AQE (measured, scripts/skew_probe.py
+    at 8× / SCALE.md §21): AQE's skew split fans out ONLY the straggler
+    partitions and replicates only the matching small-side partitions,
+    while pre-salting pays the full dim × N_SALTS explode and salts
+    every big-side row — on the 20%-hot and 50%-hot fixtures the tuned
+    AQE join ran ~3× faster than the salted one.  But that win is
+    conditional on AQE actually engaging: its default 256 MB
+    skewed-partition threshold ignores stragglers smaller than that,
+    and it can never split AGGREGATION state (the salted_agg path
+    above stays necessary regardless).  The parameter defaults to
+    False — "guarantee the fan-out" — because the decision helper
+    cannot verify the runtime thresholds from stats alone."""
     from ..pipelines.quality import SKEW_FLAG_PPM
 
     if small_side_bytes is not None and small_side_bytes <= broadcast_threshold:
@@ -155,6 +169,8 @@ def choose_join_strategy(
         if "skewed" in stats
         else stats["top1_ppm"] > SKEW_FLAG_PPM
     )
+    if skewed and aqe_skew_join:
+        return "plain"
     return "salted" if skewed else "plain"
 
 

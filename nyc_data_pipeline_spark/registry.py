@@ -118,9 +118,11 @@ _VERIFY_FIRST = [
     # VERDICT r8 ask #2): the CDC-change-stream -> merge-on-read
     # commit composition's batch twin.
     "stream_mor_cdc",
-    # ==== r10 queue (pre-staged): the 24 remaining r3-era rows the
-    # r9 window could not fit (continue in age order); any further r9
-    # additions register at the HEAD of this queue, above these.
+    # ==== r10 queue (pre-staged): first this round's past-window
+    # additions (locally verified at sf0.001+sf0.01 on landing), then
+    # the 24 remaining r3-era rows the r9 window could not fit
+    # (continue in age order).
+    "text_bpe_vocab_k",
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",

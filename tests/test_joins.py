@@ -62,9 +62,11 @@ def test_choose_join_strategy_three_regimes(spark, sf_dir):
     # regime 1: small side under the threshold -> broadcast, even for
     # the hot profile (the big side never shuffles).
     assert choose_join_strategy(hot, estimated_bytes(customer)) == "broadcast"
-    # regime 2: big-big with the flagged key -> salted.
+    # regime 2: big-big with the flagged key -> salted; deferring to a
+    # verified-tuned AQE skew-join flips it to plain (SCALE.md §21).
     assert choose_join_strategy(hot, None) == "salted"
     assert choose_join_strategy(hot, 2**40) == "salted"
+    assert choose_join_strategy(hot, 2**40, aqe_skew_join=True) == "plain"
     # regime 3: big-big with the uniform key -> plain.
     assert choose_join_strategy(uniform, None) == "plain"
 

@@ -292,6 +292,16 @@ HEADLINE = [
     # r9: K-round BPE vocabulary induction (8 greedy merges,
     # checkpoint-truncated between rounds)
     "text_bpe_vocab_k",
+    # r9: exact weighted p25/p50/p75 in one shared two-level descent
+    "agg_weighted_quartiles",
+    # r9: streaming-CDC compaction (freeze DVs into clean files,
+    # per-bucket bookkeeping oracle-predicted)
+    "stream_mor_cdc_compact",
+    # r9: incremental view maintenance from the change feed
+    # (O(changes) fold, engine never reads v2)
+    "ivm_change_feed_agg",
+    # r9: learned-vocab BPE application (per-language token budget)
+    "text_bpe_apply_vocab",
 ]
 
 

@@ -338,12 +338,12 @@ def _vocab_k_oracle(k: int) -> str:
     """
 
 
-def bpe_vocab_k(d: DataFrame, k: int = K_MERGES) -> DataFrame:
-    """Learn the first `k` BPE merges over the corpus: per round, one
-    vocabulary-scale pair count, one deterministic top-1 (count desc,
-    pair asc), one greedy merge pass; symbols checkpoint-truncated
-    between rounds.  Returns the merge table (step, left_sym,
-    right_sym, pair_cnt) — K metadata rows."""
+def _learn_merges(d: DataFrame, k: int):
+    """Run the K-round training loop; return (merge table rows, final
+    symbol stream).  Per round: one vocabulary-scale pair count, one
+    deterministic top-1 (count desc, pair asc), one greedy merge pass;
+    symbols checkpoint-truncated between rounds.  The only driver
+    traffic is the 1-row merge pick per round."""
     words = (
         d.selectExpr(f"explode({spark_tokens('text')}) AS word")
         .groupBy("word")
@@ -365,13 +365,19 @@ def bpe_vocab_k(d: DataFrame, k: int = K_MERGES) -> DataFrame:
             (step, top_row["left_sym"], top_row["right_sym"],
              top_row["pair_cnt"])
         )
-        if step < k:
-            top = spark.createDataFrame(
-                [(top_row["left_sym"], top_row["right_sym"])],
-                "a string, b string",
-            )
-            syms = apply_merge(syms, top).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+        top = spark.createDataFrame(
+            [(top_row["left_sym"], top_row["right_sym"])],
+            "a string, b string",
+        )
+        syms = apply_merge(syms, top).localCheckpoint(eager=True)
+    return merges, syms
+
+
+def bpe_vocab_k(d: DataFrame, k: int = K_MERGES) -> DataFrame:
+    """Learn the first `k` BPE merges over the corpus — the merge
+    table (step, left_sym, right_sym, pair_cnt), K metadata rows."""
+    merges, _ = _learn_merges(d, k)
+    return d.sparkSession.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_cnt bigint"
     )
 
@@ -385,3 +391,55 @@ def text_bpe_vocab_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     and greedy-overlap decision is hash-checked, not just the final
     table."""
     return bpe_vocab_k(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_apply_vocab",
+    oracle=f"""
+    WITH {_DUCK_SYMS.format(toks=duck_tokens('text'))},
+    {"".join(_duck_round("syms" if i == 1 else f"merged{i - 1}", i) + "," for i in range(1, K_MERGES + 1))}
+    tokw AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM merged{K_MERGES} GROUP BY word
+    ),
+    dw AS (
+        SELECT lang, unnest({duck_tokens('text')}) AS word
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN tokw t USING (word)
+    GROUP BY lang
+    """,
+)
+def text_bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer lane end-to-end: LEARN the {K_MERGES}-merge BPE
+    vocabulary, then APPLY it back to the corpus — per language, the
+    word count, character count, and post-BPE token count (chars →
+    tokens is the compression a trained tokenizer buys; n_tokens is
+    what a training-data budget actually meters).  The apply step is
+    a vocabulary-scale join (every distinct word's token count from
+    the final symbol stream) against the corpus's exploded words —
+    one corpus pass, never a per-document re-tokenization.  The
+    oracle replays training AND application symbolically, so the
+    per-language sums certify every merge decision's effect on every
+    word of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    _, syms = _learn_merges(d, K_MERGES)
+    tokw = syms.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    dw = d.selectExpr(
+        "lang", f"explode({spark_tokens('text')}) AS word"
+    )
+    return (
+        dw.join(tokw, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -802,3 +802,145 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("bigint").alias("cum_at_median"),
         )
     )
+
+
+@register(
+    "agg_weighted_quartiles",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM o),
+    ranked AS (
+        SELECT cents, w,
+               SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+        FROM o
+    ),
+    q(num) AS (VALUES (1), (2), (3))
+    SELECT CAST(q.num AS INT) AS quartile,
+           CAST(cents AS BIGINT) AS value_cents,
+           t.tw AS total_weight,
+           CAST(cum AS BIGINT) AS cum_at_value
+    FROM ranked, tot t, q
+    WHERE 4 * cum >= q.num * t.tw
+      AND 4 * (cum - w) < q.num * t.tw
+    """,
+)
+def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted p25/p50/p75 of lineitem price (weight = quantity)
+    in ONE shared descent: the level-1 range buckets, per-bucket weight
+    sums, and 64-row exclusive prefix are computed ONCE and every
+    quartile picks its own crossing bucket from that same frame (a
+    3-row broadcast of (num, den) thresholds); level 2 then re-buckets
+    each quartile's crossing slice under its own bounds — grouped
+    bucket_prefix generalization, windows partitioned by (target,
+    bucket), so each target's final row-level window is ~n/4096 rows.
+    Generalizes `agg_weighted_median` (same crossing rule with
+    den*cum >= num*tw); the single-partition referee lives in the
+    oracle.  This is the exact form of the percentile triple every
+    distribution dashboard wants (percentile_approx interpolates and
+    ignores weights)."""
+    from pyspark.sql import Window
+
+    from ..plans.two_phase import bucket_expr, range_buckets
+
+    o = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    targets = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "num int, den int"
+    )
+    # ---- level 1: ONE bucketing + ONE 64-row prefix frame, shared by
+    # all three targets.
+    b = range_buckets(
+        o, "cents", 64, extra_aggs=[F.sum("w").cast("bigint").alias("tw")]
+    ).drop("lo", "hi")
+    pref1 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per1 = (
+        b.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"), F.first("tw").alias("tw0"))
+        .withColumn(
+            "w_in_off", F.coalesce(F.sum("bw").over(pref1), F.lit(0))
+        )
+    )
+    cross1 = (
+        per1.crossJoin(F.broadcast(targets))
+        .filter(
+            (F.col("den") * (F.col("w_in_off") + F.col("bw"))
+             >= F.col("num") * F.col("tw0"))
+            & (F.col("den") * F.col("w_in_off")
+               < F.col("num") * F.col("tw0"))
+        )
+        .select("bucket", "num", "den", F.col("w_in_off").alias("w_off"))
+    )
+    rows1 = b.join(F.broadcast(cross1), "bucket").localCheckpoint(
+        eager=False
+    )
+    # ---- level 2: per-target re-bucketing under each target's own
+    # crossing-slice bounds (grouped form of the median's descent).
+    bounds = rows1.groupBy("num", "den").agg(
+        F.min("cents").alias("lo2"), F.max("cents").alias("hi2")
+    )
+    b2 = (
+        rows1.drop("bucket")
+        .join(F.broadcast(bounds), ["num", "den"])
+        .withColumn(
+            "bucket",
+            bucket_expr(F.col("cents"), F.col("lo2"), F.col("hi2"), 64),
+        )
+    )
+    pref2 = Window.partitionBy("num", "den").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per2 = (
+        b2.groupBy("num", "den", "bucket")
+        .agg(
+            F.sum("w").alias("bw"),
+            F.first("w_off").alias("off0"),
+            F.first("tw").alias("tw0"),
+        )
+        .withColumn(
+            "w_in_off", F.coalesce(F.sum("bw").over(pref2), F.lit(0))
+        )
+    )
+    cross2 = per2.filter(
+        (F.col("den") * (F.col("off0") + F.col("w_in_off") + F.col("bw"))
+         >= F.col("num") * F.col("tw0"))
+        & (F.col("den") * (F.col("off0") + F.col("w_in_off"))
+           < F.col("num") * F.col("tw0"))
+    ).select(
+        "num",
+        "den",
+        "bucket",
+        (F.col("off0") + F.col("w_in_off")).alias("w_off2"),
+    )
+    final = b2.join(F.broadcast(cross2), ["num", "den", "bucket"])
+    w_in = Window.partitionBy("num", "den", "bucket").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        final.withColumn("cum", F.sum("w").over(w_in) + F.col("w_off2"))
+        .filter(
+            (F.col("den") * F.col("cum") >= F.col("num") * F.col("tw"))
+            & (F.col("den") * (F.col("cum") - F.col("w"))
+               < F.col("num") * F.col("tw"))
+        )
+        .select(
+            F.col("num").cast("int").alias("quartile"),
+            F.col("cents").cast("bigint").alias("value_cents"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+            F.col("cum").cast("bigint").alias("cum_at_value"),
+        )
+    )

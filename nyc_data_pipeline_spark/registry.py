@@ -123,6 +123,10 @@ _VERIFY_FIRST = [
     # the 24 remaining r3-era rows the r9 window could not fit
     # (continue in age order).
     "text_bpe_vocab_k",
+    "agg_weighted_quartiles",
+    "stream_mor_cdc_compact",
+    "ivm_change_feed_agg",
+    "text_bpe_apply_vocab",
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",

@@ -337,3 +337,181 @@ def stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("version").cast("int").alias("version"),
     )
+
+
+def mor_cdc_compact(
+    spark: SparkSession, table_dir: str, version: int,
+    n_files: int = MOR_CDC_FILES,
+) -> dict:
+    """OPTIMIZE for the streaming-CDC table: rewrite every bucket with
+    its survival rule applied (max_dv_v(k) <= row.version), publish
+    v{version+1} with ONE file per occupied bucket and NO delete
+    vectors.  Pays down the read debt the per-epoch DV+append commits
+    accumulate — after compaction a read is a plain manifest scan
+    again.  Cost is one linear pass over the live rows; the epochs'
+    commit history stays time-travelable through the older manifests
+    until vacuumed."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    key = m["key"]
+    lo, hi = m["bounds"]
+    live = mor_cdc_read(spark, table_dir, version)
+    vnew = version + 1
+    vdir = os.path.join(table_dir, f"v{vnew}")
+    routed = live.withColumn(
+        "zb",
+        F.greatest(
+            F.lit(0),
+            bucket_expr(
+                F.col(key), F.lit(int(lo)), F.lit(int(hi)), n_files
+            ),
+        ),
+    )
+    (
+        routed.repartition(F.col("zb"))
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(vdir)
+    )
+    files = {
+        z[len("zb="):]: [{"path": os.path.join(vdir, z), "v": vnew}]
+        for z in os.listdir(vdir)
+        if z.startswith("zb=")
+    }
+    manifest = {
+        "key": key,
+        "bounds": [lo, hi],
+        "version": vnew,
+        "files": files,
+        "dvs": [],
+        "compacted_from": version,
+    }
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
+    )
+    return manifest
+
+
+@register(
+    "stream_mor_cdc_compact",
+    # The oracle re-predicts, per bucket and from the raw table alone:
+    # the post-compaction survivors (the one-shot merge restricted to
+    # the bucket), the pre-compaction FILE count (base file if the
+    # bucket is occupied + one appended file per upsert wave that
+    # touched it — the delete wave appends nothing), and the DV rows
+    # frozen away (every change key routed there, all three waves).
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+    zb_of AS (
+        SELECT doc_id,
+               LEAST((doc_id - rng.lo) * {MOR_CDC_FILES}
+                     // (rng.hi - rng.lo + 1),
+                     {MOR_CDC_FILES - 1}) AS zb
+        FROM d, rng
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op FROM d
+            UNION ALL
+            SELECT doc_id, 'recrawl1', n_chars + 1, 1, 'u'
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 2, 'd'
+            FROM d WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, 'recrawl3', n_chars + 3, 3, 'u'
+            FROM d WHERE doc_id % 6 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    ),
+    survivors AS (
+        SELECT m.doc_id, m.n_chars, z.zb
+        FROM merged m JOIN zb_of z USING (doc_id)
+        WHERE m.op <> 'd'
+    ),
+    files_before AS (
+        SELECT zb,
+               CAST(1
+                    + MAX(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    + MAX(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_files_before,
+               CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dv_rows_frozen
+        FROM zb_of GROUP BY zb
+    )
+    SELECT CAST(s.zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+           f.n_files_before,
+           f.dv_rows_frozen
+    FROM survivors s JOIN files_before f ON f.zb = s.zb
+    GROUP BY s.zb, f.n_files_before, f.dv_rows_frozen
+    """,
+)
+def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction closing the streaming-CDC lifecycle (ingest →
+    DV+append epochs → OPTIMIZE): run (or reuse) `stream_mor_cdc`'s
+    four commits, compact to v5, and report per-bucket (survivor rows,
+    survivor chars, files before compaction, DV rows frozen) — the
+    engine reads its bookkeeping from the MANIFESTS while the oracle
+    re-predicts every number from the raw table and the wave algebra,
+    so both the surviving data AND the storage accounting are
+    hash-checked.  tests/test_streaming.py asserts the compacted read
+    equals the pre-compaction read and that v5 carries no vectors."""
+    table_dir = scratch_dir("mor_cdc", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    final = len(_doc_waves(d)) + 1
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ):
+        stream_mor_cdc(spark, sf_dir).collect()
+    vnew = final + 1
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{vnew}.json")
+    ):
+        mor_cdc_compact(spark, table_dir, final)
+    with open(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ) as f:
+        m_old = json.load(f)
+    files_before = spark.createDataFrame(
+        [(int(z), len(entries)) for z, entries in m_old["files"].items()],
+        "zb bigint, n_files_before bigint",
+    )
+    dv = None
+    for dv_entry in m_old["dvs"]:
+        piece = spark.read.json(dv_entry["path"]).select("zb")
+        dv = piece if dv is None else dv.unionByName(piece)
+    dv_rows = dv.groupBy(F.col("zb").cast("bigint").alias("zb")).agg(
+        F.count("*").cast("bigint").alias("dv_rows_frozen")
+    )
+    with open(
+        os.path.join(table_dir, f"manifest-v{vnew}.json")
+    ) as f:
+        m_new = json.load(f)
+    out = None
+    for z, entries in sorted(m_new["files"].items()):
+        piece = (
+            spark.read.parquet(*[e["path"] for e in entries])
+            .select("n_chars")
+            .withColumn("zb", F.lit(int(z)).cast("bigint"))
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return (
+        out.groupBy("zb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .join(F.broadcast(files_before), "zb")
+        .join(F.broadcast(dv_rows), "zb")
+    )

@@ -1319,3 +1319,13 @@ def test_stream_mor_cdc_exactly_once(spark, sf_dir, tmp_path):
     sink(waves[0], max(int(k) for k in ledger) + 1)
     assert sink.latest_version() == 5
     assert snapshot(5) == got
+
+    # compaction: freeze DVs + multi-file buckets into clean files —
+    # the compacted read equals the pre-compaction read and the new
+    # manifest carries no vectors and one file per occupied bucket.
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_compact
+
+    m6 = mor_cdc_compact(spark, table_dir, 5)
+    assert m6["dvs"] == [] and m6["compacted_from"] == 5
+    assert all(len(entries) == 1 for entries in m6["files"].values())
+    assert snapshot(6) == got

@@ -302,6 +302,8 @@ HEADLINE = [
     "ivm_change_feed_agg",
     # r9: learned-vocab BPE application (per-language token budget)
     "text_bpe_apply_vocab",
+    # r9: per-group exact weighted median (shared-bucket grouped descent)
+    "agg_weighted_median_by_group",
 ]
 
 

@@ -338,19 +338,22 @@ def _vocab_k_oracle(k: int) -> str:
     """
 
 
-def _learn_merges(d: DataFrame, k: int):
+def _learn_merges(d: DataFrame, k: int, need_final_syms: bool = True):
     """Run the K-round training loop; return (merge table rows, final
-    symbol stream).  Per round: one vocabulary-scale pair count, one
-    deterministic top-1 (count desc, pair asc), one greedy merge pass;
-    symbols checkpoint-truncated between rounds.  The only driver
-    traffic is the 1-row merge pick per round."""
+    symbol stream or None).  Per round: one vocabulary-scale pair
+    count, one deterministic top-1 (count desc, pair asc), one greedy
+    merge pass; symbols checkpoint-truncated between rounds (lazy —
+    the checkpoint materializes inside the next round's first job, so
+    each round costs ONE job plus the 1-row merge-pick collect).  When
+    the caller only wants the merge TABLE, `need_final_syms=False`
+    skips the last round's merge pass entirely."""
     words = (
         d.selectExpr(f"explode({spark_tokens('text')}) AS word")
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("wc"))
     )
     spark = d.sparkSession
-    syms = _sym_rows(words).localCheckpoint(eager=True)
+    syms = _sym_rows(words).localCheckpoint(eager=False)
     merges = []
     for step in range(1, k + 1):
         top_row = (
@@ -365,18 +368,20 @@ def _learn_merges(d: DataFrame, k: int):
             (step, top_row["left_sym"], top_row["right_sym"],
              top_row["pair_cnt"])
         )
+        if step == k and not need_final_syms:
+            return merges, None
         top = spark.createDataFrame(
             [(top_row["left_sym"], top_row["right_sym"])],
             "a string, b string",
         )
-        syms = apply_merge(syms, top).localCheckpoint(eager=True)
+        syms = apply_merge(syms, top).localCheckpoint(eager=False)
     return merges, syms
 
 
 def bpe_vocab_k(d: DataFrame, k: int = K_MERGES) -> DataFrame:
     """Learn the first `k` BPE merges over the corpus — the merge
     table (step, left_sym, right_sym, pair_cnt), K metadata rows."""
-    merges, _ = _learn_merges(d, k)
+    merges, _ = _learn_merges(d, k, need_final_syms=False)
     return d.sparkSession.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_cnt bigint"
     )

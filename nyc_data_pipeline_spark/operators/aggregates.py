@@ -944,3 +944,133 @@ def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("bigint").alias("cum_at_value"),
         )
     )
+
+
+@register(
+    "agg_weighted_median_by_group",
+    oracle="""
+    WITH o AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tot AS (
+        SELECT grp, CAST(SUM(w) AS BIGINT) AS tw FROM o GROUP BY grp
+    ),
+    ranked AS (
+        SELECT grp, cents, w,
+               SUM(w) OVER (PARTITION BY grp
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+        FROM o
+    )
+    SELECT r.grp,
+           CAST(cents AS BIGINT) AS median_cents,
+           t.tw AS total_weight,
+           CAST(cum AS BIGINT) AS cum_at_median
+    FROM ranked r JOIN tot t ON t.grp = r.grp
+    WHERE 2 * cum >= t.tw
+      AND 2 * (cum - w) < t.tw
+    """,
+)
+def agg_weighted_median_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact weighted median PER GROUP (return-flag), each group a
+    corpus-scale fraction — the case where a plain per-group ordered
+    window funnels n/3 rows into single partitions.  The descent
+    needs no composite lead: ONE set of global range buckets serves
+    every group simultaneously (within a group, bucket order is still
+    value order), so level 1 is the shared bucketing + a per-group
+    64-row prefix, level 2 re-buckets each group's crossing slice
+    under its own bounds, and the final windows are ~(group size)/4096
+    rows — the quartiles machinery with a data-driven group column
+    instead of threshold targets.  The per-group single-partition
+    referee lives in the oracle."""
+    from pyspark.sql import Window
+
+    from ..plans.two_phase import bucket_expr, range_buckets
+
+    o = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = range_buckets(o, "cents", 64).drop("lo", "hi")
+    tw = o.groupBy("grp").agg(F.sum("w").cast("bigint").alias("tw"))
+    pref1 = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per1 = (
+        b.groupBy("grp", "bucket")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "w_in_off", F.coalesce(F.sum("bw").over(pref1), F.lit(0))
+        )
+        .join(F.broadcast(tw), "grp")
+    )
+    cross1 = per1.filter(
+        (2 * (F.col("w_in_off") + F.col("bw")) >= F.col("tw"))
+        & (2 * F.col("w_in_off") < F.col("tw"))
+    ).select("grp", "bucket", F.col("w_in_off").alias("w_off"), "tw")
+    rows1 = b.join(F.broadcast(cross1), ["grp", "bucket"]).localCheckpoint(
+        eager=False
+    )
+    bounds = rows1.groupBy("grp").agg(
+        F.min("cents").alias("lo2"), F.max("cents").alias("hi2")
+    )
+    b2 = (
+        rows1.drop("bucket")
+        .join(F.broadcast(bounds), "grp")
+        .withColumn(
+            "bucket",
+            bucket_expr(F.col("cents"), F.col("lo2"), F.col("hi2"), 64),
+        )
+    )
+    pref2 = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per2 = (
+        b2.groupBy("grp", "bucket")
+        .agg(
+            F.sum("w").alias("bw"),
+            F.first("w_off").alias("off0"),
+            F.first("tw").alias("tw0"),
+        )
+        .withColumn(
+            "w_in_off", F.coalesce(F.sum("bw").over(pref2), F.lit(0))
+        )
+    )
+    cross2 = per2.filter(
+        (2 * (F.col("off0") + F.col("w_in_off") + F.col("bw"))
+         >= F.col("tw0"))
+        & (2 * (F.col("off0") + F.col("w_in_off")) < F.col("tw0"))
+    ).select(
+        "grp",
+        "bucket",
+        (F.col("off0") + F.col("w_in_off")).alias("w_off2"),
+    )
+    final = b2.join(F.broadcast(cross2), ["grp", "bucket"])
+    w_in = Window.partitionBy("grp", "bucket").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        final.withColumn("cum", F.sum("w").over(w_in) + F.col("w_off2"))
+        .filter(
+            (2 * F.col("cum") >= F.col("tw"))
+            & (2 * (F.col("cum") - F.col("w")) < F.col("tw"))
+        )
+        .select(
+            "grp",
+            F.col("cents").cast("bigint").alias("median_cents"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+            F.col("cum").cast("bigint").alias("cum_at_median"),
+        )
+    )

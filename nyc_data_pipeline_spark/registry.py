@@ -127,6 +127,7 @@ _VERIFY_FIRST = [
     "stream_mor_cdc_compact",
     "ivm_change_feed_agg",
     "text_bpe_apply_vocab",
+    "agg_weighted_median_by_group",
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",

@@ -1184,6 +1184,28 @@ def probe(spark, k: int) -> dict[str, float]:
         append_ivf_pq(spark, batch4, idx_dir, version=2)
         times["index_append"] = round(time.perf_counter() - t0, 2)
 
+    # r9 — grouped/targeted weighted-quantile descents at k× lineitem:
+    # the final row-level windows must stay ~n/4096 per (group|target).
+    if not only or {"weighted_quartiles", "weighted_median_grp"} & only:
+        lik9 = scaled(
+            load_table(spark, SF_DIR, "lineitem"), "l_orderkey", k, 10**9
+        )
+        import tempfile
+
+        import nyc_data_pipeline_spark.catalog as _cat
+        from nyc_data_pipeline_spark.operators.aggregates import (
+            agg_weighted_median_by_group,
+            agg_weighted_quartiles,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            lik9.write.parquet(os.path.join(td, "lineitem.parquet"))
+            run("weighted_quartiles", agg_weighted_quartiles(spark, td))
+            run(
+                "weighted_median_grp",
+                agg_weighted_median_by_group(spark, td),
+            )
+
     return times
 
 

@@ -1329,3 +1329,91 @@ def test_stream_mor_cdc_exactly_once(spark, sf_dir, tmp_path):
     assert m6["dvs"] == [] and m6["compacted_from"] == 5
     assert all(len(entries) == 1 for entries in m6["files"].values())
     assert snapshot(6) == got
+
+
+def test_stream_ivm_change_feed_equals_batch(spark, sf_dir, tmp_path):
+    """The change feed consumed as a STREAM maintains the grouped view
+    incrementally: feed rows arrive in micro-batches (any chunking),
+    each epoch folds only its deltas into the view (O(changes), the
+    table itself never re-read), and the drained view equals both the
+    one-shot IVM query and the direct v2 aggregate its oracle
+    computes.  Delta folding is associative addition, so chunk
+    boundaries cannot change the fixpoint."""
+    import os as _os
+
+    import pyspark.sql.types as T
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        IVM_GRP_MOD,
+        _zm_read_version,
+        change_feed_from,
+        merge_zone_map_cow,
+    )
+    from nyc_data_pipeline_spark.streaming.ingest import (
+        file_json_stream_bounded,
+    )
+
+    load_all()
+    table_dir = scratch_dir("zm_merge", sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest-v2.json")):
+        merge_zone_map_cow(spark, sf_dir).collect()
+    grp = lambda c: (F.col(c) % IVM_GRP_MOD).cast("bigint")  # noqa: E731
+    view = {
+        r["grp"]: [r["n_rows"], r["sum_cents"]]
+        for r in _zm_read_version(spark, table_dir, 1)
+        .groupBy(grp("k").alias("grp"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    feed_dir = tmp_path / "feed_in"
+    change_feed_from(spark, table_dir).repartition(3).write.json(
+        str(feed_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("change", T.StringType()),
+            T.StructField("pre_cents", T.LongType()),
+            T.StructField("post_cents", T.LongType()),
+        ]
+    )
+
+    def fold(batch_df, _epoch):
+        deltas = (
+            batch_df.groupBy(grp("k").alias("grp"))
+            .agg(
+                F.sum(
+                    F.when(F.col("change") == "insert", 1)
+                    .when(F.col("change") == "delete", -1)
+                    .otherwise(0)
+                ).alias("dn"),
+                F.sum(
+                    F.coalesce("post_cents", F.lit(0))
+                    - F.coalesce("pre_cents", F.lit(0))
+                ).alias("dc"),
+            )
+            .collect()
+        )
+        for r in deltas:
+            cur = view.setdefault(r["grp"], [0, 0])
+            cur[0] += r["dn"]
+            cur[1] += r["dc"]
+
+    q = (
+        file_json_stream_bounded(
+            spark, str(feed_dir), schema, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["grp"]: [r["n_rows"], r["sum_cents"]]
+        for r in QUERIES["ivm_change_feed_agg"](spark, sf_dir).collect()
+    }
+    assert view == want

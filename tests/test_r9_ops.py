@@ -83,3 +83,74 @@ def test_gini_valid_domain_still_exact(spark):
     )
     row = gini_by_segment(spend, ["A"]).collect()[0]
     assert (row.n_customers, row.sum_cents, row.gini_ppm) == (4, 10, 250000)
+
+
+def test_mor_dv_files_counts_vector_buckets_not_candidates(spark, tmp_path):
+    """ADVICE r8 scenario pinned on constructed data: a bucket whose
+    [min,max] day stats OVERLAP the delete slice but which contains
+    ZERO in-slice k%3 matches gets no delete vector — dv_buckets (and
+    hence dv_files) must count buckets CARRYING vectors, not the
+    stats-overlap candidate set, and the MOR read must still be
+    exact."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import range_buckets
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        DEL_HI_DAY,
+        DEL_LO_DAY,
+        DEL_MOD,
+        _mor_delete_commit,
+        _mor_read,
+        _zm_versioned_write,
+        ZM_FILES,
+    )
+
+    # 8 buckets over days [9000, 12199] (400 days each).  Buckets 6-7
+    # ([11400, 12199]) overlap the delete slice [11323, 11600]; bucket
+    # 5 ([11000, 11399]) overlaps via days 11323-11399.  Give buckets
+    # 6-7 ONLY non-multiples of 3 as keys (candidates, no matches) and
+    # bucket 5 some k%3==0 in-slice rows (real vectors).
+    rows = []
+    k = 1
+    for d in range(9000, 11000, 13):          # buckets 0-4, any keys
+        rows.append((k, d)); k += 3
+    for d in range(11323, 11400, 7):          # bucket 5, matching keys
+        rows.append((3 * d, d))               # k % 3 == 0
+    for d in range(11400, 12200, 11):         # buckets 6-7, no matches
+        rows.append((3 * d + 1, d))           # k % 3 == 1
+    rows += [(2, 9000), (4, 12199)]           # pin global bounds
+    base = spark.createDataFrame(rows, "k bigint, day bigint").select(
+        "k", (F.col("k") % 997).alias("cents"), "day"
+    )
+    table_dir = str(tmp_path / "mor_candidates")
+    lo, hi = 9000, 12199
+    b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    m1 = _zm_versioned_write(
+        b1, table_dir, 1, [str(z) for z in range(ZM_FILES)], None, (lo, hi)
+    )
+    m2 = _mor_delete_commit(spark, table_dir, m1)
+    # candidates (stats overlap) = buckets 5,6,7; vectors only in 5
+    stats = {
+        int(z): r
+        for z, r in (
+            (z, spark.read.parquet(p).agg(
+                F.min("day"), F.max("day")).collect()[0])
+            for z, p in m1["files"].items()
+        )
+    }
+    candidates = {
+        z for z, r in stats.items()
+        if r[0] <= DEL_HI_DAY and r[1] >= DEL_LO_DAY
+    }
+    assert len(candidates) >= 2  # the trap exists in this fixture
+    assert m2["dv_buckets"] == ["5"]  # only the bucket WITH matches
+    # read correctness: exactly the in-slice k%3 rows are gone
+    got = _mor_read(spark, table_dir, 2).agg(
+        F.count("*"), F.sum("cents")
+    ).collect()[0]
+    pdf = base.toPandas()
+    dead = pdf["day"].between(DEL_LO_DAY, DEL_HI_DAY) & (pdf["k"] % DEL_MOD == 0)
+    assert (got[0], got[1]) == (
+        int((~dead).sum()), int(pdf.loc[~dead, "cents"].sum())
+    )

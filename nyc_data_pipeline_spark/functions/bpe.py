@@ -45,11 +45,15 @@ text-pipeline coverage (SURVEY §2 extension), sibling of
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..sources.scans import atomic_json_dump, scratch_dir
 from .text import duck_tokens, spark_tokens
 
 TOP_PAIRS = 10
@@ -387,15 +391,85 @@ def bpe_vocab_k(d: DataFrame, k: int = K_MERGES) -> DataFrame:
     )
 
 
+_MERGES_SCHEMA = "step int, left_sym string, right_sym string, pair_cnt bigint"
+
+
+def build_bpe_index(
+    d: DataFrame, table_dir: str, k: int = K_MERGES, version: int = 1
+) -> dict:
+    """Train ONCE, commit the tokenizer as frozen artifacts (VERDICT r9
+    ask #3, the similarity/index_store.py build-once/probe-many
+    pattern): the K-entry merge table (the semantic artifact a
+    production tokenizer ships) and the tokenized VOCABULARY it induces
+    (word -> n_tok over the corpus's distinct words — the lookup the
+    apply step joins against), both immutable parquet under
+    v{version}/ named by an atomically-published manifest.  Training is
+    the K-round loop exactly once; every later apply is a parquet scan
+    + one vocabulary-scale join, never a retrain."""
+    merges, syms = _learn_merges(d, k)
+    spark = d.sparkSession
+    vdir = os.path.join(table_dir, f"v{version}")
+    merges_path = os.path.join(vdir, "merges")
+    vocab_path = os.path.join(vdir, "vocab")
+    spark.createDataFrame(merges, _MERGES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(merges_path)
+    (
+        syms.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_tok"))
+        .write.mode("overwrite")
+        .parquet(vocab_path)
+    )
+    manifest = {
+        "version": version,
+        "k": k,
+        "merges": merges_path,
+        "vocab": vocab_path,
+    }
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{version}.json")
+    )
+    return manifest
+
+
+def load_bpe_index(
+    spark: SparkSession, table_dir: str, version: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """(merge table, tokenized vocabulary) from the manifest — parquet
+    scans only; nothing is recomputed from the raw corpus."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        manifest = json.load(f)
+    return (
+        spark.read.parquet(manifest["merges"]),
+        spark.read.parquet(manifest["vocab"]),
+    )
+
+
+def _bpe_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing guard shared by the trainer and apply queries
+    (each must be self-contained under the driver contract; whichever
+    runs first pays the one training pass)."""
+    table_dir = scratch_dir("bpe_index", sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v1.json")):
+        build_bpe_index(load_table(spark, sf_dir, "documents"), table_dir)
+    return table_dir
+
+
 @register("text_bpe_vocab_k", oracle=_vocab_k_oracle(K_MERGES))
 def text_bpe_vocab_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {K_MERGES}-entry BPE merge table learned from the documents
     corpus — K deterministic greedy rounds, each linear at vocabulary
-    scale (VERDICT r8 ask #8); the oracle replays all {K_MERGES} rounds
-    symbolically in SQL, so every intermediate pair count, tiebreak,
-    and greedy-overlap decision is hash-checked, not just the final
-    table."""
-    return bpe_vocab_k(load_table(spark, sf_dir, "documents"))
+    scale (VERDICT r8 ask #8), run ONCE and committed as the frozen
+    tokenizer artifact (`build_bpe_index`); this query is the trainer,
+    returning the committed table.  The oracle replays all {K_MERGES}
+    rounds symbolically in SQL, so every intermediate pair count,
+    tiebreak, and greedy-overlap decision — i.e. the artifact's
+    CONTENT — is hash-checked, not just its shape."""
+    table_dir = _bpe_index_dir(spark, sf_dir)
+    merges, _ = load_bpe_index(spark, table_dir)
+    return merges
 
 
 @register(
@@ -430,12 +504,15 @@ def text_bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus pass, never a per-document re-tokenization.  The
     oracle replays training AND application symbolically, so the
     per-language sums certify every merge decision's effect on every
-    word of the corpus."""
+    word of the corpus.  Train-once/apply-everywhere (VERDICT r9 ask
+    #3): the tokenized vocabulary comes from the COMMITTED artifact
+    (`build_bpe_index`, built here only if missing) — when the
+    artifact exists this plan is a parquet scan + one join, no
+    training loop (tests/test_llm_ops.py asserts the plan reads the
+    index store)."""
     d = load_table(spark, sf_dir, "documents")
-    _, syms = _learn_merges(d, K_MERGES)
-    tokw = syms.groupBy("word").agg(
-        F.count("*").cast("bigint").alias("n_tok")
-    )
+    table_dir = _bpe_index_dir(spark, sf_dir)
+    _, tokw = load_bpe_index(spark, table_dir)
     dw = d.selectExpr(
         "lang", f"explode({spark_tokens('text')}) AS word"
     )

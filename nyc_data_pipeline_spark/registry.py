@@ -53,75 +53,23 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r9 window (positions 1-50): VERDICT r8 ask #1 — official
-    # driver verdicts for the 28 r8-continuation additions (judge-
-    # replayed 28/28 green in the r8 verdict, never driver-sampled),
-    # then the oldest standing verdicts.  After r9: every query's
-    # latest driver verdict is <= 2 rounds old.
-    # -- positions 1-5: the 5 r8 additions registered past the full
-    # r8 window (locally triple-verified at sf0.001/0.01/0.1 in r8).
-    "graph_kcore_peel",
-    "dq_corr_matrix",
-    "mm_audio_rms_windows",
-    "events_sliding_distinct_users",
-    "events_activity_bitmask",
-    # -- positions 6-28: the 23 r8-continuation additions (storage DML
-    # lifecycle, embeddings, export, analytics, multimodal, privacy,
-    # VARIANT ingestion, try_* escapes, weighted median, capstones).
-    "emb_semantic_decontaminate",
-    "src_zone_map_append",
-    "src_cow_delete",
-    "emb_random_projection",
-    "sample_shard_export",
-    "graph_common_neighbors",
-    "mm_thumbnail_resize",
-    "src_manifest_vacuum",
-    "orders_gini_concentration",
-    "src_partition_evolution",
-    "src_mor_delete_vectors",
-    "src_mor_compaction",
-    "dq_pseudonymize_joinable",
-    "window_rolling_ols",
-    "grouped_holt_forecast",
-    "sim_index_append",
-    "pipeline_export_ready",
-    "src_variant_props",
-    "fn_try_suite",
-    "window_running_distinct",
-    "agg_weighted_median",
-    "pipeline_entity_resolution",
-    "ref_pipeline_e2e",
-    # -- positions 29-49: the 21 oldest standing verdicts (r3-era,
-    # drain order = age order computed from CORRECTNESS_r01-r08).
-    "curriculum_quality_buckets",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q2_best_supplier",
-    "q11_important_stock",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "chunk_documents_stride",
-    "vocab_oov_rate",
-    "stream_trending_topk",
-    "events_funnel",
-    "retention_cohorts",
-    "join_skew_salted",
-    "emb_norm_outliers",
-    "events_transition_matrix",
-    # -- position 50: the single in-window r9 addition (cap <=1,
-    # VERDICT r8 ask #2): the CDC-change-stream -> merge-on-read
-    # commit composition's batch twin.
-    "stream_mor_cdc",
-    # ==== r10 queue (pre-staged): first this round's past-window
-    # additions (locally verified at sf0.001+sf0.01 on landing), then
-    # the 24 remaining r3-era rows the r9 window could not fit
-    # (continue in age order).
+    # ==== r10 window (positions 1-50), drained exactly as the r9
+    # verdict queued it (VERDICT r9 ask #2):
+    # -- positions 1-7: the 7 r9 past-window additions (judge-replayed
+    # green in the r9 verdict; never driver-sampled).
+    # -- positions 8-31: the 24 oldest standing verdicts (12 r3-era +
+    # 12 r4-era, age order from CORRECTNESS_r01-r09).
+    # -- positions 32-49: the next 18 r4-era rows (age order, then
+    # name order within a round).
+    # -- position 50: the single in-window r10 addition (cap <=1):
+    # ivm_join_view (two-table incremental view maintenance,
+    # VERDICT r9 ask #5).
+    # ==== r11 queue (pre-staged, positions 51+): this round's
+    # past-window additions first (each locally verified at
+    # sf0.001+sf0.01 on landing), then every remaining query in age
+    # order (latest-verdict round, then name) — r11 just drains the
+    # head.  Ages computed from CORRECTNESS_r01-r09; COVERAGE.md
+    # records the ledger.
     "text_bpe_vocab_k",
     "agg_weighted_quartiles",
     "stream_mor_cdc_compact",
@@ -153,28 +101,190 @@ _VERIFY_FIRST = [
     "window_cume_share",
     "sink_partition_overwrite",
     "window_gap_islands",
-    # ==== driver-green at current code (COVERAGE.md ledger); order
-    # past the 50-slot window does not matter.  First the 50 rows the
-    # r8 window verified (CORRECTNESS_r08: 50/50 green), then the
-    # prior green tail.
-    "mm_decode_plumbing",
-    "sim_adc_from_index",
-    "src_zone_map_pruning",
-    "dq_functional_dependency",
-    "graph_triangle_count",
-    "src_bloom_file_skipping",
-    "merge_zone_map_cow",
-    "src_cow_change_feed",
-    "ts_autocorrelation",
-    "dq_join_skew_audit",
-    "dedup_index_persisted",
-    "ts_theil_sen",
-    "dq_analyze_stats",
+    "agg_corr_exact",
+    "agg_weighted_avg",
+    "chunk_dedup_exact",
+    "dedup_incremental_probe",
+    "dedup_jaccard_bigram_shingles",
+    "dedup_minhash_est_vs_true",
+    "emb_gram_power_step",
+    "emb_knn_label_vote",
+    "emb_label_centroids",
+    "emb_nearest_centroid_assign",
+    "fn_bitwise_suite",
+    "fn_bool_agg_suite",
+    "fn_regex_suite",
+    "fn_url_suite",
+    "join_date_dim",
+    "join_relational_division",
+    "order_global_rownum",
+    "orders_rfm_segments",
+    "ivm_join_view",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q22_idle_customers",
+    "q4_priority_check",
+    "sample_lang_balanced",
+    "sim_hard_negatives",
+    "sink_bucketed_agg",
+    "text_pii_scrub",
+    "text_repetition_metrics",
+    "text_tfidf_topterms",
+    "window_distribution",
+    "window_week_over_week",
+    "agg_approx_count_distinct",
+    "agg_equidepth_histogram",
+    "agg_percentile_approx",
+    "approx_cms_heavy_hitters",
+    "approx_cms_merge",
+    "dedup_cross_chunk_share",
+    "dq_expectations_orders",
+    "dq_psi_bins_drift",
+    "emb_pq_codes",
+    "events_attribution_even",
+    "events_cusum_drift",
+    "events_dau_mau",
+    "events_hourly_anomaly",
+    "events_mad_outliers",
+    "events_survival_curve",
+    "events_user_lifecycle",
+    "events_value_halflife",
+    "fn_winsorize",
+    "geo_grid_hotspots",
+    "geo_radius_probe",
+    "grouped_ols_per_user",
+    "grouped_ols_trend",
+    "grouped_ses_forecast",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "join_scd2_pit",
+    "merge_upsert_bucketed",
+    "mm_phash_near_dup",
+    "orders_basket_pairs",
+    "orders_cohort_ltv",
+    "orders_open_backlog",
+    "orders_pareto_topk_share",
+    "rollup_hierarchy_reuse",
+    "sample_train_split",
+    "sessions_strict_funnel",
+    "sim_matryoshka_recall",
+    "sink_compaction",
+    "sink_jdbc_roundtrip",
+    "sink_zorder_stats",
+    "sql_lateral_topn",
+    "sql_recursive_hierarchy",
+    "src_schema_evolution",
+    "src_text_scan",
+    "text_langid_audit",
+    "text_lm_novelty",
+    "window_gapfill_locf",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats_moments",
+    "dq_duplicate_payments",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "graph_pagerank",
+    "join_asof_events",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_shuffle",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_tiers",
+    "order_limit_topk",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "ref_hourly_statistics",
+    "ref_kpi_summary",
+    "ref_partition_key",
+    "ref_trip_enrichment",
+    "ref_vendor_performance",
+    "sessionize_events",
+    "set_distinct",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_schema_drift",
+    "sink_zorder_stats_prod",
+    "sql_dashboard_kpis",
+    "window_interpolate_linear",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_first_last",
+    "window_ranking",
+    "window_running_sum",
+    "window_topn_per_group",
+    "ab_bootstrap_ci",
+    "ab_test_proportions",
+    "agg_equidepth_segment",
+    "approx_cms_topk_prod",
+    "approx_join_cardinality",
+    "approx_kmv_set_ops",
+    "approx_quantile_histogram",
+    "dedup_semantic_cluster",
+    "dedup_span_coverage",
+    "dq_benford_digits",
+    "dq_dp_noisy_counts",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_table_diff",
+    "events_cusum_sharded",
+    "events_markov_transitions",
+    "events_topk_sequences",
+    "geo_point_in_polygon",
+    "graph_label_propagation",
+    "join_fuzzy_trigram",
+    "join_stream_static",
+    "join_stream_stream",
+    "ml_feature_hashing",
+    "mm_decode_features",
+    "orders_abc_classes",
+    "orders_ohlc_monthly",
+    "orders_pareto_skyline",
+    "orders_rfm_quintiles",
+    "sample_neyman_threshold",
+    "sample_temperature_mix",
+    "sample_weighted_es",
+    "sim_pq_adc_recall",
+    "sim_rrf_fusion",
+    "src_time_travel",
+    "stateful_user_profile",
+    "stream_corpus_curate",
+    "stream_dedup_replay",
+    "stream_session_windows",
+    "stream_sliding_windows",
+    "stream_tumbling_hourly",
+    "text_bigram_entropy",
+    "text_bm25_topk",
+    "text_bpe_merge_step",
+    "text_dsir_importance",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "ts_seasonal_decompose",
+    "ts_seasonal_mase",
     "agg_pivot",
     "agg_skew_salted",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh_keep_one",
     "dedup_exact_hash",
+    "dedup_index_persisted",
     "dedup_jaccard_df_capped",
     "dedup_jaccard_unigram",
     "dedup_minhash_closure",
@@ -182,17 +292,25 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_keep_one",
+    "dq_analyze_stats",
+    "dq_functional_dependency",
+    "dq_join_skew_audit",
     "fn_conditional_null",
     "fn_hash_digests",
     "fn_json_suite",
     "fn_map_suite",
+    "graph_triangle_count",
     "join_asof_tolerance",
+    "merge_zone_map_cow",
+    "mm_decode_plumbing",
     "mm_frame_sample",
     "mm_metadata",
     "pack_token_budget",
     "pipeline_corpus_clean",
     "ref_pivoted_counts",
     "sample_weighted_mix",
+    "sim_adc_from_index",
+    "sim_ivf_adc_from_index",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
@@ -201,189 +319,66 @@ _VERIFY_FIRST = [
     "sink_bucketed_join",
     "sink_decimal_contract",
     "sink_partitioned_pruning",
+    "src_bloom_file_skipping",
+    "src_cow_change_feed",
     "src_json_scan",
+    "src_zone_map_pruning",
     "text_boilerplate_score",
     "text_decontaminate",
     "text_ngram_freq",
+    "ts_autocorrelation",
+    "ts_theil_sen",
     "window_range_frame",
-    "sim_ivf_adc_from_index",
-    "mm_decode_features",
-    "agg_equidepth_segment",
-    "events_cusum_sharded",
-    "dedup_semantic_cluster",
-    "join_fuzzy_trigram",
-    "sim_pq_adc_recall",
-    "text_bpe_merge_step",
-    "text_dsir_importance",
-    "sample_neyman_threshold",
-    "sample_temperature_mix",
-    "approx_join_cardinality",
-    "approx_quantile_histogram",
-    "graph_label_propagation",
-    "src_time_travel",
-    "dq_l_diversity",
-    "dedup_span_coverage",
-    "approx_kmv_set_ops",
-    "sample_weighted_es",
-    "text_bm25_topk",
-    "text_bigram_entropy",
-    "ab_bootstrap_ci",
-    "events_topk_sequences",
-    "dq_benford_digits",
-    "geo_point_in_polygon",
-    "orders_rfm_quintiles",
-    "orders_pareto_skyline",
-    "approx_cms_topk_prod",
-    "orders_abc_classes",
-    "ts_seasonal_decompose",
-    "dq_dp_noisy_counts",
-    "ml_feature_hashing",
-    "orders_ohlc_monthly",
-    "events_markov_transitions",
-    "ab_test_proportions",
-    "dq_k_anonymity",
-    "dq_table_diff",
-    "ts_seasonal_mase",
-    "sim_rrf_fusion",
-    "join_stream_stream",
-    "join_stream_static",
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "stream_corpus_curate",
-    "stream_dedup_replay",
-    "stateful_user_profile",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dq_duplicate_payments",
-    "window_interpolate_linear",
-    "graph_pagerank",
-    "sink_zorder_stats_prod",
-    "join_inner_shuffle",
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_range_tiers",
-    "join_asof_events",
-    "window_ranking",
-    "window_topn_per_group",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_ntile_first_last",
-    "sessionize_events",
-    "order_limit_topk",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats_moments",
-    "agg_percentiles",
-    "agg_collect_set",
-    "set_distinct",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_schema_drift",
-    "fn_string_suite",
-    "fn_math_suite",
-    "fn_date_suite",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "ref_trip_enrichment",
-    "ref_partition_key",
-    "ref_kpi_summary",
-    "ref_hourly_statistics",
-    "ref_vendor_performance",
-    "sql_dashboard_kpis",
-    "events_survival_curve",
-    "events_dau_mau",
-    "orders_open_backlog",
-    "approx_cms_merge",
-    "src_schema_evolution",
-    "fn_winsorize",
-    "events_mad_outliers",
-    "text_langid_audit",
-    "sink_jdbc_roundtrip",
-    "sql_recursive_hierarchy",
-    "sql_lateral_topn",
-    "geo_grid_hotspots",
-    "geo_radius_probe",
-    "mm_phash_near_dup",
-    "grouped_ses_forecast",
-    "orders_cohort_ltv",
-    "sink_compaction",
-    "dq_expectations_orders",
-    "dq_psi_bins_drift",
-    "join_scd2_pit",
-    "events_cusum_drift",
-    "agg_equidepth_histogram",
-    "sim_matryoshka_recall",
-    "rollup_hierarchy_reuse",
-    "sink_zorder_stats",
-    "window_gapfill_locf",
-    "join_interval_overlap",
-    "approx_cms_heavy_hitters",
-    "dedup_cross_chunk_share",
-    "text_lm_novelty",
-    "grouped_ols_per_user",
-    "events_attribution_even",
-    "events_user_lifecycle",
-    "orders_basket_pairs",
-    "sample_train_split",
-    "emb_pq_codes",
-    "join_bloom_prefilter",
-    "join_asof_nearest",
-    "sessions_strict_funnel",
-    "grouped_ols_trend",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "events_value_halflife",
-    "events_hourly_anomaly",
-    "src_text_scan",
-    "merge_upsert_bucketed",
-    "orders_pareto_topk_share",
-    "join_date_dim",
-    "emb_gram_power_step",
-    "orders_rfm_segments",
-    "join_relational_division",
-    "agg_weighted_avg",
-    "agg_corr_exact",
-    "window_week_over_week",
-    "chunk_dedup_exact",
-    "emb_nearest_centroid_assign",
-    "sink_bucketed_agg",
-    "dedup_minhash_est_vs_true",
-    "fn_bitwise_suite",
-    "fn_bool_agg_suite",
-    "fn_url_suite",
-    "dedup_jaccard_bigram_shingles",
-    "q4_priority_check",
-    "q12_shipping_delay",
-    "q14_promo_revenue",
-    "q22_idle_customers",
-    "order_global_rownum",
-    "text_tfidf_topterms",
-    "window_distribution",
-    "fn_regex_suite",
-    "dedup_incremental_probe",
-    "emb_label_centroids",
-    "sim_hard_negatives",
-    "emb_knn_label_vote",
-    "text_repetition_metrics",
-    "text_pii_scrub",
-    "sample_lang_balanced",
+    "agg_weighted_median",
+    "chunk_documents_stride",
+    "curriculum_quality_buckets",
+    "dq_corr_matrix",
+    "dq_pseudonymize_joinable",
+    "emb_norm_outliers",
+    "emb_random_projection",
+    "emb_semantic_decontaminate",
+    "events_activity_bitmask",
+    "events_funnel",
+    "events_sliding_distinct_users",
+    "events_transition_matrix",
+    "fn_try_suite",
+    "graph_common_neighbors",
+    "graph_kcore_peel",
+    "grouped_holt_forecast",
+    "join_skew_salted",
+    "mm_audio_rms_windows",
+    "mm_thumbnail_resize",
+    "orders_gini_concentration",
+    "pipeline_entity_resolution",
+    "pipeline_export_ready",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q2_best_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "ref_pipeline_e2e",
+    "retention_cohorts",
+    "sample_shard_export",
+    "sim_index_append",
+    "src_cow_delete",
+    "src_manifest_vacuum",
+    "src_mor_compaction",
+    "src_mor_delete_vectors",
+    "src_partition_evolution",
+    "src_variant_props",
+    "src_zone_map_append",
+    "stream_mor_cdc",
+    "stream_trending_topk",
+    "vocab_oov_rate",
+    "window_rolling_ols",
+    "window_running_distinct",
 ]
 
 

@@ -579,6 +579,28 @@ def _zm_versioned_write(
     return manifest
 
 
+def _grouped_manifest_scan(spark: SparkSession, files: dict) -> DataFrame:
+    """One parquet scan per VERSION DIRECTORY, not per bucket file.
+
+    `files` maps bucket id -> path (or list of paths); every path is a
+    `.../v{N}/zb={z}` directory, so grouping by the parent directory
+    and reading each group in one scan with `basePath` recovers zb as
+    a partition column for free.  The union branch count is the number
+    of commit versions in the manifest — O(#versions), not O(#files) —
+    which is what keeps the driver-side plan bounded at a 10^5-file
+    manifest (SCALE.md §22 measured the per-bucket form 3.5× slower at
+    just 80 files)."""
+    by_vdir: dict[str, list[str]] = {}
+    for _z, path in files.items():
+        for p in path if isinstance(path, list) else [path]:
+            by_vdir.setdefault(os.path.dirname(p), []).append(p)
+    out = None
+    for vdir, paths in sorted(by_vdir.items()):
+        piece = spark.read.option("basePath", vdir).parquet(*sorted(paths))
+        out = piece if out is None else out.unionByName(piece)
+    return out.withColumn("zb", F.col("zb").cast("int"))
+
+
 def _zm_read_version(
     spark: SparkSession, table_dir: str, version: int
 ) -> DataFrame:
@@ -586,12 +608,7 @@ def _zm_read_version(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         manifest = json.load(f)
-    out = None
-    for z, path in sorted(manifest["files"].items()):
-        paths = path if isinstance(path, list) else [path]
-        piece = spark.read.parquet(*paths).withColumn("zb", F.lit(int(z)))
-        out = piece if out is None else out.unionByName(piece)
-    return out
+    return _grouped_manifest_scan(spark, manifest["files"])
 
 
 def cow_merge(
@@ -1418,34 +1435,33 @@ def _mor_delete_commit(
 
 
 def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
-    """Manifest read applying delete vectors: DV-bucket rows anti-join
-    the broadcast key list, clean buckets stream verbatim.
-
-    Scale note: this builds one union branch per bucket, fine at the
-    fixture's 8 files but a 10^5-entry manifest wants the branches
-    GROUPED — one scan per (version dir, has-DV) pair via the basePath
-    trick (partition column recovers zb), then a single anti-join on
-    (zb, k) against the whole vector table; the plan drops from
-    O(#files) branches to O(#version-dirs).  The per-bucket form is
-    kept here because the COW/MOR fixtures mix versions per bucket
-    and the oracle certifies row-level semantics either way."""
+    """Manifest read applying delete vectors, GROUPED by (version dir,
+    has-DV): clean buckets stream through one scan per version
+    directory (zb recovered as a partition column via basePath), and
+    the DV-carrying buckets get ONE more grouped scan plus a single
+    broadcast anti-join on (zb, k) against the whole vector table.
+    The plan is O(#version-dirs × 2) branches + 1 join, never
+    O(#files) — the `mor_cdc_read` shape (streaming/mor_cdc.py),
+    converged here per VERDICT r9 ask #1 after SCALE.md §22 measured
+    the per-bucket form 3.5× slower at 80 files."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         m = json.load(f)
-    out = None
-    dv = None
-    if m.get("delete_vectors"):
-        dv = spark.read.json(m["delete_vectors"]).select("zb", "k")
-    for z, path in sorted(m["files"].items()):
-        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
-        if dv is not None and z in m["dv_buckets"]:
-            piece = piece.join(
-                F.broadcast(dv.filter(F.col("zb") == int(z)).select("k")),
-                "k",
-                "left_anti",
-            )
-        out = piece if out is None else out.unionByName(piece)
+    dv_buckets = (
+        set(m.get("dv_buckets", [])) if m.get("delete_vectors") else set()
+    )
+    clean = {z: p for z, p in m["files"].items() if z not in dv_buckets}
+    dirty = {z: p for z, p in m["files"].items() if z in dv_buckets}
+    out = _grouped_manifest_scan(spark, clean) if clean else None
+    if dirty:
+        dv = spark.read.json(m["delete_vectors"]).select(
+            F.col("zb").cast("int").alias("zb"), "k"
+        )
+        survivors = _grouped_manifest_scan(spark, dirty).join(
+            F.broadcast(dv), ["zb", "k"], "left_anti"
+        )
+        out = survivors if out is None else out.unionByName(survivors)
     return out
 
 
@@ -1717,4 +1733,8 @@ def ivm_change_feed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_cents"),
         )
+        # A group whose last row was deleted folds to n_rows = 0; the
+        # referee's GROUP BY over v2 (rightly) has no such row — drop
+        # it so "group disappears when its last row does" (ADVICE r9).
+        .filter(F.col("n_rows") > 0)
     )

@@ -23,24 +23,33 @@ lakehouse ingests a Kafka CDC topic (Iceberg equality deletes +
 sequence numbers; Delta DVs + idempotent writer txn ids), rebuilt on
 plain parquet + JSON manifests.
 
-Correctness algebra: Iceberg's sequence-number rule, but sequenced by
-the CHANGE's OWN version (the CDC log position riding in the data,
-strictly increasing per key — the stream_cdc_upsert contract), not by
-commit arrival order.  Every DV row records (key, change version);
-every stored row carries its version column (base rows are version 0).
-A stored row survives iff its key has no DV with a HIGHER version —
-`max_dv_v(k) <= row.version`.  An epoch's own upsert survives its own
-shadow vector (equal versions), a later change's DV shadows every
-older copy of the key, a delete is a DV with no matching append, and a
-delete-then-reinsert resurrects because the reinsert's version exceeds
-the delete's.  Sequencing by data version makes materialization
-ORDER-INDEPENDENT — the same associative-with-max fold law as
-pipelines/cdc.merge_fold_state: waves may arrive in any epoch order
-and a stale wave redelivered under a NEW epoch id (past the ledger)
-still cannot resurrect a deleted row, because the delete's
-higher-version DV keeps shadowing it.  (Commit-version sequencing
-would silently depend on arrival order — exactly the bug class the
-fold law exists to kill.)
+Correctness algebra: sequenced FIRST by the change's OWN version (the
+CDC log position riding in the data, strictly increasing per key —
+the stream_cdc_upsert contract), with the COMMIT sequence breaking
+equal-version ties (Iceberg's sequence-number rule).  Every DV row
+records (key, change version, commit); every stored row carries its
+version column (base rows are version 0) and the commit that wrote
+it (recovered from the manifest, never stored in the data).  A stored
+row survives iff `(row.version, row.commit) >= (v, c)` for every DV
+(v, c) on its key — lexicographic, one max-struct aggregate.  An
+epoch's own upsert survives its own shadow vector (equal version,
+equal commit), a later change's DV shadows every older copy of the
+key, a delete is a DV with no matching append, and a
+delete-then-reinsert resurrects because the reinsert's version
+exceeds the delete's.  Sequencing by data version first makes
+materialization ORDER-INDEPENDENT across DISTINCT changes — the same
+associative-with-max fold law as pipelines/cdc.merge_fold_state:
+waves may arrive in any epoch order and a stale wave redelivered
+under a NEW epoch id (past the ledger) still cannot resurrect a
+deleted row, because the delete's higher-version DV keeps shadowing
+it.  The commit tie-break covers the one case version alone cannot:
+that same redelivered wave appends a SECOND copy of each row at the
+SAME change version, and its own DV (equal version, later commit)
+shadows every earlier copy — so the table is ROW-convergent, not
+just key-convergent (count(*)/sums never double-count; ADVICE r9).
+(Commit-ONLY sequencing would silently depend on arrival order —
+exactly the bug class the fold law exists to kill; the commit enters
+only as the tie-break among copies of the SAME change.)
 
 Scale shape: each epoch commit is ONE linear shuffle of the change
 batch (repartition on the frozen-bounds bucket id — the shared
@@ -172,8 +181,17 @@ def mor_cdc_read(
     spark: SparkSession, table_dir: str, version: int
 ) -> DataFrame:
     """Read the table at manifest `version` applying every delete
-    vector: a stored row survives iff its key has no DV with a higher
-    CHANGE version (`max_dv_v(k) <= row.version` — see module doc).
+    vector: a stored row survives iff its key has no DV that SHADOWS
+    it, where a DV written by commit c at change version v shadows
+    rows with `row.version < v OR (row.version = v AND row.commit <
+    c)` — the change version sequences distinct changes (order-
+    independent fold law, module doc) and the COMMIT sequence breaks
+    equal-version ties, Iceberg's sequence-number rule.  The tie-break
+    is what makes the table state ROW-convergent under at-least-once
+    redelivery past the epoch ledger (ADVICE r9): a stale wave
+    re-committed under a NEW epoch id appends a second copy of each
+    row at the same change version, and its own DV (same version,
+    later commit) shadows every EARLIER copy, leaving exactly one.
     One scan per commit directory (manifest-listed paths, zb recovered
     as a partition column), one DV aggregate, one join."""
     with open(
@@ -189,24 +207,34 @@ def mor_cdc_read(
     for v, paths in sorted(by_commit.items()):
         piece = spark.read.option(
             "basePath", os.path.join(table_dir, f"v{v}")
-        ).parquet(*paths)
+        ).parquet(*paths).withColumn("_commit", F.lit(int(v)))
         rows = piece if rows is None else rows.unionByName(piece)
     dv = None
     for d in m["dvs"]:
-        piece = spark.read.json(d["path"]).select("k", "v")
+        piece = spark.read.json(d["path"]).select(
+            "k",
+            F.col("v").cast("long").alias("v"),
+            F.lit(int(d["v"])).cast("long").alias("_commit"),
+        )
         dv = piece if dv is None else dv.unionByName(piece)
     if dv is None:
-        return rows.drop("zb")
+        return rows.drop("zb", "_commit")
     shadow = dv.groupBy(F.col("k").alias(key)).agg(
-        F.max("v").alias("_max_dv_v")
+        F.max(F.struct("v", "_commit")).alias("_max_dv")
     )
     return (
         rows.join(shadow, key, "left")
         .filter(
-            F.col("_max_dv_v").isNull()
-            | (F.col("_max_dv_v") <= F.col("version"))
+            F.col("_max_dv").isNull()
+            | (
+                F.col("_max_dv")
+                <= F.struct(
+                    F.col("version").cast("long").alias("v"),
+                    F.col("_commit").cast("long").alias("_commit"),
+                )
+            )
         )
-        .drop("_max_dv_v", "zb")
+        .drop("_max_dv", "zb", "_commit")
     )
 
 
@@ -230,14 +258,31 @@ class MorCdcSink:
                 return json.load(f)
         return {}
 
+    def _latest_manifest_version(self) -> int:
+        vs = [
+            int(f[len("manifest-v"):-len(".json")])
+            for f in os.listdir(self.table_dir)
+            if f.startswith("manifest-v") and f.endswith(".json")
+        ]
+        return max(vs, default=1)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         ledger = self._read_ledger()
         if str(epoch_id) in ledger:
             return  # redelivered epoch: already committed, do nothing
         if batch_df.isEmpty():
             return
+        # Crash-recovery contract: the commit writes manifest-v{N}
+        # BEFORE the ledger entry, so a crash between the two leaves a
+        # published-but-unledgered manifest.  Deriving N from the MAX
+        # of ledger and on-disk manifests means the retried epoch
+        # re-commits OVER the orphan (every artifact write below v{N}
+        # is mode('overwrite') / atomic_json_dump, so the re-commit is
+        # idempotent) instead of silently reusing its number for a
+        # DIFFERENT epoch's data (ADVICE r9).
         version = max(
-            (int(v) for v in ledger.values()), default=1
+            max((int(v) for v in ledger.values()), default=1),
+            self._latest_manifest_version(),
         ) + 1
         mor_cdc_commit(self.spark, batch_df, self.table_dir, version)
         ledger[str(epoch_id)] = version
@@ -512,6 +557,21 @@ def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
-        .join(F.broadcast(files_before), "zb")
-        .join(F.broadcast(dv_rows), "zb")
+        # LEFT joins: a bucket holding survivors but no change keys has
+        # no DV rows (and, degenerately, could miss a files_before row)
+        # yet must still be reported, matching the oracle's 0-sum for
+        # untouched buckets (ADVICE r9).
+        .join(F.broadcast(files_before), "zb", "left")
+        .join(F.broadcast(dv_rows), "zb", "left")
+        .select(
+            "zb",
+            "n_rows",
+            "sum_chars",
+            F.coalesce("n_files_before", F.lit(1))
+            .cast("bigint")
+            .alias("n_files_before"),
+            F.coalesce("dv_rows_frozen", F.lit(0))
+            .cast("bigint")
+            .alias("dv_rows_frozen"),
+        )
     )

@@ -81,8 +81,7 @@ def timed(label, df):
     dt = time.perf_counter() - t0
     n, s = rows[0]["n"], rows[0]["s"]
     print(f"{label:>10}: {dt:7.2f} s   n={n} s={s:.2f}")
-    # float sum order differs per strategy; compare to 1 ppb
-    return dt, (n, round(s / max(abs(s), 1.0), 9))
+    return dt, (n, s)
 
 
 def main(ks):
@@ -137,8 +136,15 @@ def main(ks):
             b.join(s, (b["jk"] == s["dk"]) & (b["_salt"] == s["_salt"])),
         )
 
-        vals = {r[1] for r in results.values()}
-        assert len(vals) == 1, f"strategies disagree: {vals}"
+        # float sum order differs per strategy; compare each arm to the
+        # plain arm at 1 ppb RELATIVE error (ADVICE r9: dividing a sum
+        # by its own magnitude reduced the check to sign-and-count).
+        n_ref, s_ref = results["plain"][1]
+        for arm, (_t, (n, s)) in results.items():
+            assert n == n_ref, f"{arm}: row count {n} != {n_ref}"
+            assert abs(s - s_ref) <= 1e-9 * max(abs(s_ref), 1.0), (
+                f"{arm}: sum {s} != {s_ref}"
+            )
         print(f"k={k} summary:", {m: round(t, 2) for m, (t, _) in results.items()})
 
 

@@ -582,3 +582,26 @@ def test_mor_read_applies_vectors_as_broadcast_anti(spark, sf_dir):
     assert "LeftAnti" in p
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_mor_read_grouped_version_scans(spark, sf_dir):
+    """The batch MOR read must scan per VERSION DIRECTORY, not per
+    bucket file (VERDICT r9 ask #1): at the 8-file fixture the v2 read
+    is 2 grouped scans (clean group + DV group) and the v1 read is 1 —
+    3 parquet scans total, with zb recovered as a partition column,
+    instead of the 16 per-bucket branches the old shape built."""
+    p = plan_str(QUERIES["src_mor_delete_vectors"](spark, sf_dir), "simple")
+    assert p.count("FileScan parquet") == 3, p[:2000]
+    assert ",zb#" in p or "[zb#" in p  # zb is a recovered partition column
+
+
+def test_bpe_apply_reads_frozen_artifact(spark, sf_dir):
+    """Train-once/apply-everywhere (VERDICT r9 ask #3): once the
+    tokenizer artifact exists, the apply plan reads the committed
+    vocabulary parquet from the bpe_index store and contains NO
+    training loop — no checkpointed symbol-stream RDD scan, no
+    per-round state; just the corpus scan + the vocab join."""
+    QUERIES["text_bpe_vocab_k"](spark, sf_dir).collect()  # build once
+    p = plan_str(QUERIES["text_bpe_apply_vocab"](spark, sf_dir))
+    assert "bpe_index" in p, p[:2000]
+    assert "ExistingRDD" not in p and "LogicalRDD" not in p

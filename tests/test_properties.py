@@ -592,10 +592,13 @@ def test_mor_cdc_any_epoch_order_converges(spark, tmp_path_factory, raw, rng):
     )
     mor_cdc_commit(spark, df, tdir, version, n_files=4)
 
-    got = {
-        r.k: (r.payload, r.version)
-        for r in mor_cdc_read(spark, tdir, version).collect()
-    }
+    rows = mor_cdc_read(spark, tdir, version).collect()
+    got = {r.k: (r.payload, r.version) for r in rows}
+    # ROW-convergence, not just key-convergence: the redelivered chunk
+    # appended a second copy of each of its rows at the SAME change
+    # version, and the commit-sequence tie-break must shadow the older
+    # copies — a dict alone would mask duplicates (ADVICE r9).
+    assert len(rows) == len(got)
 
     # python one-shot keep-latest merge (delete wins at its version)
     state = {k: (1000 + k, 0, False) for k in range(12)}

@@ -1292,10 +1292,12 @@ def test_stream_mor_cdc_exactly_once(spark, sf_dir, tmp_path):
     assert latest == 4  # v1 base + one commit per wave
 
     def snapshot(version):
-        return {
-            r.doc_id: (r.lang, r.n_chars, r.version)
-            for r in mor_cdc_read(spark, table_dir, version).collect()
-        }
+        rows = mor_cdc_read(spark, table_dir, version).collect()
+        snap = {r.doc_id: (r.lang, r.n_chars, r.version) for r in rows}
+        # ROW-convergence: duplicate copies of a key would collapse in
+        # the dict — assert none survive the read rule (ADVICE r9).
+        assert len(rows) == len(snap), f"duplicate rows at v{version}"
+        return snap
 
     got = snapshot(latest)
     want = {

@@ -307,6 +307,12 @@ HEADLINE = [
     # (dedup_jaccard_prefix_filter stays OUT of the headline set like
     # the other pair emitters — output is Ω(#duplicate-pairs); it is
     # registered for correctness at sf0.01 with the naive-index oracle)
+    # r10: joined-view IVM (delta algebra against committed view
+    # artifacts + per-customer auxiliary; fact table never re-read)
+    "ivm_join_view",
+    # r10: add-column schema evolution through the MOR-CDC lane
+    # (widened epoch committed DV+append, schema-union read)
+    "stream_mor_cdc_evolve",
 ]
 
 

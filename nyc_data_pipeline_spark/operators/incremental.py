@@ -487,3 +487,259 @@ def quantile_from_histogram(o: DataFrame) -> DataFrame:
             ).alias("bound_ok"),
         )
     )
+
+
+# --- Incremental maintenance of a JOINED view (VERDICT r9 ask #5) -----------
+#
+# `ivm_change_feed_agg` (sources/zonemap.py) maintains a single-table
+# grouped view from its change feed; real dashboards maintain JOINED
+# rollups (revenue by customer segment = orders ⋈ customer).  The delta
+# algebra for a join view is  Δ(A⋈B) = ΔA⋈B₂ ∪ A₁⋈ΔB  (the textbook
+# three-term form ΔA⋈B₁ ∪ A₁⋈ΔB ∪ ΔA⋈ΔB with the two ΔA terms folded,
+# since B₂ = B₁+ΔB), with every change row carrying a SIGNED
+# multiplicity w (+1 insert / -1 delete; an update is its own -old,+new
+# pair) — bag semantics make the algebra exact with no case analysis.
+#
+# The A₁⋈ΔB term is the scale trap: joining the 100 TB fact table per
+# refresh would make maintenance O(table).  The fix is the classic
+# higher-order-IVM move (DBToaster's delta hierarchy): keep an
+# AUXILIARY per-join-key view  V_c = γ_c(count, sum)(A)  — O(customers)
+# rows, independent of |orders| — so  γ_seg(A₁⋈ΔB) = ΔB ⋈ V_c₁  is an
+# O(groups) lookup, and V_c itself folds ΔA in O(ΔA).  Per refresh the
+# fact table is NEVER read: cost = O(ΔA) + O(ΔB) + one scan of the
+# customer-level aggregate.  Both views are committed parquet
+# artifacts (the index_store build-once pattern); the oracle recomputes
+# the post-change join from the raw tables, so a hash match proves
+# feed-driven maintenance == recompute.
+
+IVM_A_DEL_MOD = 7     # delete orders with k % 7 == 0
+IVM_A_UPD_MOD = 5     # uplift surviving orders with k % 5 == 0
+IVM_A_INS_MOD = 13    # re-book orders with k % 13 == 0 under new keys
+IVM_A_UPLIFT = 1000   # cents added by the update wave
+IVM_A_INS_SHIFT = 6_000_000
+IVM_A_INS_BUMP = 7
+IVM_B_DEL_MOD = 17    # churn customers with c % 17 == 0
+IVM_B_MOVE_MOD = 13   # move customers with c % 13 == 0 to 'MOVED'
+
+
+def _ivm_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+
+def _ivm_b1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def _ivm_delta_a(a1: DataFrame) -> DataFrame:
+    """The orders change feed as signed rows (k, c, cents, w)."""
+    dels = a1.filter(F.col("k") % IVM_A_DEL_MOD == 0).withColumn(
+        "w", F.lit(-1)
+    )
+    upd_base = a1.filter(
+        (F.col("k") % IVM_A_UPD_MOD == 0)
+        & (F.col("k") % IVM_A_DEL_MOD != 0)
+    )
+    upd = upd_base.withColumn("w", F.lit(-1)).unionByName(
+        upd_base.withColumn(
+            "cents", F.col("cents") + IVM_A_UPLIFT
+        ).withColumn("w", F.lit(1))
+    )
+    ins = (
+        a1.filter(F.col("k") % IVM_A_INS_MOD == 0)
+        .select(
+            (F.col("k") + IVM_A_INS_SHIFT).alias("k"),
+            "c",
+            (F.col("cents") + IVM_A_INS_BUMP).alias("cents"),
+        )
+        .withColumn("w", F.lit(1))
+    )
+    return dels.unionByName(upd).unionByName(ins)
+
+
+def _ivm_delta_b(b1: DataFrame) -> DataFrame:
+    """The customer change feed as signed rows (c, segment, w)."""
+    dels = b1.filter(F.col("c") % IVM_B_DEL_MOD == 0).withColumn(
+        "w", F.lit(-1)
+    )
+    move_base = b1.filter(
+        (F.col("c") % IVM_B_MOVE_MOD == 0)
+        & (F.col("c") % IVM_B_DEL_MOD != 0)
+    )
+    moves = move_base.withColumn("w", F.lit(-1)).unionByName(
+        move_base.withColumn("segment", F.lit("MOVED")).withColumn(
+            "w", F.lit(1)
+        )
+    )
+    return dels.unionByName(moves)
+
+
+def build_join_view(
+    a1: DataFrame, b1: DataFrame, table_dir: str, version: int = 1
+) -> dict:
+    """Commit the materialized view pair as frozen parquet artifacts:
+    `cust_view` — the per-customer auxiliary γ_c(n, sum_cents)(A₁) the
+    ΔB term looks up — and `seg_view`, the dashboard rollup derived
+    from it with ONE dim join (never a second fact pass)."""
+    import os as _os
+
+    from ..sources.scans import atomic_json_dump
+
+    spark = a1.sparkSession
+    vdir = _os.path.join(table_dir, f"v{version}")
+    cust_path = _os.path.join(vdir, "cust_view")
+    seg_path = _os.path.join(vdir, "seg_view")
+    cust = a1.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    cust.write.mode("overwrite").parquet(cust_path)
+    cust2 = spark.read.parquet(cust_path)
+    (
+        cust2.join(F.broadcast(b1), "c")
+        .groupBy("segment")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .write.mode("overwrite")
+        .parquet(seg_path)
+    )
+    manifest = {"version": version, "cust_view": cust_path,
+                "seg_view": seg_path}
+    atomic_json_dump(
+        manifest, _os.path.join(table_dir, f"manifest-v{version}.json")
+    )
+    return manifest
+
+
+def maintain_join_view(
+    seg_v1: DataFrame,
+    cust_v1: DataFrame,
+    b2: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+) -> DataFrame:
+    """Advance the segment view under change feeds on BOTH inputs:
+    ΔV = γ_seg(ΔA ⋈ B₂)  +  ΔB ⋈ V_c₁  (each feed row's weight scales
+    its contribution), folded into V₁ with a full-outer join; a group
+    disappears when its count reaches zero.  No input of this plan is
+    the fact table."""
+    t1 = (
+        da.join(F.broadcast(b2), "c")
+        .groupBy("segment")
+        .agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dc"),
+        )
+    )
+    t2 = (
+        db.join(cust_v1, "c")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("w") * F.col("n_rows")).cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("sum_cents"))
+            .cast("bigint")
+            .alias("dc"),
+        )
+    )
+    dv = (
+        t1.unionByName(t2)
+        .groupBy("segment")
+        .agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("dc").cast("bigint").alias("dc"),
+        )
+    )
+    return (
+        seg_v1.join(dv, "segment", "full_outer")
+        .select(
+            "segment",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce("sum_cents", F.lit(0))
+                + F.coalesce("dc", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+@register(
+    "ivm_join_view",
+    oracle=f"""
+    WITH a1 AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b1 AS (
+        SELECT c_custkey AS c, c_mktsegment AS segment FROM customer
+    ),
+    a2 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % {IVM_A_UPD_MOD} = 0
+                            THEN {IVM_A_UPLIFT} ELSE 0 END AS cents
+        FROM a1 WHERE k % {IVM_A_DEL_MOD} <> 0
+        UNION ALL
+        SELECT k + {IVM_A_INS_SHIFT}, c, cents + {IVM_A_INS_BUMP}
+        FROM a1 WHERE k % {IVM_A_INS_MOD} = 0
+    ),
+    b2 AS (
+        SELECT c,
+               CASE WHEN c % {IVM_B_MOVE_MOD} = 0
+                    THEN 'MOVED' ELSE segment END AS segment
+        FROM b1 WHERE c % {IVM_B_DEL_MOD} <> 0
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a2 JOIN b2 USING (c)
+    GROUP BY segment
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-by-segment (orders ⋈ customer) maintained INCREMENTALLY
+    under change feeds on BOTH inputs (VERDICT r9 ask #5): order
+    deletes/updates/inserts and customer churn/segment moves arrive as
+    signed delta rows; the committed view pair (segment rollup + the
+    per-customer auxiliary) absorbs them via the delta-join algebra
+    without ever re-reading the orders table.  The oracle applies the
+    same change algebra to the raw tables and recomputes the join
+    aggregate one-shot — a hash match proves maintenance == recompute,
+    including customer deletes cascading over that customer's orders
+    and the ΔA⋈ΔB cross term (a deleted order of a moved customer)."""
+    import json as _json
+    import os as _os
+
+    from ..sources.scans import scratch_dir
+
+    table_dir = scratch_dir("ivm_join", sf_dir)
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+    mpath = _os.path.join(table_dir, "manifest-v1.json")
+    if not _os.path.exists(mpath):
+        build_join_view(a1, b1, table_dir)
+    with open(mpath) as f:
+        m = _json.load(f)
+    seg_v1 = spark.read.parquet(m["seg_view"])
+    cust_v1 = spark.read.parquet(m["cust_view"])
+    b2 = b1.filter(F.col("c") % IVM_B_DEL_MOD != 0).withColumn(
+        "segment",
+        F.when(
+            F.col("c") % IVM_B_MOVE_MOD == 0, F.lit("MOVED")
+        ).otherwise(F.col("segment")),
+    )
+    return maintain_join_view(
+        seg_v1, cust_v1, b2, _ivm_delta_a(a1), _ivm_delta_b(b1)
+    )

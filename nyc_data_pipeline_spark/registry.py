@@ -120,6 +120,9 @@ _VERIFY_FIRST = [
     "order_global_rownum",
     "orders_rfm_segments",
     "ivm_join_view",
+    # r11-queue head: r10 past-window additions (locally verified at
+    # sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    "stream_mor_cdc_evolve",
     "q12_shipping_delay",
     "q14_promo_revenue",
     "q22_idle_customers",

@@ -114,6 +114,7 @@ def mor_cdc_init(
         "version": 1,
         "files": files,
         "dvs": [],
+        "columns": [c for c in b.columns if c != "zb"],
     }
     atomic_json_dump(manifest, os.path.join(table_dir, "manifest-v1.json"))
     return manifest
@@ -164,13 +165,23 @@ def mor_cdc_commit(
             files.setdefault(z[len("zb="):], []).append(
                 {"path": os.path.join(vdir, z), "v": version}
             )
+    # Schema-evolution audit trail: the union of columns ever
+    # committed, plus which this commit added (add-column is the ONE
+    # evolution the read path supports — see mor_cdc_read; drops and
+    # renames need a rewrite, exactly as in Delta/Iceberg v1).
+    cols = [c for c in upserts.columns if c != "zb"]
+    prev_cols = prev.get("columns", [])
+    added = [c for c in cols if c not in prev_cols]
     manifest = {
         "key": key,
         "bounds": [lo, hi],
         "version": version,
         "files": files,
         "dvs": [*prev["dvs"], {"path": dv_dir, "v": version}],
+        "columns": [*prev_cols, *added],
     }
+    if added and prev_cols:
+        manifest["columns_added"] = added
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{version}.json")
     )
@@ -208,7 +219,16 @@ def mor_cdc_read(
         piece = spark.read.option(
             "basePath", os.path.join(table_dir, f"v{v}")
         ).parquet(*paths).withColumn("_commit", F.lit(int(v)))
-        rows = piece if rows is None else rows.unionByName(piece)
+        # allowMissingColumns: a schema-evolution commit (column added
+        # mid-stream) widens later files; rows from pre-evolution
+        # commits read the added column as NULL — Iceberg/Delta
+        # add-column semantics, and time travel to a pre-evolution
+        # version never sees the column at all.
+        rows = (
+            piece
+            if rows is None
+            else rows.unionByName(piece, allowMissingColumns=True)
+        )
     dv = None
     for d in m["dvs"]:
         piece = spark.read.json(d["path"]).select(
@@ -431,6 +451,7 @@ def mor_cdc_compact(
         "version": vnew,
         "files": files,
         "dvs": [],
+        "columns": m.get("columns", []),
         "compacted_from": version,
     }
     atomic_json_dump(
@@ -574,4 +595,95 @@ def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("dv_rows_frozen"),
         )
+    )
+
+
+def _evolve_waves(d: DataFrame) -> list[DataFrame]:
+    """Change waves for the schema-evolution lifecycle: wave 1 recrawls
+    doc_id%3 under the ORIGINAL schema; wave 2 is the EVOLUTION commit
+    — doc_id%5 re-scored with a NEW `score` column the table has never
+    seen; wave 3 deletes doc_id%4 (original schema again, proving
+    later epochs need not adopt the widened schema to commit)."""
+    return [
+        d.where(F.col("doc_id") % 3 == 0)
+        .withColumn("lang", F.lit("recrawl1"))
+        .withColumn("n_chars", F.col("n_chars") + 1)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u")),
+        d.where(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 2)
+        .withColumn("score", (F.col("doc_id") % 97).cast("bigint"))
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("u")),
+        d.where(F.col("doc_id") % 4 == 0)
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("d")),
+    ]
+
+
+@register(
+    "stream_mor_cdc_evolve",
+    # Raw-table oracle: the one-shot keep-latest merge, with the added
+    # column present EXACTLY on rows whose winning change is the
+    # evolution wave — every other winner (base, wave-1, post-wave
+    # survivors) reads it as NULL.
+    oracle="""
+    WITH merged AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'recrawl1', n_chars + 1, 1, 'u'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 2, 2, 'u'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 3, 'd'
+            FROM documents WHERE doc_id % 4 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS INT) AS version,
+           CASE WHEN version = 2 THEN CAST(doc_id % 97 AS BIGINT) END
+               AS score
+    FROM merged WHERE op <> 'd'
+    """,
+)
+def stream_mor_cdc_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution THROUGH the CDC lane (VERDICT r9
+    ask #6): commit the corpus at v1, land a same-schema recrawl
+    epoch, then an epoch whose upserts carry a brand-new `score`
+    column — committed as ordinary DV+append (no existing file read
+    or rewritten; the manifest records `columns_added`) — then a
+    delete epoch back on the ORIGINAL schema.  The read applies the
+    usual sequence rule and widens by name: pre-evolution rows (and
+    post-evolution winners that never re-scored) surface score as
+    NULL; time travel to v(2) — before the evolution — never sees the
+    column at all (asserted in tests/test_streaming.py along with the
+    redelivery no-op).  This is the commonest production migration —
+    a field added to the upstream CDC payload mid-stream — surviving
+    without pausing the pipeline."""
+    table_dir = scratch_dir("mor_cdc_evolve", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    waves = _evolve_waves(d)
+    final = len(waves) + 1
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ):
+        base = d.withColumn("version", F.lit(0))
+        mor_cdc_init(spark, base, table_dir, "doc_id")
+        for i, wave in enumerate(waves):
+            mor_cdc_commit(spark, wave, table_dir, 2 + i)
+    return mor_cdc_read(spark, table_dir, final).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+        F.col("score").cast("bigint").alias("score"),
     )

@@ -605,3 +605,15 @@ def test_bpe_apply_reads_frozen_artifact(spark, sf_dir):
     p = plan_str(QUERIES["text_bpe_apply_vocab"](spark, sf_dir))
     assert "bpe_index" in p, p[:2000]
     assert "ExistingRDD" not in p and "LogicalRDD" not in p
+
+
+def test_ivm_join_view_reads_artifacts_not_fact_rescan(spark, sf_dir):
+    """The maintenance plan's view inputs must be the COMMITTED
+    artifacts (segment rollup + customer-level auxiliary under the
+    ivm_join store), with the dim side broadcast; the only fact-table
+    scans are the change-feed derivation itself (production receives
+    the feed; the fixture must synthesize it)."""
+    QUERIES["ivm_join_view"](spark, sf_dir).collect()  # build views once
+    p = plan_str(QUERIES["ivm_join_view"](spark, sf_dir))
+    assert "ivm_join" in p, p[:2000]
+    assert "BroadcastExchange" in p

@@ -1419,3 +1419,237 @@ def test_stream_ivm_change_feed_equals_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["ivm_change_feed_agg"](spark, sf_dir).collect()
     }
     assert view == want
+
+
+def test_stream_mor_cdc_schema_evolution(spark, sf_dir, tmp_path):
+    """Add-column evolution mid-stream (VERDICT r9 ask #6): the waves
+    arrive as micro-batches where wave 2 carries a NEW `score` column;
+    MorCdcSink commits it as an ordinary DV+append epoch.  After
+    draining: the table equals the batch twin row-for-row, the
+    manifest records the added column, time travel to the
+    pre-evolution version has NO score column, and a redelivered
+    epoch (same id) plus a stale wave under a NEW epoch id both leave
+    the table row-convergent."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.types as T
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.streaming.ingest import (
+        file_json_stream_bounded,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        MorCdcSink,
+        _evolve_waves,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    from nyc_data_pipeline_spark.streaming.sinks import start_foreach_batch
+
+    load_all()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table_dir = str(tmp_path / "mor_cdc_evolve_stream")
+    mor_cdc_init(spark, d.withColumn("version", F.lit(0)), table_dir, "doc_id")
+
+    waves = _evolve_waves(d)
+    src = tmp_path / "cdc_evolve_in"
+    ckpt = str(tmp_path / "ckpt_evolve")
+    narrow_fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+    ]
+    narrow = T.StructType(narrow_fields)
+    wide = T.StructType(
+        narrow_fields + [T.StructField("score", T.LongType())]
+    )
+    sink = MorCdcSink(spark, table_dir)
+    # phase 1: wave 1 flows under the ORIGINAL reader schema
+    waves[0].coalesce(1).write.mode("append").json(str(src))
+    q = start_foreach_batch(
+        file_json_stream_bounded(spark, str(src), narrow,
+                                 max_files_per_trigger=1),
+        sink, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the migration: upstream payload grew a field — land the evolved
+    # and post-evolution waves, RESTART the query on the SAME
+    # checkpoint with the widened (nullable) schema; offsets resume,
+    # already-processed files are not re-read
+    for w in waves[1:]:
+        w.coalesce(1).write.mode("append").json(str(src))
+    q = start_foreach_batch(
+        file_json_stream_bounded(spark, str(src), wide,
+                                 max_files_per_trigger=1),
+        sink, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = sink.latest_version()
+    assert latest == 4
+
+    def snapshot(version):
+        rows = mor_cdc_read(spark, table_dir, version).collect()
+        snap = {
+            r.doc_id: (r.lang, r.n_chars, r.version, r.score)
+            for r in rows
+        }
+        assert len(rows) == len(snap), f"duplicate rows at v{version}"
+        return snap
+
+    got = snapshot(latest)
+    want = {
+        r.doc_id: (r.lang, r.n_chars, r.version, r.score)
+        for r in QUERIES["stream_mor_cdc_evolve"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # evolution bookkeeping: the manifest names the added column...
+    with open(_os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = _json.load(f)
+    assert m3["columns_added"] == ["score"]
+    # ...and time travel to BEFORE the evolution never sees it
+    pre = mor_cdc_read(spark, table_dir, 2)
+    assert "score" not in pre.columns
+
+    # redelivery path 1: same epoch id commits nothing
+    ledger = _json.load(open(_os.path.join(table_dir, "epoch-ledger.json")))
+    sink(waves[1].limit(20), int(next(iter(ledger))))
+    assert snapshot(latest) == got
+    # redelivery path 2: stale EVOLVED wave under a new epoch id —
+    # commit happens, table state row-converges to the same fixpoint
+    sink(waves[1], max(int(k) for k in ledger) + 1)
+    assert sink.latest_version() == 5
+    assert snapshot(5) == got
+
+
+def test_stream_ivm_join_view_equals_batch(spark, sf_dir, tmp_path):
+    """The JOIN-view IVM under STREAMED feeds: both tables' change
+    feeds arrive interleaved in arbitrary micro-batch chunks; each
+    epoch folds  γ_seg(ΔAᵢ ⋈ Bᵢ) + ΔBᵢ ⋈ V_c(i-1)  and then advances
+    the auxiliary state (V_c += γ_c(ΔAᵢ), B += ΔBᵢ).  Within an epoch
+    the dim side is POST-change and the customer-level auxiliary is
+    PRE-change — the exact bag algebra, so ANY chunking converges to
+    the one-shot `ivm_join_view` fixpoint, which its oracle ties to a
+    full recompute."""
+    import pyspark.sql.types as T
+    from nyc_data_pipeline_spark.operators.incremental import (
+        _ivm_a1,
+        _ivm_b1,
+        _ivm_delta_a,
+        _ivm_delta_b,
+    )
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.streaming.ingest import (
+        file_json_stream_bounded,
+    )
+
+    load_all()
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+
+    # driver-side state: the dim table as a WEIGHTED multiset (a move
+    # pair may straddle epochs, so c can transiently carry two
+    # segments — plain dict semantics would corrupt on the straddle),
+    # the per-customer auxiliary, and the segment view (small at
+    # fixture scale; each is the artifact a cluster deployment would
+    # keep as parquet)
+    b_state = {r["c"]: {r["segment"]: 1} for r in b1.collect()}
+    cust_view = {
+        r["c"]: [r["n"], r["s"]]
+        for r in a1.groupBy("c")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    seg_view = {}
+    for c, (n, s) in cust_view.items():
+        seg = next(iter(b_state[c]))
+        cur = seg_view.setdefault(seg, [0, 0])
+        cur[0] += n
+        cur[1] += s
+
+    # interleave both feeds, tagged, chunked into 4 arbitrary files
+    feed = (
+        _ivm_delta_a(a1)
+        .select(
+            F.lit("a").alias("src"), "k", "c", "cents",
+            F.lit(None).cast("string").alias("segment"), "w",
+        )
+        .unionByName(
+            _ivm_delta_b(b1).select(
+                F.lit("b").alias("src"),
+                F.lit(None).cast("long").alias("k"),
+                "c",
+                F.lit(None).cast("long").alias("cents"),
+                "segment",
+                "w",
+            )
+        )
+    )
+    feed_dir = tmp_path / "ivm_join_feed"
+    feed.repartition(4).write.json(str(feed_dir))
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+        ]
+    )
+
+    def fold(batch_df, _epoch):
+        rows = batch_df.collect()
+        da = [r for r in rows if r["src"] == "a"]
+        db = [r for r in rows if r["src"] == "b"]
+        # advance the dim FIRST (term 1 joins the post-change B)
+        for r in db:
+            segs = b_state.setdefault(r["c"], {})
+            segs[r["segment"]] = segs.get(r["segment"], 0) + r["w"]
+        # term 2: ΔB against the PRE-epoch customer auxiliary
+        for r in db:
+            nc = cust_view.get(r["c"])
+            if nc:
+                cur = seg_view.setdefault(r["segment"], [0, 0])
+                cur[0] += r["w"] * nc[0]
+                cur[1] += r["w"] * nc[1]
+        # term 1: ΔA against the post-change dim (all weighted rows —
+        # bag semantics)
+        for r in da:
+            for seg, wt in b_state.get(r["c"], {}).items():
+                if wt:
+                    cur = seg_view.setdefault(seg, [0, 0])
+                    cur[0] += r["w"] * wt
+                    cur[1] += r["w"] * wt * r["cents"]
+        # advance the customer auxiliary for later epochs
+        for r in da:
+            nc = cust_view.setdefault(r["c"], [0, 0])
+            nc[0] += r["w"]
+            nc[1] += r["w"] * r["cents"]
+
+    q = (
+        file_json_stream_bounded(
+            spark, str(feed_dir), schema, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {s: tuple(v) for s, v in seg_view.items() if v[0] > 0}
+    want = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in QUERIES["ivm_join_view"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -612,3 +612,132 @@ def test_mor_cdc_any_epoch_order_converges(spark, tmp_path_factory, raw, rng):
         if not dead
     }
     assert got == want
+
+
+# --- joined-view IVM: random two-sided feeds fold to the recompute ----------
+
+_ivm_order_change = st.tuples(
+    st.sampled_from(["del", "upd", "ins"]),
+    st.integers(min_value=0, max_value=19),    # order key
+    st.integers(min_value=0, max_value=7),     # customer key
+    st.integers(min_value=-50, max_value=99),  # cents payload / uplift
+)
+_ivm_cust_change = st.tuples(
+    st.sampled_from(["del", "move", "ins"]),
+    st.integers(min_value=0, max_value=9),     # customer key (2 beyond base)
+    st.sampled_from(["S0", "S1", "S2", "MOVED"]),
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_ivm_order_change, min_size=0, max_size=16),
+    st.lists(_ivm_cust_change, min_size=0, max_size=8),
+)
+def test_ivm_join_view_random_feeds_fold_to_recompute(
+    spark, a_changes, b_changes
+):
+    """The delta algebra behind `ivm_join_view`
+    (operators/incremental.maintain_join_view) on RANDOM feeds: any
+    mix of order deletes/updates/inserts and customer
+    deletes/moves/inserts — including orders inserted for customers
+    that never existed, customers deleted then re-inserted into a new
+    segment, and repeated changes to the same key — must fold the
+    stored views onto exactly the post-change one-shot join aggregate.
+    The fixture queries can't reach these compositions; the property
+    pins the algebra itself."""
+    import pyspark.sql.functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        maintain_join_view,
+    )
+
+    # base state: 20 orders over customers 0-7, customers 0-7 in S0-S2
+    base_a = [(k, k % 8, 100 + 7 * k) for k in range(20)]
+    base_b = [(c, f"S{c % 3}") for c in range(8)]
+
+    # normalize the random feeds into signed delta rows + final tables
+    a_rows = {k: (c, cents) for k, c, cents in base_a}
+    da = []
+    for op, k, c, cents in a_changes:
+        if op == "del" and k in a_rows:
+            oc, occ = a_rows.pop(k)
+            da.append((k, oc, occ, -1))
+        elif op == "upd" and k in a_rows:
+            oc, occ = a_rows[k]
+            da.append((k, oc, occ, -1))
+            a_rows[k] = (oc, occ + cents)
+            da.append((k, oc, occ + cents, 1))
+        elif op == "ins" and k not in a_rows:
+            a_rows[k] = (c, cents)
+            da.append((k, c, cents, 1))
+    b_rows = dict(base_b)
+    db = []
+    for op, c, seg in b_changes:
+        if op == "del" and c in b_rows:
+            db.append((c, b_rows.pop(c), -1))
+        elif op == "move" and c in b_rows:
+            db.append((c, b_rows[c], -1))
+            b_rows[c] = seg
+            db.append((c, seg, 1))
+        elif op == "ins" and c not in b_rows:
+            b_rows[c] = seg
+            db.append((c, seg, 1))
+
+    a1 = spark.createDataFrame(
+        [(k, c, cents) for k, (c, cents) in sorted(a_rows.items())]
+        or [(None, None, None)],
+        "k bigint, c bigint, cents bigint",
+    ).filter(F.col("k").isNotNull())
+    # pre-change views from the BASE tables
+    b1_map = dict(base_b)
+    cust = {}
+    for k, c, cents in base_a:
+        cur = cust.setdefault(c, [0, 0])
+        cur[0] += 1
+        cur[1] += cents
+    seg = {}
+    for c, (n, s) in cust.items():
+        if c in b1_map:
+            cur = seg.setdefault(b1_map[c], [0, 0])
+            cur[0] += n
+            cur[1] += s
+    seg_v1 = spark.createDataFrame(
+        [(s, v[0], v[1]) for s, v in sorted(seg.items())]
+        or [("__none__", 0, 0)],
+        "segment string, n_rows bigint, sum_cents bigint",
+    ).filter(F.col("n_rows") > 0)
+    cust_v1 = spark.createDataFrame(
+        [(c, v[0], v[1]) for c, v in sorted(cust.items())],
+        "c bigint, n_rows bigint, sum_cents bigint",
+    )
+    b2 = spark.createDataFrame(
+        sorted(b_rows.items()) or [(None, None)],
+        "c bigint, segment string",
+    ).filter(F.col("c").isNotNull())
+    da_df = spark.createDataFrame(
+        da or [(None, None, None, None)],
+        "k bigint, c bigint, cents bigint, w int",
+    ).filter(F.col("k").isNotNull())
+    db_df = spark.createDataFrame(
+        db or [(None, None, None)],
+        "c bigint, segment string, w int",
+    ).filter(F.col("c").isNotNull())
+
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in maintain_join_view(
+            seg_v1, cust_v1, b2, da_df, db_df
+        ).collect()
+    }
+    # recompute: one-shot join over the post-change tables
+    want = {}
+    for k, (c, cents) in a_rows.items():
+        if c in b_rows:
+            cur = want.setdefault(b_rows[c], [0, 0])
+            cur[0] += 1
+            cur[1] += cents
+    want = {s: tuple(v) for s, v in want.items() if v[0] > 0}
+    assert got == want

@@ -313,6 +313,12 @@ HEADLINE = [
     # r10: add-column schema evolution through the MOR-CDC lane
     # (widened epoch committed DV+append, schema-union read)
     "stream_mor_cdc_evolve",
+    # r10: VACUUM closing the streaming-CDC lifecycle (reachability
+    # reclaim of superseded epoch dirs + DV sidecars, isolated table)
+    "stream_mor_cdc_vacuum",
+    # r10: index retrain as a version swap (drifted + rebuilt probes
+    # compared; build included, the append-lifecycle continuation)
+    "sim_index_rebuild_swap",
 ]
 
 

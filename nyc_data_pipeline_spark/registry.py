@@ -123,6 +123,8 @@ _VERIFY_FIRST = [
     # r11-queue head: r10 past-window additions (locally verified at
     # sf0.001/0.01/0.1 on landing; judge-replay eligible)
     "stream_mor_cdc_evolve",
+    "stream_mor_cdc_vacuum",
+    "sim_index_rebuild_swap",
     "q12_shipping_delay",
     "q14_promo_revenue",
     "q22_idle_customers",

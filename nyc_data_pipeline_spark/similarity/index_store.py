@@ -768,3 +768,210 @@ def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_adc_search(queries, cent, cmicro, codes, emb).withColumn(
         "n_appended", F.lit(n_app).cast("bigint")
     )
+
+
+# --- Index REBUILD as a version swap (reader isolation) ---------------------
+#
+# `sim_index_append` grows the index under FROZEN artifacts; its
+# documented trade is quantization drift — enough appends and the
+# subset-trained centroids/codebook no longer fit the corpus.  The
+# production remedy is a RETRAIN, and the commit discipline is the
+# same as every other artifact here: the rebuild is one corpus pass
+# writing a brand-new version directory (centroids + codebook + codes
+# retrained over the FULL corpus), published by a manifest swap that
+# in-flight readers of the old version never observe — their manifest
+# names immutable paths the rebuild never touches (FAISS re-train +
+# atomic index flip, on parquet).  tests/test_plans.py pins the
+# isolation: the drifted probe replays byte-identically after the
+# swap.
+
+
+def _rebuild_chain(p: str, train_src: str) -> str:
+    """One full IVFPQ probe chain with CTE names prefixed `p`;
+    `train_src` is the training relation (`v` = full-corpus retrain,
+    `vbase` = the frozen subset-trained artifacts the drifted index
+    carries).  Codes/queries always cover ALL rows."""
+    return f"""{p}cent AS (
+        SELECT vec_id AS cid, dim, vi AS cc FROM {train_src}
+        WHERE vec_id < {K_CELLS}
+    ),
+    {p}celld AS (
+        SELECT v.vec_id, c.cid, SUM((v.vi - c.cc) * (v.vi - c.cc)) AS d2
+        FROM v JOIN {p}cent c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid
+    ),
+    {p}assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM {p}celld
+        ) WHERE rk = 1
+    ),
+    {p}cb AS (
+        SELECT seed AS code, sub, dim,
+               CAST(SUM(vi) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {train_src} GROUP BY seed, sub, dim
+    ),
+    {p}cmicro AS (
+        SELECT code, sub, dim,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS ci
+        FROM {p}cb
+    ),
+    {p}dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               SUM((v.vi - c.ci) * (v.vi - c.ci)) AS dist_sq
+        FROM v JOIN {p}cmicro c ON v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    {p}codes AS (
+        SELECT k.vec_id, k.sub, k.code, a.cid FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist_sq ASC, code ASC) AS rk
+            FROM {p}dists
+        ) k JOIN {p}assign a ON a.vec_id = k.vec_id
+        WHERE k.rk = 1
+    ),
+    {p}qcelld AS (
+        SELECT q.query_id, c.cid, SUM((q.qi - c.cc) * (q.qi - c.cc)) AS d2
+        FROM q JOIN {p}cent c ON q.dim = c.dim
+        GROUP BY q.query_id, c.cid
+    ),
+    {p}probe AS (
+        SELECT query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY d2 ASC, cid ASC) AS rk
+            FROM {p}qcelld
+        ) WHERE rk <= {IVFPQ_NPROBE}
+    ),
+    {p}lut AS (
+        SELECT q.query_id, c.sub, c.code,
+               SUM((q.qi - c.ci) * (q.qi - c.ci)) AS ld
+        FROM q JOIN {p}cmicro c ON q.dim = c.dim
+        GROUP BY q.query_id, c.sub, c.code
+    ),
+    {p}adc AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               SUM(l.ld) AS adc_dist
+        FROM {p}codes k
+        JOIN {p}probe pr ON pr.cid = k.cid
+        JOIN {p}lut l ON l.query_id = pr.query_id
+                     AND l.sub = k.sub AND l.code = k.code
+        WHERE l.query_id <> k.vec_id
+        GROUP BY l.query_id, k.vec_id
+    ),
+    {p}short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, neighbor_id) AS rank
+            FROM {p}adc
+        ) WHERE rank <= {IVFPQ_SHORTLIST}
+    ),
+    {p}rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               SUM((q.qi - v.vi) * (q.qi - v.vi)) AS dist
+        FROM {p}short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id AND q.dim = v.dim
+        GROUP BY s.query_id, s.neighbor_id
+    ),
+    {p}res AS (
+        SELECT query_id, neighbor_id, rank, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY dist ASC, neighbor_id) AS rank
+            FROM {p}rr
+        ) WHERE rank <= {TOP_K}
+    )"""
+
+
+def _rebuild_oracle() -> str:
+    """Both probe chains — drifted (subset-trained artifacts) and
+    rebuilt (full-corpus retrain) — recomputed independently; the
+    output is the rebuilt top-k with a per-row flag marking where the
+    retrain changed the answer."""
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               embedding AS e
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label * {SEED_SPLIT} + vec_id % {SEED_SPLIT} AS seed,
+               i - 1 AS dim, (i - 1) // {PQ_SUB_DIMS} AS sub,
+               CAST(floor(CAST(e[i] AS DOUBLE) * {MICRO}) AS BIGINT) AS vi
+        FROM ex
+    ),
+    vbase AS (SELECT * FROM v WHERE NOT {BATCH_PRED}),
+    q AS (SELECT vec_id AS query_id, dim, vi AS qi
+          FROM v WHERE vec_id < {N_QUERIES}),
+    {_rebuild_chain("d_", "vbase")},
+    {_rebuild_chain("r_", "v")}
+    SELECT r.query_id, r.neighbor_id,
+           CAST(r.rank AS INTEGER) AS rank,
+           CAST(r.dist AS BIGINT) AS dist,
+           (r.neighbor_id <> d.neighbor_id) AS changed
+    FROM r_res r JOIN d_res d USING (query_id, rank)
+    """
+
+
+@register("sim_index_rebuild_swap", oracle=_rebuild_oracle())
+def sim_index_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift remediation end-to-end: v1 trains on the corpus subset,
+    v2 appends the arrival batch under frozen artifacts (the
+    `sim_index_append` lifecycle), then the REBUILD retrains every
+    artifact over the full corpus and publishes it as version 3 — new
+    directories, manifest swap, v2's files untouched (reader
+    isolation pinned in tests/test_plans.py).  The output is the
+    rebuilt probe's top-k with a `changed` flag against the drifted
+    probe at the same rank; the oracle recomputes BOTH index states
+    independently, so the hash certifies the retrain semantics, the
+    swap's completeness (a stale centroid or code file surviving into
+    v3 breaks it), and exactly where drift had degraded the
+    answers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    table_dir = scratch_dir("ivfpq_rebuild", sf_dir)
+    corpus = emb.filter(~F.expr(BATCH_PRED))
+    batch = emb.filter(F.expr(BATCH_PRED))
+    if not os.path.exists(
+        os.path.join(table_dir, "ivfpq-manifest-v1.json")
+    ):
+        build_ivf_pq_index(corpus, table_dir, version=1)
+    if not os.path.exists(
+        os.path.join(table_dir, "ivfpq-manifest-v2.json")
+    ):
+        append_ivf_pq(spark, batch, table_dir, version=2)
+    if not os.path.exists(
+        os.path.join(table_dir, "ivfpq-manifest-v3.json")
+    ):
+        build_ivf_pq_index(emb, table_dir, version=3)
+    queries = _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    with open(
+        os.path.join(table_dir, "ivfpq-manifest-v2.json")
+    ) as f:
+        m2 = json.load(f)
+    cent2 = spark.read.parquet(m2["centroids"])
+    cb2 = spark.read.parquet(m2["codebook"])
+    codes2 = None
+    for pth in m2["codes"]:
+        scan = spark.read.option("basePath", pth).parquet(pth)
+        codes2 = scan if codes2 is None else codes2.unionByName(scan)
+    drifted = ivf_adc_search(queries, cent2, cb2, codes2, emb).select(
+        "query_id", "rank", F.col("neighbor_id").alias("old_neighbor")
+    )
+    cent3, cb3, codes3 = load_ivf_pq_index(spark, table_dir, version=3)
+    rebuilt = ivf_adc_search(queries, cent3, cb3, codes3, emb)
+    return (
+        rebuilt.join(drifted, ["query_id", "rank"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "dist",
+            (F.col("neighbor_id") != F.col("old_neighbor")).alias(
+                "changed"
+            ),
+        )
+    )

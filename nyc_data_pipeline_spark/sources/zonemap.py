@@ -971,18 +971,14 @@ def src_zone_map_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m3 = _zm_append(spark, batch, table_dir, 3)
-    out = None
-    for z, paths in sorted(m3["files"].items()):
-        piece = (
-            spark.read.parquet(*paths)
-            .select("k", "cents")
-            .withColumn("zb", F.lit(int(z)))
-            .withColumn(
-                "is_new",
-                (F.col("k") >= MRG_APP_KEY).cast("bigint"),
-            )
+    out = (
+        _grouped_manifest_scan(spark, m3["files"])
+        .select("k", "cents", "zb")
+        .withColumn(
+            "is_new",
+            (F.col("k") >= MRG_APP_KEY).cast("bigint"),
         )
-        out = piece if out is None else out.unionByName(piece)
+    )
     return out.groupBy(F.col("zb").cast("bigint").alias("zb")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
@@ -1406,12 +1402,9 @@ def _mor_delete_commit(
         .select("zb")
         .collect()
     }
-    tdf = None
-    for z, path in sorted(m1["files"].items()):
-        if z not in touched:
-            continue
-        piece = spark.read.parquet(path).withColumn("zb", F.lit(int(z)))
-        tdf = piece if tdf is None else tdf.unionByName(piece)
+    tdf = _grouped_manifest_scan(
+        spark, {z: p for z, p in m1["files"].items() if z in touched}
+    )
     dv_dir = os.path.join(table_dir, "dv-v2")
     in_slice = F.col("day").between(DEL_LO_DAY, DEL_HI_DAY)
     (

@@ -178,6 +178,7 @@ def mor_cdc_commit(
         "version": version,
         "files": files,
         "dvs": [*prev["dvs"], {"path": dv_dir, "v": version}],
+        "dv_floor": prev.get("dv_floor"),
         "columns": [*prev_cols, *added],
     }
     if added and prev_cols:
@@ -235,6 +236,16 @@ def mor_cdc_read(
             "k",
             F.col("v").cast("long").alias("v"),
             F.lit(int(d["v"])).cast("long").alias("_commit"),
+        )
+        dv = piece if dv is None else dv.unionByName(piece)
+    if m.get("dv_floor"):
+        # the compaction-frozen shadow history (one row per ever-
+        # churned key, max DV version at compaction time, commit = the
+        # compaction's) — see mor_cdc_compact
+        piece = spark.read.parquet(m["dv_floor"]).select(
+            "k",
+            F.col("v").cast("long").alias("v"),
+            F.col("_commit").cast("long").alias("_commit"),
         )
         dv = piece if dv is None else dv.unionByName(piece)
     if dv is None:
@@ -409,13 +420,23 @@ def mor_cdc_compact(
     n_files: int = MOR_CDC_FILES,
 ) -> dict:
     """OPTIMIZE for the streaming-CDC table: rewrite every bucket with
-    its survival rule applied (max_dv_v(k) <= row.version), publish
-    v{version+1} with ONE file per occupied bucket and NO delete
-    vectors.  Pays down the read debt the per-epoch DV+append commits
-    accumulate — after compaction a read is a plain manifest scan
-    again.  Cost is one linear pass over the live rows; the epochs'
-    commit history stays time-travelable through the older manifests
-    until vacuumed."""
+    its survival rule applied, publish v{version+1} with ONE file per
+    occupied bucket and NO per-epoch delete vectors.  Pays down the
+    read debt the per-epoch DV+append commits accumulate.  Cost is one
+    linear pass over the live rows; the epochs' commit history stays
+    time-travelable through the older manifests until vacuumed.
+
+    The vectors are not simply dropped: their per-key MAX change
+    version is frozen into a `dv_floor` sidecar (one row per
+    ever-churned key, commit = this compaction's).  Without it,
+    compaction would erase the shadow history and a stale wave
+    redelivered under a NEW epoch id AFTERWARDS could resurrect
+    superseded rows — the floor keeps shadowing them, so the fold law
+    survives compaction (Iceberg keeps equality-delete sequence floors
+    for the same reason).  The floor is O(churned keys) and is
+    CARRIED (re-frozen, folded with any newer vectors) by later
+    compactions; deployments whose source bounds redelivery (e.g.
+    log retention) may vacuum it past that horizon."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
@@ -445,12 +466,34 @@ def mor_cdc_compact(
         for z in os.listdir(vdir)
         if z.startswith("zb=")
     }
+    dv = None
+    for d in m["dvs"]:
+        piece = spark.read.json(d["path"]).select(
+            "k", F.col("v").cast("long").alias("v")
+        )
+        dv = piece if dv is None else dv.unionByName(piece)
+    if m.get("dv_floor"):
+        piece = spark.read.parquet(m["dv_floor"]).select(
+            "k", F.col("v").cast("long").alias("v")
+        )
+        dv = piece if dv is None else dv.unionByName(piece)
+    floor_path = None
+    if dv is not None:
+        floor_path = os.path.join(table_dir, f"dv-floor-v{vnew}")
+        (
+            dv.groupBy("k")
+            .agg(F.max("v").alias("v"))
+            .withColumn("_commit", F.lit(int(vnew)).cast("long"))
+            .write.mode("overwrite")
+            .parquet(floor_path)
+        )
     manifest = {
         "key": key,
         "bounds": [lo, hi],
         "version": vnew,
         "files": files,
         "dvs": [],
+        "dv_floor": floor_path,
         "columns": m.get("columns", []),
         "compacted_from": version,
     }
@@ -564,14 +607,13 @@ def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(table_dir, f"manifest-v{vnew}.json")
     ) as f:
         m_new = json.load(f)
-    out = None
-    for z, entries in sorted(m_new["files"].items()):
-        piece = (
-            spark.read.parquet(*[e["path"] for e in entries])
-            .select("n_chars")
-            .withColumn("zb", F.lit(int(z)).cast("bigint"))
-        )
-        out = piece if out is None else out.unionByName(piece)
+    from ..sources.zonemap import _grouped_manifest_scan
+
+    out = _grouped_manifest_scan(
+        spark,
+        {z: [e["path"] for e in entries]
+         for z, entries in m_new["files"].items()},
+    ).select("n_chars", F.col("zb").cast("bigint").alias("zb"))
     return (
         out.groupBy("zb")
         .agg(
@@ -686,4 +728,166 @@ def stream_mor_cdc_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("version").cast("int").alias("version"),
         F.col("score").cast("bigint").alias("score"),
+    )
+
+
+def mor_cdc_vacuum(table_dir: str, latest: int, retain: int = 1) -> dict:
+    """VACUUM for the streaming-CDC table: expire manifests older than
+    the newest `retain` and delete every data directory AND delete-
+    vector sidecar referenced by NO retained manifest.  Reachability
+    comes from the retained manifests alone — pure metadata + file
+    ops, O(#files), never a table scan (the manifest_vacuum rule,
+    sources/zonemap.py:1114, extended to DV sidecars: a compacted
+    manifest carries no vectors, so vacuuming to it reclaims the whole
+    DV history along with the superseded epoch files)."""
+    import shutil
+
+    reachable_data: set[str] = set()
+    reachable_dv: set[str] = set()
+    for v in range(latest - retain + 1, latest + 1):
+        with open(
+            os.path.join(table_dir, f"manifest-v{v}.json")
+        ) as f:
+            m = json.load(f)
+        for entries in m["files"].values():
+            reachable_data.update(e["path"] for e in entries)
+        reachable_dv.update(d["path"] for d in m["dvs"])
+        if m.get("dv_floor"):
+            # the compaction-frozen shadow floor guards against
+            # arbitrarily-late redelivery — reachable as long as any
+            # retained manifest names it (see mor_cdc_compact)
+            reachable_dv.add(m["dv_floor"])
+    present_data = {
+        os.path.join(table_dir, vd, zd)
+        for vd in os.listdir(table_dir)
+        if vd.startswith("v")
+        and os.path.isdir(os.path.join(table_dir, vd))
+        for zd in os.listdir(os.path.join(table_dir, vd))
+        if zd.startswith("zb=")
+    }
+    present_dv = {
+        os.path.join(table_dir, d)
+        for d in os.listdir(table_dir)
+        if (d.startswith("dv-v") or d.startswith("dv-floor-v"))
+        and os.path.isdir(os.path.join(table_dir, d))
+    }
+    rm_data = sorted(present_data - reachable_data)
+    rm_dv = sorted(present_dv - reachable_dv)
+    for path in rm_data + rm_dv:
+        shutil.rmtree(path)
+    for v in range(1, latest - retain + 1):
+        mp = os.path.join(table_dir, f"manifest-v{v}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    return {
+        "dirs_before": len(present_data),
+        "dirs_removed": len(rm_data),
+        "dirs_after": len(present_data) - len(rm_data),
+        "dv_dirs_removed": len(rm_dv),
+    }
+
+
+@register(
+    "stream_mor_cdc_vacuum",
+    # The oracle re-predicts the reachability arithmetic from the raw
+    # table and the wave algebra alone: v1 dirs = occupied buckets,
+    # each UPSERT wave appended dirs for the buckets its keys route to
+    # (the delete wave appends none), compaction wrote one dir per
+    # surviving bucket, and vacuum-to-v5 removes everything except
+    # those — plus all 3 DV sidecars.  Survivor totals after the
+    # physical delete prove the retained read is intact.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+    rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+    zb_of AS (
+        SELECT doc_id,
+               LEAST((doc_id - rng.lo) * {MOR_CDC_FILES}
+                     // (rng.hi - rng.lo + 1),
+                     {MOR_CDC_FILES - 1}) AS zb
+        FROM d, rng
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT doc_id, n_chars, 0 AS version, 'b' AS op FROM d
+            UNION ALL
+            SELECT doc_id, n_chars + 1, 1, 'u' FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars, 2, 'd' FROM d WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, n_chars + 3, 3, 'u' FROM d WHERE doc_id % 6 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    ),
+    survivors AS (
+        SELECT m.doc_id, m.n_chars, z.zb
+        FROM merged m JOIN zb_of z USING (doc_id)
+        WHERE m.op <> 'd'
+    ),
+    dirs AS (
+        SELECT v1.n + w1.n + w3.n + s.n AS dirs_before,
+               v1.n + w1.n + w3.n AS dirs_removed,
+               s.n AS dirs_after
+        FROM (SELECT COUNT(DISTINCT zb) AS n FROM zb_of) v1,
+             (SELECT COUNT(DISTINCT zb) AS n FROM zb_of
+              WHERE doc_id % 3 = 0) w1,
+             (SELECT COUNT(DISTINCT zb) AS n FROM zb_of
+              WHERE doc_id % 6 = 0) w3,
+             (SELECT COUNT(DISTINCT zb) AS n FROM survivors) s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+           CAST(dirs.dirs_before AS BIGINT) AS dirs_before,
+           CAST(dirs.dirs_removed AS BIGINT) AS dirs_removed,
+           CAST(dirs.dirs_after AS BIGINT) AS dirs_after,
+           CAST(3 AS BIGINT) AS dv_dirs_removed
+    FROM survivors s, dirs
+    GROUP BY dirs.dirs_before, dirs.dirs_removed, dirs.dirs_after
+    """,
+)
+def stream_mor_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last leg of the streaming-CDC lifecycle (ingest → DV+append
+    epochs → compact → VACUUM): run the four commits and the
+    compaction in an isolated table, expire everything but the
+    compacted v5, and physically delete the superseded epoch dirs and
+    all three DV sidecars — then read v5 back THROUGH the manifest,
+    proving the reclaim removed only garbage.  Together with
+    `stream_mor_cdc` / `stream_mor_cdc_compact` this closes the same
+    commit→optimize→reclaim story the batch lane proved
+    (`src_mor_delete_vectors` → `src_mor_compaction` →
+    `src_manifest_vacuum`), now for the streaming table."""
+    table_dir = scratch_dir("mor_cdc_vac", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    waves = _doc_waves(d)
+    final = len(waves) + 1
+    record = os.path.join(table_dir, f"vacuum-v{final + 1}.json")
+    if not os.path.exists(record):
+        base = d.withColumn("version", F.lit(0))
+        mor_cdc_init(spark, base, table_dir, "doc_id")
+        for i, wave in enumerate(waves):
+            mor_cdc_commit(spark, wave, table_dir, 2 + i)
+        mor_cdc_compact(spark, table_dir, final)
+        stats = mor_cdc_vacuum(table_dir, latest=final + 1)
+        atomic_json_dump(stats, record)
+    with open(record) as f:
+        stats = json.load(f)
+    return (
+        mor_cdc_read(spark, table_dir, final + 1)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            "n_rows",
+            "sum_chars",
+            F.lit(stats["dirs_before"]).cast("bigint").alias("dirs_before"),
+            F.lit(stats["dirs_removed"]).cast("bigint")
+            .alias("dirs_removed"),
+            F.lit(stats["dirs_after"]).cast("bigint").alias("dirs_after"),
+            F.lit(stats["dv_dirs_removed"]).cast("bigint")
+            .alias("dv_dirs_removed"),
+        )
     )

@@ -280,6 +280,21 @@ def main(k: int, n_files: int) -> dict:
         "noop"
     ).mode("overwrite").save()
     out["cdc_t_read_compacted"] = round(time.perf_counter() - t0, 2)
+
+    # --- streaming-CDC VACUUM (r10): reachability reclaim to the
+    # compacted version — pure metadata + file ops, O(#files)
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_vacuum
+
+    t0 = time.perf_counter()
+    vstats_cdc = mor_cdc_vacuum(cdc_dir, latest=5)
+    out["cdc_vacuum_t"] = round(time.perf_counter() - t0, 2)
+    out["cdc_vacuum_removed"] = vstats_cdc["dirs_removed"]
+    out["cdc_vacuum_dv_removed"] = vstats_cdc["dv_dirs_removed"]
+    t0 = time.perf_counter()
+    mor_cdc_read(spark, cdc_dir, 5).agg(F.sum("cents")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["cdc_t_read_post_vacuum"] = round(time.perf_counter() - t0, 2)
     return out
 
 

@@ -617,3 +617,71 @@ def test_ivm_join_view_reads_artifacts_not_fact_rescan(spark, sf_dir):
     p = plan_str(QUERIES["ivm_join_view"](spark, sf_dir))
     assert "ivm_join" in p, p[:2000]
     assert "BroadcastExchange" in p
+
+
+def test_index_rebuild_swap_reader_isolation(spark, sf_dir):
+    """The retrain commits version 3 as NEW directories + a manifest
+    swap; a reader holding the v2 manifest must replay byte-identical
+    results after the swap (its paths are immutable and disjoint from
+    v3's), and the v3 probe plan must read only v3 artifacts."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.similarity.adc import _micro_rows
+    from nyc_data_pipeline_spark.similarity.brute_force import N_QUERIES
+    from nyc_data_pipeline_spark.similarity.index_store import (
+        ivf_adc_search,
+    )
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    def probe_v2(table_dir, emb, queries):
+        with open(
+            _os.path.join(table_dir, "ivfpq-manifest-v2.json")
+        ) as f:
+            m2 = _json.load(f)
+        codes = None
+        for pth in m2["codes"]:
+            scan = spark.read.option("basePath", pth).parquet(pth)
+            codes = scan if codes is None else codes.unionByName(scan)
+        return sorted(
+            map(
+                tuple,
+                ivf_adc_search(
+                    queries,
+                    spark.read.parquet(m2["centroids"]),
+                    spark.read.parquet(m2["codebook"]),
+                    codes,
+                    emb,
+                ).collect(),
+            )
+        ), m2
+
+    # the registered query builds v1 -> v2 -> v3; capture the v2 probe
+    # BEFORE forcing a (re)build and again after
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _micro_rows(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    QUERIES["sim_index_rebuild_swap"](spark, sf_dir).collect()
+    table_dir = scratch_dir("ivfpq_rebuild", sf_dir)
+    before, m2 = probe_v2(table_dir, emb, queries)
+    after, _ = probe_v2(table_dir, emb, queries)
+    assert before == after
+    # disjoint artifact sets: nothing v2 references lives under v3/
+    with open(
+        _os.path.join(table_dir, "ivfpq-manifest-v3.json")
+    ) as f:
+        m3 = _json.load(f)
+    v2_paths = set(m2["codes"]) | {m2["centroids"], m2["codebook"]}
+    v3_paths = {m3["codes"], m3["centroids"], m3["codebook"]}
+    assert v2_paths.isdisjoint(v3_paths)
+    assert all("/v3/" in p for p in v3_paths)
+    # the rebuilt probe never touches a v1/v2 artifact
+    cent3 = spark.read.parquet(m3["centroids"])
+    cb3 = spark.read.parquet(m3["codebook"])
+    codes3 = spark.read.option("basePath", m3["codes"]).parquet(m3["codes"])
+    p = plan_str(ivf_adc_search(queries, cent3, cb3, codes3, emb))
+    for old in v2_paths:
+        assert old not in p

@@ -1332,6 +1332,16 @@ def test_stream_mor_cdc_exactly_once(spark, sf_dir, tmp_path):
     assert all(len(entries) == 1 for entries in m6["files"].values())
     assert snapshot(6) == got
 
+    # redelivery path 3: a stale wave under a NEW epoch id AFTER
+    # compaction dropped the per-epoch vectors — the dv_floor frozen
+    # by the compaction must keep shadowing it (without the floor,
+    # wave 1's stale copies would resurrect rows that wave 2 deleted
+    # and out-shadow nothing, breaking both row counts and values)
+    assert m6["dv_floor"]
+    sink(waves[0], max(int(k) for k in ledger) + 2)
+    assert sink.latest_version() == 7
+    assert snapshot(7) == got
+
 
 def test_stream_ivm_change_feed_equals_batch(spark, sf_dir, tmp_path):
     """The change feed consumed as a STREAM maintains the grouped view

@@ -319,6 +319,12 @@ HEADLINE = [
     # r10: index retrain as a version swap (drifted + rebuilt probes
     # compared; build included, the append-lifecycle continuation)
     "sim_index_rebuild_swap",
+    # r10: row-level change feed read out of the CDC commits
+    # (pre/post images via broadcast key-list semi-join per epoch)
+    "stream_mor_cdc_feed",
+    # r10: feed-driven view maintenance with group moves (pre-image
+    # negative / post-image positive contributions)
+    "ivm_stream_feed_view",
 ]
 
 

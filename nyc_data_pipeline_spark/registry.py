@@ -125,6 +125,8 @@ _VERIFY_FIRST = [
     "stream_mor_cdc_evolve",
     "stream_mor_cdc_vacuum",
     "sim_index_rebuild_swap",
+    "stream_mor_cdc_feed",
+    "ivm_stream_feed_view",
     "q12_shipping_delay",
     "q14_promo_revenue",
     "q22_idle_customers",

@@ -891,3 +891,261 @@ def stream_mor_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dv_dirs_removed"),
         )
     )
+
+
+def mor_cdc_change_feed(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Row-level change feed of commit `version` (v{N-1} → v{N}):
+    insert / update / delete rows with pre- and post-images, derived
+    from the commit's OWN artifacts — post-images are the epoch's
+    appended files, change keys are its DV sidecar, and pre-images are
+    the v{N-1} read semi-joined to those keys (O(changes) via the
+    broadcast key list; the table itself is never diffed).  This is
+    the Delta/Iceberg CDF read of an upsert commit, and the input
+    `ivm_change_feed_agg`-style view maintenance wants from the
+    STREAMING lane (the COW lane's `change_feed_from` is the batch
+    twin)."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    key = m["key"]
+    dv_keys = (
+        spark.read.json(os.path.join(table_dir, f"dv-v{version}"))
+        .select(F.col("k").alias(key))
+        .distinct()
+    )
+    vdir = os.path.join(table_dir, f"v{version}")
+    post_paths = [
+        e["path"]
+        for entries in m["files"].values()
+        for e in entries
+        if int(e["v"]) == version
+    ]
+    data_cols = [c for c in m.get("columns", []) if c != "version"]
+    if post_paths:
+        post = spark.read.option("basePath", vdir).parquet(
+            *sorted(post_paths)
+        ).drop("zb")
+    else:  # delete-only commit: no appended files
+        post = None
+    pre = mor_cdc_read(spark, table_dir, version - 1).join(
+        F.broadcast(dv_keys), key, "left_semi"
+    )
+    pre_sel = pre.select(
+        key,
+        *[F.col(c).alias(f"pre_{c}") for c in data_cols if c != key],
+    )
+    if post is None:
+        both = pre_sel
+        for c in data_cols:
+            if c != key:
+                both = both.withColumn(f"post_{c}", F.lit(None))
+    else:
+        post_sel = post.select(
+            key,
+            *[
+                (F.col(c) if c in post.columns else F.lit(None)).alias(
+                    f"post_{c}"
+                )
+                for c in data_cols
+                if c != key
+            ],
+        )
+        both = pre_sel.join(post_sel, key, "full_outer")
+    # classify on a witness column that is non-null in every image
+    # (n_chars here; any mandatory payload column works)
+    wit = next(c for c in data_cols if c != key)
+    return both.select(
+        F.lit(int(version)).cast("int").alias("commit"),
+        key,
+        F.when(F.col(f"post_{wit}").isNull(), F.lit("delete"))
+        .when(F.col(f"pre_{wit}").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+        *[
+            c
+            for pair in (
+                (F.col(f"pre_{c}"), F.col(f"post_{c}"))
+                for c in data_cols
+                if c != key
+            )
+            for c in pair
+        ],
+    )
+
+
+@register(
+    "stream_mor_cdc_feed",
+    # The oracle re-derives every commit's feed from the wave algebra
+    # alone: wave 1 updates every doc_id%3 row off the base image,
+    # wave 2 deletes doc_id%4 with the post-wave-1 pre-image, wave 3
+    # re-crawls doc_id%6 — an UPDATE off the wave-1 image except the
+    # doc_id%12 rows wave 2 had deleted, which come back as INSERTs
+    # (pre-image NULL).  Pre/post images are value-checked, not just
+    # the change labels.
+    oracle="""
+    SELECT 2 AS commit, doc_id, 'update' AS change,
+           lang AS pre_lang, 'recrawl1' AS post_lang,
+           CAST(n_chars AS BIGINT) AS pre_n_chars,
+           CAST(n_chars + 1 AS BIGINT) AS post_n_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 3, doc_id, 'delete',
+           CASE WHEN doc_id % 3 = 0 THEN 'recrawl1' ELSE lang END,
+           CAST(NULL AS VARCHAR),
+           CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1
+                     ELSE n_chars END AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 4, doc_id,
+           CASE WHEN doc_id % 12 = 0 THEN 'insert' ELSE 'update' END,
+           CASE WHEN doc_id % 12 = 0 THEN CAST(NULL AS VARCHAR)
+                ELSE 'recrawl1' END,
+           'recrawl3',
+           CAST(CASE WHEN doc_id % 12 = 0 THEN NULL
+                     ELSE n_chars + 1 END AS BIGINT),
+           CAST(n_chars + 3 AS BIGINT)
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def stream_mor_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming table's CHANGE FEED, read back out of the commits
+    themselves: every epoch's insert/update/delete rows with pre- and
+    post-images (`mor_cdc_change_feed`) across all three waves.  This
+    closes the producer side of the IVM story for the streaming lane —
+    `ivm_change_feed_agg` / `ivm_join_view` consume exactly this shape
+    — and certifies that the DV+append commit layout retains enough
+    information to reconstruct row-level history without ever diffing
+    table snapshots.  The oracle recomputes all three feeds
+    symbolically from the raw table, pre-images included (a wrong
+    pre-image means a wrong v{N-1} read, so this doubles as a
+    time-travel check on every commit boundary)."""
+    table_dir = scratch_dir("mor_cdc", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    final = len(_doc_waves(d)) + 1
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ):
+        stream_mor_cdc(spark, sf_dir).collect()
+    out = None
+    for v in range(2, final + 1):
+        piece = mor_cdc_change_feed(spark, table_dir, v)
+        out = piece if out is None else out.unionByName(piece)
+    return out.select(
+        "commit",
+        "doc_id",
+        "change",
+        "pre_lang",
+        "post_lang",
+        F.col("pre_n_chars").cast("bigint").alias("pre_n_chars"),
+        F.col("post_n_chars").cast("bigint").alias("post_n_chars"),
+    )
+
+
+@register(
+    "ivm_stream_feed_view",
+    # Referee: the grouped aggregate over the final merged table state
+    # (same keep-latest algebra as stream_mor_cdc's oracle) — the
+    # feed-folded view must land exactly there.
+    oracle="""
+    WITH merged AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'recrawl1', n_chars + 1, 1, 'u'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 2, 'd'
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, 'recrawl3', n_chars + 3, 3, 'u'
+            FROM documents WHERE doc_id % 6 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged WHERE op <> 'd'
+    GROUP BY lang
+    """,
+)
+def ivm_stream_feed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer meets consumer: the per-language (count, chars) view is
+    built ONCE over the CDC table's v1 and then advanced purely from
+    `mor_cdc_change_feed`'s rows — each change contributes its
+    pre-image negatively and its post-image positively, which handles
+    GROUP MOVES for free (a recrawl that changes `lang` is -1 in the
+    old language and +1 in the new — the case a naive
+    same-group-delta fold gets wrong).  The engine never reads v2+ of
+    the table; the oracle aggregates the final merged state directly,
+    so a hash match proves feed-driven maintenance == recompute across
+    inserts, deletes, updates, group moves, and the wave-2/wave-3
+    delete-then-reinsert resurrections.  Cost shape: O(view) once +
+    O(changes) per commit — the `ivm_change_feed_agg` contract, now
+    fed by the streaming lane's own commits."""
+    table_dir = scratch_dir("mor_cdc", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    final = len(_doc_waves(d)) + 1
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ):
+        stream_mor_cdc(spark, sf_dir).collect()
+    view1 = (
+        mor_cdc_read(spark, table_dir, 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    feed = None
+    for v in range(2, final + 1):
+        piece = mor_cdc_change_feed(spark, table_dir, v)
+        feed = piece if feed is None else feed.unionByName(piece)
+    contrib = (
+        feed.filter(F.col("pre_n_chars").isNotNull())
+        .select(
+            F.col("pre_lang").alias("lang"),
+            F.lit(-1).alias("dn"),
+            (-F.col("pre_n_chars")).alias("dc"),
+        )
+        .unionByName(
+            feed.filter(F.col("post_n_chars").isNotNull()).select(
+                F.col("post_lang").alias("lang"),
+                F.lit(1).alias("dn"),
+                F.col("post_n_chars").alias("dc"),
+            )
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("dc").cast("bigint").alias("dc"),
+        )
+    )
+    return (
+        view1.join(contrib, "lang", "full_outer")
+        .select(
+            "lang",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                F.coalesce("sum_chars", F.lit(0))
+                + F.coalesce("dc", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )

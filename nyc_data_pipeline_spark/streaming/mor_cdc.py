@@ -905,16 +905,25 @@ def mor_cdc_change_feed(
     the Delta/Iceberg CDF read of an upsert commit, and the input
     `ivm_change_feed_agg`-style view maintenance wants from the
     STREAMING lane (the COW lane's `change_feed_from` is the batch
-    twin)."""
+    twin).
+
+    The feed is the commit's NET EFFECT per key (Delta CDF
+    semantics): when one epoch carries several changes to the same
+    key, the post-image is the copy at the key's HIGHEST change
+    version in this commit — and only if that change was an upsert
+    (a delete leaves no copy at its version, so the net row is a
+    delete) — never one row per superseded intra-epoch copy, which
+    would duplicate the pre-image and break any downstream -pre/+post
+    fold."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         m = json.load(f)
     key = m["key"]
-    dv_keys = (
+    dv_agg = (
         spark.read.json(os.path.join(table_dir, f"dv-v{version}"))
-        .select(F.col("k").alias(key))
-        .distinct()
+        .groupBy(F.col("k").alias(key))
+        .agg(F.max("v").cast("long").alias("_dv_v"))
     )
     vdir = os.path.join(table_dir, f"v{version}")
     post_paths = [
@@ -925,17 +934,29 @@ def mor_cdc_change_feed(
     ]
     data_cols = [c for c in m.get("columns", []) if c != "version"]
     if post_paths:
-        post = spark.read.option("basePath", vdir).parquet(
-            *sorted(post_paths)
-        ).drop("zb")
+        # net post-image: the appended copy at the key's max change
+        # version this commit (absent when that change is a delete)
+        post = (
+            spark.read.option("basePath", vdir)
+            .parquet(*sorted(post_paths))
+            .drop("zb")
+            .join(F.broadcast(dv_agg), key)
+            .filter(F.col("version").cast("long") == F.col("_dv_v"))
+        )
     else:  # delete-only commit: no appended files
         post = None
     pre = mor_cdc_read(spark, table_dir, version - 1).join(
-        F.broadcast(dv_keys), key, "left_semi"
+        F.broadcast(dv_agg.select(key)), key, "left_semi"
     )
     pre_sel = pre.select(
         key,
-        *[F.col(c).alias(f"pre_{c}") for c in data_cols if c != key],
+        *[
+            (F.col(c) if c in pre.columns else F.lit(None)).alias(
+                f"pre_{c}"
+            )
+            for c in data_cols
+            if c != key
+        ],
     )
     if post is None:
         both = pre_sel

@@ -741,3 +741,150 @@ def test_ivm_join_view_random_feeds_fold_to_recompute(
             cur[1] += cents
     want = {s: tuple(v) for s, v in want.items() if v[0] > 0}
     assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_cdc_change, min_size=2, max_size=20),
+    st.randoms(use_true_random=False),
+)
+def test_mor_cdc_compaction_preserves_fold_law(
+    spark, tmp_path_factory, raw, rng
+):
+    """The dv_floor contract on RANDOM histories: split a random
+    change set into chunks, commit a random prefix of them, COMPACT
+    (vectors dropped, floor frozen), commit the remaining chunks on
+    top of the compacted version, then REDELIVER the first-committed
+    chunk under a fresh commit id — the read must still equal the
+    one-shot keep-latest merge, row-for-row.  Without the floor the
+    post-compaction redelivery resurrects superseded rows; with it the
+    fixture waves' fixed pattern generalizes to arbitrary interleaved
+    upserts/deletes, delete-then-reinserts, and chunk boundaries
+    falling on either side of the compaction."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    changes = {(k, v): (d, p) for k, v, d, p in raw}
+    changes = [
+        (k, v, d, p) for (k, v), (d, p) in sorted(changes.items())
+    ]
+    base = spark.createDataFrame(
+        [(k, 1000 + k, 0) for k in range(12)],
+        "k bigint, payload bigint, version int",
+    )
+    tdir = str(tmp_path_factory.mktemp("mor_cdc_floor_prop"))
+    mor_cdc_init(spark, base, tdir, "k", n_files=4)
+
+    rng.shuffle(changes)
+    n_chunks = min(3, len(changes))
+    chunks = [c for c in (changes[i::n_chunks] for i in range(n_chunks)) if c]
+
+    def commit(chunk, version):
+        df = spark.createDataFrame(
+            [(k, 2000 + p, v, "d" if d else "u") for k, v, d, p in chunk],
+            "k bigint, payload bigint, version int, op string",
+        )
+        mor_cdc_commit(spark, df, tdir, version, n_files=4)
+
+    split = rng.randrange(1, len(chunks) + 1)  # >=1 chunk precedes
+    version = 2
+    for i in range(split):
+        commit(chunks[i], version)
+        version += 1
+    mor_cdc_compact(spark, tdir, version - 1, n_files=4)
+    version += 1  # compaction took this manifest slot
+    for i in range(split, len(chunks)):
+        commit(chunks[i], version)
+        version += 1
+    # stale redelivery of the FIRST-committed (pre-compaction) chunk
+    # under a fresh commit id — the floor must keep shadowing it
+    commit(chunks[0], version)
+
+    rows = mor_cdc_read(spark, tdir, version).collect()
+    got = {r.k: (r.payload, r.version) for r in rows}
+    assert len(rows) == len(got), "duplicate rows past compaction"
+
+    state = {k: (1000 + k, 0, False) for k in range(12)}
+    for k, v, d, p in changes:
+        cur = state.get(k)
+        if cur is None or v > cur[1]:
+            state[k] = (2000 + p, v, d)
+    want = {
+        k: (pay, ver)
+        for k, (pay, ver, dead) in state.items()
+        if not dead
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_cdc_change, min_size=2, max_size=20),
+    st.randoms(use_true_random=False),
+)
+def test_mor_cdc_feed_reconstructs_history(spark, tmp_path_factory, raw, rng):
+    """Feed-completeness law on RANDOM histories: applying each
+    commit's `mor_cdc_change_feed` rows to a driver-side state dict —
+    delete removes the key, insert/update set the net post-image —
+    must land exactly on the final table read, for arbitrary change
+    sets chunked at arbitrary version boundaries (versions monotone
+    across commits, the CDC log-order contract, but any number of
+    changes per key WITHIN a commit — the intra-epoch supersede case
+    whose net-effect reduction a per-copy feed would get wrong)."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    changes = {(k, v): (d, p) for k, v, d, p in raw}
+    changes = sorted(
+        ((k, v, d, p) for (k, v), (d, p) in changes.items()),
+        key=lambda t: (t[1], t[0]),  # version order = log order
+    )
+    base = spark.createDataFrame(
+        [(k, 1000 + k, 0) for k in range(12)],
+        "k bigint, payload bigint, version int",
+    )
+    tdir = str(tmp_path_factory.mktemp("mor_cdc_feed_prop"))
+    mor_cdc_init(spark, base, tdir, "k", n_files=4)
+    # chunk at random boundaries BETWEEN version bands so versions
+    # stay monotone across commits (within a commit anything goes)
+    bands = sorted({v for _k, v, _d, _p in changes})
+    n_cuts = rng.randrange(0, min(2, len(bands) - 1) + 1)
+    cuts = sorted(rng.sample(bands[1:], n_cuts)) if n_cuts else []
+    chunks = [[] for _ in range(len(cuts) + 1)]
+    for ch in changes:
+        idx = sum(1 for c in cuts if ch[1] >= c)
+        chunks[idx].append(ch)
+    chunks = [c for c in chunks if c]
+    version = 2
+    for chunk in chunks:
+        df = spark.createDataFrame(
+            [(k, 2000 + p, v, "d" if d else "u") for k, v, d, p in chunk],
+            "k bigint, payload bigint, version int, op string",
+        )
+        mor_cdc_commit(spark, df, tdir, version, n_files=4)
+        version += 1
+
+    state = {k: 1000 + k for k in range(12)}
+    for v in range(2, version):
+        for r in mor_cdc_change_feed(spark, tdir, v).collect():
+            if r["change"] == "delete":
+                state.pop(r["k"], None)
+            else:
+                state[r["k"]] = r["post_payload"]
+
+    rows = mor_cdc_read(spark, tdir, version - 1).collect()
+    got = {r.k: r.payload for r in rows}
+    assert len(rows) == len(got)
+    assert state == got

@@ -325,6 +325,10 @@ HEADLINE = [
     # r10: feed-driven view maintenance with group moves (pre-image
     # negative / post-image positive contributions)
     "ivm_stream_feed_view",
+    # r11: the joined view advanced from TWO MOR CDC tables' streaming
+    # change feeds, auxiliary maintained incrementally; each refresh
+    # reads only prior view artifacts + the epoch's feeds
+    "ivm_stream_join_view",
 ]
 
 

@@ -743,3 +743,289 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_join_view(
         seg_v1, cust_v1, b2, _ivm_delta_a(a1), _ivm_delta_b(b1)
     )
+
+
+# --- Streaming the joined-view IVM (VERDICT r10 ask #5) ----------------------
+#
+# `ivm_join_view` proved the delta algebra over SYNTHESIZED feeds;
+# `ivm_stream_feed_view` proved a single-table view advanced from the
+# MOR CDC lane's own `mor_cdc_change_feed`.  This closes the loop: the
+# orders ⋈ customer segment view advanced purely from the STREAMING
+# change feeds of TWO MOR CDC tables (one per join side), with the
+# customer-level auxiliary V_c maintained incrementally too — commit N
+# of the view reads ONLY (a) the view artifacts committed at N-1 and
+# (b) the two tables' change feeds for the epoch, never a fact scan.
+# That is the reference architecture done right end to end: Kafka-shaped
+# CDC ingest (MorCdcSink) → lakehouse commits → row-level feeds →
+# incrementally-maintained joined dashboard.
+
+
+def _feed_to_signed_a(feed: DataFrame) -> DataFrame:
+    """Order-side change feed → signed delta rows (c, cents, w): the
+    pre-image contributes -1, the post-image +1 (presence read off the
+    feed's `change` label, never payload null-ness)."""
+    return (
+        feed.filter(F.col("change") != "insert")
+        .select(
+            F.col("pre_c").alias("c"),
+            F.col("pre_cents").alias("cents"),
+            F.lit(-1).alias("w"),
+        )
+        .unionByName(
+            feed.filter(F.col("change") != "delete").select(
+                F.col("post_c").alias("c"),
+                F.col("post_cents").alias("cents"),
+                F.lit(1).alias("w"),
+            )
+        )
+    )
+
+
+def _feed_to_signed_b(feed: DataFrame) -> DataFrame:
+    """Customer-side change feed → signed dim rows (c, segment, w); a
+    segment move is its own (-old, +new) pair, churn is -old only."""
+    return (
+        feed.filter(F.col("change") != "insert")
+        .select(
+            "c",
+            F.col("pre_segment").alias("segment"),
+            F.lit(-1).alias("w"),
+        )
+        .unionByName(
+            feed.filter(F.col("change") != "delete").select(
+                "c",
+                F.col("post_segment").alias("segment"),
+                F.lit(1).alias("w"),
+            )
+        )
+    )
+
+
+def advance_cust_view(cust: DataFrame, da: DataFrame) -> DataFrame:
+    """Fold ΔA into the per-customer auxiliary: V_c ← V_c + γ_c(ΔA).
+    O(ΔA) + one pass of the auxiliary — the higher-order-IVM move that
+    keeps the NEXT refresh's ΔB term off the fact table."""
+    delta = da.groupBy("c").agg(
+        F.sum("w").cast("bigint").alias("dn"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dc"),
+    )
+    return (
+        cust.join(delta, "c", "full_outer")
+        .select(
+            "c",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce("sum_cents", F.lit(0))
+                + F.coalesce("dc", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+@register(
+    "ivm_stream_join_view",
+    # Same referee as ivm_join_view: the one-shot recompute of the
+    # post-change join aggregate from the raw tables — the feed-driven
+    # two-refresh maintenance must land exactly there.
+    oracle=f"""
+    WITH a1 AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b1 AS (
+        SELECT c_custkey AS c, c_mktsegment AS segment FROM customer
+    ),
+    a2 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % {IVM_A_UPD_MOD} = 0
+                            THEN {IVM_A_UPLIFT} ELSE 0 END AS cents
+        FROM a1 WHERE k % {IVM_A_DEL_MOD} <> 0
+        UNION ALL
+        SELECT k + {IVM_A_INS_SHIFT}, c, cents + {IVM_A_INS_BUMP}
+        FROM a1 WHERE k % {IVM_A_INS_MOD} = 0
+    ),
+    b2 AS (
+        SELECT c,
+               CASE WHEN c % {IVM_B_MOVE_MOD} = 0
+                    THEN 'MOVED' ELSE segment END AS segment
+        FROM b1 WHERE c % {IVM_B_DEL_MOD} <> 0
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a2 JOIN b2 USING (c)
+    GROUP BY segment
+    """,
+)
+def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined-view IVM fed by the STREAMING lane (VERDICT r10 ask
+    #5): orders and customer each live as a MOR CDC table; the order
+    changes land as two DV+append epochs (uplift wave, then
+    delete+re-book wave) and the customer changes as one (churn +
+    segment moves).  The segment view is built ONCE over the two v1
+    reads, then advanced through two refreshes that consume ONLY
+    `mor_cdc_change_feed` rows — refresh 1 folds ΔA₁ against the dim
+    and advances the per-customer auxiliary (V_c ← V_c + γ_c(ΔA₁));
+    refresh 2 folds ΔA₂ ⋈ B₂ + ΔB ⋈ V_c — so a stale auxiliary would
+    mis-account every churned customer whose orders changed in wave 1
+    (keys exist at every sf), and the oracle's full recompute would
+    catch it.  Each refresh commits the advanced view pair as v{{N}}
+    parquet artifacts (the build_join_view manifest pattern): commit N
+    reads commit N-1's artifacts plus the epoch's feeds, never a fact
+    table — the O(changes) refresh loop a 100 TB dashboard needs,
+    measured flat under fact growth by scripts/ivm_probe.py."""
+    import json as _json
+    import os as _os
+
+    from ..sources.scans import atomic_json_dump, scratch_dir
+    from ..streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    a_dir = scratch_dir("ivm_sj_a", sf_dir)
+    b_dir = scratch_dir("ivm_sj_b", sf_dir)
+    view_dir = scratch_dir("ivm_sj_view", sf_dir)
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+
+    final_manifest = _os.path.join(view_dir, "manifest-v3.json")
+    if not _os.path.exists(final_manifest):
+        # --- the two CDC tables: base commits + change epochs
+        if not _os.path.exists(
+            _os.path.join(a_dir, "manifest-v3.json")
+        ):
+            mor_cdc_init(
+                spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
+            )
+            wave_a1 = (
+                a1.filter(
+                    (F.col("k") % IVM_A_UPD_MOD == 0)
+                    & (F.col("k") % IVM_A_DEL_MOD != 0)
+                )
+                .withColumn("cents", F.col("cents") + IVM_A_UPLIFT)
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("u"))
+            )
+            mor_cdc_commit(spark, wave_a1, a_dir, 2)
+            wave_a2 = (
+                a1.filter(F.col("k") % IVM_A_DEL_MOD == 0)
+                .withColumn("version", F.lit(2))
+                .withColumn("op", F.lit("d"))
+                .unionByName(
+                    a1.filter(F.col("k") % IVM_A_INS_MOD == 0)
+                    .select(
+                        (F.col("k") + IVM_A_INS_SHIFT).alias("k"),
+                        "c",
+                        (F.col("cents") + IVM_A_INS_BUMP).alias("cents"),
+                    )
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+            )
+            mor_cdc_commit(spark, wave_a2, a_dir, 3)
+        if not _os.path.exists(
+            _os.path.join(b_dir, "manifest-v2.json")
+        ):
+            mor_cdc_init(
+                spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
+            )
+            wave_b = (
+                b1.filter(F.col("c") % IVM_B_DEL_MOD == 0)
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("d"))
+                .unionByName(
+                    b1.filter(
+                        (F.col("c") % IVM_B_MOVE_MOD == 0)
+                        & (F.col("c") % IVM_B_DEL_MOD != 0)
+                    )
+                    .withColumn("segment", F.lit("MOVED"))
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+            )
+            mor_cdc_commit(spark, wave_b, b_dir, 2)
+
+        # --- view v1: built over the two v1 table reads
+        if not _os.path.exists(
+            _os.path.join(view_dir, "manifest-v1.json")
+        ):
+            build_join_view(
+                mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+                mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+                view_dir,
+            )
+        with open(_os.path.join(view_dir, "manifest-v1.json")) as f:
+            m1 = _json.load(f)
+
+        # --- refresh 1: ΔA₁ only (B unchanged); advance BOTH views
+        da1 = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, 2))
+        b_v1 = mor_cdc_read(spark, b_dir, 1).select("c", "segment")
+        db_empty = b_v1.limit(0).withColumn("w", F.lit(1))
+        seg_v2 = maintain_join_view(
+            spark.read.parquet(m1["seg_view"]),
+            spark.read.parquet(m1["cust_view"]),
+            b_v1,
+            da1,
+            db_empty,
+        )
+        cust_v2 = advance_cust_view(
+            spark.read.parquet(m1["cust_view"]), da1
+        )
+        v2 = _os.path.join(view_dir, "v2")
+        seg_v2.write.mode("overwrite").parquet(_os.path.join(v2, "seg_view"))
+        cust_v2.write.mode("overwrite").parquet(
+            _os.path.join(v2, "cust_view")
+        )
+        atomic_json_dump(
+            {
+                "version": 2,
+                "seg_view": _os.path.join(v2, "seg_view"),
+                "cust_view": _os.path.join(v2, "cust_view"),
+            },
+            _os.path.join(view_dir, "manifest-v2.json"),
+        )
+
+        # --- refresh 2: ΔA₂ + ΔB, against the v2 ARTIFACTS (the
+        # auxiliary maintained in refresh 1 is load-bearing here)
+        with open(_os.path.join(view_dir, "manifest-v2.json")) as f:
+            m2 = _json.load(f)
+        da2 = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, 3))
+        db = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, 2))
+        b2 = mor_cdc_read(spark, b_dir, 2).select("c", "segment")
+        seg_v3 = maintain_join_view(
+            spark.read.parquet(m2["seg_view"]),
+            spark.read.parquet(m2["cust_view"]),
+            b2,
+            da2,
+            db,
+        )
+        cust_v3 = advance_cust_view(
+            spark.read.parquet(m2["cust_view"]), da2
+        )
+        v3 = _os.path.join(view_dir, "v3")
+        seg_v3.write.mode("overwrite").parquet(_os.path.join(v3, "seg_view"))
+        cust_v3.write.mode("overwrite").parquet(
+            _os.path.join(v3, "cust_view")
+        )
+        atomic_json_dump(
+            {
+                "version": 3,
+                "seg_view": _os.path.join(v3, "seg_view"),
+                "cust_view": _os.path.join(v3, "cust_view"),
+            },
+            final_manifest,
+        )
+    with open(final_manifest) as f:
+        m3 = _json.load(f)
+    return spark.read.parquet(m3["seg_view"]).select(
+        "segment", "n_rows", "sum_cents"
+    )

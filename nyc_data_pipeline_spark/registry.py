@@ -53,75 +53,21 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r10 window (positions 1-50), drained exactly as the r9
-    # verdict queued it (VERDICT r9 ask #2):
-    # -- positions 1-7: the 7 r9 past-window additions (judge-replayed
-    # green in the r9 verdict; never driver-sampled).
-    # -- positions 8-31: the 24 oldest standing verdicts (12 r3-era +
-    # 12 r4-era, age order from CORRECTNESS_r01-r09).
-    # -- positions 32-49: the next 18 r4-era rows (age order, then
-    # name order within a round).
-    # -- position 50: the single in-window r10 addition (cap <=1):
-    # ivm_join_view (two-table incremental view maintenance,
-    # VERDICT r9 ask #5).
-    # ==== r11 queue (pre-staged, positions 51+): this round's
-    # past-window additions first (each locally verified at
-    # sf0.001+sf0.01 on landing), then every remaining query in age
-    # order (latest-verdict round, then name) — r11 just drains the
-    # head.  Ages computed from CORRECTNESS_r01-r09; COVERAGE.md
-    # records the ledger.
-    "text_bpe_vocab_k",
-    "agg_weighted_quartiles",
-    "stream_mor_cdc_compact",
-    "ivm_change_feed_agg",
-    "text_bpe_apply_vocab",
-    "agg_weighted_median_by_group",
-    "dedup_jaccard_prefix_filter",
-    "src_csv_scan",
-    "parse_wire_batch",
-    "agg_ungrouped_kpis",
-    "dedup_cc_fixpoint",
-    "merge_upsert_latest",
-    "src_orc_scan",
-    "events_topk_paths",
-    "text_classifier_score",
-    "sample_reservoir_per_key",
-    "stream_cdc_upsert",
-    "fn_array_suite",
-    "approx_hll_user_reach",
-    "agg_incremental_merge",
-    "agg_histogram_merge",
-    "join_incremental_delta",
-    "reshape_unpivot",
-    "join_click_unattributed",
-    "text_bigram_lm",
-    "agg_mode_argmax",
-    "emb_quantize_int8",
-    "dedup_containment_rep",
-    "window_cume_share",
-    "sink_partition_overwrite",
-    "window_gap_islands",
-    "agg_corr_exact",
-    "agg_weighted_avg",
-    "chunk_dedup_exact",
-    "dedup_incremental_probe",
-    "dedup_jaccard_bigram_shingles",
-    "dedup_minhash_est_vs_true",
-    "emb_gram_power_step",
-    "emb_knn_label_vote",
-    "emb_label_centroids",
-    "emb_nearest_centroid_assign",
-    "fn_bitwise_suite",
-    "fn_bool_agg_suite",
-    "fn_regex_suite",
-    "fn_url_suite",
-    "join_date_dim",
-    "join_relational_division",
-    "order_global_rownum",
-    "orders_rfm_segments",
-    "ivm_join_view",
-    # r11-queue head: r10 past-window additions (locally verified at
-    # sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    # ==== r11 window (positions 1-50), drained exactly as the r10
+    # verdict queued it (VERDICT r10 ask #2):
+    # -- positions 1-5: the 5 r10 past-window additions (judge-replayed
+    # green in the r10 verdict; never driver-sampled).
+    # -- positions 6-49: the 12 r4-era rows then the oldest r5-era
+    # rows, age order (latest-verdict round, then name) — computed
+    # from CORRECTNESS_r01-r10; COVERAGE.md records the ledger.
+    # -- position 50: the single in-window r11 addition (cap <=1 for
+    # two rounds per VERDICT r10): ivm_stream_join_view (the joined
+    # view advanced from TWO MOR CDC tables' streaming change feeds,
+    # VERDICT r10 ask #5).
+    # ==== r12 queue (pre-staged, positions 51+): remaining r5-era
+    # rows in age order, then r5b/r6/... era rows, with the 50
+    # r10-window rows (freshest verdicts) last — r12 just drains the
+    # head.
     "stream_mor_cdc_evolve",
     "stream_mor_cdc_vacuum",
     "sim_index_rebuild_swap",
@@ -171,6 +117,7 @@ _VERIFY_FIRST = [
     "orders_basket_pairs",
     "orders_cohort_ltv",
     "orders_open_backlog",
+    "ivm_stream_join_view",
     "orders_pareto_topk_share",
     "rollup_hierarchy_reuse",
     "sample_train_split",
@@ -386,6 +333,56 @@ _VERIFY_FIRST = [
     "vocab_oov_rate",
     "window_rolling_ols",
     "window_running_distinct",
+    "text_bpe_vocab_k",
+    "agg_weighted_quartiles",
+    "stream_mor_cdc_compact",
+    "ivm_change_feed_agg",
+    "text_bpe_apply_vocab",
+    "agg_weighted_median_by_group",
+    "dedup_jaccard_prefix_filter",
+    "src_csv_scan",
+    "parse_wire_batch",
+    "agg_ungrouped_kpis",
+    "dedup_cc_fixpoint",
+    "merge_upsert_latest",
+    "src_orc_scan",
+    "events_topk_paths",
+    "text_classifier_score",
+    "sample_reservoir_per_key",
+    "stream_cdc_upsert",
+    "fn_array_suite",
+    "approx_hll_user_reach",
+    "agg_incremental_merge",
+    "agg_histogram_merge",
+    "join_incremental_delta",
+    "reshape_unpivot",
+    "join_click_unattributed",
+    "text_bigram_lm",
+    "agg_mode_argmax",
+    "emb_quantize_int8",
+    "dedup_containment_rep",
+    "window_cume_share",
+    "sink_partition_overwrite",
+    "window_gap_islands",
+    "agg_corr_exact",
+    "agg_weighted_avg",
+    "chunk_dedup_exact",
+    "dedup_incremental_probe",
+    "dedup_jaccard_bigram_shingles",
+    "dedup_minhash_est_vs_true",
+    "emb_gram_power_step",
+    "emb_knn_label_vote",
+    "emb_label_centroids",
+    "emb_nearest_centroid_assign",
+    "fn_bitwise_suite",
+    "fn_bool_agg_suite",
+    "fn_regex_suite",
+    "fn_url_suite",
+    "join_date_dim",
+    "join_relational_division",
+    "order_global_rownum",
+    "orders_rfm_segments",
+    "ivm_join_view",
 ]
 
 

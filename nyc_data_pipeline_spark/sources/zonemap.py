@@ -590,6 +590,14 @@ def _grouped_manifest_scan(spark: SparkSession, files: dict) -> DataFrame:
     which is what keeps the driver-side plan bounded at a 10^5-file
     manifest (SCALE.md §22 measured the per-bucket form 3.5× slower at
     just 80 files)."""
+    if not files:
+        # every bucket empty: a descriptive error beats the opaque
+        # AttributeError `None.withColumn` below (ADVICE r10) — callers
+        # that can legitimately see an empty manifest guard upstream
+        raise ValueError(
+            "manifest lists no data files (all buckets empty); "
+            "nothing to scan"
+        )
     by_vdir: dict[str, list[str]] = {}
     for _z, path in files.items():
         for p in path if isinstance(path, list) else [path]:

@@ -85,6 +85,16 @@ from ..sources.scans import atomic_json_dump, scratch_dir
 MOR_CDC_FILES = 8  # bucket fan-out of the fixture table
 
 
+class ChangeFeedRetentionError(RuntimeError):
+    """Requested change feed is outside the retained window: VACUUM
+    reclaimed the commit's artifacts (prior manifest, DV sidecar, or
+    epoch files), so the row-level history for that commit no longer
+    exists.  The Delta/Iceberg CDF retention rule made loud: change
+    feeds are readable only for commits whose artifacts are retained;
+    a reclaimed version raises this named error instead of surfacing
+    an opaque missing-file failure mid-plan."""
+
+
 def mor_cdc_init(
     spark: SparkSession, base: DataFrame, table_dir: str, key: str,
     n_files: int = MOR_CDC_FILES,
@@ -190,7 +200,8 @@ def mor_cdc_commit(
 
 
 def mor_cdc_read(
-    spark: SparkSession, table_dir: str, version: int
+    spark: SparkSession, table_dir: str, version: int,
+    zb_filter: set[str] | None = None,
 ) -> DataFrame:
     """Read the table at manifest `version` applying every delete
     vector: a stored row survives iff its key has no DV that SHADOWS
@@ -205,16 +216,49 @@ def mor_cdc_read(
     row at the same change version, and its own DV (same version,
     later commit) shadows every EARLIER copy, leaving exactly one.
     One scan per commit directory (manifest-listed paths, zb recovered
-    as a partition column), one DV aggregate, one join."""
+    as a partition column), one DV aggregate, one join.
+
+    `zb_filter` restricts the read to the named buckets BEFORE any
+    scan is built: manifest `files` entries for other buckets never
+    become FileScans (manifest-level partition pruning — the same move
+    a catalog makes when a query predicate pins the clustering key).
+    Correct whenever the caller only needs keys routed to those
+    buckets, because the frozen-bounds rule routes a key to the SAME
+    bucket in every commit; the change feed uses it to read
+    pre-images from only the buckets its DV sidecar names."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         m = json.load(f)
     key = m["key"]
     by_commit: dict[int, list[str]] = {}
-    for entries in m["files"].values():
+    for z, entries in m["files"].items():
+        if zb_filter is not None and z not in zb_filter:
+            continue
         for e in entries:
             by_commit.setdefault(int(e["v"]), []).append(e["path"])
+    if not by_commit:
+        # zb_filter excluded every manifest entry (no churned bucket
+        # holds stored rows at this version — e.g. an insert-only
+        # commit into previously-empty buckets): an EMPTY frame with
+        # the committed schema, derived from any one real file so the
+        # types are right without scanning data.
+        all_paths = [
+            e["path"] for entries in m["files"].values() for e in entries
+        ]
+        if not all_paths:
+            raise ValueError(
+                f"manifest v{version} of {table_dir} lists no data "
+                "files; cannot derive a schema for an empty read"
+            )
+        return (
+            spark.read.option(
+                "basePath", os.path.dirname(all_paths[0])
+            )
+            .parquet(all_paths[0])
+            .limit(0)
+            .drop("zb")
+        )
     rows = None
     for v, paths in sorted(by_commit.items()):
         piece = spark.read.option(
@@ -307,10 +351,15 @@ class MorCdcSink:
         # BEFORE the ledger entry, so a crash between the two leaves a
         # published-but-unledgered manifest.  Deriving N from the MAX
         # of ledger and on-disk manifests means the retried epoch
-        # re-commits OVER the orphan (every artifact write below v{N}
-        # is mode('overwrite') / atomic_json_dump, so the re-commit is
-        # idempotent) instead of silently reusing its number for a
-        # DIFFERENT epoch's data (ADVICE r9).
+        # commits at orphan+1, never reusing the orphan's number for a
+        # DIFFERENT epoch's data (ADVICE r9).  The orphan's files stay
+        # in the chain; correctness comes from the commit-sequence
+        # tie-break — the retry's DV (same change versions, later
+        # commit) shadows every orphan copy, so readers converge to
+        # one row per key.  Overwrite-idempotence of the artifact
+        # writes covers only the narrower case of a crash BEFORE the
+        # manifest publish (a half-written v{N} directory is simply
+        # rewritten, ADVICE r10).
         version = max(
             max((int(v) for v in ledger.values()), default=1),
             self._latest_manifest_version(),
@@ -900,8 +949,15 @@ def mor_cdc_change_feed(
     insert / update / delete rows with pre- and post-images, derived
     from the commit's OWN artifacts — post-images are the epoch's
     appended files, change keys are its DV sidecar, and pre-images are
-    the v{N-1} read semi-joined to those keys (O(changes) via the
-    broadcast key list; the table itself is never diffed).  This is
+    the v{N-1} read RESTRICTED to the churned buckets the sidecar
+    names (each DV row records the zb its key routes to, and the
+    frozen-bounds rule routes a key to the same bucket in every
+    commit, so non-churned buckets are pruned at the MANIFEST before
+    any scan exists — `mor_cdc_read(zb_filter=...)`) and semi-joined
+    to the broadcast key list.  Feed cost is therefore O(churned
+    buckets + changes) per commit, never a v{N-1} table scan
+    (VERDICT r10 ask #1); scripts/storage_probe.py measures the feed
+    flat as the table grows with churn held bucket-local.  This is
     the Delta/Iceberg CDF read of an upsert commit, and the input
     `ivm_change_feed_agg`-style view maintenance wants from the
     STREAMING lane (the COW lane's `change_feed_from` is the batch
@@ -914,17 +970,67 @@ def mor_cdc_change_feed(
     (a delete leaves no copy at its version, so the net row is a
     delete) — never one row per superseded intra-epoch copy, which
     would duplicate the pre-image and break any downstream -pre/+post
-    fold."""
-    with open(
-        os.path.join(table_dir, f"manifest-v{version}.json")
-    ) as f:
+    fold.
+
+    Retention contract: feeds are readable only within the vacuum-
+    retained window.  A version whose prior manifest or DV sidecar
+    was reclaimed raises `ChangeFeedRetentionError` (loud and named,
+    never a mid-plan missing-file failure); a compaction commit
+    (OPTIMIZE rewrite, `compacted_from` in its manifest) yields an
+    EMPTY feed, because it changes no rows — both pinned by
+    tests/test_streaming.py property tests."""
+    mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+    prev_mpath = os.path.join(table_dir, f"manifest-v{version - 1}.json")
+    dv_dir = os.path.join(table_dir, f"dv-v{version}")
+    if not os.path.exists(mpath):
+        raise ChangeFeedRetentionError(
+            f"change feed requested for commit v{version} of "
+            f"{table_dir}, but its manifest is not retained (vacuumed "
+            "or never committed); feeds are readable only within the "
+            "retained window"
+        )
+    with open(mpath) as f:
         m = json.load(f)
     key = m["key"]
+    if m.get("compacted_from") is not None and not os.path.isdir(dv_dir):
+        # OPTIMIZE commit: files rewritten, no logical row changes —
+        # the feed is empty by definition (Delta CDF semantics for
+        # compaction commits).  Typed via a limit(0) read of the
+        # compacted version itself, so downstream unions line up.
+        empty = mor_cdc_read(spark, table_dir, version).limit(0)
+        data_cols = [c for c in m.get("columns", []) if c != "version"]
+        return empty.select(
+            F.lit(int(version)).cast("int").alias("commit"),
+            key,
+            F.lit("update").alias("change"),
+            *[
+                x
+                for c in data_cols
+                if c != key
+                for x in (
+                    F.col(c).alias(f"pre_{c}"),
+                    F.col(c).alias(f"post_{c}"),
+                )
+            ],
+        )
+    if not (os.path.exists(prev_mpath) and os.path.isdir(dv_dir)):
+        raise ChangeFeedRetentionError(
+            f"change feed requested for commit v{version} of "
+            f"{table_dir}, but its pre-image manifest "
+            f"(v{version - 1}) or DV sidecar was reclaimed by vacuum; "
+            "feeds are readable only within the retained window"
+        )
+    dv_raw = spark.read.json(dv_dir)
     dv_agg = (
-        spark.read.json(os.path.join(table_dir, f"dv-v{version}"))
-        .groupBy(F.col("k").alias(key))
+        dv_raw.groupBy(F.col("k").alias(key))
         .agg(F.max("v").cast("long").alias("_dv_v"))
     )
+    # the churned-bucket set: recorded per change key at commit time
+    # (mor_cdc_commit routes once and the sidecar carries zb), bounded
+    # by the bucket fan-out — a metadata-scale collect
+    churned = {
+        str(r["zb"]) for r in dv_raw.select("zb").distinct().collect()
+    }
     vdir = os.path.join(table_dir, f"v{version}")
     post_paths = [
         e["path"]
@@ -945,11 +1051,15 @@ def mor_cdc_change_feed(
         )
     else:  # delete-only commit: no appended files
         post = None
-    pre = mor_cdc_read(spark, table_dir, version - 1).join(
-        F.broadcast(dv_agg.select(key)), key, "left_semi"
-    )
+    pre = mor_cdc_read(
+        spark, table_dir, version - 1, zb_filter=churned
+    ).join(F.broadcast(dv_agg.select(key)), key, "left_semi")
+    # presence markers: classification must come from the JOIN itself,
+    # not from null-ness of a payload column (a legitimately-nullable
+    # first column would misclassify updates; ADVICE r10)
     pre_sel = pre.select(
         key,
+        F.lit(1).alias("_pre"),
         *[
             (F.col(c) if c in pre.columns else F.lit(None)).alias(
                 f"pre_{c}"
@@ -959,13 +1069,14 @@ def mor_cdc_change_feed(
         ],
     )
     if post is None:
-        both = pre_sel
+        both = pre_sel.withColumn("_post", F.lit(None))
         for c in data_cols:
             if c != key:
                 both = both.withColumn(f"post_{c}", F.lit(None))
     else:
         post_sel = post.select(
             key,
+            F.lit(1).alias("_post"),
             *[
                 (F.col(c) if c in post.columns else F.lit(None)).alias(
                     f"post_{c}"
@@ -975,14 +1086,11 @@ def mor_cdc_change_feed(
             ],
         )
         both = pre_sel.join(post_sel, key, "full_outer")
-    # classify on a witness column that is non-null in every image
-    # (n_chars here; any mandatory payload column works)
-    wit = next(c for c in data_cols if c != key)
     return both.select(
         F.lit(int(version)).cast("int").alias("commit"),
         key,
-        F.when(F.col(f"post_{wit}").isNull(), F.lit("delete"))
-        .when(F.col(f"pre_{wit}").isNull(), F.lit("insert"))
+        F.when(F.col("_post").isNull(), F.lit("delete"))
+        .when(F.col("_pre").isNull(), F.lit("insert"))
         .otherwise(F.lit("update"))
         .alias("change"),
         *[

@@ -184,3 +184,72 @@ def test_ivfpq_append_inherits_artifacts_and_adds_only_new_files(
     assert new_ids.filter(~F.expr(BATCH_PRED)).count() == 0
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assert new_ids.count() == emb.filter(F.expr(BATCH_PRED)).count()
+
+
+def test_ivm_stream_join_view_auxiliary_load_bearing(spark, sf_dir):
+    """The streamed joined-view refresh (VERDICT r10 ask #5) must (a)
+    land on the full-recompute fixpoint, (b) read NO raw fact table in
+    the refresh plan — only committed view artifacts and the two CDC
+    tables' change-feed artifacts — and (c) genuinely depend on the
+    incrementally-maintained auxiliary: replaying refresh 2 against
+    the STALE v1 per-customer aggregate must produce a different
+    (wrong) view, because wave-1 order uplifts belong to customers the
+    wave-2 churn removes."""
+    import json as _json
+    import os as _os
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        _feed_to_signed_a,
+        _feed_to_signed_b,
+        maintain_join_view,
+    )
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_read,
+    )
+
+    load_all()
+    want = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in QUERIES["ivm_stream_join_view"](spark, sf_dir).collect()
+    }
+    a_dir = scratch_dir("ivm_sj_a", sf_dir)
+    b_dir = scratch_dir("ivm_sj_b", sf_dir)
+    view_dir = scratch_dir("ivm_sj_view", sf_dir)
+    with open(_os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = _json.load(f)
+    with open(_os.path.join(view_dir, "manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    da2 = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, 3))
+    db = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, 2))
+    b2 = mor_cdc_read(spark, b_dir, 2).select("c", "segment")
+
+    fresh = maintain_join_view(
+        spark.read.parquet(m2["seg_view"]),
+        spark.read.parquet(m2["cust_view"]),
+        b2, da2, db,
+    )
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in fresh.collect()
+        if r["n_rows"] > 0
+    }
+    assert got == want
+    # fact-free refresh: every input file is a view artifact or a CDC
+    # table artifact under scratch — never the raw testdata parquet
+    assert fresh.inputFiles()
+    assert not any("testdata" in p for p in fresh.inputFiles())
+
+    stale = maintain_join_view(
+        spark.read.parquet(m2["seg_view"]),
+        spark.read.parquet(m1["cust_view"]),  # auxiliary NOT advanced
+        b2, da2, db,
+    )
+    got_stale = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in stale.collect()
+        if r["n_rows"] > 0
+    }
+    assert got_stale != want

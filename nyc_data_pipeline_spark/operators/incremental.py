@@ -966,8 +966,13 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(_os.path.join(view_dir, "manifest-v1.json")) as f:
             m1 = _json.load(f)
 
-        # --- refresh 1: ΔA₁ only (B unchanged); advance BOTH views
-        da1 = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, 2))
+        # --- refresh 1: ΔA₁ only (B unchanged); advance BOTH views.
+        # The signed delta is O(changes): materialize it ONCE (it
+        # feeds both the segment fold and the auxiliary advance) so
+        # the feed's artifact reads run a single time per epoch.
+        da1 = _feed_to_signed_a(
+            mor_cdc_change_feed(spark, a_dir, 2)
+        ).localCheckpoint(eager=True)
         b_v1 = mor_cdc_read(spark, b_dir, 1).select("c", "segment")
         db_empty = b_v1.limit(0).withColumn("w", F.lit(1))
         seg_v2 = maintain_join_view(
@@ -998,7 +1003,9 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auxiliary maintained in refresh 1 is load-bearing here)
         with open(_os.path.join(view_dir, "manifest-v2.json")) as f:
             m2 = _json.load(f)
-        da2 = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, 3))
+        da2 = _feed_to_signed_a(
+            mor_cdc_change_feed(spark, a_dir, 3)
+        ).localCheckpoint(eager=True)
         db = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, 2))
         b2 = mor_cdc_read(spark, b_dir, 2).select("c", "segment")
         seg_v3 = maintain_join_view(

@@ -295,6 +295,61 @@ def main(k: int, n_files: int) -> dict:
         "noop"
     ).mode("overwrite").save()
     out["cdc_t_read_post_vacuum"] = round(time.perf_counter() - t0, 2)
+
+    # --- change-feed bucket pruning (r11, VERDICT r10 ask #1): feed
+    # cost must track the CHURNED buckets, not the table size.  Same
+    # base, fresh table; commit a bucket-LOCAL wave (keys in the
+    # lowest slice of the range -> one bucket) and a GLOBAL wave
+    # (k % 3 -> every occupied bucket); the local feed's pre-image leg
+    # must scan only its churned bucket's v1 files, the global feed
+    # pays the occupied-bucket count — the zb_filter manifest pruning
+    # measured at n_files files.
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_init as _cdc_init2,
+    )
+
+    cdcf_dir = scratch_dir(f"sp_cdcf_k{k}_f{n_files}", SF_DIR)
+    _cdc_init2(spark, base_cdc, cdcf_dir, "k", n_files=n_files)
+    lo_k, hi_k = kcd.agg(F.min("k"), F.max("k")).collect()[0]
+    width = (hi_k - lo_k + 1) // n_files
+    local_wave = (
+        kcd.filter(F.col("k") < lo_k + max(width // 2, 1))
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, local_wave, cdcf_dir, 2, n_files=n_files)
+    global_wave = (
+        kcd.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + 2)
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, global_wave, cdcf_dir, 3, n_files=n_files)
+    t0 = time.perf_counter()
+    feed_local = mor_cdc_change_feed(spark, cdcf_dir, 2)
+    feed_local.agg(
+        F.count("*"), F.sum("post_cents")
+    ).write.format("noop").mode("overwrite").save()
+    out["feed_t_local"] = round(time.perf_counter() - t0, 2)
+    v1_files = [p for p in feed_local.inputFiles() if "/v1/" in p]
+    out["feed_local_v1_buckets"] = len(
+        {s for p in v1_files for s in p.split("/") if s.startswith("zb=")}
+    )
+    t0 = time.perf_counter()
+    feed_global = mor_cdc_change_feed(spark, cdcf_dir, 3)
+    feed_global.agg(
+        F.count("*"), F.sum("post_cents")
+    ).write.format("noop").mode("overwrite").save()
+    out["feed_t_global"] = round(time.perf_counter() - t0, 2)
+    pre_files = [
+        p for p in feed_global.inputFiles()
+        if "/v1/" in p or "/v2/" in p
+    ]
+    out["feed_global_pre_buckets"] = len(
+        {s for p in pre_files for s in p.split("/") if s.startswith("zb=")}
+    )
     return out
 
 

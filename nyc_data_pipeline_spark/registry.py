@@ -394,7 +394,14 @@ def _reorder() -> None:
     """
     front = [n for n in _VERIFY_FIRST if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(front)]
-    for name in front + rest:
+    want = front + rest
+    if list(QUERIES) == want:
+        # already ordered: do NOT churn the dicts — callers may be
+        # iterating them while a nested load_all() runs (check_query
+        # calls it per query), and pop/reinsert during iteration
+        # silently duplicates/skips entries even at constant size
+        return
+    for name in want:
         QUERIES[name] = QUERIES.pop(name)
         if name in ORACLE:
             ORACLE[name] = ORACLE.pop(name)

@@ -978,7 +978,17 @@ def mor_cdc_change_feed(
     never a mid-plan missing-file failure); a compaction commit
     (OPTIMIZE rewrite, `compacted_from` in its manifest) yields an
     EMPTY feed, because it changes no rows — both pinned by
-    tests/test_streaming.py property tests."""
+    tests/test_streaming.py property tests.
+
+    Stale-redelivery safety (r11): a wave re-committed under a NEW
+    epoch id leaves the table unchanged (the read rule shadows it),
+    so its feed contributes NOTHING — a key joins commit N's feed
+    only if its max change version here EXCEEDS its shadow ceiling
+    across earlier sidecars + the compaction floor.  Without the
+    ceiling check the feed would report pre→stale-value transitions
+    the table never made, corrupting any downstream -pre/+post fold;
+    pinned by the redelivery leg of
+    tests/test_properties.py::test_mor_cdc_feed_reconstructs_history."""
     mpath = os.path.join(table_dir, f"manifest-v{version}.json")
     prev_mpath = os.path.join(table_dir, f"manifest-v{version - 1}.json")
     dv_dir = os.path.join(table_dir, f"dv-v{version}")
@@ -1025,6 +1035,53 @@ def mor_cdc_change_feed(
         dv_raw.groupBy(F.col("k").alias(key))
         .agg(F.max("v").cast("long").alias("_dv_v"))
     )
+    # Stale-redelivery safety: a wave re-committed under a NEW epoch
+    # id (past the ledger) leaves the TABLE unchanged — its changes
+    # are at-or-below the key's existing shadow ceiling, and the read
+    # rule keeps the older winners (module doc) — so its change feed
+    # must be EMPTY for those keys, not a pre→stale-value transition
+    # the table never made (which would corrupt any -pre/+post fold).
+    # A key participates in commit N's feed only if its max change
+    # version HERE exceeds its max across all EARLIER sidecars and
+    # the compaction floor (equal version = redelivery by the CDC
+    # log-position contract: a version names one deterministic
+    # change, so a re-commit of it is never a new logical change).
+    prior = None
+    prior_paths = [
+        d["path"] for d in m["dvs"] if int(d["v"]) < version
+    ]
+    if prior_paths:
+        # one multi-path scan, one schema inference — not a union per
+        # sidecar (the sidecars share a schema by construction)
+        prior = spark.read.json(prior_paths).select(
+            "k", F.col("v").cast("long").alias("v")
+        )
+    if m.get("dv_floor"):
+        piece = spark.read.parquet(m["dv_floor"]).select(
+            "k", F.col("v").cast("long").alias("v")
+        )
+        prior = piece if prior is None else prior.unionByName(piece)
+    if prior is not None:
+        # restrict the history scan to THIS commit's keys first (the
+        # broadcast key list bounds it at O(commit churn)), then
+        # aggregate — both sides of the ceiling join stay churn-sized
+        prior_max = (
+            prior.join(
+                F.broadcast(dv_agg.select(F.col(key).alias("k"))),
+                "k",
+                "left_semi",
+            )
+            .groupBy(F.col("k").alias(key))
+            .agg(F.max("v").alias("_prior_v"))
+        )
+        dv_agg = (
+            dv_agg.join(F.broadcast(prior_max), key, "left")
+            .filter(
+                F.col("_prior_v").isNull()
+                | (F.col("_dv_v") > F.col("_prior_v"))
+            )
+            .drop("_prior_v")
+        )
     # the churned-bucket set: recorded per change key at commit time
     # (mor_cdc_commit routes once and the sidecar carries zb), bounded
     # by the bucket fan-out — a metadata-scale collect

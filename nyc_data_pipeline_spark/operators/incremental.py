@@ -965,6 +965,13 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         with open(_os.path.join(view_dir, "manifest-v1.json")) as f:
             m1 = _json.load(f)
+        if "a_version" not in m1:
+            # cursor columns: which table commits this view reflects —
+            # what catch_up_join_view advances from
+            m1.update({"a_version": 1, "b_version": 1})
+            atomic_json_dump(
+                m1, _os.path.join(view_dir, "manifest-v1.json")
+            )
 
         # --- refresh 1: ΔA₁ only (B unchanged); advance BOTH views.
         # The signed delta is O(changes): materialize it ONCE (it
@@ -995,6 +1002,8 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "version": 2,
                 "seg_view": _os.path.join(v2, "seg_view"),
                 "cust_view": _os.path.join(v2, "cust_view"),
+                "a_version": 2,
+                "b_version": 1,
             },
             _os.path.join(view_dir, "manifest-v2.json"),
         )
@@ -1028,6 +1037,8 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "version": 3,
                 "seg_view": _os.path.join(v3, "seg_view"),
                 "cust_view": _os.path.join(v3, "cust_view"),
+                "a_version": 3,
+                "b_version": 2,
             },
             final_manifest,
         )
@@ -1036,3 +1047,93 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(m3["seg_view"]).select(
         "segment", "n_rows", "sum_cents"
     )
+
+
+def catch_up_join_view(
+    spark: SparkSession, view_dir: str, a_dir: str, b_dir: str
+) -> dict:
+    """Advance the committed view pair to the two CDC tables' LATEST
+    commits — the production refresh API.  The view manifest carries
+    cursors (`a_version`, `b_version`: the table commits it reflects);
+    this reads every UNSEEN change feed from both tables, folds them
+    in ONE maintenance pass, and commits the advanced pair as the next
+    view version with moved cursors.
+
+    One fold suffices for any number of pending commits because the
+    delta algebra is bag-linear: with ΔA = Σ feeds(a_from+1..a_latest)
+    and ΔB likewise, V_new = V_old + γ_seg(ΔA ⋈ B_latest) + ΔB ⋈ V_c_old
+    holds exactly (the same folded two-term identity as
+    `maintain_join_view`, module comment above `ivm_join_view`), and
+    the auxiliary advances by γ_c(ΔA).  Cost per catch-up: the unseen
+    feeds (each O(churned buckets + changes)) + the dim read + one
+    pass of the auxiliary — the fact table is never an input.
+    Compaction commits feed empty and stale-redelivery commits feed
+    empty (streaming/mor_cdc.py), so OPTIMIZE and at-least-once
+    redelivery on the source tables are both no-ops here by
+    construction.  Crash-safe the same way every manifest writer is:
+    artifacts land before the manifest, version derived from the
+    on-disk chain, rewrites idempotent."""
+    import json as _json
+    import os as _os
+
+    from ..sources.scans import atomic_json_dump
+    from ..streaming.mor_cdc import mor_cdc_change_feed, mor_cdc_read
+
+    def latest(d: str) -> int:
+        return max(
+            int(f[len("manifest-v"):-len(".json")])
+            for f in _os.listdir(d)
+            if f.startswith("manifest-v") and f.endswith(".json")
+        )
+
+    cur = latest(view_dir)
+    with open(_os.path.join(view_dir, f"manifest-v{cur}.json")) as f:
+        m = _json.load(f)
+    a_from, b_from = int(m.get("a_version", 1)), int(m.get("b_version", 1))
+    a_latest, b_latest = latest(a_dir), latest(b_dir)
+    if a_latest == a_from and b_latest == b_from:
+        return m  # nothing unseen: the view is current
+    da = None
+    for v in range(a_from + 1, a_latest + 1):
+        piece = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, v))
+        da = piece if da is None else da.unionByName(piece)
+    db = None
+    for v in range(b_from + 1, b_latest + 1):
+        piece = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, v))
+        db = piece if db is None else db.unionByName(piece)
+    b_now = mor_cdc_read(spark, b_dir, b_latest).select("c", "segment")
+    if da is None:
+        da = (
+            mor_cdc_read(spark, a_dir, a_latest)
+            .select("c", "cents")
+            .limit(0)
+            .withColumn("w", F.lit(1))
+        )
+    else:
+        da = da.localCheckpoint(eager=True)  # feeds both folds below
+    if db is None:
+        db = b_now.limit(0).withColumn("w", F.lit(1))
+    seg_new = maintain_join_view(
+        spark.read.parquet(m["seg_view"]),
+        spark.read.parquet(m["cust_view"]),
+        b_now,
+        da,
+        db,
+    )
+    cust_new = advance_cust_view(spark.read.parquet(m["cust_view"]), da)
+    vdir = _os.path.join(view_dir, f"v{cur + 1}")
+    seg_new.write.mode("overwrite").parquet(_os.path.join(vdir, "seg_view"))
+    cust_new.write.mode("overwrite").parquet(
+        _os.path.join(vdir, "cust_view")
+    )
+    manifest = {
+        "version": cur + 1,
+        "seg_view": _os.path.join(vdir, "seg_view"),
+        "cust_view": _os.path.join(vdir, "cust_view"),
+        "a_version": a_latest,
+        "b_version": b_latest,
+    }
+    atomic_json_dump(
+        manifest, _os.path.join(view_dir, f"manifest-v{cur + 1}.json")
+    )
+    return manifest

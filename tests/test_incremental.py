@@ -253,3 +253,104 @@ def test_ivm_stream_join_view_auxiliary_load_bearing(spark, sf_dir):
         if r["n_rows"] > 0
     }
     assert got_stale != want
+
+
+def test_catch_up_join_view_consumes_unseen_feeds(spark, sf_dir):
+    """The production refresh API: after `ivm_stream_join_view` leaves
+    the view at v3 (cursors a=3, b=2), (a) a catch-up with nothing
+    unseen is a no-op returning the current manifest; (b) after NEW
+    commits land on BOTH tables — plus a STALE wave redelivered to the
+    fact table under a fresh commit id, which must contribute nothing
+    (its feed is empty by the shadow-ceiling rule) — one catch-up
+    advances the view to exactly the one-shot recompute over the
+    tables' latest reads, moving the cursors past every commit
+    including the stale one."""
+    from nyc_data_pipeline_spark.operators.incremental import (
+        IVM_A_DEL_MOD,
+        IVM_A_UPD_MOD,
+        IVM_A_UPLIFT,
+        _ivm_a1,
+        catch_up_join_view,
+    )
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    load_all()
+    QUERIES["ivm_stream_join_view"](spark, sf_dir).collect()  # build
+    a_dir = scratch_dir("ivm_sj_a", sf_dir)
+    b_dir = scratch_dir("ivm_sj_b", sf_dir)
+    view_dir = scratch_dir("ivm_sj_view", sf_dir)
+
+    m = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    assert (m["version"], m["a_version"], m["b_version"]) == (3, 3, 2)
+
+    a1 = _ivm_a1(spark, sf_dir)
+    # A commit 4: re-score surviving k%9 orders at change version 3
+    wave_a3 = (
+        a1.filter(
+            (F.col("k") % 9 == 0) & (F.col("k") % IVM_A_DEL_MOD != 0)
+        )
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("k") % IVM_A_UPD_MOD == 0, IVM_A_UPLIFT)
+            .otherwise(0)
+            + 9,
+        )
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, wave_a3, a_dir, 4)
+    # A commit 5: STALE redelivery of wave 1 (same changes, versions)
+    wave_a1 = (
+        a1.filter(
+            (F.col("k") % IVM_A_UPD_MOD == 0)
+            & (F.col("k") % IVM_A_DEL_MOD != 0)
+        )
+        .withColumn("cents", F.col("cents") + IVM_A_UPLIFT)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, wave_a1, a_dir, 5)
+    # B commit 3: a second segment-move wave at change version 2
+    b2_now = mor_cdc_read(spark, b_dir, 2).select("c", "segment")
+    wave_b2 = (
+        b2_now.filter((F.col("c") % 19 == 0))
+        .withColumn("segment", F.lit("MOVED2"))
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, wave_b2, b_dir, 3)
+
+    m2 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    assert (m2["version"], m2["a_version"], m2["b_version"]) == (4, 5, 3)
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m2["seg_view"]).collect()
+        if r["n_rows"] > 0
+    }
+    want = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in mor_cdc_read(spark, a_dir, 5)
+        .select("c", "cents")
+        .join(
+            F.broadcast(
+                mor_cdc_read(spark, b_dir, 3).select("c", "segment")
+            ),
+            "c",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+    # idempotent: nothing further unseen
+    m3 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    assert m3["version"] == 4

@@ -329,6 +329,9 @@ HEADLINE = [
     # change feeds, auxiliary maintained incrementally; each refresh
     # reads only prior view artifacts + the epoch's feeds
     "ivm_stream_join_view",
+    # r11: cursor-based catch-up — multi-commit feed backlogs fold in
+    # one pass; a stale redelivered commit contributes nothing
+    "ivm_catch_up_view",
 ]
 
 

@@ -1137,3 +1137,188 @@ def catch_up_join_view(
         manifest, _os.path.join(view_dir, f"manifest-v{cur + 1}.json")
     )
     return manifest
+
+
+@register(
+    "ivm_catch_up_view",
+    # Full-recompute referee over the EXTENDED change algebra: the
+    # ivm_join_view waves, then a third order wave (re-score k%9
+    # survivors, original keys only) and a second customer move wave
+    # (c%19 → MOVED2 on the post-churn dim).  The stale wave-1
+    # redelivery the engine also commits MUST leave no trace here —
+    # the oracle's a3 has none.
+    oracle=f"""
+    WITH a1 AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b1 AS (
+        SELECT c_custkey AS c, c_mktsegment AS segment FROM customer
+    ),
+    a2 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % {IVM_A_UPD_MOD} = 0
+                            THEN {IVM_A_UPLIFT} ELSE 0 END AS cents
+        FROM a1 WHERE k % {IVM_A_DEL_MOD} <> 0
+        UNION ALL
+        SELECT k + {IVM_A_INS_SHIFT}, c, cents + {IVM_A_INS_BUMP}
+        FROM a1 WHERE k % {IVM_A_INS_MOD} = 0
+    ),
+    a3 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % 9 = 0 AND k < {IVM_A_INS_SHIFT}
+                            THEN 9 ELSE 0 END AS cents
+        FROM a2
+    ),
+    b2 AS (
+        SELECT c,
+               CASE WHEN c % {IVM_B_MOVE_MOD} = 0
+                    THEN 'MOVED' ELSE segment END AS segment
+        FROM b1 WHERE c % {IVM_B_DEL_MOD} <> 0
+    ),
+    b3 AS (
+        SELECT c,
+               CASE WHEN c % 19 = 0 THEN 'MOVED2' ELSE segment END
+                   AS segment
+        FROM b2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a3 JOIN b3 USING (c)
+    GROUP BY segment
+    """,
+)
+def ivm_catch_up_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cursor-based catch-up refresh, driver-visible end to end:
+    two MOR CDC tables accumulate commits INDEPENDENTLY of the view —
+    orders: uplift wave, delete+re-book wave, a re-score wave, and a
+    STALE REDELIVERY of wave 1 under a fresh commit id; customer:
+    churn+moves, then a second move wave — and the segment view
+    catches up in two `catch_up_join_view` calls, each folding every
+    unseen feed in one pass and moving its manifest cursors.  The
+    stale commit contributes nothing (its feed is empty under the
+    shadow-ceiling rule, streaming/mor_cdc.py) and the oracle's
+    recompute has no trace of it, so the hash match certifies the
+    whole contract: multi-commit backlog folds, auxiliary advance,
+    and at-least-once redelivery hygiene — the reference's consumer →
+    dashboard loop (spark_consumer.py:106 → streamlit rerun) as an
+    O(changes) refresh instead of a per-refresh rescan."""
+    import json as _json
+    import os as _os
+
+    from ..sources.scans import scratch_dir
+    from ..streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+
+    a_dir = scratch_dir("ivm_cu_a", sf_dir)
+    b_dir = scratch_dir("ivm_cu_b", sf_dir)
+    view_dir = scratch_dir("ivm_cu_view", sf_dir)
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+    final_manifest = _os.path.join(view_dir, "manifest-v3.json")
+    if not _os.path.exists(final_manifest):
+        # --- table A: base + two change epochs
+        mor_cdc_init(
+            spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
+        )
+        wave_a1 = (
+            a1.filter(
+                (F.col("k") % IVM_A_UPD_MOD == 0)
+                & (F.col("k") % IVM_A_DEL_MOD != 0)
+            )
+            .withColumn("cents", F.col("cents") + IVM_A_UPLIFT)
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, wave_a1, a_dir, 2)
+        wave_a2 = (
+            a1.filter(F.col("k") % IVM_A_DEL_MOD == 0)
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("d"))
+            .unionByName(
+                a1.filter(F.col("k") % IVM_A_INS_MOD == 0)
+                .select(
+                    (F.col("k") + IVM_A_INS_SHIFT).alias("k"),
+                    "c",
+                    (F.col("cents") + IVM_A_INS_BUMP).alias("cents"),
+                )
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("u"))
+            )
+        )
+        mor_cdc_commit(spark, wave_a2, a_dir, 3)
+        # --- table B: base + churn/move epoch
+        mor_cdc_init(
+            spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
+        )
+        wave_b = (
+            b1.filter(F.col("c") % IVM_B_DEL_MOD == 0)
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("d"))
+            .unionByName(
+                b1.filter(
+                    (F.col("c") % IVM_B_MOVE_MOD == 0)
+                    & (F.col("c") % IVM_B_DEL_MOD != 0)
+                )
+                .withColumn("segment", F.lit("MOVED"))
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("u"))
+            )
+        )
+        mor_cdc_commit(spark, wave_b, b_dir, 2)
+        # --- view v1 over the two v1 reads, then catch-up #1
+        # (consumes A commits 2-3 and B commit 2 in one fold)
+        m1 = build_join_view(
+            mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+            mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+            view_dir,
+        )
+        m1.update({"a_version": 1, "b_version": 1})
+        from ..sources.scans import atomic_json_dump
+
+        atomic_json_dump(
+            m1, _os.path.join(view_dir, "manifest-v1.json")
+        )
+        catch_up_join_view(spark, view_dir, a_dir, b_dir)
+        # --- more commits land while the view sleeps: a re-score
+        # wave, a STALE redelivery of wave 1, a second move wave
+        wave_a3 = (
+            a1.filter(
+                (F.col("k") % 9 == 0)
+                & (F.col("k") % IVM_A_DEL_MOD != 0)
+            )
+            .withColumn(
+                "cents",
+                F.col("cents")
+                + F.when(
+                    F.col("k") % IVM_A_UPD_MOD == 0, IVM_A_UPLIFT
+                ).otherwise(0)
+                + 9,
+            )
+            .withColumn("version", F.lit(3))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, wave_a3, a_dir, 4)
+        mor_cdc_commit(spark, wave_a1, a_dir, 5)  # stale redelivery
+        wave_b2 = (
+            mor_cdc_read(spark, b_dir, 2)
+            .select("c", "segment")
+            .filter(F.col("c") % 19 == 0)
+            .withColumn("segment", F.lit("MOVED2"))
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, wave_b2, b_dir, 3)
+        # --- catch-up #2: folds A 4-5 (5 contributes nothing) + B 3
+        catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    with open(final_manifest) as f:
+        m3 = _json.load(f)
+    assert (m3["a_version"], m3["b_version"]) == (5, 3)
+    return spark.read.parquet(m3["seg_view"]).select(
+        "segment", "n_rows", "sum_cents"
+    )

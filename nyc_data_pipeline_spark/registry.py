@@ -118,6 +118,9 @@ _VERIFY_FIRST = [
     "orders_cohort_ltv",
     "orders_open_backlog",
     "ivm_stream_join_view",
+    # r12-queue head: r11 past-window addition (locally verified at
+    # sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    "ivm_catch_up_view",
     "orders_pareto_topk_share",
     "rollup_hierarchy_reuse",
     "sample_train_split",

@@ -981,3 +981,160 @@ def test_mor_cdc_feed_pruning_is_lossless(spark, tmp_path_factory, raw, rng):
             .collect()
         }
         assert feed_pre == ref_pre, (v, feed_pre, ref_pre)
+
+
+_cu_change_a = st.tuples(
+    st.integers(min_value=0, max_value=11),   # order key
+    st.integers(min_value=1, max_value=4),    # version
+    st.booleans(),                            # is_delete
+    st.integers(min_value=0, max_value=99),   # payload -> (c, cents)
+)
+_cu_change_b = st.tuples(
+    st.integers(min_value=0, max_value=3),    # customer key
+    st.integers(min_value=1, max_value=4),    # version
+    st.booleans(),                            # is_churn
+    st.integers(min_value=0, max_value=99),   # payload -> segment
+)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(_cu_change_a, min_size=1, max_size=14),
+    st.lists(_cu_change_b, min_size=1, max_size=8),
+    st.randoms(use_true_random=False),
+)
+def test_catch_up_join_view_random_histories(
+    spark, tmp_path_factory, raw_a, raw_b, rng
+):
+    """Bag-linearity law for the cursor-based catch-up: random change
+    histories on BOTH tables (order upserts/deletes that may MOVE an
+    order between customers; customer churn and segment moves),
+    chunked into random commit sequences, with `catch_up_join_view`
+    invoked at RANDOM interleaving points — every split of the
+    backlog across catch-ups must land the view on the same fixpoint,
+    checked against a fully independent driver-side recompute
+    (keep-latest fold of both change lists, then the dict join).
+    This is the claim that makes the refresh API safe to run on any
+    cadence: per commit, hourly, or after a weekend backlog."""
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catch_up_join_view,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    import json as _json
+    import os as _os
+
+    def dedupe_sort(raw):
+        d = {(k, v): (dead, p) for k, v, dead, p in raw}
+        return sorted(
+            ((k, v, dead, p) for (k, v), (dead, p) in d.items()),
+            key=lambda t: (t[1], t[0]),
+        )
+
+    def chunk_by_version(changes, rng):
+        bands = sorted({v for _k, v, _d, _p in changes})
+        n_cuts = rng.randrange(0, min(2, len(bands) - 1) + 1)
+        cuts = sorted(rng.sample(bands[1:], n_cuts)) if n_cuts else []
+        out = [[] for _ in range(len(cuts) + 1)]
+        for ch in changes:
+            out[sum(1 for c in cuts if ch[1] >= c)].append(ch)
+        return [c for c in out if c]
+
+    ch_a = dedupe_sort(raw_a)
+    ch_b = dedupe_sort(raw_b)
+    base = str(tmp_path_factory.mktemp("cu_prop"))
+    a_dir, b_dir, v_dir = (
+        _os.path.join(base, d) for d in ("a", "b", "view")
+    )
+    a_base = spark.createDataFrame(
+        [(k, k % 4, 100 + k, 0) for k in range(12)],
+        "k bigint, c bigint, cents bigint, version int",
+    )
+    b_base = spark.createDataFrame(
+        [(c, f"S{c}", 0) for c in range(4)],
+        "c bigint, segment string, version int",
+    )
+    mor_cdc_init(spark, a_base, a_dir, "k", n_files=4)
+    mor_cdc_init(spark, b_base, b_dir, "c", n_files=2)
+    m1 = build_join_view(
+        mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+        mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+        v_dir,
+    )
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, _os.path.join(v_dir, "manifest-v1.json"))
+
+    # build an interleaved schedule of table commits + catch-up calls
+    steps = []
+    va = 2
+    for chunk in chunk_by_version(ch_a, rng):
+        df = spark.createDataFrame(
+            [
+                (k, p % 4, 2000 + p, v, "d" if dead else "u")
+                for k, v, dead, p in chunk
+            ],
+            "k bigint, c bigint, cents bigint, version int, op string",
+        )
+        steps.append(("a", df, va))
+        va += 1
+    vb = 2
+    for chunk in chunk_by_version(ch_b, rng):
+        df = spark.createDataFrame(
+            [
+                (c, f"S{p % 6}", v, "d" if dead else "u")
+                for c, v, dead, p in chunk
+            ],
+            "c bigint, segment string, version int, op string",
+        )
+        steps.append(("b", df, vb))
+        vb += 1
+    # commits of the SAME table stay in version order; catch-ups land
+    # at random points (including possibly none until the end)
+    order = sorted(range(len(steps)), key=lambda i: (rng.random(), i))
+    by_table = {"a": [s for s in steps if s[0] == "a"],
+                "b": [s for s in steps if s[0] == "b"]}
+    seq = []
+    ia = ib = 0
+    for i in order:
+        t = steps[i][0]
+        if t == "a":
+            seq.append(by_table["a"][ia]); ia += 1
+        else:
+            seq.append(by_table["b"][ib]); ib += 1
+    for t, df, v in seq:
+        mor_cdc_commit(spark, df, a_dir if t == "a" else b_dir, v,
+                       n_files=4 if t == "a" else 2)
+        if rng.random() < 0.4:
+            catch_up_join_view(spark, v_dir, a_dir, b_dir)
+    m = catch_up_join_view(spark, v_dir, a_dir, b_dir)
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m["seg_view"]).collect()
+        if r["n_rows"] > 0
+    }
+
+    # independent referee: keep-latest fold of both change lists
+    a_state = {k: (k % 4, 100 + k, 0, False) for k in range(12)}
+    for k, v, dead, p in ch_a:
+        if k not in a_state or v > a_state[k][2]:
+            a_state[k] = (p % 4, 2000 + p, v, dead)
+    b_state = {c: (f"S{c}", 0, False) for c in range(4)}
+    for c, v, dead, p in ch_b:
+        if c not in b_state or v > b_state[c][1]:
+            b_state[c] = (f"S{p % 6}", v, dead)
+    want: dict = {}
+    for k, (c, cents, _v, dead) in a_state.items():
+        if dead or c not in b_state or b_state[c][2]:
+            continue
+        seg = b_state[c][0]
+        cur = want.setdefault(seg, [0, 0])
+        cur[0] += 1
+        cur[1] += cents
+    assert got == {s: tuple(v) for s, v in want.items()}

@@ -275,13 +275,20 @@ def mor_cdc_read(
             else rows.unionByName(piece, allowMissingColumns=True)
         )
     dv = None
-    for d in m["dvs"]:
-        piece = spark.read.json(d["path"]).select(
+    if m["dvs"]:
+        # ONE multi-path scan over every sidecar, the commit recovered
+        # from the directory name — not a union branch per commit (the
+        # _grouped_manifest_scan rule applied to the DV side: a
+        # 100-commit span between compactions plans 1 scan, not 100)
+        dv = spark.read.json([d["path"] for d in m["dvs"]]).select(
             "k",
             F.col("v").cast("long").alias("v"),
-            F.lit(int(d["v"])).cast("long").alias("_commit"),
+            F.regexp_extract(
+                F.input_file_name(), r"dv-v(\d+)/", 1
+            )
+            .cast("long")
+            .alias("_commit"),
         )
-        dv = piece if dv is None else dv.unionByName(piece)
     if m.get("dv_floor"):
         # the compaction-frozen shadow history (one row per ever-
         # churned key, max DV version at compaction time, commit = the
@@ -516,11 +523,13 @@ def mor_cdc_compact(
         if z.startswith("zb=")
     }
     dv = None
-    for d in m["dvs"]:
-        piece = spark.read.json(d["path"]).select(
+    if m["dvs"]:
+        # one multi-path scan (the mor_cdc_read rule; compaction folds
+        # the whole vector history, so the branch count matters most
+        # here)
+        dv = spark.read.json([d["path"] for d in m["dvs"]]).select(
             "k", F.col("v").cast("long").alias("v")
         )
-        dv = piece if dv is None else dv.unionByName(piece)
     if m.get("dv_floor"):
         piece = spark.read.parquet(m["dv_floor"]).select(
             "k", F.col("v").cast("long").alias("v")
@@ -645,10 +654,9 @@ def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(z), len(entries)) for z, entries in m_old["files"].items()],
         "zb bigint, n_files_before bigint",
     )
-    dv = None
-    for dv_entry in m_old["dvs"]:
-        piece = spark.read.json(dv_entry["path"]).select("zb")
-        dv = piece if dv is None else dv.unionByName(piece)
+    dv = spark.read.json(
+        [dv_entry["path"] for dv_entry in m_old["dvs"]]
+    ).select("zb")
     dv_rows = dv.groupBy(F.col("zb").cast("bigint").alias("zb")).agg(
         F.count("*").cast("bigint").alias("dv_rows_frozen")
     )

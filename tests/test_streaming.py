@@ -1852,3 +1852,44 @@ def test_change_feed_stable_under_compaction(spark, tmp_path):
     for past in (2, 3, 4):
         with pytest.raises(ChangeFeedRetentionError):
             mor_cdc_change_feed(spark, table_dir, past)
+
+
+def test_mor_cdc_read_single_dv_scan(spark, tmp_path):
+    """The CDC read must plan ONE json FileScan over ALL delete-vector
+    sidecars (commit recovered from the directory name), not a union
+    branch per commit — the `_grouped_manifest_scan` rule applied to
+    the DV side, so a 100-commit span between compactions plans 1
+    scan.  Values are re-asserted so the path-derived commit column
+    provably drives the tie-break."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_dv_scan")
+    for v, mod in ((2, 3), (3, 4), (4, 6)):
+        wave = (
+            spark.range(400)
+            .filter(F.col("id") % mod == 0)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10 + v).alias("cents"),
+                F.lit(v - 1).alias("version"),
+                F.lit("u").alias("op"),
+            )
+        )
+        mor_cdc_commit(spark, wave, table_dir, v)
+    df = mor_cdc_read(spark, table_dir, 4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("FileScan json") == 1, plan[:2000]
+    rows = {r["k"]: (r["cents"], r["version"]) for r in df.collect()}
+    assert len(rows) == 400
+    # keep-latest: k=12 hit by all three waves -> wave 3 wins
+    assert rows[12] == (124, 3)
+    assert rows[3] == (32, 1)     # wave 1 only
+    assert rows[4] == (43, 2)     # waves 2 (and not 3)
+    assert rows[1] == (10, 0)     # untouched base row

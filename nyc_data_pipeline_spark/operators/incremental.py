@@ -889,6 +889,7 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         mor_cdc_commit,
         mor_cdc_init,
         mor_cdc_read,
+        release_local_checkpoints,
     )
 
     a_dir = scratch_dir("ivm_sj_a", sf_dir)
@@ -977,9 +978,11 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The signed delta is O(changes): materialize it ONCE (it
         # feeds both the segment fold and the auxiliary advance) so
         # the feed's artifact reads run a single time per epoch.
-        da1 = _feed_to_signed_a(
-            mor_cdc_change_feed(spark, a_dir, 2)
-        ).localCheckpoint(eager=True)
+        feed_a1 = mor_cdc_change_feed(spark, a_dir, 2)
+        da1 = _feed_to_signed_a(feed_a1).localCheckpoint(eager=True)
+        release_local_checkpoints(
+            getattr(feed_a1, "_ckpt_intermediates", [])
+        )
         b_v1 = mor_cdc_read(spark, b_dir, 1).select("c", "segment")
         db_empty = b_v1.limit(0).withColumn("w", F.lit(1))
         seg_v2 = maintain_join_view(
@@ -1012,10 +1015,13 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auxiliary maintained in refresh 1 is load-bearing here)
         with open(_os.path.join(view_dir, "manifest-v2.json")) as f:
             m2 = _json.load(f)
-        da2 = _feed_to_signed_a(
-            mor_cdc_change_feed(spark, a_dir, 3)
-        ).localCheckpoint(eager=True)
-        db = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, 2))
+        feed_a2 = mor_cdc_change_feed(spark, a_dir, 3)
+        da2 = _feed_to_signed_a(feed_a2).localCheckpoint(eager=True)
+        release_local_checkpoints(
+            getattr(feed_a2, "_ckpt_intermediates", [])
+        )
+        feed_b = mor_cdc_change_feed(spark, b_dir, 2)
+        db = _feed_to_signed_b(feed_b)
         b2 = mor_cdc_read(spark, b_dir, 2).select("c", "segment")
         seg_v3 = maintain_join_view(
             spark.read.parquet(m2["seg_view"]),
@@ -1042,6 +1048,12 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             final_manifest,
         )
+        # v3 artifacts written: the lazy B feed's sidecars and the
+        # frozen signed deltas have no remaining consumers
+        release_local_checkpoints(
+            getattr(feed_b, "_ckpt_intermediates", [])
+        )
+        release_local_checkpoints([da1, da2])
     with open(final_manifest) as f:
         m3 = _json.load(f)
     return spark.read.parquet(m3["seg_view"]).select(
@@ -1077,7 +1089,11 @@ def catch_up_join_view(
     import os as _os
 
     from ..sources.scans import atomic_json_dump
-    from ..streaming.mor_cdc import mor_cdc_change_feed, mor_cdc_read
+    from ..streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_read,
+        release_local_checkpoints,
+    )
 
     def latest(d: str) -> int:
         return max(
@@ -1091,15 +1107,31 @@ def catch_up_join_view(
         m = _json.load(f)
     a_from, b_from = int(m.get("a_version", 1)), int(m.get("b_version", 1))
     a_latest, b_latest = latest(a_dir), latest(b_dir)
+    if a_latest < a_from or b_latest < b_from:
+        # A table's latest manifest BELOW the view cursor means the
+        # table chain was rolled back or vacuum reclaimed its head —
+        # the feeds the cursor reflects no longer exist.  Folding
+        # nothing and writing cursors back to `latest` would move them
+        # BACKWARD, so the next catch-up re-folds already-applied
+        # feeds and double-counts (ADVICE r11).  Refuse loudly.
+        raise ValueError(
+            f"view cursors ({a_from},{b_from}) are ahead of the table "
+            f"chains ({a_latest},{b_latest}) — rollback/retention "
+            "edge; refusing to move cursors backward"
+        )
     if a_latest == a_from and b_latest == b_from:
         return m  # nothing unseen: the view is current
-    da = None
+    da, a_ckpts = None, []
     for v in range(a_from + 1, a_latest + 1):
-        piece = _feed_to_signed_a(mor_cdc_change_feed(spark, a_dir, v))
+        raw = mor_cdc_change_feed(spark, a_dir, v)
+        a_ckpts += getattr(raw, "_ckpt_intermediates", [])
+        piece = _feed_to_signed_a(raw)
         da = piece if da is None else da.unionByName(piece)
-    db = None
+    db, b_ckpts = None, []
     for v in range(b_from + 1, b_latest + 1):
-        piece = _feed_to_signed_b(mor_cdc_change_feed(spark, b_dir, v))
+        raw = mor_cdc_change_feed(spark, b_dir, v)
+        b_ckpts += getattr(raw, "_ckpt_intermediates", [])
+        piece = _feed_to_signed_b(raw)
         db = piece if db is None else db.unionByName(piece)
     b_now = mor_cdc_read(spark, b_dir, b_latest).select("c", "segment")
     if da is None:
@@ -1111,6 +1143,9 @@ def catch_up_join_view(
         )
     else:
         da = da.localCheckpoint(eager=True)  # feeds both folds below
+        # the signed delta is frozen: the A feeds' checkpointed
+        # sidecars are no longer referenced by any live plan
+        release_local_checkpoints(a_ckpts)
     if db is None:
         db = b_now.limit(0).withColumn("w", F.lit(1))
     seg_new = maintain_join_view(
@@ -1136,6 +1171,12 @@ def catch_up_join_view(
     atomic_json_dump(
         manifest, _os.path.join(view_dir, f"manifest-v{cur + 1}.json")
     )
+    # both view artifacts are written: the lazy B feeds' checkpointed
+    # sidecars (and the frozen ΔA) have no remaining consumers —
+    # release them now rather than at driver GC (ADVICE r11: a
+    # long-lived catch-up loop otherwise accumulates storage blocks)
+    release_local_checkpoints(b_ckpts)
+    release_local_checkpoints([da])
     return manifest
 
 
@@ -1208,7 +1249,7 @@ def ivm_catch_up_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import os as _os
 
-    from ..sources.scans import scratch_dir
+    from ..sources.scans import atomic_json_dump, scratch_dir
     from ..streaming.mor_cdc import (
         mor_cdc_commit,
         mor_cdc_init,
@@ -1220,12 +1261,34 @@ def ivm_catch_up_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view_dir = scratch_dir("ivm_cu_view", sf_dir)
     a1 = _ivm_a1(spark, sf_dir)
     b1 = _ivm_b1(spark, sf_dir)
-    final_manifest = _os.path.join(view_dir, "manifest-v3.json")
-    if not _os.path.exists(final_manifest):
-        # --- table A: base + two change epochs
-        mor_cdc_init(
-            spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
-        )
+
+    def _latest_view_manifest() -> dict | None:
+        if not _os.path.isdir(view_dir):
+            return None
+        vs = [
+            int(f[len("manifest-v"):-len(".json")])
+            for f in _os.listdir(view_dir)
+            if f.startswith("manifest-v") and f.endswith(".json")
+        ]
+        if not vs:
+            return None
+        with open(
+            _os.path.join(view_dir, f"manifest-v{max(vs)}.json")
+        ) as f:
+            return _json.load(f)
+
+    # Completion is decided by CURSOR VALUES on the latest view
+    # manifest, never a hardcoded version number: a crash anywhere in
+    # the scripted history below can shift how many catch-ups it takes
+    # to reach (5, 3), so a rerun must converge regardless of which
+    # intermediate the view chain stopped at (ADVICE r11).  Every
+    # table-build step is guarded on ITS OWN last manifest (the
+    # ivm_stream_join_view pattern), so reruns never re-commit.
+    m_final = _latest_view_manifest()
+    if m_final is None or (
+        int(m_final.get("a_version", 0)),
+        int(m_final.get("b_version", 0)),
+    ) != (5, 3):
         wave_a1 = (
             a1.filter(
                 (F.col("k") % IVM_A_UPD_MOD == 0)
@@ -1235,90 +1298,112 @@ def ivm_catch_up_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("version", F.lit(1))
             .withColumn("op", F.lit("u"))
         )
-        mor_cdc_commit(spark, wave_a1, a_dir, 2)
-        wave_a2 = (
-            a1.filter(F.col("k") % IVM_A_DEL_MOD == 0)
-            .withColumn("version", F.lit(2))
-            .withColumn("op", F.lit("d"))
-            .unionByName(
-                a1.filter(F.col("k") % IVM_A_INS_MOD == 0)
-                .select(
-                    (F.col("k") + IVM_A_INS_SHIFT).alias("k"),
-                    "c",
-                    (F.col("cents") + IVM_A_INS_BUMP).alias("cents"),
-                )
-                .withColumn("version", F.lit(1))
-                .withColumn("op", F.lit("u"))
+        # --- table A: base + two change epochs
+        if not _os.path.exists(
+            _os.path.join(a_dir, "manifest-v3.json")
+        ):
+            mor_cdc_init(
+                spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
             )
-        )
-        mor_cdc_commit(spark, wave_a2, a_dir, 3)
+            mor_cdc_commit(spark, wave_a1, a_dir, 2)
+            wave_a2 = (
+                a1.filter(F.col("k") % IVM_A_DEL_MOD == 0)
+                .withColumn("version", F.lit(2))
+                .withColumn("op", F.lit("d"))
+                .unionByName(
+                    a1.filter(F.col("k") % IVM_A_INS_MOD == 0)
+                    .select(
+                        (F.col("k") + IVM_A_INS_SHIFT).alias("k"),
+                        "c",
+                        (F.col("cents") + IVM_A_INS_BUMP).alias("cents"),
+                    )
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+            )
+            mor_cdc_commit(spark, wave_a2, a_dir, 3)
         # --- table B: base + churn/move epoch
-        mor_cdc_init(
-            spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
-        )
-        wave_b = (
-            b1.filter(F.col("c") % IVM_B_DEL_MOD == 0)
-            .withColumn("version", F.lit(1))
-            .withColumn("op", F.lit("d"))
-            .unionByName(
-                b1.filter(
-                    (F.col("c") % IVM_B_MOVE_MOD == 0)
-                    & (F.col("c") % IVM_B_DEL_MOD != 0)
-                )
-                .withColumn("segment", F.lit("MOVED"))
-                .withColumn("version", F.lit(1))
-                .withColumn("op", F.lit("u"))
+        if not _os.path.exists(
+            _os.path.join(b_dir, "manifest-v2.json")
+        ):
+            mor_cdc_init(
+                spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
             )
-        )
-        mor_cdc_commit(spark, wave_b, b_dir, 2)
-        # --- view v1 over the two v1 reads, then catch-up #1
-        # (consumes A commits 2-3 and B commit 2 in one fold)
-        m1 = build_join_view(
-            mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
-            mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
-            view_dir,
-        )
-        m1.update({"a_version": 1, "b_version": 1})
-        from ..sources.scans import atomic_json_dump
-
-        atomic_json_dump(
-            m1, _os.path.join(view_dir, "manifest-v1.json")
-        )
+            wave_b = (
+                b1.filter(F.col("c") % IVM_B_DEL_MOD == 0)
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("d"))
+                .unionByName(
+                    b1.filter(
+                        (F.col("c") % IVM_B_MOVE_MOD == 0)
+                        & (F.col("c") % IVM_B_DEL_MOD != 0)
+                    )
+                    .withColumn("segment", F.lit("MOVED"))
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+            )
+            mor_cdc_commit(spark, wave_b, b_dir, 2)
+        # --- view v1 over the two v1 reads, then catch-up #1.  On a
+        # clean run this consumes A commits 2-3 and B commit 2 in one
+        # fold; after a mid-build crash the tables may already be
+        # further ahead and the fold simply absorbs more (the cursor
+        # check at the end is what certifies convergence).
+        if not _os.path.exists(
+            _os.path.join(view_dir, "manifest-v1.json")
+        ):
+            m1 = build_join_view(
+                mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+                mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+                view_dir,
+            )
+            m1.update({"a_version": 1, "b_version": 1})
+            atomic_json_dump(
+                m1, _os.path.join(view_dir, "manifest-v1.json")
+            )
         catch_up_join_view(spark, view_dir, a_dir, b_dir)
         # --- more commits land while the view sleeps: a re-score
         # wave, a STALE redelivery of wave 1, a second move wave
-        wave_a3 = (
-            a1.filter(
-                (F.col("k") % 9 == 0)
-                & (F.col("k") % IVM_A_DEL_MOD != 0)
+        if not _os.path.exists(
+            _os.path.join(a_dir, "manifest-v4.json")
+        ):
+            wave_a3 = (
+                a1.filter(
+                    (F.col("k") % 9 == 0)
+                    & (F.col("k") % IVM_A_DEL_MOD != 0)
+                )
+                .withColumn(
+                    "cents",
+                    F.col("cents")
+                    + F.when(
+                        F.col("k") % IVM_A_UPD_MOD == 0, IVM_A_UPLIFT
+                    ).otherwise(0)
+                    + 9,
+                )
+                .withColumn("version", F.lit(3))
+                .withColumn("op", F.lit("u"))
             )
-            .withColumn(
-                "cents",
-                F.col("cents")
-                + F.when(
-                    F.col("k") % IVM_A_UPD_MOD == 0, IVM_A_UPLIFT
-                ).otherwise(0)
-                + 9,
+            mor_cdc_commit(spark, wave_a3, a_dir, 4)
+        if not _os.path.exists(
+            _os.path.join(a_dir, "manifest-v5.json")
+        ):
+            mor_cdc_commit(spark, wave_a1, a_dir, 5)  # stale redelivery
+        if not _os.path.exists(
+            _os.path.join(b_dir, "manifest-v3.json")
+        ):
+            wave_b2 = (
+                mor_cdc_read(spark, b_dir, 2)
+                .select("c", "segment")
+                .filter(F.col("c") % 19 == 0)
+                .withColumn("segment", F.lit("MOVED2"))
+                .withColumn("version", F.lit(2))
+                .withColumn("op", F.lit("u"))
             )
-            .withColumn("version", F.lit(3))
-            .withColumn("op", F.lit("u"))
-        )
-        mor_cdc_commit(spark, wave_a3, a_dir, 4)
-        mor_cdc_commit(spark, wave_a1, a_dir, 5)  # stale redelivery
-        wave_b2 = (
-            mor_cdc_read(spark, b_dir, 2)
-            .select("c", "segment")
-            .filter(F.col("c") % 19 == 0)
-            .withColumn("segment", F.lit("MOVED2"))
-            .withColumn("version", F.lit(2))
-            .withColumn("op", F.lit("u"))
-        )
-        mor_cdc_commit(spark, wave_b2, b_dir, 3)
+            mor_cdc_commit(spark, wave_b2, b_dir, 3)
         # --- catch-up #2: folds A 4-5 (5 contributes nothing) + B 3
         catch_up_join_view(spark, view_dir, a_dir, b_dir)
-    with open(final_manifest) as f:
-        m3 = _json.load(f)
-    assert (m3["a_version"], m3["b_version"]) == (5, 3)
-    return spark.read.parquet(m3["seg_view"]).select(
+        m_final = _latest_view_manifest()
+    assert (m_final["a_version"], m_final["b_version"]) == (5, 3)
+    return spark.read.parquet(m_final["seg_view"]).select(
         "segment", "n_rows", "sum_cents"
     )

@@ -100,6 +100,33 @@ def atomic_json_dump(obj, path: str) -> None:
         raise
 
 
+def atomic_json_publish_once(obj, path: str) -> None:
+    """Compare-and-swap publish: like `atomic_json_dump` but the final
+    step is link(2) from a writer-unique temp name, which is atomic
+    AND fails with FileExistsError if `path` already exists — the
+    Iceberg snapshot-CAS analog on plain files.  Exactly one of any
+    number of concurrent publishers of the same path succeeds; the
+    losers get a loud FileExistsError to translate into their commit-
+    conflict protocol, never a silent last-write-wins overwrite."""
+    import json as _json
+    import tempfile as _tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            _json.dump(obj, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, path)  # atomic; EEXIST if another writer won
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

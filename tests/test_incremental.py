@@ -354,3 +354,95 @@ def test_catch_up_join_view_consumes_unseen_feeds(spark, sf_dir):
     # idempotent: nothing further unseen
     m3 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
     assert m3["version"] == 4
+
+
+def test_catch_up_join_view_refuses_backward_cursors(spark, tmp_path):
+    """A table chain whose latest manifest sits BELOW the view cursor
+    (rollback / retention edge) must raise loudly instead of writing
+    the cursor backward — a silent backward move would re-fold
+    already-applied feeds on the next catch-up and double-count
+    (ADVICE r11)."""
+    import pytest
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        catch_up_join_view,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_init
+
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    view_dir = str(tmp_path / "view")
+    mor_cdc_init(
+        spark,
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("c"),
+            (F.col("id") * 10).alias("cents"),
+            F.lit(0).alias("version"),
+        ),
+        a_dir,
+        "k",
+    )
+    mor_cdc_init(
+        spark,
+        spark.range(7).select(
+            F.col("id").alias("c"),
+            F.lit("S").alias("segment"),
+            F.lit(0).alias("version"),
+        ),
+        b_dir,
+        "c",
+    )
+    import os
+
+    atomic_json_dump(
+        {
+            "version": 1,
+            "seg_view": "unused",
+            "cust_view": "unused",
+            "a_version": 9,  # ahead of the table's latest (=1)
+            "b_version": 1,
+        },
+        os.path.join(view_dir, "manifest-v1.json"),
+    )
+    with pytest.raises(ValueError, match="refusing to move cursors"):
+        catch_up_join_view(spark, view_dir, a_dir, b_dir)
+
+
+def test_ivm_catch_up_view_rerun_converges_after_midbuild_crash(
+    spark, sf_dir
+):
+    """Re-entry contract (ADVICE r11): after a crash leaves the view
+    chain behind the fully-committed tables, a rerun must converge to
+    cursors (5, 3) and the same rows — the completion check is cursor
+    values on the LATEST view manifest, never a hardcoded version
+    number (here convergence lands at view v2, not v3, because one
+    catch-up folds the whole backlog)."""
+    import json
+    import os
+
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    first = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in QUERIES["ivm_catch_up_view"](spark, sf_dir).collect()
+    }
+    view_dir = scratch_dir("ivm_cu_view", sf_dir)
+    # simulate the crash: view chain truncated to v1 (cursors (1,1)),
+    # both tables already fully committed (a@5, b@3)
+    for v in (2, 3):
+        p = os.path.join(view_dir, f"manifest-v{v}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    again = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in QUERIES["ivm_catch_up_view"](spark, sf_dir).collect()
+    }
+    assert again == first
+    # the rerun's single catch-up folded A 2..5 + B 2..3 into view v2
+    with open(os.path.join(view_dir, "manifest-v2.json")) as f:
+        m = json.load(f)
+    assert (m["a_version"], m["b_version"]) == (5, 3)

@@ -1893,3 +1893,197 @@ def test_mor_cdc_read_single_dv_scan(spark, tmp_path):
     assert rows[3] == (32, 1)     # wave 1 only
     assert rows[4] == (43, 2)     # waves 2 (and not 3)
     assert rows[1] == (10, 0)     # untouched base row
+
+
+def test_mor_cdc_empty_read_schema_from_highest_commit(spark, tmp_path):
+    """When zb_filter excludes every manifest entry, the empty read's
+    schema must come from a file of the HIGHEST commit present: under
+    add-column evolution an older file is missing columns the
+    committed schema has (ADVICE r11), and the dict-ordered
+    `files[...][0]` entry is always a v1 file."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_empty_schema")
+    # evolution commit: adds `extra` — only its files carry the column
+    wave = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 1).alias("cents"),
+        F.lit("x").alias("extra"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 2)
+    empty = mor_cdc_read(spark, table_dir, 2, zb_filter={"no-such-zb"})
+    assert empty.count() == 0
+    assert "extra" in empty.columns, empty.columns
+
+
+def test_release_local_checkpoints_frees_feed_blocks(spark, tmp_path):
+    """`release_local_checkpoints` must actually free the feed's
+    checkpointed sidecar blocks from executor storage (ADVICE r11:
+    DataFrame.unpersist is a no-op for localCheckpoint, so without the
+    explicit release a catch-up loop accumulates blocks until driver
+    GC).  The feed itself stays correct before release."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        release_local_checkpoints,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_release")
+    wave = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 1).alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 2)
+    feed = mor_cdc_change_feed(spark, table_dir, 2)
+    assert feed.count() == 60  # materialized: intermediates now dead
+    ckpts = feed._ckpt_intermediates
+    assert ckpts, "feed must track its checkpointed intermediates"
+    jsc = spark.sparkContext._jsc.sc()
+    before = {r.id() for r in jsc.getRDDStorageInfo()}
+    release_local_checkpoints(ckpts)
+    after = {r.id() for r in jsc.getRDDStorageInfo()}
+    assert after < before, (before, after)
+
+
+def test_mor_cdc_concurrent_writers_serialize_or_raise(spark, tmp_path):
+    """Snapshot-CAS contract (VERDICT r11 ask #3): two committers
+    racing the same version number can never BOTH land it silently.
+    Covers both conflict windows — (a) the winner published before the
+    loser's pre-check (cheap fast-fail), and (b) the winner published
+    INSIDE the loser's stage→publish window (the genuine race, driven
+    deterministically through the _before_publish seam, decided by the
+    link(2) CAS).  After each lost race the loser retries from a fresh
+    read and serializes at N+1; the final table state is exact and the
+    loser's staged artifacts are gone."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_race", n_keys=200)
+
+    def wave(lo, hi, bump, ver):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10 + bump).alias("cents"),
+                F.lit(ver).alias("version"),
+                F.lit("u").alias("op"),
+            )
+        )
+
+    # (a) pre-check window: A lands v2 first, B's attempt at v2 must
+    # fail BEFORE staging (no stray B directories appear)
+    mor_cdc_commit(spark, wave(0, 50, 1, 1), table_dir, 2, exclusive=True)
+    dirs_before = set(os.listdir(table_dir))
+    with pytest.raises(CommitConflictError):
+        mor_cdc_commit(
+            spark, wave(100, 150, 2, 1), table_dir, 2, exclusive=True
+        )
+    assert set(os.listdir(table_dir)) == dirs_before
+    # (b) CAS window: B passes the pre-check for v3, A publishes v3
+    # inside B's stage→publish window; B must lose at the link, clean
+    # up its own staged dirs, and leave A's v3 untouched
+    def land_a_first():
+        mor_cdc_commit(
+            spark, wave(0, 50, 3, 2), table_dir, 3, exclusive=True
+        )
+
+    dirs_before = set(os.listdir(table_dir))
+    with pytest.raises(CommitConflictError):
+        mor_cdc_commit(
+            spark, wave(100, 150, 2, 1), table_dir, 3,
+            exclusive=True, _before_publish=land_a_first,
+        )
+    added = set(os.listdir(table_dir)) - dirs_before
+    # only A's v3 artifacts + manifest may have appeared; B's staged
+    # dirs were removed on the lost race
+    assert "manifest-v3.json" in added
+    with open(os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = json.load(f)
+    referenced = {
+        os.path.basename(os.path.dirname(e["path"]))
+        for entries in m3["files"].values()
+        for e in entries
+    } | {os.path.basename(d["path"]) for d in m3["dvs"]}
+    for d in added - {"manifest-v3.json"}:
+        assert d in referenced, f"orphan from the losing writer: {d}"
+    # serialization: B retries from a fresh read at v4 and wins
+    mor_cdc_commit(spark, wave(100, 150, 2, 1), table_dir, 4, exclusive=True)
+    rows = {r["k"]: r["cents"] for r in
+            mor_cdc_read(spark, table_dir, 4).collect()}
+    assert len(rows) == 200
+    assert rows[0] == 3        # A's v3 re-bump (version 2) wins over v2
+    assert rows[120] == 1202   # B's serialized v4 wave
+    assert rows[199] == 1990   # untouched base row
+
+
+def test_mor_cdc_sink_concurrent_epochs_both_land(spark, tmp_path):
+    """Sink-level serialization: two MorCdcSink writers (same table,
+    different epochs) whose commits interleave must BOTH land — the
+    loser's automatic fresh-read retry serializes them — and the
+    ledger must carry both epochs (the merged ledger publish never
+    drops a concurrent writer's entry)."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        MorCdcSink,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_sink_race", n_keys=200)
+    sink_a = MorCdcSink(spark, table_dir)
+    sink_b = MorCdcSink(spark, table_dir)
+    wave_a = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 1).alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    wave_b = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 2).alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    # interleave: both sinks derive N=2 from the same pre-state; A
+    # lands first, B's exclusive commit conflicts and auto-retries at 3
+    import nyc_data_pipeline_spark.streaming.mor_cdc as mc
+
+    orig_commit = mc.mor_cdc_commit
+    state = {"fired": False}
+
+    def racing_commit(spark_, batch, tdir, version, **kw):
+        if not state["fired"] and version == 2:
+            state["fired"] = True
+            # writer A lands v2 inside writer B's derive→commit window
+            orig_commit(spark_, wave_a, tdir, 2, exclusive=True)
+        return orig_commit(spark_, batch, tdir, version, **kw)
+
+    mc.mor_cdc_commit = racing_commit
+    try:
+        sink_b(wave_b, epoch_id=7)   # loses v2, retries, lands v3
+    finally:
+        mc.mor_cdc_commit = orig_commit
+    # A's commit happened inside the race (manifest published, ledger
+    # entry pending — the crash-recovery shape); B's serialized entry
+    # must be in the ledger at the version AFTER A's
+    ledger = sink_a._read_ledger()
+    assert ledger.get("7") == 3, ledger
+    rows = {r["k"]: r["cents"] for r in
+            mor_cdc_read(spark, table_dir, 3).collect()}
+    assert len(rows) == 200
+    assert rows[0] == 1      # A's wave
+    assert rows[120] == 1202  # B's wave, serialized after the conflict
+    # redelivery of B's epoch is a no-op (ledger hit)
+    sink_b(wave_b, epoch_id=7)
+    assert sink_a._latest_manifest_version() == 3

@@ -53,73 +53,21 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r11 window (positions 1-50), drained exactly as the r10
-    # verdict queued it (VERDICT r10 ask #2):
-    # -- positions 1-5: the 5 r10 past-window additions (judge-replayed
-    # green in the r10 verdict; never driver-sampled).
-    # -- positions 6-49: the 12 r4-era rows then the oldest r5-era
-    # rows, age order (latest-verdict round, then name) — computed
-    # from CORRECTNESS_r01-r10; COVERAGE.md records the ledger.
-    # -- position 50: the single in-window r11 addition (cap <=1 for
-    # two rounds per VERDICT r10): ivm_stream_join_view (the joined
-    # view advanced from TWO MOR CDC tables' streaming change feeds,
-    # VERDICT r10 ask #5).
-    # ==== r12 queue (pre-staged, positions 51+): remaining r5-era
-    # rows in age order, then r5b/r6/... era rows, with the 50
-    # r10-window rows (freshest verdicts) last — r12 just drains the
-    # head.
-    "stream_mor_cdc_evolve",
-    "stream_mor_cdc_vacuum",
-    "sim_index_rebuild_swap",
-    "stream_mor_cdc_feed",
-    "ivm_stream_feed_view",
-    "q12_shipping_delay",
-    "q14_promo_revenue",
-    "q22_idle_customers",
-    "q4_priority_check",
-    "sample_lang_balanced",
-    "sim_hard_negatives",
-    "sink_bucketed_agg",
-    "text_pii_scrub",
-    "text_repetition_metrics",
-    "text_tfidf_topterms",
-    "window_distribution",
-    "window_week_over_week",
-    "agg_approx_count_distinct",
-    "agg_equidepth_histogram",
-    "agg_percentile_approx",
-    "approx_cms_heavy_hitters",
-    "approx_cms_merge",
-    "dedup_cross_chunk_share",
-    "dq_expectations_orders",
-    "dq_psi_bins_drift",
-    "emb_pq_codes",
-    "events_attribution_even",
-    "events_cusum_drift",
-    "events_dau_mau",
-    "events_hourly_anomaly",
-    "events_mad_outliers",
-    "events_survival_curve",
-    "events_user_lifecycle",
-    "events_value_halflife",
-    "fn_winsorize",
-    "geo_grid_hotspots",
-    "geo_radius_probe",
-    "grouped_ols_per_user",
-    "grouped_ols_trend",
-    "grouped_ses_forecast",
-    "join_asof_nearest",
-    "join_bloom_prefilter",
-    "join_interval_overlap",
-    "join_scd2_pit",
-    "merge_upsert_bucketed",
-    "mm_phash_near_dup",
-    "orders_basket_pairs",
-    "orders_cohort_ltv",
-    "orders_open_backlog",
-    "ivm_stream_join_view",
-    # r12-queue head: r11 past-window addition (locally verified at
-    # sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    # ==== r12 window (positions 1-50), drained exactly as the r11
+    # verdict queued it (VERDICT r11 ask #1):
+    # -- position 1: ivm_catch_up_view — the r11 past-window addition,
+    # judge-replayed green in the r11 verdict, never driver-sampled.
+    # -- positions 2-49: the 15 remaining r5-era rows, then the oldest
+    # r5b/r6-era rows, age order (latest-verdict round, then name) —
+    # the pre-staged r12 queue from the r11 rotation; COVERAGE.md
+    # records the ledger.  After CORRECTNESS_r12 no registered query's
+    # latest official verdict is older than r6 (rotation converged).
+    # -- position 50: the single in-window r12 addition (cap <=1):
+    # sim_index_cdc_maintain (the ANN index maintained from the
+    # embeddings table's MOR CDC change feed, VERDICT r11 ask #4).
+    # ==== r13 queue (pre-staged, positions 51+): src_time_travel_ts
+    # (the r12 past-window addition) first, then r6-era rows in age
+    # order, with the 50 r11-window rows (freshest verdicts) last.
     "ivm_catch_up_view",
     "orders_pareto_topk_share",
     "rollup_hierarchy_reuse",
@@ -136,6 +84,7 @@ _VERIFY_FIRST = [
     "text_langid_audit",
     "text_lm_novelty",
     "window_gapfill_locf",
+    # (the 15 r5-era rows end here; oldest r5b/r6-era rows follow)
     "agg_collect_set",
     "agg_count_distinct",
     "agg_cube",
@@ -169,6 +118,11 @@ _VERIFY_FIRST = [
     "ref_partition_key",
     "ref_trip_enrichment",
     "ref_vendor_performance",
+    # -- position 50: the single in-window r12 addition
+    "sim_index_cdc_maintain",
+    # ==== r13 queue head: the r12 past-window addition (locally
+    # verified at sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    "src_time_travel_ts",
     "sessionize_events",
     "set_distinct",
     "set_except",
@@ -386,6 +340,58 @@ _VERIFY_FIRST = [
     "order_global_rownum",
     "orders_rfm_segments",
     "ivm_join_view",
+    # ==== tail: the 50 r11-window rows (freshest official verdicts,
+    # CORRECTNESS_r11 — all green), rotated to the back
+    "stream_mor_cdc_evolve",
+    "stream_mor_cdc_vacuum",
+    "sim_index_rebuild_swap",
+    "stream_mor_cdc_feed",
+    "ivm_stream_feed_view",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q22_idle_customers",
+    "q4_priority_check",
+    "sample_lang_balanced",
+    "sim_hard_negatives",
+    "sink_bucketed_agg",
+    "text_pii_scrub",
+    "text_repetition_metrics",
+    "text_tfidf_topterms",
+    "window_distribution",
+    "window_week_over_week",
+    "agg_approx_count_distinct",
+    "agg_equidepth_histogram",
+    "agg_percentile_approx",
+    "approx_cms_heavy_hitters",
+    "approx_cms_merge",
+    "dedup_cross_chunk_share",
+    "dq_expectations_orders",
+    "dq_psi_bins_drift",
+    "emb_pq_codes",
+    "events_attribution_even",
+    "events_cusum_drift",
+    "events_dau_mau",
+    "events_hourly_anomaly",
+    "events_mad_outliers",
+    "events_survival_curve",
+    "events_user_lifecycle",
+    "events_value_halflife",
+    "fn_winsorize",
+    "geo_grid_hotspots",
+    "geo_radius_probe",
+    "grouped_ols_per_user",
+    "grouped_ols_trend",
+    "grouped_ses_forecast",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "join_scd2_pit",
+    "merge_upsert_bucketed",
+    "mm_phash_near_dup",
+    "orders_basket_pairs",
+    "orders_cohort_ltv",
+    "orders_open_backlog",
+    "ivm_stream_join_view",
 ]
 
 

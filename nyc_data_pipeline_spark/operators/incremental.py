@@ -1061,6 +1061,92 @@ def ivm_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class ViewRetentionError(RuntimeError):
+    """Requested view refresh is outside the retained window: a
+    `view_vacuum` reclaimed that refresh's manifest and artifacts, so
+    neither its cursors nor its materialized pair exist any more.  The
+    table-side retention rule (mor_cdc_vacuum /
+    ChangeFeedRetentionError) applied to the VIEW chain — loud and
+    named, never a mid-plan missing-file failure."""
+
+
+def load_view_manifest(view_dir: str, version: int) -> dict:
+    """Read one view refresh's manifest, distinguishing 'vacuumed'
+    (below the retained floor → named retention error) from 'never
+    committed' (above the chain head → ValueError)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(view_dir, f"manifest-v{version}.json")
+    if _os.path.exists(p):
+        with open(p) as f:
+            return _json.load(f)
+    retained = [
+        int(f[len("manifest-v"):-len(".json")])
+        for f in _os.listdir(view_dir)
+        if f.startswith("manifest-v") and f.endswith(".json")
+    ] if _os.path.isdir(view_dir) else []
+    if retained and version < min(retained):
+        raise ViewRetentionError(
+            f"view refresh v{version} of {view_dir} was reclaimed by "
+            f"view_vacuum (retained floor: v{min(retained)}); refresh "
+            "history is readable only within the retained window"
+        )
+    raise ValueError(
+        f"view refresh v{version} of {view_dir} was never committed "
+        f"(chain head: v{max(retained)})" if retained
+        else f"{view_dir} has no view manifests"
+    )
+
+
+def view_vacuum(view_dir: str, retain: int = 1) -> dict:
+    """Reclaim view-refresh history: keep the newest `retain`
+    manifests and delete every artifact directory referenced by NO
+    retained manifest (reachability from the retained manifests alone
+    — the mor_cdc_vacuum rule applied to the view chain, closing the
+    unbounded per-refresh accumulation in view_dir).  Pure metadata +
+    file ops, O(#refreshes); the materialized pairs are never read.
+    Reads of reclaimed refreshes afterwards raise the named
+    `ViewRetentionError` (see load_view_manifest); the LATEST refresh
+    — cursors included — is untouched, so catch-up keeps working."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    versions = sorted(
+        int(f[len("manifest-v"):-len(".json")])
+        for f in _os.listdir(view_dir)
+        if f.startswith("manifest-v") and f.endswith(".json")
+    )
+    keep = set(versions[-retain:])
+    reachable: set[str] = set()
+    for v in keep:
+        with open(_os.path.join(view_dir, f"manifest-v{v}.json")) as f:
+            m = _json.load(f)
+        for k in ("seg_view", "cust_view"):
+            reachable.add(_os.path.dirname(_os.path.abspath(m[k])))
+    removed_dirs = 0
+    for d in _os.listdir(view_dir):
+        full = _os.path.abspath(_os.path.join(view_dir, d))
+        if (
+            d.startswith("v")
+            and _os.path.isdir(full)
+            and full not in reachable
+        ):
+            _shutil.rmtree(full)
+            removed_dirs += 1
+    removed_manifests = 0
+    for v in versions:
+        if v not in keep:
+            _os.unlink(_os.path.join(view_dir, f"manifest-v{v}.json"))
+            removed_manifests += 1
+    return {
+        "retained": sorted(keep),
+        "manifests_removed": removed_manifests,
+        "dirs_removed": removed_dirs,
+    }
+
+
 def catch_up_join_view(
     spark: SparkSession, view_dir: str, a_dir: str, b_dir: str
 ) -> dict:

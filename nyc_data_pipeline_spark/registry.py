@@ -476,6 +476,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.similarity.fusion",
     "nyc_data_pipeline_spark.similarity.adc",
     "nyc_data_pipeline_spark.similarity.index_store",
+    "nyc_data_pipeline_spark.similarity.cdc_maintain",
     "nyc_data_pipeline_spark.similarity.randproj",
     "nyc_data_pipeline_spark.multimodal.binary_ops",
     "nyc_data_pipeline_spark.sources.scans",

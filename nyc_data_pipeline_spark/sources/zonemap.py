@@ -572,7 +572,16 @@ def _zm_versioned_write(
             files[str(z)] = os.path.join(vdir, f"zb={z}")
         else:
             files.pop(str(z), None)  # bucket empty in this version
-    manifest = {"files": files, "bounds": list(bounds), "version": version}
+    from .timetravel import commit_wallclock_us
+
+    manifest = {
+        "files": files,
+        "bounds": list(bounds),
+        "version": version,
+        "committed_at_us": commit_wallclock_us(
+            (prev or {}).get("committed_at_us")
+        ),
+    }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{version}.json")
     )
@@ -922,11 +931,16 @@ def _zm_append(
     }
     for z in appended:
         files.setdefault(z, []).append(os.path.join(vdir, f"zb={z}"))
+    from .timetravel import commit_wallclock_us
+
     manifest = {
         "files": files,
         "bounds": [lo, hi],
         "version": version,
         "appended_buckets": appended,
+        "committed_at_us": commit_wallclock_us(
+            prev.get("committed_at_us")
+        ),
     }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{version}.json")
@@ -1424,12 +1438,17 @@ def _mor_delete_commit(
     dv_buckets = sorted(
         {str(r["zb"]) for r in _read_json_table(dv_dir)}
     )
+    from .timetravel import commit_wallclock_us
+
     manifest = {
         "files": dict(m1["files"]),
         "bounds": m1["bounds"],
         "version": 2,
         "delete_vectors": dv_dir,
         "dv_buckets": dv_buckets,
+        "committed_at_us": commit_wallclock_us(
+            m1.get("committed_at_us")
+        ),
     }
     atomic_json_dump(manifest, os.path.join(table_dir, "manifest-v2.json"))
     return manifest
@@ -1611,11 +1630,16 @@ def src_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         files = dict(m2["files"])
         for z in m2["dv_buckets"]:
             files[z] = os.path.join(vdir, f"zb={z}")
+        from .timetravel import commit_wallclock_us
+
         m3 = {
             "files": files,
             "bounds": m2["bounds"],
             "version": 3,
             "compacted_buckets": m2["dv_buckets"],
+            "committed_at_us": commit_wallclock_us(
+                m2.get("committed_at_us")
+            ),
         }
         atomic_json_dump(m3, os.path.join(table_dir, "manifest-v3.json"))
     else:

@@ -178,6 +178,8 @@ def mor_cdc_init(
         for z in os.listdir(vdir)
         if z.startswith("zb=")
     }
+    from ..sources.timetravel import commit_wallclock_us
+
     manifest = {
         "key": key,
         "bounds": [int(lo), int(hi)],
@@ -185,6 +187,7 @@ def mor_cdc_init(
         "files": files,
         "dvs": [],
         "columns": [c for c in b.columns if c != "zb"],
+        "committed_at_us": commit_wallclock_us(None),
     }
     atomic_json_dump(manifest, os.path.join(table_dir, "manifest-v1.json"))
     return manifest
@@ -270,6 +273,8 @@ def mor_cdc_commit(
     cols = [c for c in upserts.columns if c != "zb"]
     prev_cols = prev.get("columns", [])
     added = [c for c in cols if c not in prev_cols]
+    from ..sources.timetravel import commit_wallclock_us
+
     manifest = {
         "key": key,
         "bounds": [lo, hi],
@@ -278,6 +283,9 @@ def mor_cdc_commit(
         "dvs": [*prev["dvs"], {"path": dv_dir, "v": version}],
         "dv_floor": prev.get("dv_floor"),
         "columns": [*prev_cols, *added],
+        "committed_at_us": commit_wallclock_us(
+            prev.get("committed_at_us")
+        ),
     }
     if added and prev_cols:
         manifest["columns_added"] = added
@@ -691,6 +699,8 @@ def mor_cdc_compact(
             .write.mode("overwrite")
             .parquet(floor_path)
         )
+    from ..sources.timetravel import commit_wallclock_us
+
     manifest = {
         "key": key,
         "bounds": [lo, hi],
@@ -700,6 +710,9 @@ def mor_cdc_compact(
         "dv_floor": floor_path,
         "columns": m.get("columns", []),
         "compacted_from": version,
+        "committed_at_us": commit_wallclock_us(
+            m.get("committed_at_us")
+        ),
     }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")

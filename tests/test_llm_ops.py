@@ -1411,3 +1411,109 @@ def test_thumbnail_box_mean_and_odd_row_crop(spark):
         assert (r.t_min, r.t_max) == (6, 26)
         # checksum = 6*1 + 16*2 + 26*3 = 116 certifies channel order
         assert r.t_checksum == 116
+
+
+def test_cdc_index_swap_retention_and_o_changes(spark, tmp_path):
+    """The CDC-maintained ANN index (similarity/cdc_maintain.py), the
+    legs the registered query doesn't cover: (a) a second churn wave
+    pushes the tombstone fraction over the threshold and the
+    maintenance step RETRAINS from the table's current state — the
+    swapped probe must equal a fresh build over that state
+    byte-for-byte, with tombstones cleared; (b) maintenance stays
+    O(changes): the incremental step's appended code files cover only
+    changed keys, never the corpus; (c) the retention contract
+    composes — a maintenance step whose feed commit was vacuumed
+    raises ChangeFeedRetentionError."""
+    import pytest
+
+    from nyc_data_pipeline_spark.similarity.adc import _micro_rows
+    from nyc_data_pipeline_spark.similarity.brute_force import N_QUERIES
+    from nyc_data_pipeline_spark.similarity.cdc_maintain import (
+        _load_cdcidx_manifest,
+        build_cdc_index,
+        cdc_index_search,
+        maintain_ivf_pq_from_feed,
+    )
+    from nyc_data_pipeline_spark.similarity.ivf import K_CELLS
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        ChangeFeedRetentionError,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_vacuum,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb_dir = str(tmp_path / "emb")
+    idx_dir = str(tmp_path / "idx")
+    mor_cdc_init(
+        spark, emb.withColumn("version", F.lit(0)), emb_dir, "vec_id"
+    )
+    build_cdc_index(
+        spark,
+        mor_cdc_read(spark, emb_dir, 1).select(
+            "vec_id", "embedding", "label"
+        ),
+        idx_dir, version=1, table_commit=1,
+    )
+    # wave 1: light churn (re-embed vec_id%29==1 above the seed range)
+    w1 = (
+        emb.filter(
+            (F.col("vec_id") >= K_CELLS) & (F.col("vec_id") % 29 == 1)
+        )
+        .withColumn("embedding", F.reverse("embedding"))
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, w1, emb_dir, 2)
+    m2 = maintain_ivf_pq_from_feed(spark, emb_dir, idx_dir)
+    assert not m2.get("swapped")
+    # O(changes): the incremental step appended exactly one new codes
+    # entry whose rows cover only the changed keys
+    assert len(m2["codes"]) == 2
+    new_codes = spark.read.parquet(m2["codes"][-1]["path"])
+    n_changed = w1.count()
+    assert new_codes.select("vec_id").distinct().count() == n_changed
+    assert m2["n_tombstoned"] == n_changed
+    # wave 2: heavy churn (delete every 3rd id above the seeds) —
+    # tombstone fraction crosses the threshold, the step must SWAP
+    w2 = (
+        emb.filter(
+            (F.col("vec_id") >= K_CELLS) & (F.col("vec_id") % 3 == 0)
+        )
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("d"))
+    )
+    mor_cdc_commit(spark, w2, emb_dir, 3)
+    m3 = maintain_ivf_pq_from_feed(spark, emb_dir, idx_dir)
+    assert m3.get("swapped")
+    assert m3["tombstones"] == [] and m3["n_tombstoned"] == 0
+    assert len(m3["codes"]) == 1 and m3["codes"][0]["v"] == 3
+    # swapped probe == fresh build over the current state, exactly
+    cur = mor_cdc_read(spark, emb_dir, 3).select(
+        "vec_id", "embedding", "label"
+    )
+    queries = _micro_rows(cur.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("vi").alias("qi")
+    )
+    got = sorted(
+        tuple(r) for r in
+        cdc_index_search(spark, idx_dir, queries, cur).collect()
+    )
+    fresh_dir = str(tmp_path / "fresh")
+    build_cdc_index(spark, cur, fresh_dir, version=1, table_commit=3)
+    want = sorted(
+        tuple(r) for r in
+        cdc_index_search(spark, fresh_dir, queries, cur).collect()
+    )
+    assert got == want
+    assert _load_cdcidx_manifest(idx_dir)["version"] == 3
+    # retention: vacuum past commit 2's artifacts, then a rebuilt
+    # index at cursor 1 cannot catch up through the reclaimed feed
+    mor_cdc_vacuum(emb_dir, latest=3, retain=1)
+    stale_idx = str(tmp_path / "stale")
+    build_cdc_index(
+        spark, cur, stale_idx, version=1, table_commit=1,
+    )
+    with pytest.raises(ChangeFeedRetentionError):
+        maintain_ivf_pq_from_feed(spark, emb_dir, stale_idx)

@@ -973,3 +973,74 @@ def test_atomic_json_dump_replaces_and_leaves_no_temp(tmp_path):
     atomic_json_dump({"v": 2, "files": ["a"]}, p)
     assert _json.load(open(p)) == {"v": 2, "files": ["a"]}
     assert [f for f in _os.listdir(_os.path.dirname(p))] == ["manifest.json"]
+
+
+def test_timestamp_as_of_resolution_boundaries(tmp_path):
+    """The latest-commit-<=-ts rule, at every boundary (hypothesis
+    over random commit clocks): a ts between two commits resolves to
+    the EARLIER one, a ts exactly at a commit resolves to THAT commit,
+    a ts after the last commit resolves to the last, and a ts before
+    the earliest retained commit raises the named retention error —
+    including after a vacuum reclaimed the head of the chain."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.sources.timetravel import (
+        TimeTravelRetentionError,
+        commit_wallclock_us,
+        resolve_version_as_of,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=1, max_value=10_000),
+            min_size=2, max_size=8,
+        ),
+        data=st.data(),
+    )
+    def check(gaps, data):
+        import shutil
+        import uuid
+
+        d = str(tmp_path / uuid.uuid4().hex[:10])
+        ts = []
+        t = 1_000_000
+        for i, g in enumerate(gaps, start=1):
+            t += g
+            ts.append(t)
+            atomic_json_dump(
+                {"version": i, "committed_at_us": t},
+                f"{d}/manifest-v{i}.json",
+            )
+        # at a commit instant -> that commit
+        i = data.draw(st.integers(0, len(ts) - 1), label="at")
+        assert resolve_version_as_of(d, ts[i]) == i + 1
+        # strictly between commits -> the earlier one
+        if i + 1 < len(ts) and ts[i + 1] - ts[i] > 1:
+            mid = data.draw(
+                st.integers(ts[i] + 1, ts[i + 1] - 1), label="between"
+            )
+            assert resolve_version_as_of(d, mid) == i + 1
+        # after the last commit -> the last
+        assert resolve_version_as_of(d, ts[-1] + 10_000) == len(ts)
+        # before the earliest -> loud retention error
+        with pytest.raises(TimeTravelRetentionError):
+            resolve_version_as_of(d, ts[0] - 1)
+        # vacuum the head: the floor moves with the retained set
+        import os as _os
+
+        _os.unlink(f"{d}/manifest-v1.json")
+        if len(ts) > 1:
+            with pytest.raises(TimeTravelRetentionError):
+                resolve_version_as_of(d, ts[0])
+            assert resolve_version_as_of(d, ts[1]) == 2
+        shutil.rmtree(d, ignore_errors=True)
+
+    check()
+    # the monotonic stamp: equal-microsecond commits still advance
+    assert commit_wallclock_us(10) > 10
+    big = 10**18  # far-future prev: stamp must still be strictly later
+    assert commit_wallclock_us(big) == big + 1

@@ -120,9 +120,10 @@ _VERIFY_FIRST = [
     "ref_vendor_performance",
     # -- position 50: the single in-window r12 addition
     "sim_index_cdc_maintain",
-    # ==== r13 queue head: the r12 past-window addition (locally
+    # ==== r13 queue head: the r12 past-window additions (locally
     # verified at sf0.001/0.01/0.1 on landing; judge-replay eligible)
     "src_time_travel_ts",
+    "stream_mor_cdc_wap",
     "sessionize_events",
     "set_distinct",
     "set_except",

@@ -196,7 +196,7 @@ def mor_cdc_init(
 def mor_cdc_commit(
     spark: SparkSession, batch: DataFrame, table_dir: str, version: int,
     n_files: int = MOR_CDC_FILES, exclusive: bool = False,
-    _before_publish=None,
+    _before_publish=None, branch: str | None = None,
 ) -> dict:
     """Commit one CDC epoch merge-on-read.  `batch` is keyed change
     rows with `op` ('u' upsert / 'd' delete) and `version` (the CDC
@@ -216,17 +216,52 @@ def mor_cdc_commit(
     is rerun-rewrites-the-same-version.  `_before_publish` is a test
     seam: invoked after staging, immediately before the manifest CAS,
     so a conflict landing inside that window is exercisable
-    deterministically."""
-    mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+    deterministically.
+
+    `branch` stages the commit on a WAP branch instead of the main
+    chain (see `wap_stage`): the parent is the branch's own previous
+    manifest when one exists (second+ staged commit) and the MAIN
+    manifest otherwise (first staged commit forks off the main head),
+    the manifest publishes as `manifest-{branch}-v{version}.json`
+    (invisible to every main-chain reader, which lists only
+    `manifest-v*.json` names), and staging always runs exclusive —
+    a main writer landing the same version number first is a conflict
+    surfaced HERE, at stage time, not later at publish."""
+    if branch is not None:
+        _check_branch_name(branch)
+        exclusive = True
+        mpath = os.path.join(
+            table_dir, f"manifest-{branch}-v{version}.json"
+        )
+        if os.path.exists(
+            os.path.join(table_dir, f"manifest-v{version}.json")
+        ):
+            # main advanced past the branch point: publishing this
+            # staged commit could never fast-forward — fail early
+            raise CommitConflictError(
+                f"main chain of {table_dir} already has v{version}; "
+                f"branch {branch!r} is stale — discard and restage "
+                "from the new head"
+            )
+        parent = os.path.join(
+            table_dir, f"manifest-{branch}-v{version - 1}.json"
+        )
+        if not os.path.exists(parent):
+            parent = os.path.join(
+                table_dir, f"manifest-v{version - 1}.json"
+            )
+    else:
+        mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+        parent = os.path.join(
+            table_dir, f"manifest-v{version - 1}.json"
+        )
     if exclusive and os.path.exists(mpath):
         # conflict already visible: fail before staging any artifacts
         raise CommitConflictError(
             f"manifest v{version} of {table_dir} already published by "
             "another writer; retry from a fresh read"
         )
-    with open(
-        os.path.join(table_dir, f"manifest-v{version - 1}.json")
-    ) as f:
+    with open(parent) as f:
         prev = json.load(f)
     key = prev["key"]
     lo, hi = prev["bounds"]
@@ -245,6 +280,8 @@ def mor_cdc_commit(
         import uuid
 
         token = uuid.uuid4().hex[:8]
+        if branch is not None:
+            token = f"{branch}-{token}"
         dv_dir = os.path.join(table_dir, f"dv-v{version}-{token}")
         vdir = os.path.join(table_dir, f"v{version}-{token}")
     else:
@@ -289,6 +326,15 @@ def mor_cdc_commit(
     }
     if added and prev_cols:
         manifest["columns_added"] = added
+    if branch is not None:
+        manifest["branch"] = branch
+        # the main version this branch forked from: propagated from
+        # the branch parent, or the parent's own version when this is
+        # the first staged commit (parent = the main head)
+        manifest["branch_base"] = (
+            prev["branch_base"] if "branch_base" in prev
+            else prev["version"]
+        )
     if _before_publish is not None:
         _before_publish()
     if exclusive:
@@ -348,6 +394,17 @@ def mor_cdc_read(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         m = json.load(f)
+    return _read_manifest(spark, m, zb_filter)
+
+
+def _read_manifest(
+    spark: SparkSession, m: dict, zb_filter: set[str] | None = None
+) -> DataFrame:
+    """`mor_cdc_read`'s body over an already-loaded manifest dict — the
+    shared read path for main-chain versions AND WAP branch heads (a
+    branch manifest is shaped exactly like a main one; only its file
+    NAME differs, so the reader never cares which chain it came from)."""
+    version = m["version"]
     key = m["key"]
     by_commit: dict[int, list[str]] = {}
     for z, entries in m["files"].items():
@@ -371,8 +428,8 @@ def mor_cdc_read(
                     best = e
         if best is None:
             raise ValueError(
-                f"manifest v{version} of {table_dir} lists no data "
-                "files; cannot derive a schema for an empty read"
+                f"manifest v{version} lists no data files; cannot "
+                "derive a schema for an empty read"
             )
         return (
             spark.read.option(
@@ -531,6 +588,355 @@ class MorCdcSink:
 
     def latest_version(self) -> int:
         return max((int(v) for v in self._read_ledger().values()), default=1)
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish branches (Iceberg WAP / Nessie branch semantics on
+# plain files).  A branch is a named manifest chain
+# `manifest-{branch}-v{N}.json` alongside the main chain's
+# `manifest-v{N}.json`: staged commits carry the version numbers they
+# WILL have on main, reference their data/DV directories exactly like
+# main manifests (writer-unique staged names, readers flow from the
+# manifest), and are invisible to every main-chain reader.  Audit
+# queries run against the branch head via `wap_read`; `wap_publish`
+# fast-forwards main to the branch head by CAS-linking each staged
+# manifest to its main name IN ORDER — artifacts never move or rewrite,
+# publish is pure metadata, O(#staged commits).  Divergence (main
+# advanced past the branch base) is a loud `CommitConflictError` at
+# stage time or publish time, never a silent overwrite; `wap_discard`
+# reclaims a dead branch's staged artifacts, and the vacuum sweep
+# treats live branch manifests as reachability roots so a concurrent
+# vacuum cannot pull staged files out from under an unpublished branch.
+# This is how a 100 TB ingest gates a data drop: stage the day's
+# epochs on `audit`, run the quality gates against the branch head,
+# publish atomically iff they pass — readers never see a state the
+# gates didn't.
+# ---------------------------------------------------------------------------
+
+_BRANCH_NAME_RE = r"[A-Za-z][A-Za-z0-9_]*"
+
+
+def _check_branch_name(branch: str) -> None:
+    import re
+
+    if not re.fullmatch(_BRANCH_NAME_RE, branch) or re.fullmatch(
+        r"v\d+", branch
+    ):
+        raise ValueError(
+            f"invalid branch name {branch!r}: must match "
+            f"{_BRANCH_NAME_RE} and not look like a version (v<digits>), "
+            "so branch manifests can never collide with main's"
+        )
+
+
+def _latest_main_version(table_dir: str) -> int:
+    vs = [
+        int(f[len("manifest-v"):-len(".json")])
+        for f in os.listdir(table_dir)
+        if f.startswith("manifest-v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def _branch_versions(table_dir: str, branch: str) -> list[int]:
+    pre = f"manifest-{branch}-v"
+    return sorted(
+        int(f[len(pre):-len(".json")])
+        for f in os.listdir(table_dir)
+        if f.startswith(pre) and f.endswith(".json")
+    )
+
+
+def wap_stage(
+    spark: SparkSession, batch: DataFrame, table_dir: str, branch: str,
+    n_files: int = MOR_CDC_FILES,
+) -> dict:
+    """Stage one CDC epoch on `branch`: the next version after the
+    branch head (or after the main head when the branch is empty —
+    the fork point), committed through the exclusive CAS path but
+    published under the branch manifest name.  Main readers cannot
+    see it; `wap_read` can."""
+    _check_branch_name(branch)
+    staged = _branch_versions(table_dir, branch)
+    version = (staged[-1] if staged else _latest_main_version(table_dir)) + 1
+    return mor_cdc_commit(
+        spark, batch, table_dir, version, n_files=n_files, branch=branch
+    )
+
+
+def wap_read(
+    spark: SparkSession, table_dir: str, branch: str,
+    zb_filter: set[str] | None = None,
+) -> DataFrame:
+    """Read the branch head — the table state the branch's staged
+    commits would produce if published now (the AUDIT surface).  Falls
+    back to the main head when nothing is staged (an empty branch IS
+    the main head, Nessie semantics)."""
+    _check_branch_name(branch)
+    staged = _branch_versions(table_dir, branch)
+    if not staged:
+        return mor_cdc_read(
+            spark, table_dir, _latest_main_version(table_dir), zb_filter
+        )
+    with open(
+        os.path.join(table_dir, f"manifest-{branch}-v{staged[-1]}.json")
+    ) as f:
+        m = json.load(f)
+    return _read_manifest(spark, m, zb_filter)
+
+
+def wap_publish(table_dir: str, branch: str) -> dict:
+    """Fast-forward main to the branch head: CAS-link each staged
+    manifest (branch fields stripped) to its main name in ascending
+    order, then remove the branch manifests.  Pure metadata — no data
+    file moves, so published readers resolve the very same staged
+    directories the audit read did.
+
+    Requires main's head to still equal the branch base; a diverged
+    main (or a concurrent main writer racing a staged version number
+    mid-publish) raises the named `CommitConflictError`.  Each staged
+    manifest is a complete, valid table state, so a mid-publish race
+    leaves a consistent PREFIX published (those branch manifests are
+    consumed); the caller discards the stale remainder and restages it
+    from the new head — the same retry contract as the commit CAS."""
+    from ..sources.scans import atomic_json_publish_once
+
+    _check_branch_name(branch)
+    staged = _branch_versions(table_dir, branch)
+    if not staged:
+        raise ValueError(
+            f"branch {branch!r} of {table_dir} has nothing staged"
+        )
+    first = os.path.join(
+        table_dir, f"manifest-{branch}-v{staged[0]}.json"
+    )
+    with open(first) as f:
+        base = json.load(f)["branch_base"]
+    main_head = _latest_main_version(table_dir)
+    if main_head != base:
+        raise CommitConflictError(
+            f"branch {branch!r} forked {table_dir} at v{base} but main "
+            f"is at v{main_head}; discard and restage from the new head"
+        )
+    published: list[int] = []
+    for v in staged:
+        bpath = os.path.join(table_dir, f"manifest-{branch}-v{v}.json")
+        with open(bpath) as f:
+            m = json.load(f)
+        m.pop("branch", None)
+        m.pop("branch_base", None)
+        try:
+            atomic_json_publish_once(
+                m, os.path.join(table_dir, f"manifest-v{v}.json")
+            )
+        except FileExistsError:
+            raise CommitConflictError(
+                f"main v{v} of {table_dir} was published by a "
+                f"concurrent writer mid-publish; branch {branch!r} "
+                f"fast-forwarded a consistent prefix {published} — "
+                "discard the stale remainder and restage it from the "
+                "new head"
+            ) from None
+        os.unlink(bpath)
+        published.append(v)
+    return {"branch": branch, "published": published, "head": staged[-1]}
+
+
+def wap_discard(table_dir: str, branch: str) -> dict:
+    """Drop the branch: delete every data/DV directory its staged
+    manifests introduced BEYOND the branch base (manifest-driven — an
+    entry with commit > base was written by a staged commit; entries
+    at or below base belong to main and are untouched), then remove
+    the branch manifests themselves.  Reachability-safe against a
+    crash mid-`wap_publish`: any directory a MAIN manifest references
+    (a published prefix re-uses the very same staged dirs) is never
+    deleted, so discarding the stale remainder of a half-published
+    branch cannot corrupt main."""
+    import shutil
+
+    _check_branch_name(branch)
+    main_reachable: set[str] = set()
+    for v in range(1, _latest_main_version(table_dir) + 1):
+        mp = os.path.join(table_dir, f"manifest-v{v}.json")
+        if not os.path.exists(mp):
+            continue  # vacuumed-away history
+        with open(mp) as f:
+            m = json.load(f)
+        for entries in m["files"].values():
+            main_reachable.update(
+                os.path.dirname(e["path"]) for e in entries
+            )
+        main_reachable.update(d["path"] for d in m["dvs"])
+    staged = _branch_versions(table_dir, branch)
+    removed: set[str] = set()
+    for v in staged:
+        bpath = os.path.join(table_dir, f"manifest-{branch}-v{v}.json")
+        with open(bpath) as f:
+            m = json.load(f)
+        base = m["branch_base"]
+        for entries in m["files"].values():
+            for e in entries:
+                if int(e["v"]) > base:
+                    removed.add(os.path.dirname(e["path"]))
+        for d in m["dvs"]:
+            if int(d["v"]) > base:
+                removed.add(d["path"])
+        os.unlink(bpath)
+    removed -= main_reachable
+    for path in sorted(removed):
+        shutil.rmtree(path, ignore_errors=True)
+    return {
+        "branch": branch,
+        "manifests_removed": len(staged),
+        "dirs_removed": len(removed),
+    }
+
+
+@register(
+    "stream_mor_cdc_wap",
+    # The oracle is the one-shot versioned merge over the RAW table
+    # with the corrective wave applied — the branch lifecycle (stage
+    # corrupt wave, audit catches it, stage fix, publish) must land
+    # main on exactly the state the audit approved.  The pins are
+    # recomputed from the raw table: pre_publish_rows = the v2 main
+    # state's cardinality (upsert-only waves leave it = count(d)),
+    # audit_flagged = the corrupt rows the branch-head audit caught.
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    merged AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars, 0 AS version FROM d
+            UNION ALL
+            SELECT doc_id, 'edit1', n_chars + 2, 1 FROM d
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 'recrawl',
+                   CASE WHEN doc_id % 9 = 0 THEN -1 ELSE n_chars + 1 END,
+                   2
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'recrawl_fix', n_chars + 1, 3
+            FROM d WHERE doc_id % 9 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    ),
+    pins AS (
+        SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+                   AS pre_publish_rows,
+               CAST((SELECT COUNT(*) FROM d WHERE doc_id % 9 = 0)
+                    AS BIGINT) AS audit_flagged
+    )
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(m.n_chars) AS BIGINT) AS sum_chars,
+           p.pre_publish_rows,
+           p.audit_flagged
+    FROM merged m, pins p
+    GROUP BY m.lang, p.pre_publish_rows, p.audit_flagged
+    """,
+)
+def stream_mor_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish on the MOR CDC table: main commits an edit
+    wave (v2), then a recrawl wave — with a corrupt subset (doc_id%9
+    gets n_chars = -1) — is staged on branch `audit` instead of main.
+    The audit gate reads the BRANCH head, catches the corrupt rows,
+    and a corrective epoch is staged on the same branch; only when the
+    branch head passes the gate does `wap_publish` fast-forward main
+    (pure metadata CAS, no data movement).  The returned per-lang
+    summary reads main's head; the pins prove (a) the v2 state main
+    readers saw throughout the staging window is intact and (b) the
+    audit had real rows to catch.  Re-entry converges from ANY crash
+    point: the stale branch is discarded reachability-safely, waves
+    restage from the current main head, and the version-first fold law
+    makes the rebuilt chain's final state identical (tests pin
+    isolation, divergence conflicts, discard, and vacuum-with-live-
+    branch directly)."""
+    table_dir = scratch_dir("mor_cdc_wap", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    done = (
+        os.path.isdir(table_dir)
+        and _latest_main_version(table_dir) >= 4
+        and not _branch_versions(table_dir, "audit")
+    )
+    if not done:
+        edit = (
+            d.where(F.col("doc_id") % 5 == 0)
+            .withColumn("lang", F.lit("edit1"))
+            .withColumn("n_chars", F.col("n_chars") + 2)
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u"))
+        )
+        crawl = (
+            d.where(F.col("doc_id") % 3 == 0)
+            .withColumn("lang", F.lit("recrawl"))
+            .withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") % 9 == 0, F.lit(-1)).otherwise(
+                    F.col("n_chars") + 1
+                ),
+            )
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("u"))
+        )
+        fix = (
+            d.where(F.col("doc_id") % 9 == 0)
+            .withColumn("lang", F.lit("recrawl_fix"))
+            .withColumn("n_chars", F.col("n_chars") + 1)
+            .withColumn("version", F.lit(3))
+            .withColumn("op", F.lit("u"))
+        )
+        if not os.path.exists(
+            os.path.join(table_dir, "manifest-v1.json")
+        ):
+            mor_cdc_init(
+                spark, d.withColumn("version", F.lit(0)), table_dir,
+                "doc_id",
+            )
+        if _latest_main_version(table_dir) < 2:
+            mor_cdc_commit(spark, edit, table_dir, 2)
+        # a crashed prior run may have left a stale branch (possibly
+        # half-published): drop it and restage from the current head
+        wap_discard(table_dir, "audit")
+        wap_stage(spark, crawl, table_dir, "audit")
+        n_bad = (
+            wap_read(spark, table_dir, "audit")
+            .where(F.col("n_chars") < 0)
+            .count()
+        )
+        if n_bad:  # the gate caught the corrupt subset: stage the fix
+            wap_stage(spark, fix, table_dir, "audit")
+        assert (
+            wap_read(spark, table_dir, "audit")
+            .where(F.col("n_chars") < 0)
+            .isEmpty()
+        ), "audit gate must pass before publish"
+        wap_publish(table_dir, "audit")
+    final = mor_cdc_read(spark, table_dir, _latest_main_version(table_dir))
+    pins = (
+        mor_cdc_read(spark, table_dir, 2)
+        .agg(F.count("*").cast("bigint").alias("pre_publish_rows"))
+        .crossJoin(
+            d.where(F.col("doc_id") % 9 == 0).agg(
+                F.count("*").cast("bigint").alias("audit_flagged")
+            )
+        )
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(pins))
+        .select(
+            "lang", "n_rows", "sum_chars", "pre_publish_rows",
+            "audit_flagged",
+        )
+    )
 
 
 def _doc_waves(d: DataFrame) -> list[DataFrame]:
@@ -955,15 +1361,28 @@ def mor_cdc_vacuum(table_dir: str, latest: int, retain: int = 1) -> dict:
     ops, O(#files), never a table scan (the manifest_vacuum rule,
     sources/zonemap.py:1114, extended to DV sidecars: a compacted
     manifest carries no vectors, so vacuuming to it reclaims the whole
-    DV history along with the superseded epoch files)."""
+    DV history along with the superseded epoch files).  Live WAP branch
+    manifests (`manifest-{branch}-v*.json`) count as reachability roots
+    too: an unpublished branch's staged directories must survive a
+    concurrent vacuum (discarding a branch is `wap_discard`'s job,
+    never vacuum's)."""
+    import re as _re
     import shutil
 
     reachable_data: set[str] = set()
     reachable_dv: set[str] = set()
-    for v in range(latest - retain + 1, latest + 1):
-        with open(
-            os.path.join(table_dir, f"manifest-v{v}.json")
-        ) as f:
+    roots = [
+        os.path.join(table_dir, f"manifest-v{v}.json")
+        for v in range(latest - retain + 1, latest + 1)
+    ] + [
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.startswith("manifest-")
+        and f.endswith(".json")
+        and not _re.fullmatch(r"manifest-v\d+\.json", f)
+    ]
+    for mp in roots:
+        with open(mp) as f:
             m = json.load(f)
         for entries in m["files"].values():
             reachable_data.update(e["path"] for e in entries)

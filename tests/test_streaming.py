@@ -2087,3 +2087,189 @@ def test_mor_cdc_sink_concurrent_epochs_both_land(spark, tmp_path):
     # redelivery of B's epoch is a no-op (ledger hit)
     sink_b(wave_b, epoch_id=7)
     assert sink_a._latest_manifest_version() == 3
+
+
+def _wap_wave(spark, lo, hi, bump, ver, op="u"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + bump).alias("cents"),
+        F.lit(ver).alias("version"),
+        F.lit(op).alias("op"),
+    )
+
+
+def test_wap_stage_isolated_until_publish(spark, tmp_path):
+    """Write-Audit-Publish: staged branch commits are invisible to
+    main readers (manifest chain untouched), the branch head shows the
+    staged state, and publish fast-forwards main to EXACTLY the state
+    the audit read — pure metadata, no new data directories."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+        wap_publish,
+        wap_read,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_iso", n_keys=200)
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 50, 1, 1), table_dir, 2)
+    main_before = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 2).collect()
+    }
+    # stage two epochs on the branch: an upsert wave and a delete wave
+    wap_stage(spark, _wap_wave(spark, 100, 150, 2, 2), table_dir, "audit")
+    wap_stage(
+        spark, _wap_wave(spark, 0, 25, 0, 3, op="d"), table_dir, "audit"
+    )
+    # isolation: main manifests end at v2 and read identically
+    assert not os.path.exists(os.path.join(table_dir, "manifest-v3.json"))
+    assert {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 2).collect()
+    } == main_before
+    branch_state = {
+        r["k"]: r["cents"]
+        for r in wap_read(spark, table_dir, "audit").collect()
+    }
+    assert len(branch_state) == 175  # 200 - 25 deleted
+    assert branch_state[120] == 1202 and 0 not in branch_state
+    stats = wap_publish(table_dir, "audit")
+    assert stats["published"] == [3, 4]
+    # branch manifests consumed, main now reads the audited state
+    assert not [
+        f for f in os.listdir(table_dir) if f.startswith("manifest-audit-")
+    ]
+    assert {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 4).collect()
+    } == branch_state
+
+
+def test_wap_divergence_conflict_and_restage(spark, tmp_path):
+    """A main writer advancing past the branch base makes publish (and
+    stage of a colliding version) a loud CommitConflictError — never a
+    silent overwrite; discarding and restaging from the new head
+    recovers."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        mor_cdc_commit,
+        mor_cdc_read,
+        wap_discard,
+        wap_publish,
+        wap_read,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_div", n_keys=200)
+    wap_stage(spark, _wap_wave(spark, 0, 50, 7, 1), table_dir, "audit")
+    # main advances to v2 while the branch is staged
+    mor_cdc_commit(spark, _wap_wave(spark, 150, 200, 9, 1), table_dir, 2)
+    with pytest.raises(CommitConflictError):
+        wap_publish(table_dir, "audit")
+    # staging the branch's NEXT epoch would reuse main's v2 number at
+    # publish; the early stage-time check fires only on a direct
+    # version collision — here v3 is free, so staging succeeds and the
+    # conflict stays a publish-time error
+    wap_stage(spark, _wap_wave(spark, 50, 60, 8, 2), table_dir, "audit")
+    with pytest.raises(CommitConflictError):
+        wap_publish(table_dir, "audit")
+    # recover: discard, restage from the new head, publish
+    wap_discard(table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 0, 50, 7, 2), table_dir, "audit")
+    wap_publish(table_dir, "audit")
+    rows = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert rows[0] == 7 and rows[199] == 1999
+    # a stale branch whose FIRST staged version collides with main
+    # fails at stage time (fast-fail before any artifacts)
+    dirs_before = set(os.listdir(table_dir))
+    with pytest.raises(CommitConflictError):
+        mor_cdc_commit(
+            spark, _wap_wave(spark, 0, 10, 1, 3), table_dir, 3,
+            branch="stale",
+        )
+    assert set(os.listdir(table_dir)) == dirs_before
+
+
+def test_wap_discard_reclaims_only_branch_dirs(spark, tmp_path):
+    """Discard removes exactly the staged directories the branch
+    introduced; main's data and manifests are untouched, and a
+    half-published branch (crash mid-publish) never loses dirs that a
+    main manifest now references."""
+    from nyc_data_pipeline_spark.sources.scans import (
+        atomic_json_publish_once,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_read,
+        wap_discard,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_disc", n_keys=200)
+    before = set(os.listdir(table_dir))
+    wap_stage(spark, _wap_wave(spark, 0, 50, 1, 1), table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 50, 99, 2, 2), table_dir, "audit")
+    stats = wap_discard(table_dir, "audit")
+    assert stats["manifests_removed"] == 2
+    assert stats["dirs_removed"] == 4  # 2 data dirs + 2 DV sidecars
+    assert set(os.listdir(table_dir)) == before
+    assert mor_cdc_read(spark, table_dir, 1).count() == 200
+    # crash mid-publish: simulate by hand-publishing the first staged
+    # manifest to its main name (what wap_publish's loop does), then
+    # discarding the half-published branch — v2's dirs are now MAIN
+    # data and must survive the discard
+    wap_stage(spark, _wap_wave(spark, 0, 50, 1, 1), table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 50, 99, 2, 2), table_dir, "audit")
+    with open(os.path.join(table_dir, "manifest-audit-v2.json")) as f:
+        m2 = json.load(f)
+    m2.pop("branch"), m2.pop("branch_base")
+    atomic_json_publish_once(
+        m2, os.path.join(table_dir, "manifest-v2.json")
+    )
+    os.unlink(os.path.join(table_dir, "manifest-audit-v2.json"))
+    wap_discard(table_dir, "audit")
+    rows = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 2).collect()
+    }
+    assert rows[10] == 101 and rows[60] == 600  # v2 intact, v3 gone
+
+
+def test_wap_vacuum_preserves_live_branch(spark, tmp_path):
+    """mor_cdc_vacuum treats live branch manifests as reachability
+    roots: a concurrent vacuum must not reclaim an unpublished
+    branch's staged directories (or the main history its base read
+    still needs)."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+        mor_cdc_vacuum,
+        wap_publish,
+        wap_read,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_vac", n_keys=200)
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 50, 1, 1), table_dir, 2)
+    wap_stage(spark, _wap_wave(spark, 100, 150, 2, 2), table_dir, "audit")
+    want = {
+        r["k"]: r["cents"]
+        for r in wap_read(spark, table_dir, "audit").collect()
+    }
+    mor_cdc_vacuum(table_dir, latest=2, retain=1)
+    got = {
+        r["k"]: r["cents"]
+        for r in wap_read(spark, table_dir, "audit").collect()
+    }
+    assert got == want
+    # and the branch still publishes cleanly after the vacuum
+    wap_publish(table_dir, "audit")
+    assert {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    } == want

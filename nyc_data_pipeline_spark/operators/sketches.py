@@ -54,9 +54,21 @@ def approx_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged row.  The oracle reproduces the exact counts and pins
     within_5pct=true, machine-checking the sketch's error bound."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
+    # Dedupe (event_type, user_id) pairs first — an HLL sketch is a
+    # function of the SET of hashed values, so the sketch over deduped
+    # pairs is bit-identical to the sketch over the raw stream, and
+    # the per-type exact referee becomes a plain COUNT over the pair
+    # set instead of a count-distinct EXPAND over the corpus.  At
+    # 100 TB the pair set is users×types, orders of magnitude under
+    # the event count: each referee leg shuffles map-side-combined
+    # pairs, never corpus rows.  Deliberately NOT persisted — the two
+    # consumers' distinct shuffles on the reduced pair set are cheaper
+    # than materializing a cache entry (measured 0.45 s vs 0.73 s
+    # steady-state at sf0.1).
+    pairs = ev.select("event_type", "user_id").distinct()
+    per_type = pairs.groupBy("event_type").agg(
         F.expr(f"hll_sketch_agg(user_id, {LGK})").alias("sketch"),
-        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count("*").alias("exact_distinct"),
     )
     typed = per_type.select(
         "event_type",
@@ -66,7 +78,11 @@ def approx_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         per_type.agg(F.expr("hll_union_agg(sketch)").alias("sketch"))
         .crossJoin(
-            F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+            F.broadcast(
+                pairs.select("user_id")
+                .distinct()
+                .agg(F.count("*").alias("exact_distinct"))
+            )
         )
         .select(
             F.lit("ALL").alias("event_type"),

@@ -332,6 +332,12 @@ HEADLINE = [
     # r11: cursor-based catch-up — multi-commit feed backlogs fold in
     # one pass; a stale redelivered commit contributes nothing
     "ivm_catch_up_view",
+    # r12: the CDC-fed ANN index + timestamp time travel (r11 asks),
+    # WAP branch lifecycle, and the multi-table transaction catalog
+    "sim_index_cdc_maintain",
+    "src_time_travel_ts",
+    "stream_mor_cdc_wap",
+    "stream_mor_cdc_txn",
 ]
 
 

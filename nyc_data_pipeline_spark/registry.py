@@ -124,6 +124,7 @@ _VERIFY_FIRST = [
     # verified at sf0.001/0.01/0.1 on landing; judge-replay eligible)
     "src_time_travel_ts",
     "stream_mor_cdc_wap",
+    "stream_mor_cdc_txn",
     "sessionize_events",
     "set_distinct",
     "set_except",
@@ -452,6 +453,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.streaming.batch_equiv",
     "nyc_data_pipeline_spark.streaming.mor_cdc",
     "nyc_data_pipeline_spark.streaming.stateful",
+    "nyc_data_pipeline_spark.streaming.txn",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.functions.bpe",
     "nyc_data_pipeline_spark.functions.dsir",

@@ -1,0 +1,396 @@
+"""Multi-table atomic transactions: a CAS-published catalog pointer
+over MOR CDC tables (the Nessie / Iceberg-REST-catalog pattern on
+plain files).
+
+A single MOR CDC table already commits atomically (manifest CAS,
+streaming/mor_cdc.py), but two tables committed one after the other
+expose a TORN window: a reader joining them between the publishes sees
+table A's new state against table B's old one.  The fix is one more
+level of indirection — a catalog version file
+
+    catalog-v{N}.json = {"tables": {name: {"dir": ..., "version": V}},
+                         "committed_at_us": ...}
+
+published by the same link(2) compare-and-swap the table manifests
+use.  Catalog readers resolve EVERY table through one catalog version,
+so the set of visible table versions flips atomically with a single
+pointer swap:
+
+- `txn_commit` publishes the new catalog version; losers of the CAS
+  retry from a fresh read (validating their table versions still
+  apply) and raise the named `CommitConflictError` only when the
+  catalog moved past them in a way that invalidates the transaction
+  (a table they're updating was concurrently advanced — the
+  serializable-write check).
+- Crash-safety: table manifests ALWAYS publish before the catalog
+  flip, so a crash between the two leaves catalog readers on the old
+  consistent snapshot (the new table versions exist but are
+  unreferenced — exactly Iceberg's orphaned-snapshot shape); rerunning
+  the transaction completes the flip.  There is no torn state at any
+  crash point.
+- Old catalog versions are retained — `catalog_read(version=N)` is
+  cross-table time travel: a historical JOIN resolves every table at
+  the versions that were simultaneously visible, which per-table time
+  travel alone cannot guarantee.
+- `txn_publish_branches` composes with the WAP lane: stage epochs on
+  the same branch name across SEVERAL tables, audit each branch head,
+  then fast-forward all the tables AND flip the catalog in one call —
+  the multi-table write-audit-publish a training-data pipeline needs
+  when documents and their embeddings must land together.
+
+Scale shape: the catalog file is O(#tables) — bytes, not data.  Every
+operation here is metadata (one JSON read + one link(2)); no data file
+is read, moved, or rewritten by a transaction at any corpus size.
+
+Reference parity: the reference pipeline writes its trip table and its
+dashboard aggregates as two separate unguarded sinks
+(spark_consumer.py:106, streamlit.py reads whichever state each is
+in); this module is the missing consistency layer between them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.scans import atomic_json_publish_once
+from .mor_cdc import CommitConflictError, mor_cdc_read
+
+
+def _catalog_path(catalog_dir: str, version: int) -> str:
+    return os.path.join(catalog_dir, f"catalog-v{version}.json")
+
+
+def catalog_latest(catalog_dir: str) -> int:
+    """Highest published catalog version (0 when none)."""
+    if not os.path.isdir(catalog_dir):
+        return 0
+    return max(
+        (
+            int(f[len("catalog-v"):-len(".json")])
+            for f in os.listdir(catalog_dir)
+            if f.startswith("catalog-v") and f.endswith(".json")
+        ),
+        default=0,
+    )
+
+
+def catalog_load(catalog_dir: str, version: int | None = None) -> dict:
+    """Load one catalog version (latest when None)."""
+    if version is None:
+        version = catalog_latest(catalog_dir)
+    if version < 1:
+        raise ValueError(f"catalog {catalog_dir} has no version {version}")
+    with open(_catalog_path(catalog_dir, version)) as f:
+        return json.load(f)
+
+
+def txn_catalog_init(
+    catalog_dir: str, tables: dict[str, tuple[str, int]]
+) -> dict:
+    """Publish catalog v1 over already-committed tables.
+    `tables` maps name -> (table_dir, manifest version)."""
+    from ..sources.timetravel import commit_wallclock_us
+
+    cat = {
+        "version": 1,
+        "tables": {
+            name: {"dir": tdir, "version": int(v)}
+            for name, (tdir, v) in tables.items()
+        },
+        "committed_at_us": commit_wallclock_us(None),
+    }
+    atomic_json_publish_once(cat, _catalog_path(catalog_dir, 1))
+    return cat
+
+
+def txn_commit(
+    catalog_dir: str, updates: dict[str, int], retries: int = 5,
+    _before_publish=None,
+) -> dict:
+    """Atomically advance the catalog: one new catalog version where
+    every table in `updates` points at its new manifest version and
+    every other table is carried over unchanged.  The new table
+    manifests must already be published (they are invisible to catalog
+    readers until this pointer flips — publish-then-flip is the
+    crash-safety contract).
+
+    Concurrency: the publish is a CAS on the next catalog version
+    number.  A lost race re-reads the catalog and retries as long as
+    the concurrent transaction touched DISJOINT tables (the rebased
+    commit is serializable); if a table in `updates` was concurrently
+    advanced to a version >= ours, the transaction is invalid and the
+    named `CommitConflictError` surfaces it — the caller re-stages
+    from the new snapshot.  Moving a table backward is always a
+    ValueError (rollback is a new forward commit, never a silent
+    regression)."""
+    from ..sources.timetravel import commit_wallclock_us
+
+    last_err: Exception | None = None
+    for _ in range(retries):
+        latest = catalog_latest(catalog_dir)
+        cat = catalog_load(catalog_dir, latest)
+        tables = {k: dict(v) for k, v in cat["tables"].items()}
+        for name, v in updates.items():
+            if name not in tables:
+                raise ValueError(
+                    f"table {name!r} is not in catalog {catalog_dir}"
+                )
+            cur = tables[name]["version"]
+            if int(v) < cur:
+                raise ValueError(
+                    f"table {name!r}: cannot move catalog pointer "
+                    f"backward (v{cur} -> v{v}); roll forward instead"
+                )
+            if int(v) == cur:
+                # already visible — a concurrent txn advanced this
+                # table to exactly our target (e.g. our own rerun
+                # after a crash-between-publish-and-flip): nothing to
+                # change for this table
+                continue
+            tables[name]["version"] = int(v)
+        new = {
+            "version": latest + 1,
+            "tables": tables,
+            "committed_at_us": commit_wallclock_us(
+                cat.get("committed_at_us")
+            ),
+        }
+        if all(
+            new["tables"][n] == cat["tables"][n] for n in cat["tables"]
+        ):
+            return cat  # fully redundant rerun: catalog already there
+        if _before_publish is not None:
+            # test seam: a concurrent transaction landing inside the
+            # read->publish window, exercised deterministically
+            _before_publish()
+            _before_publish = None
+        try:
+            atomic_json_publish_once(
+                new, _catalog_path(catalog_dir, latest + 1)
+            )
+            return new
+        except FileExistsError:
+            # lost the CAS: validate our updates against the mover
+            fresh = catalog_load(catalog_dir)
+            for name, v in updates.items():
+                if fresh["tables"][name]["version"] > int(v):
+                    raise CommitConflictError(
+                        f"table {name!r} was concurrently advanced to "
+                        f"v{fresh['tables'][name]['version']} past this "
+                        f"transaction's v{v}; re-stage from the new "
+                        "snapshot"
+                    ) from None
+            last_err = CommitConflictError(
+                f"catalog {catalog_dir} CAS lost at v{latest + 1}"
+            )
+            continue  # disjoint-table mover: rebase and retry
+    raise last_err  # exhausted retries under sustained contention
+
+
+def catalog_read(
+    spark: SparkSession, catalog_dir: str, table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read `table` at the version the catalog (latest, or a pinned
+    historical catalog version) makes visible — all tables read
+    through the same catalog version form one consistent cross-table
+    snapshot."""
+    cat = catalog_load(catalog_dir, version)
+    t = cat["tables"][table]
+    return mor_cdc_read(spark, t["dir"], t["version"])
+
+
+def txn_publish_branches(
+    catalog_dir: str, branch: str, tables: list[str]
+) -> dict:
+    """Multi-table WAP: fast-forward `branch` on every named table
+    (each a per-table metadata CAS, `wap_publish`), then flip the
+    catalog to the new heads in ONE transaction.  Catalog readers see
+    all the tables' audited states appear atomically; a crash after
+    some table publishes leaves catalog readers on the old snapshot
+    and the rerun completes (already-published tables no-op through
+    the `updates`-equal path in `txn_commit`)."""
+    from .mor_cdc import _branch_versions, _latest_main_version, wap_publish
+
+    cat = catalog_load(catalog_dir)
+    updates: dict[str, int] = {}
+    for name in tables:
+        tdir = cat["tables"][name]["dir"]
+        if _branch_versions(tdir, branch):
+            wap_publish(tdir, branch)
+        updates[name] = _latest_main_version(tdir)
+    return txn_commit(catalog_dir, updates)
+
+
+def _txn_fixture_tables(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    from ..exprs import dec
+
+    # cents via the exact-decimal view (exprs.dec): the doubles carry
+    # 2-dp money, so dec(x)*100 is exactly integral and the BIGINT
+    # cast agrees across engines (a raw double*100 cast diverges —
+    # Spark truncates, DuckDB rounds, off-by-one on half the rows)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (dec("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (dec("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return o, c
+
+
+def _register_txn_query():
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table  # noqa: F401  (fixture helper)
+    from ..registry import register
+    from ..sources.scans import scratch_dir
+    from .mor_cdc import _latest_main_version, mor_cdc_commit, mor_cdc_init
+
+    @register(
+        "stream_mor_cdc_txn",
+        # The oracle recomputes BOTH cross-table snapshots from the raw
+        # tables: snap 1 = the base join, snap 2 = the join with both
+        # waves applied.  A torn snapshot (one table advanced without
+        # the other) would mix a waved table with a base one and
+        # hash-mismatch — atomicity of the catalog flip is exactly
+        # what the two-snapshot union certifies.
+        oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                        AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        c AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100
+                        AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        o2 AS (
+            SELECT o_orderkey, o_custkey,
+                   price_cents
+                   + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END
+                       AS price_cents
+            FROM o
+        ),
+        c2 AS (
+            SELECT c_custkey, c_mktsegment,
+                   bal_cents
+                   + CASE WHEN c_custkey % 2 = 0 THEN 1000 ELSE 0 END
+                       AS bal_cents
+            FROM c
+        )
+        SELECT CAST(1 AS INT) AS snap, c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o.price_cents) AS BIGINT) AS sum_price,
+               CAST(SUM(c.bal_cents) AS BIGINT) AS sum_bal
+        FROM o JOIN c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        UNION ALL
+        SELECT CAST(2 AS INT) AS snap, c2.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o2.price_cents) AS BIGINT) AS sum_price,
+               CAST(SUM(c2.bal_cents) AS BIGINT) AS sum_bal
+        FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+        GROUP BY c2.c_mktsegment
+        """,
+    )
+    def stream_mor_cdc_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-table snapshot isolation through the transaction
+        catalog: orders and customer live as MOR CDC tables under one
+        catalog; a transaction commits a wave to EACH table (orders
+        %3 price bump, customer %2 balance bump) and flips the catalog
+        pointer once.  The query joins the two tables AT EACH CATALOG
+        VERSION (cross-table time travel) — snap 1 must show both
+        tables pre-wave and snap 2 both post-wave; any torn
+        combination hash-mismatches the oracle.  Crash-safe re-entry:
+        table commits are guarded on their manifests, the catalog init
+        on its version, and `txn_commit` no-ops when the pointer
+        already reflects the updates (publish-then-flip leaves no torn
+        state at any crash point — tests pin the crash windows and the
+        concurrent-committer CAS directly)."""
+        o, c = _txn_fixture_tables(spark, sf_dir)
+        cat_dir = scratch_dir("txn_catalog", sf_dir)
+        o_dir = scratch_dir("txn_orders", sf_dir)
+        c_dir = scratch_dir("txn_cust", sf_dir)
+        if catalog_latest(cat_dir) < 2:
+            if not os.path.exists(
+                os.path.join(o_dir, "manifest-v1.json")
+            ):
+                mor_cdc_init(
+                    spark, o.withColumn("version", F.lit(0)), o_dir,
+                    "o_orderkey",
+                )
+            if not os.path.exists(
+                os.path.join(c_dir, "manifest-v1.json")
+            ):
+                mor_cdc_init(
+                    spark, c.withColumn("version", F.lit(0)), c_dir,
+                    "c_custkey",
+                )
+            if catalog_latest(cat_dir) < 1:
+                txn_catalog_init(
+                    cat_dir,
+                    {"orders": (o_dir, 1), "customer": (c_dir, 1)},
+                )
+            if _latest_main_version(o_dir) < 2:
+                wave_o = (
+                    o.where(F.col("o_orderkey") % 3 == 0)
+                    .withColumn(
+                        "price_cents", F.col("price_cents") + 500
+                    )
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+                mor_cdc_commit(spark, wave_o, o_dir, 2)
+            if _latest_main_version(c_dir) < 2:
+                wave_c = (
+                    c.where(F.col("c_custkey") % 2 == 0)
+                    .withColumn("bal_cents", F.col("bal_cents") + 1000)
+                    .withColumn("version", F.lit(1))
+                    .withColumn("op", F.lit("u"))
+                )
+                mor_cdc_commit(spark, wave_c, c_dir, 2)
+            txn_commit(cat_dir, {"orders": 2, "customer": 2})
+        snaps = []
+        for snap in (1, 2):
+            oo = catalog_read(spark, cat_dir, "orders", snap)
+            cc = catalog_read(spark, cat_dir, "customer", snap)
+            snaps.append(
+                oo.join(
+                    cc, oo["o_custkey"] == cc["c_custkey"], "inner"
+                )
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_orders"),
+                    F.sum("price_cents").cast("bigint").alias(
+                        "sum_price"
+                    ),
+                    F.sum("bal_cents").cast("bigint").alias("sum_bal"),
+                )
+                .select(
+                    F.lit(snap).cast("int").alias("snap"),
+                    "c_mktsegment",
+                    "n_orders",
+                    "sum_price",
+                    "sum_bal",
+                )
+            )
+        return snaps[0].unionByName(snaps[1])
+
+    return stream_mor_cdc_txn
+
+
+stream_mor_cdc_txn = _register_txn_query()

@@ -2273,3 +2273,101 @@ def test_wap_vacuum_preserves_live_branch(spark, tmp_path):
         r["k"]: r["cents"]
         for r in mor_cdc_read(spark, table_dir, 3).collect()
     } == want
+
+
+def test_txn_catalog_snapshot_isolation_and_cas(spark, tmp_path):
+    """Transaction catalog: (a) cross-table reads through one catalog
+    version are never torn — a table manifest published WITHOUT the
+    catalog flip stays invisible; (b) rerunning the transaction
+    completes the flip idempotently; (c) a concurrent txn on DISJOINT
+    tables rebases and lands, while a conflicting advance of the SAME
+    table raises CommitConflictError; (d) backward pointer moves are
+    ValueError; (e) historical catalog versions give cross-table time
+    travel."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        mor_cdc_commit,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_read,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    a_dir = _mk_cdc_table(spark, tmp_path, "txn_a", n_keys=100)
+    b_dir = _mk_cdc_table(spark, tmp_path, "txn_b", n_keys=100)
+    cat = str(tmp_path / "cat")
+    txn_catalog_init(cat, {"a": (a_dir, 1), "b": (b_dir, 1)})
+
+    # publish-then-flip: A's v2 manifest exists but catalog still at 1
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 50, 1, 1), a_dir, 2)
+    assert catalog_latest(cat) == 1
+    assert catalog_read(spark, cat, "a").where("cents % 10 = 1").count() == 0
+
+    # flip: A@2 visible, B untouched; rerun is a no-op (idempotent)
+    txn_commit(cat, {"a": 2})
+    assert catalog_latest(cat) == 2
+    assert catalog_read(spark, cat, "a").where("cents % 10 = 1").count() == 50
+    assert txn_commit(cat, {"a": 2})["version"] == 2
+    assert catalog_latest(cat) == 2
+
+    # disjoint-table race: B's txn loses the CAS to another A txn
+    # landed inside its window, rebases, and BOTH land
+    mor_cdc_commit(spark, _wap_wave(spark, 50, 100, 2, 1), b_dir, 2)
+    mor_cdc_commit(spark, _wap_wave(spark, 50, 100, 3, 2), a_dir, 3)
+    txn_commit(
+        cat, {"b": 2},
+        _before_publish=lambda: txn_commit(cat, {"a": 3}),
+    )
+    assert catalog_latest(cat) == 4
+    assert catalog_read(spark, cat, "a").where("cents % 10 = 3").count() == 50
+    assert catalog_read(spark, cat, "b").where("cents % 10 = 2").count() == 50
+
+    # same-table conflict: a txn holding a stale version for A fails
+    # loudly once a concurrent txn advanced A past it
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 10, 4, 3), a_dir, 4)
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 20, 5, 4), a_dir, 5)
+    with pytest.raises(CommitConflictError):
+        txn_commit(
+            cat, {"a": 4},
+            _before_publish=lambda: txn_commit(cat, {"a": 5}),
+        )
+    # backward move: always a ValueError
+    with pytest.raises(ValueError):
+        txn_commit(cat, {"a": 2})
+    # cross-table time travel: catalog v2 = A@2 with B@1
+    assert catalog_read(spark, cat, "a", 2).where("cents % 10 = 3").count() == 0
+    assert catalog_read(spark, cat, "b", 2).where("cents % 10 = 2").count() == 0
+
+
+def test_txn_publish_branches_multi_table_wap(spark, tmp_path):
+    """Multi-table WAP: branches staged on two tables flip into the
+    catalog in one transaction; a crash after one table's wap_publish
+    (simulated by publishing it directly first) completes idempotently
+    on rerun — catalog readers only ever see none-or-all."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import wap_publish, wap_stage
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_read,
+        txn_catalog_init,
+        txn_publish_branches,
+    )
+
+    a_dir = _mk_cdc_table(spark, tmp_path, "wapm_a", n_keys=100)
+    b_dir = _mk_cdc_table(spark, tmp_path, "wapm_b", n_keys=100)
+    cat = str(tmp_path / "cat")
+    txn_catalog_init(cat, {"a": (a_dir, 1), "b": (b_dir, 1)})
+    wap_stage(spark, _wap_wave(spark, 0, 50, 1, 1), a_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 50, 100, 2, 1), b_dir, "audit")
+    # crash window: A's branch already fast-forwarded, catalog not yet
+    wap_publish(a_dir, "audit")
+    assert catalog_read(spark, cat, "a").where("cents % 10 = 1").count() == 0
+    # rerun the multi-table publish: A no-ops (nothing staged), B
+    # publishes, ONE catalog flip makes both visible together
+    txn_publish_branches(cat, "audit", ["a", "b"])
+    assert catalog_latest(cat) == 2
+    assert catalog_read(spark, cat, "a").where("cents % 10 = 1").count() == 50
+    assert catalog_read(spark, cat, "b").where("cents % 10 = 2").count() == 50

@@ -338,6 +338,7 @@ HEADLINE = [
     "src_time_travel_ts",
     "stream_mor_cdc_wap",
     "stream_mor_cdc_txn",
+    "dedup_index_cdc_maintain",
 ]
 
 

@@ -125,6 +125,7 @@ _VERIFY_FIRST = [
     "src_time_travel_ts",
     "stream_mor_cdc_wap",
     "stream_mor_cdc_txn",
+    "dedup_index_cdc_maintain",
     "sessionize_events",
     "set_distinct",
     "set_except",
@@ -454,6 +455,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.streaming.mor_cdc",
     "nyc_data_pipeline_spark.streaming.stateful",
     "nyc_data_pipeline_spark.streaming.txn",
+    "nyc_data_pipeline_spark.dedup.cdc_maintain",
     "nyc_data_pipeline_spark.functions.textops",
     "nyc_data_pipeline_spark.functions.bpe",
     "nyc_data_pipeline_spark.functions.dsir",

@@ -77,14 +77,79 @@ def catalog_latest(catalog_dir: str) -> int:
     )
 
 
+class CatalogRetentionError(RuntimeError):
+    """The requested catalog version existed but `catalog_vacuum`
+    reclaimed it — the cross-table snapshot is gone and must never be
+    silently substituted with a nearby one (the table-side
+    TimeTravelRetentionError rule applied to the catalog chain)."""
+
+
 def catalog_load(catalog_dir: str, version: int | None = None) -> dict:
-    """Load one catalog version (latest when None)."""
+    """Load one catalog version (latest when None).  A version the
+    catalog never had is a ValueError; one reclaimed by
+    `catalog_vacuum` is the named `CatalogRetentionError`."""
+    latest = catalog_latest(catalog_dir)
     if version is None:
-        version = catalog_latest(catalog_dir)
-    if version < 1:
+        version = latest
+    if version < 1 or version > latest:
         raise ValueError(f"catalog {catalog_dir} has no version {version}")
-    with open(_catalog_path(catalog_dir, version)) as f:
+    path = _catalog_path(catalog_dir, version)
+    if not os.path.exists(path):
+        raise CatalogRetentionError(
+            f"catalog version {version} of {catalog_dir} was vacuumed "
+            f"(retained floor is higher); earliest retained snapshot "
+            "is the oldest remaining catalog-v*.json"
+        )
+    with open(path) as f:
         return json.load(f)
+
+
+def catalog_load_as_of(catalog_dir: str, ts_us: int) -> dict:
+    """`TIMESTAMP AS OF` across the WHOLE catalog: resolve the latest
+    catalog version committed at or before `ts_us` (the table-side
+    rule over the catalog chain) — every table then reads at the
+    version that was visible AT THAT INSTANT, giving a historically
+    consistent multi-table snapshot no per-table resolution could
+    reconstruct."""
+    from ..sources.timetravel import resolve_version_as_of
+
+    v = resolve_version_as_of(catalog_dir, ts_us, prefix="catalog-v")
+    return catalog_load(catalog_dir, v)
+
+
+def catalog_vacuum(catalog_dir: str, retain: int = 1) -> dict:
+    """Expire catalog versions older than the newest `retain`.  Only
+    pointer FILES are reclaimed here — table data reclaim stays with
+    each table's own vacuum, which must respect
+    `catalog_table_floor` so retained snapshots keep resolving."""
+    latest = catalog_latest(catalog_dir)
+    removed = []
+    for v in range(1, latest - retain + 1):
+        p = _catalog_path(catalog_dir, v)
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(v)
+    return {"retained": list(range(max(1, latest - retain + 1), latest + 1)),
+            "removed": removed}
+
+
+def catalog_table_floor(catalog_dir: str, table: str) -> int:
+    """The lowest manifest version of `table` any RETAINED catalog
+    version references — the floor a per-table vacuum must keep so
+    every retained cross-table snapshot stays readable (pass
+    `retain >= table_latest - floor + 1` to that table's vacuum)."""
+    latest = catalog_latest(catalog_dir)
+    floor = None
+    for v in range(1, latest + 1):
+        p = _catalog_path(catalog_dir, v)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            tv = json.load(f)["tables"][table]["version"]
+        floor = tv if floor is None else min(floor, tv)
+    if floor is None:
+        raise ValueError(f"catalog {catalog_dir} has no retained versions")
+    return floor
 
 
 def txn_catalog_init(

@@ -1517,3 +1517,86 @@ def test_cdc_index_swap_retention_and_o_changes(spark, tmp_path):
     )
     with pytest.raises(ChangeFeedRetentionError):
         maintain_ivf_pq_from_feed(spark, emb_dir, stale_idx)
+
+
+def test_dedup_cdc_index_maintain_swap_and_retention(spark, tmp_path, sf_dir):
+    """Dedup-index CDC maintenance (the sim-lane contract applied to
+    the MinHash index): (a) the maintained index's probe equals a
+    fresh rebuild over the table's current state; (b) maintenance
+    APPENDS — the v1 band artifact is reused byte-identically, one new
+    band file list entry per churn commit; (c) a swap (low threshold)
+    retrains, clears tombstones, and still probes identically; (d) a
+    maintenance step whose feed commit was vacuumed raises the named
+    ChangeFeedRetentionError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.dedup.cdc_maintain import (
+        _corpus_waves,
+        _load_ddcidx_manifest,
+        build_dedup_cdc_index,
+        dedup_cdc_probe,
+        maintain_dedup_index_from_feed,
+    )
+    from nyc_data_pipeline_spark.dedup.incremental import BATCH_MOD
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        ChangeFeedRetentionError,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_vacuum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0)
+    table_dir = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    mor_cdc_init(
+        spark, corpus.withColumn("version", F.lit(0)), table_dir, "doc_id"
+    )
+    waves = _corpus_waves(corpus, batch)
+    for i, w in enumerate(waves):
+        mor_cdc_commit(spark, w, table_dir, 2 + i)
+    m1 = build_dedup_cdc_index(spark, corpus, idx)
+    m2 = maintain_dedup_index_from_feed(spark, table_dir, idx)
+    m3 = maintain_dedup_index_from_feed(spark, table_dir, idx)
+    # (b) append-only: v1 artifacts reused, one entry per churn commit
+    assert m3["bands"][0]["path"] == m1["bands"][0]["path"]
+    assert [e["v"] for e in m3["bands"]] == [1, 2, 3]
+    assert len(m3["tombstones"]) == 2
+    assert "swapped" not in m3
+
+    def probe_rows(index_dir):
+        return {
+            (r["batch_id"], r["n_dups"], r["dup_of"])
+            for r in dedup_cdc_probe(spark, index_dir, batch).collect()
+        }
+
+    maintained = probe_rows(idx)
+    # (a) equivalence vs a fresh rebuild over the CURRENT table state
+    cur = mor_cdc_read(spark, table_dir, 3).select("doc_id", "text")
+    fresh_idx = str(tmp_path / "fresh")
+    build_dedup_cdc_index(spark, cur, fresh_idx, table_commit=3)
+    assert maintained == probe_rows(fresh_idx)
+    # every batch doc found its feed-delivered clone
+    assert len(maintained) == batch.count()
+    # (c) swap: rebuild-as-maintenance clears the tombstone debt
+    swap_idx = str(tmp_path / "swap")
+    build_dedup_cdc_index(spark, corpus, swap_idx)
+    sm = maintain_dedup_index_from_feed(
+        spark, table_dir, swap_idx, swap_fraction=0.0
+    )
+    assert sm.get("swapped") and sm["tombstones"] == []
+    sm2 = maintain_dedup_index_from_feed(
+        spark, table_dir, swap_idx, swap_fraction=0.0
+    )
+    assert sm2.get("swapped") and sm2["table_commit"] == 3
+    assert probe_rows(swap_idx) == maintained
+    # (d) retention: the pending feed's history vacuumed away
+    stale_idx = str(tmp_path / "stale")
+    build_dedup_cdc_index(spark, corpus, stale_idx)
+    mor_cdc_vacuum(table_dir, latest=3, retain=1)
+    with pytest.raises(ChangeFeedRetentionError):
+        maintain_dedup_index_from_feed(spark, table_dir, stale_idx)

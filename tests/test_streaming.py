@@ -2371,3 +2371,73 @@ def test_txn_publish_branches_multi_table_wap(spark, tmp_path):
     assert catalog_latest(cat) == 2
     assert catalog_read(spark, cat, "a").where("cents % 10 = 1").count() == 50
     assert catalog_read(spark, cat, "b").where("cents % 10 = 2").count() == 50
+
+
+def test_txn_catalog_as_of_retention_and_floor(spark, tmp_path):
+    """Catalog time travel + retention: (a) TIMESTAMP AS OF over the
+    catalog chain resolves the latest catalog committed <= ts (a ts
+    BETWEEN two catalog commits serves the earlier one) and yields a
+    historically consistent multi-table snapshot; (b) catalog_vacuum
+    reclaims old pointers — reading them raises the named
+    CatalogRetentionError, never-committed versions stay ValueError,
+    and pre-floor timestamps raise through the as-of path; (c)
+    catalog_table_floor names the per-table version a table vacuum
+    must keep, and a vacuum respecting it leaves every retained
+    snapshot readable."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_vacuum,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        CatalogRetentionError,
+        catalog_latest,
+        catalog_load,
+        catalog_load_as_of,
+        catalog_read,
+        catalog_table_floor,
+        catalog_vacuum,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    a_dir = _mk_cdc_table(spark, tmp_path, "asof_a", n_keys=100)
+    b_dir = _mk_cdc_table(spark, tmp_path, "asof_b", n_keys=100)
+    cat = str(tmp_path / "cat")
+    txn_catalog_init(cat, {"a": (a_dir, 1), "b": (b_dir, 1)})
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 50, 1, 1), a_dir, 2)
+    txn_commit(cat, {"a": 2})
+    mor_cdc_commit(spark, _wap_wave(spark, 50, 100, 2, 1), b_dir, 2)
+    txn_commit(cat, {"b": 2})
+    ts = {
+        v: catalog_load(cat, v)["committed_at_us"] for v in (1, 2, 3)
+    }
+    # exact instants resolve to themselves; between-commit instants
+    # resolve DOWN (the latest-commit-<=-ts rule)
+    assert catalog_load_as_of(cat, ts[2])["version"] == 2
+    assert catalog_load_as_of(cat, (ts[2] + ts[3]) // 2)["version"] == 2
+    assert catalog_load_as_of(cat, ts[3] + 10)["version"] == 3
+    # the v2 snapshot pairs A@2 with B@1 — historically consistent
+    snap = catalog_load_as_of(cat, ts[2])
+    assert (snap["tables"]["a"]["version"],
+            snap["tables"]["b"]["version"]) == (2, 1)
+    # retention: keep the newest 2 catalog versions
+    stats = catalog_vacuum(cat, retain=2)
+    assert stats["removed"] == [1] and catalog_latest(cat) == 3
+    with pytest.raises(CatalogRetentionError):
+        catalog_load(cat, 1)
+    with pytest.raises(ValueError):
+        catalog_load(cat, 9)
+    from nyc_data_pipeline_spark.sources.timetravel import (
+        TimeTravelRetentionError,
+    )
+    with pytest.raises(TimeTravelRetentionError):
+        catalog_load_as_of(cat, ts[1])  # pre-floor instant
+    # per-table floor: retained catalogs (v2, v3) reference a@2 — a
+    # table vacuum keeping >= that floor leaves both snapshots readable
+    assert catalog_table_floor(cat, "a") == 2
+    assert catalog_table_floor(cat, "b") == 1
+    mor_cdc_vacuum(a_dir, latest=2, retain=1)  # keeps a@2, the floor
+    assert catalog_read(spark, cat, "a", 2).count() == 100
+    assert catalog_read(spark, cat, "a", 3).count() == 100

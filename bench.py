@@ -339,6 +339,7 @@ HEADLINE = [
     "stream_mor_cdc_wap",
     "stream_mor_cdc_txn",
     "dedup_index_cdc_maintain",
+    "stream_mor_cdc_skipping",
 ]
 
 

@@ -126,6 +126,7 @@ _VERIFY_FIRST = [
     "stream_mor_cdc_wap",
     "stream_mor_cdc_txn",
     "dedup_index_cdc_maintain",
+    "stream_mor_cdc_skipping",
     "sessionize_events",
     "set_distinct",
     "set_except",

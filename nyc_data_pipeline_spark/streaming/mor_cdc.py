@@ -155,6 +155,26 @@ def release_local_checkpoints(frames) -> None:
             pass
 
 
+def _zb_stats(rows: DataFrame, key: str) -> dict:
+    """Per-bucket key min/max + row count for the rows a commit is
+    about to append — the manifest-level zone map `mor_cdc_read`'s
+    `key_range` pruning consults (O(#buckets) driver rows; production
+    reads the same numbers for free from parquet footers)."""
+    return {
+        str(r["zb"]): {
+            "klo": int(r["klo"]), "khi": int(r["khi"]),
+            "rows": int(r["rows"]),
+        }
+        for r in rows.groupBy("zb")
+        .agg(
+            F.min(key).alias("klo"),
+            F.max(key).alias("khi"),
+            F.count("*").alias("rows"),
+        )
+        .collect()
+    }
+
+
 def mor_cdc_init(
     spark: SparkSession, base: DataFrame, table_dir: str, key: str,
     n_files: int = MOR_CDC_FILES,
@@ -173,8 +193,15 @@ def mor_cdc_init(
         .partitionBy("zb")
         .parquet(vdir)
     )
+    stats = _zb_stats(b, key)
     files = {
-        z[len("zb="):]: [{"path": os.path.join(vdir, z), "v": 1}]
+        z[len("zb="):]: [
+            {
+                "path": os.path.join(vdir, z),
+                "v": 1,
+                **stats.get(z[len("zb="):], {}),
+            }
+        ]
         for z in os.listdir(vdir)
         if z.startswith("zb=")
     }
@@ -297,11 +324,16 @@ def mor_cdc_commit(
         .partitionBy("zb")
         .parquet(vdir)
     )
+    stats = _zb_stats(upserts, key)
     files = {z: list(entries) for z, entries in prev["files"].items()}
     for z in os.listdir(vdir):
         if z.startswith("zb="):
             files.setdefault(z[len("zb="):], []).append(
-                {"path": os.path.join(vdir, z), "v": version}
+                {
+                    "path": os.path.join(vdir, z),
+                    "v": version,
+                    **stats.get(z[len("zb="):], {}),
+                }
             )
     # Schema-evolution audit trail: the union of columns ever
     # committed, plus which this commit added (add-column is the ONE
@@ -366,6 +398,7 @@ def mor_cdc_commit(
 def mor_cdc_read(
     spark: SparkSession, table_dir: str, version: int,
     zb_filter: set[str] | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Read the table at manifest `version` applying every delete
     vector: a stored row survives iff its key has no DV that SHADOWS
@@ -389,16 +422,28 @@ def mor_cdc_read(
     Correct whenever the caller only needs keys routed to those
     buckets, because the frozen-bounds rule routes a key to the SAME
     bucket in every commit; the change feed uses it to read
-    pre-images from only the buckets its DV sidecar names."""
+    pre-images from only the buckets its DV sidecar names.
+
+    `key_range=(lo, hi)` is manifest-level FILE SKIPPING on the
+    clustering key: every manifest entry carries its file's actual key
+    min/max (`_zb_stats`, written at commit time — the zone-map rule
+    applied to the MOR chain), so files whose range misses [lo, hi]
+    never become FileScans, and a residual `key BETWEEN` filter makes
+    the result exactly `read().filter(key in range)`.  Correct because
+    a key's every copy routes to the same bucket and its files' stats
+    contain it; entries written before stats existed are conservatively
+    kept.  At 100 TB a point-ish lookup on the clustering key reads
+    O(overlapping files), not the table."""
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         m = json.load(f)
-    return _read_manifest(spark, m, zb_filter)
+    return _read_manifest(spark, m, zb_filter, key_range)
 
 
 def _read_manifest(
-    spark: SparkSession, m: dict, zb_filter: set[str] | None = None
+    spark: SparkSession, m: dict, zb_filter: set[str] | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """`mor_cdc_read`'s body over an already-loaded manifest dict — the
     shared read path for main-chain versions AND WAP branch heads (a
@@ -411,6 +456,15 @@ def _read_manifest(
         if zb_filter is not None and z not in zb_filter:
             continue
         for e in entries:
+            if (
+                key_range is not None
+                and "klo" in e
+                and (
+                    int(e["khi"]) < key_range[0]
+                    or int(e["klo"]) > key_range[1]
+                )
+            ):
+                continue  # file's key range misses the predicate
             by_commit.setdefault(int(e["v"]), []).append(e["path"])
     if not by_commit:
         # zb_filter excluded every manifest entry (no churned bucket
@@ -457,6 +511,11 @@ def _read_manifest(
             piece
             if rows is None
             else rows.unionByName(piece, allowMissingColumns=True)
+        )
+    if key_range is not None:
+        # residual predicate: kept files may straddle the range edges
+        rows = rows.filter(
+            F.col(key).between(int(key_range[0]), int(key_range[1]))
         )
     dv = None
     if m["dvs"]:
@@ -1031,6 +1090,78 @@ def stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_mor_cdc_skipping",
+    # The stream_mor_cdc merge oracle restricted to the second quarter
+    # of the key span — the range the engine-side read serves through
+    # manifest-level file skipping (entries' klo/khi stats prune files
+    # before any scan exists; a residual BETWEEN keeps exactness).
+    oracle="""
+    WITH rng AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    base AS (
+        SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id, 'recrawl1' AS lang, n_chars + 1 AS n_chars,
+               1 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    b2 AS (
+        SELECT doc_id, lang, n_chars, 2 AS version, 'd' AS op
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    b3 AS (
+        SELECT doc_id, 'recrawl3' AS lang, n_chars + 3 AS n_chars,
+               3 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT * FROM base UNION ALL SELECT * FROM b1
+            UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS INT) AS version
+    FROM merged, rng
+    WHERE op <> 'd'
+      AND doc_id BETWEEN rng.lo + (rng.hi - rng.lo + 1) // 4
+                     AND rng.lo + (rng.hi - rng.lo + 1) // 2
+    """,
+)
+def stream_mor_cdc_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range read over the CDC table through MANIFEST-LEVEL file
+    skipping: the shared stream_mor_cdc lifecycle table's manifest
+    entries carry per-file key min/max recorded at commit time
+    (`_zb_stats`), and `mor_cdc_read(key_range=...)` drops every
+    non-overlapping file before any FileScan is planned — the zone-map
+    discipline applied to the MOR chain, so a clustering-key slice
+    reads O(overlapping files) at any corpus size.  The oracle is the
+    full versioned merge restricted to the same range: matching it
+    proves the skip dropped no in-range row and the residual filter
+    dropped every out-of-range one (pruning itself is plan-asserted in
+    tests/test_streaming.py via inputFiles)."""
+    stream_mor_cdc(spark, sf_dir)  # build-if-missing the shared table
+    table_dir = scratch_dir("mor_cdc", sf_dir)
+    with open(os.path.join(table_dir, "manifest-v4.json")) as f:
+        lo, hi = json.load(f)["bounds"]
+    span = int(hi) - int(lo) + 1
+    key_range = (int(lo) + span // 4, int(lo) + span // 2)
+    return mor_cdc_read(
+        spark, table_dir, 4, key_range=key_range
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
 def mor_cdc_compact(
     spark: SparkSession, table_dir: str, version: int,
     n_files: int = MOR_CDC_FILES,
@@ -1077,8 +1208,17 @@ def mor_cdc_compact(
         .partitionBy("zb")
         .parquet(vdir)
     )
+    stats = _zb_stats(
+        spark.read.option("basePath", vdir).parquet(vdir), key
+    )
     files = {
-        z[len("zb="):]: [{"path": os.path.join(vdir, z), "v": vnew}]
+        z[len("zb="):]: [
+            {
+                "path": os.path.join(vdir, z),
+                "v": vnew,
+                **stats.get(z[len("zb="):], {}),
+            }
+        ]
         for z in os.listdir(vdir)
         if z.startswith("zb=")
     }

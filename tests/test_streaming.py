@@ -2441,3 +2441,41 @@ def test_txn_catalog_as_of_retention_and_floor(spark, tmp_path):
     mor_cdc_vacuum(a_dir, latest=2, retain=1)  # keeps a@2, the floor
     assert catalog_read(spark, cat, "a", 2).count() == 100
     assert catalog_read(spark, cat, "a", 3).count() == 100
+
+
+def test_mor_cdc_key_range_prunes_files_at_the_manifest(spark, tmp_path):
+    """Manifest-level file skipping: a key_range read must (a) plan
+    FileScans over strictly fewer files than the full read — only the
+    buckets/commits whose recorded klo/khi overlap the range — (b)
+    return exactly the full read filtered to the range, and (c) serve
+    a range that misses every file as an EMPTY frame with the
+    committed schema (no scan at all)."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_skip", n_keys=400)
+    # churn only the top quarter of the key range: its appended files
+    # carry klo/khi stats in [300, 399]
+    mor_cdc_commit(spark, _wap_wave(spark, 300, 400, 1, 1), table_dir, 2)
+    full = mor_cdc_read(spark, table_dir, 2)
+    pruned = mor_cdc_read(spark, table_dir, 2, key_range=(0, 99))
+    assert set(pruned.inputFiles()) < set(full.inputFiles())
+    # the v2 commit's files (keys 300+) must not be scanned at all
+    assert not [f for f in pruned.inputFiles() if "/v2" in f]
+    want = {
+        (r["k"], r["cents"])
+        for r in full.where("k between 0 and 99").collect()
+    }
+    assert {
+        (r["k"], r["cents"]) for r in pruned.collect()
+    } == want and len(want) == 100
+    # a range inside the churned quarter reads v1's bucket AND v2's
+    mid = mor_cdc_read(spark, table_dir, 2, key_range=(350, 360))
+    assert [f for f in mid.inputFiles() if "/v2" in f]
+    assert {r["k"] for r in mid.collect()} == set(range(350, 361))
+    # (c) nothing overlaps: empty result, schema intact, zero scans
+    none = mor_cdc_read(spark, table_dir, 2, key_range=(10_000, 20_000))
+    assert none.count() == 0
+    assert set(none.columns) == set(full.columns)

@@ -340,6 +340,7 @@ HEADLINE = [
     "stream_mor_cdc_txn",
     "dedup_index_cdc_maintain",
     "stream_mor_cdc_skipping",
+    "stream_mor_cdc_rebucket",
 ]
 
 

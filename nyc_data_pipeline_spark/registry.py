@@ -127,6 +127,7 @@ _VERIFY_FIRST = [
     "stream_mor_cdc_txn",
     "dedup_index_cdc_maintain",
     "stream_mor_cdc_skipping",
+    "stream_mor_cdc_rebucket",
     "sessionize_events",
     "set_distinct",
     "set_except",

@@ -210,6 +210,7 @@ def mor_cdc_init(
     manifest = {
         "key": key,
         "bounds": [int(lo), int(hi)],
+        "n_files": n_files,
         "version": 1,
         "files": files,
         "dvs": [],
@@ -292,6 +293,13 @@ def mor_cdc_commit(
         prev = json.load(f)
     key = prev["key"]
     lo, hi = prev["bounds"]
+    # The clustering spec travels IN the manifest chain: a commit
+    # always routes under the spec of the state it applies to (so a
+    # re-bucketing compaction takes effect for every later epoch and
+    # the feed's bucket-pruning rule stays consistent within any
+    # between-compactions span); the parameter is only the fallback
+    # for pre-spec manifests.
+    n_files = int(prev.get("n_files", n_files))
     # Frozen-bounds routing, clamped at BOTH ends (the zone-map append
     # discipline): arrivals outside [lo, hi] land in the edge buckets.
     routed = batch.withColumn(
@@ -347,6 +355,7 @@ def mor_cdc_commit(
     manifest = {
         "key": key,
         "bounds": [lo, hi],
+        "n_files": n_files,
         "version": version,
         "files": files,
         "dvs": [*prev["dvs"], {"path": dv_dir, "v": version}],
@@ -1164,7 +1173,7 @@ def stream_mor_cdc_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mor_cdc_compact(
     spark: SparkSession, table_dir: str, version: int,
-    n_files: int = MOR_CDC_FILES,
+    n_files: int | None = None,
 ) -> dict:
     """OPTIMIZE for the streaming-CDC table: rewrite every bucket with
     its survival rule applied, publish v{version+1} with ONE file per
@@ -1189,8 +1198,22 @@ def mor_cdc_compact(
     ) as f:
         m = json.load(f)
     key = m["key"]
-    lo, hi = m["bounds"]
     live = mor_cdc_read(spark, table_dir, version)
+    if n_files is None:
+        # keep the chain's spec (pre-spec manifests: the default)
+        n_files = int(m.get("n_files", MOR_CDC_FILES))
+        lo, hi = m["bounds"]
+    else:
+        # RE-BUCKETING compaction (partition-spec evolution): the
+        # rewrite is total, so this is the one commit that may change
+        # the fan-out — bounds re-derived from the LIVE key range so
+        # the new buckets split today's data evenly, not day one's.
+        # Every later epoch routes under the new spec via its prev
+        # manifest, and the feed's bucket-pruning rule only ever
+        # compares commits within one between-compactions span, so
+        # cross-spec zb values never meet.
+        b = live.agg(F.min(key), F.max(key)).collect()[0]
+        lo, hi = int(b[0]), int(b[1])
     vnew = version + 1
     vdir = os.path.join(table_dir, f"v{vnew}")
     routed = live.withColumn(
@@ -1250,6 +1273,7 @@ def mor_cdc_compact(
     manifest = {
         "key": key,
         "bounds": [lo, hi],
+        "n_files": n_files,
         "version": vnew,
         "files": files,
         "dvs": [],
@@ -1490,6 +1514,116 @@ def stream_mor_cdc_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("version").cast("int").alias("version"),
         F.col("score").cast("bigint").alias("score"),
+    )
+
+
+@register(
+    "stream_mor_cdc_rebucket",
+    # Oracle: the SAME one-shot merge as stream_mor_cdc (partition-spec
+    # evolution must be invisible to the logical state), plus two pins
+    # re-predicted from the raw table — the new fan-out and the number
+    # of occupied buckets the re-bucketing compaction wrote, computed
+    # from the LIVE state after wave 2 under refreshed bounds.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars, 0 AS version, 'b' AS op FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id, 'recrawl1' AS lang, n_chars + 1 AS n_chars,
+               1 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    b2 AS (
+        SELECT doc_id, lang, n_chars, 2 AS version, 'd' AS op
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    b3 AS (
+        SELECT doc_id, 'recrawl3' AS lang, n_chars + 3 AS n_chars,
+               3 AS version, 'u' AS op
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT * FROM base UNION ALL SELECT * FROM b1
+            UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    ),
+    live3 AS (
+        SELECT * FROM (
+            SELECT * FROM base UNION ALL SELECT * FROM b1
+            UNION ALL SELECT * FROM b2
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    ),
+    live AS (SELECT doc_id FROM live3 WHERE op <> 'd'),
+    rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM live),
+    occ AS (
+        SELECT CAST(COUNT(DISTINCT LEAST(
+                   (doc_id - rng.lo) * {MOR_CDC_FILES * 2}
+                       // (rng.hi - rng.lo + 1),
+                   {MOR_CDC_FILES * 2 - 1})) AS BIGINT)
+                   AS n_dirs_rebucket
+        FROM live, rng
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS INT) AS version,
+           CAST({MOR_CDC_FILES * 2} AS INT) AS n_buckets,
+           occ.n_dirs_rebucket
+    FROM merged, occ WHERE op <> 'd'
+    """,
+)
+def stream_mor_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution mid-chain: the table ingests two epochs
+    under the initial 8-bucket spec, a RE-BUCKETING
+    compaction doubles the fan-out with bounds refreshed from the live
+    key range (the total rewrite is the one commit allowed to change
+    the spec), and a third epoch lands routed under the NEW spec via
+    its prev manifest — production's answer to a table outgrowing its
+    clustering (SCALE.md §25's bucket-sizing lesson made an online
+    operation).  The merge oracle proves spec evolution is invisible
+    to the logical state; the pins prove the new fan-out physically
+    happened (occupied-bucket count under the refreshed bounds,
+    re-predicted by the oracle from the raw table).  The feed/read
+    machinery keeps working across the boundary — pytest drives a
+    post-rebucket feed and key-range read
+    (tests/test_streaming.py::test_mor_cdc_rebucket_*)."""
+    table_dir = scratch_dir("mor_cdc_rebucket", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    waves = _doc_waves(d)
+    final = len(waves) + 2  # +1 base, +1 compaction
+    if not os.path.exists(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ):
+        mor_cdc_init(
+            spark, d.withColumn("version", F.lit(0)), table_dir,
+            "doc_id",
+        )
+        mor_cdc_commit(spark, waves[0], table_dir, 2)
+        mor_cdc_commit(spark, waves[1], table_dir, 3)
+        mor_cdc_compact(
+            spark, table_dir, 3, n_files=MOR_CDC_FILES * 2
+        )
+        mor_cdc_commit(spark, waves[2], table_dir, 5)
+    with open(
+        os.path.join(table_dir, f"manifest-v{final}.json")
+    ) as f:
+        m = json.load(f)
+    v4 = os.path.join(table_dir, "v4")
+    n_dirs = len([z for z in os.listdir(v4) if z.startswith("zb=")])
+    return mor_cdc_read(spark, table_dir, final).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+        F.lit(int(m["n_files"])).cast("int").alias("n_buckets"),
+        F.lit(n_dirs).cast("bigint").alias("n_dirs_rebucket"),
     )
 
 

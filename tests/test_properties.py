@@ -1138,3 +1138,115 @@ def test_catch_up_join_view_random_histories(
         cur[0] += 1
         cur[1] += cents
     assert got == {s: tuple(v) for s, v in want.items()}
+
+
+# --- Transaction catalog: random interleavings stay snapshot-consistent -----
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(st.lists(
+    st.sampled_from(["a", "b", "both", "rerun", "lag_flip"]),
+    min_size=1, max_size=8,
+))
+def test_txn_catalog_random_histories_consistent(
+    spark, tmp_path_factory, ops
+):
+    """The catalog pointer against a Python model over RANDOM command
+    sequences — single-table transactions, multi-table transactions,
+    idempotent reruns, and the crash shape (table manifest published,
+    flip lagging one op behind).  Invariants: catalog versions are
+    gapless and match the model's flip history exactly; every
+    historical catalog version still resolves BOTH tables to the
+    versions that were simultaneously visible (each table commit adds
+    exactly 10 keys, so table t at manifest version V must read
+    100 + 10*(V-1) rows — any torn pointer breaks the arithmetic)."""
+    import pyspark.sql.functions as F
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_load,
+        catalog_read,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    tmp = tmp_path_factory.mktemp("txnprop")
+    dirs = {}
+    for t in ("a", "b"):
+        base = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("cents"),
+            F.lit(0).alias("version"),
+        )
+        dirs[t] = str(tmp / t)
+        mor_cdc_init(spark, base, dirs[t], "k", n_files=4)
+    cat = str(tmp / "cat")
+    txn_catalog_init(cat, {t: (d, 1) for t, d in dirs.items()})
+
+    def wave(m):
+        return spark.range(1000 * m, 1000 * m + 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + m).alias("cents"),
+            F.lit(m).alias("version"),
+            F.lit("u").alias("op"),
+        )
+
+    table_v = {"a": 1, "b": 1}       # latest PUBLISHED manifest
+    flipped = {"a": 1, "b": 1}       # what the catalog points at
+    model = [dict(flipped)]          # catalog v1..vN
+    pending = None                   # table committed but not flipped
+    for op in ops:
+        if op == "rerun":
+            txn_commit(cat, dict(flipped))  # idempotent no-op
+            continue
+        if op == "lag_flip":
+            if pending is None:
+                # publish a manifest WITHOUT flipping (the crash shape)
+                t = "a" if table_v["a"] <= table_v["b"] else "b"
+                table_v[t] += 1
+                mor_cdc_commit(
+                    spark, wave(table_v[t]), dirs[t], table_v[t],
+                    n_files=4,
+                )
+                pending = t
+            else:
+                # complete the lagging flip
+                flipped[pending] = table_v[pending]
+                txn_commit(cat, {pending: table_v[pending]})
+                model.append(dict(flipped))
+                pending = None
+            continue
+        tables = ("a", "b") if op == "both" else (op,)
+        updates = {}
+        for t in tables:
+            if t == pending:
+                pending = None  # the lagging flip rides this txn
+            table_v[t] += 1
+            mor_cdc_commit(
+                spark, wave(table_v[t]), dirs[t], table_v[t], n_files=4
+            )
+            updates[t] = table_v[t]
+            flipped[t] = table_v[t]
+        txn_commit(cat, updates)
+        model.append(dict(flipped))
+    # gapless history matching the model flip-for-flip
+    assert catalog_latest(cat) == len(model)
+    for v, want in enumerate(model, start=1):
+        got = catalog_load(cat, v)["tables"]
+        assert {t: got[t]["version"] for t in want} == want
+    # every historical snapshot reads both tables at consistent counts
+    for v in (1, (len(model) + 1) // 2, len(model)):
+        snap = model[v - 1]
+        for t in ("a", "b"):
+            n = catalog_read(spark, cat, t, v).count()
+            assert n == 100 + 10 * (snap[t] - 1), (v, t, snap)
+    # a lagging unflipped manifest never leaked into the latest catalog
+    if pending is not None:
+        got = catalog_load(cat)["tables"][pending]["version"]
+        assert got == flipped[pending] < table_v[pending]

@@ -2479,3 +2479,50 @@ def test_mor_cdc_key_range_prunes_files_at_the_manifest(spark, tmp_path):
     none = mor_cdc_read(spark, table_dir, 2, key_range=(10_000, 20_000))
     assert none.count() == 0
     assert set(none.columns) == set(full.columns)
+
+
+def test_mor_cdc_rebucket_feed_and_skipping_cross_spec(spark, tmp_path):
+    """Partition-spec evolution: after a re-bucketing compaction
+    (fan-out 4 -> 8, bounds refreshed from the live range), (a) later
+    commits route under the NEW spec (manifest n_files carried by the
+    chain, not the call-site), (b) the change feed of a post-rebucket
+    commit is lossless AND still prunes its pre-image to churned
+    buckets of the new spec, and (c) a key_range read across the
+    boundary stays exact with files skipped at the manifest."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "rb", n_keys=400, n_files=4)
+    mor_cdc_commit(spark, _wap_wave(spark, 0, 50, 1, 1), table_dir, 2)
+    m3 = mor_cdc_compact(spark, table_dir, 2, n_files=8)
+    assert m3["n_files"] == 8 and m3["bounds"] == [0, 399]
+    # (a) the next commit routes under the new 8-bucket spec even
+    # though the caller passes nothing: keys 350-399 = bucket 7 of 8
+    mor_cdc_commit(spark, _wap_wave(spark, 350, 400, 2, 2), table_dir, 4)
+    with open(os.path.join(table_dir, "manifest-v4.json")) as f:
+        m4 = json.load(f)
+    assert m4["n_files"] == 8
+    new_dirs = {z for z, es in m4["files"].items()
+                if any(e["v"] == 4 for e in es)}
+    assert new_dirs == {"7"}
+    # (b) the feed of the post-rebucket commit: lossless updates, and
+    # its pre-image leg reads ONLY bucket 7's v3 files
+    feed = mor_cdc_change_feed(spark, table_dir, 4)
+    rows = {r["k"]: (r["change"], r["post_cents"]) for r in feed.collect()}
+    assert len(rows) == 50
+    assert all(c == "update" for c, _ in rows.values())
+    assert rows[399] == ("update", 3992)
+    pre_files = [
+        f for f in feed.inputFiles() if "/v3/" in f or "/v3" in f
+    ]
+    assert pre_files and all("zb=7" in f for f in pre_files)
+    # (c) key-range read across the spec boundary: v4 files skipped
+    # for a range outside the churned keys, result exact
+    pruned = mor_cdc_read(spark, table_dir, 4, key_range=(100, 199))
+    assert not [f for f in pruned.inputFiles() if "/v4" in f]
+    got = {r["k"]: r["cents"] for r in pruned.collect()}
+    assert got == {k: k * 10 for k in range(100, 200)}

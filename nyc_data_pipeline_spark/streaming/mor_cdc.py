@@ -580,11 +580,22 @@ class MorCdcSink:
     merge-on-read epoch (DV sidecar + appended files + manifest), with
     the atomic epoch ledger making redelivery a no-op — the
     ZoneMapAppendSink recipe lifted from append-only ingest to full
-    upsert/delete CDC.  Readers always see a complete version."""
+    upsert/delete CDC.  Readers always see a complete version.
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    `branch` stages every epoch on a WAP branch instead of main
+    (STREAMING write-audit-publish): the stream ingests continuously,
+    main readers never see an unaudited epoch, and `wap_publish`
+    fast-forwards main once the gates pass — the staged version
+    numbers become main version numbers, so the epoch ledger stays
+    valid across the publish."""
+
+    def __init__(
+        self, spark: SparkSession, table_dir: str,
+        branch: str | None = None,
+    ):
         self.spark = spark
         self.table_dir = table_dir
+        self.branch = branch
 
     def _ledger_path(self) -> str:
         return os.path.join(self.table_dir, "epoch-ledger.json")
@@ -601,6 +612,9 @@ class MorCdcSink:
             for f in os.listdir(self.table_dir)
             if f.startswith("manifest-v") and f.endswith(".json")
         ]
+        if self.branch is not None:
+            # a branch sink stacks on its own staged head too
+            vs += _branch_versions(self.table_dir, self.branch)
         return max(vs, default=1)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -643,7 +657,7 @@ class MorCdcSink:
             try:
                 mor_cdc_commit(
                     self.spark, batch_df, self.table_dir, version,
-                    exclusive=True,
+                    exclusive=True, branch=self.branch,
                 )
             except CommitConflictError as e:
                 last_err = e

@@ -2526,3 +2526,51 @@ def test_mor_cdc_rebucket_feed_and_skipping_cross_spec(spark, tmp_path):
     assert not [f for f in pruned.inputFiles() if "/v4" in f]
     got = {r["k"]: r["cents"] for r in pruned.collect()}
     assert got == {k: k * 10 for k in range(100, 200)}
+
+
+def test_streaming_wap_sink_stages_epochs_until_publish(spark, tmp_path):
+    """STREAMING write-audit-publish: a MorCdcSink bound to a branch
+    stages every micro-batch epoch there — main readers never see an
+    unaudited epoch, redelivery stays a ledger no-op, the branch head
+    accumulates the stream's state, and wap_publish flips main to
+    exactly that state (the staged version numbers become main's, so
+    the epoch ledger stays valid and a post-publish sink continues on
+    main numbering via a fresh branch fork point)."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        MorCdcSink,
+        mor_cdc_read,
+        wap_publish,
+        wap_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "swap_sink", n_keys=200)
+    sink = MorCdcSink(spark, table_dir, branch="audit")
+    sink(_wap_wave(spark, 0, 50, 1, 1), epoch_id=0)
+    sink(_wap_wave(spark, 0, 25, 0, 2, op="d"), epoch_id=1)
+    sink(_wap_wave(spark, 0, 50, 1, 1), epoch_id=0)  # redelivery: no-op
+    assert sink._read_ledger() == {"0": 2, "1": 3}
+    # isolation: main still reads v1 (no manifest-v2/3 exist)
+    assert not os.path.exists(os.path.join(table_dir, "manifest-v2.json"))
+    assert mor_cdc_read(spark, table_dir, 1).count() == 200
+    branch_state = {
+        r["k"]: r["cents"]
+        for r in wap_read(spark, table_dir, "audit").collect()
+    }
+    assert len(branch_state) == 175
+    assert branch_state[30] == 301 and 10 not in branch_state
+    stats = wap_publish(table_dir, "audit")
+    assert stats["published"] == [2, 3]
+    assert {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    } == branch_state
+    # the ledger survives the publish: replaying either epoch is still
+    # a no-op, and the NEXT epoch stages at v4 off the published head
+    sink(_wap_wave(spark, 0, 25, 0, 2, op="d"), epoch_id=1)
+    assert sink._latest_manifest_version() == 3
+    sink(_wap_wave(spark, 100, 120, 3, 3), epoch_id=2)
+    assert sink._read_ledger()["2"] == 4
+    assert os.path.exists(
+        os.path.join(table_dir, "manifest-audit-v4.json")
+    )
+    assert mor_cdc_read(spark, table_dir, 3).count() == 175  # main pinned

@@ -341,6 +341,7 @@ HEADLINE = [
     "dedup_index_cdc_maintain",
     "stream_mor_cdc_skipping",
     "stream_mor_cdc_rebucket",
+    "ivm_catalog_view",
 ]
 
 

@@ -1148,7 +1148,8 @@ def view_vacuum(view_dir: str, retain: int = 1) -> dict:
 
 
 def catch_up_join_view(
-    spark: SparkSession, view_dir: str, a_dir: str, b_dir: str
+    spark: SparkSession, view_dir: str, a_dir: str, b_dir: str,
+    a_to: int | None = None, b_to: int | None = None,
 ) -> dict:
     """Advance the committed view pair to the two CDC tables' LATEST
     commits — the production refresh API.  The view manifest carries
@@ -1192,7 +1193,13 @@ def catch_up_join_view(
     with open(_os.path.join(view_dir, f"manifest-v{cur}.json")) as f:
         m = _json.load(f)
     a_from, b_from = int(m.get("a_version", 1)), int(m.get("b_version", 1))
-    a_latest, b_latest = latest(a_dir), latest(b_dir)
+    # catch up to an explicit bound when given (the CATALOG-visible
+    # version — see catch_up_view_from_catalog) instead of whatever
+    # manifests exist on disk: a published-but-unflipped table commit
+    # (the crash window between a table publish and the catalog flip)
+    # must NOT leak into a view that claims snapshot consistency.
+    a_latest = int(a_to) if a_to is not None else latest(a_dir)
+    b_latest = int(b_to) if b_to is not None else latest(b_dir)
     if a_latest < a_from or b_latest < b_from:
         # A table's latest manifest BELOW the view cursor means the
         # table chain was rolled back or vacuum reclaimed its head —
@@ -1264,6 +1271,180 @@ def catch_up_join_view(
     release_local_checkpoints(b_ckpts)
     release_local_checkpoints([da])
     return manifest
+
+
+def catch_up_view_from_catalog(
+    spark: SparkSession, view_dir: str, catalog_dir: str,
+    a_name: str, b_name: str, version: int | None = None,
+) -> dict:
+    """Advance the committed view pair to a CATALOG snapshot (latest,
+    or a pinned historical catalog version): both table directories
+    AND the versions to catch up to come from one catalog read, so the
+    view always reflects a cross-table state that was simultaneously
+    visible — one cursor (the catalog version, stamped in the view
+    manifest) instead of one per table.  A table commit that published
+    but whose catalog flip is pending (the txn crash window) is
+    invisible here exactly as it is to every catalog reader."""
+    import os as _os
+
+    from ..sources.scans import atomic_json_dump
+    from ..streaming.txn import catalog_load
+
+    cat = catalog_load(catalog_dir, version)
+    a, b = cat["tables"][a_name], cat["tables"][b_name]
+    m = catch_up_join_view(
+        spark, view_dir, a["dir"], b["dir"],
+        a_to=int(a["version"]), b_to=int(b["version"]),
+    )
+    if m.get("catalog_version") != cat["version"]:
+        # stamp which catalog snapshot this view reflects (idempotent:
+        # the early-return path re-stamps the same manifest in place)
+        m = dict(m)
+        m["catalog_version"] = cat["version"]
+        atomic_json_dump(
+            m,
+            _os.path.join(view_dir, f"manifest-v{m['version']}.json"),
+        )
+    return m
+
+
+IVMCAT_A_MOD = 3   # orders wave: k % 3 -> cents + 7 (flipped)
+IVMCAT_B_MOD = 5   # customer wave: c % 5 -> segment MOVEDX (flipped)
+IVMCAT_PEND_MOD = 4  # orders wave 2: k % 4 -> cents + 100 (NOT flipped)
+
+
+@register(
+    "ivm_catalog_view",
+    # The referee joins the CATALOG-VISIBLE states only: orders with
+    # the k%3 bump, customer with the c%5 move.  The engine's table
+    # chain additionally holds a PUBLISHED-BUT-UNFLIPPED k%4 wave (the
+    # txn crash window); any trace of it in the view hash-mismatches —
+    # snapshot consistency of the catalog-driven refresh is exactly
+    # what the oracle checks.
+    oracle=f"""
+    WITH a1 AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b1 AS (
+        SELECT c_custkey AS c, c_mktsegment AS segment FROM customer
+    ),
+    a2 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % {IVMCAT_A_MOD} = 0
+                            THEN 7 ELSE 0 END AS cents
+        FROM a1
+    ),
+    b2 AS (
+        SELECT c,
+               CASE WHEN c % {IVMCAT_B_MOD} = 0
+                    THEN 'MOVEDX' ELSE segment END AS segment
+        FROM b1
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a2 JOIN b2 USING (c)
+    GROUP BY segment
+    """,
+)
+def ivm_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined view maintained from the TRANSACTION CATALOG: orders
+    and customer live as MOR CDC tables under one catalog pointer; a
+    transaction flips a wave on each table, and one more orders wave
+    is committed at the table level WITHOUT a catalog flip (the txn
+    crash window).  `catch_up_view_from_catalog` advances the view to
+    the catalog snapshot — one cursor, both tables' feed ranges
+    resolved from the same catalog version — so the unflipped commit
+    is invisible to the view exactly as it is to every catalog reader
+    (and a later flip delivers it through the same API, pytest-pinned).
+    The oracle recomputes the join over the catalog-visible states
+    only."""
+    import json as _json
+    import os as _os
+
+    from ..sources.scans import scratch_dir
+    from ..streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    from ..streaming.txn import (
+        catalog_latest,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    a_dir = scratch_dir("ivmcat_a", sf_dir)
+    b_dir = scratch_dir("ivmcat_b", sf_dir)
+    cat_dir = scratch_dir("ivmcat_cat", sf_dir)
+    view_dir = scratch_dir("ivmcat_view", sf_dir)
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+    if not _os.path.exists(_os.path.join(a_dir, "manifest-v1.json")):
+        mor_cdc_init(
+            spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
+        )
+    if not _os.path.exists(_os.path.join(b_dir, "manifest-v1.json")):
+        mor_cdc_init(
+            spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
+        )
+    if catalog_latest(cat_dir) < 1:
+        txn_catalog_init(
+            cat_dir, {"orders": (a_dir, 1), "customer": (b_dir, 1)}
+        )
+    if not _os.path.exists(_os.path.join(a_dir, "manifest-v2.json")):
+        wave_a = (
+            a1.filter(F.col("k") % IVMCAT_A_MOD == 0)
+            .withColumn("cents", F.col("cents") + 7)
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, wave_a, a_dir, 2)
+    if not _os.path.exists(_os.path.join(b_dir, "manifest-v2.json")):
+        wave_b = (
+            b1.filter(F.col("c") % IVMCAT_B_MOD == 0)
+            .withColumn("segment", F.lit("MOVEDX"))
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, wave_b, b_dir, 2)
+    txn_commit(cat_dir, {"orders": 2, "customer": 2})
+    if not _os.path.exists(_os.path.join(a_dir, "manifest-v3.json")):
+        # the crash window: published at the table, NO catalog flip
+        pend = (
+            a1.filter(F.col("k") % IVMCAT_PEND_MOD == 0)
+            .withColumn("cents", F.col("cents") + 100)
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("u"))
+        )
+        mor_cdc_commit(spark, pend, a_dir, 3)
+    if not _os.path.exists(_os.path.join(view_dir, "manifest-v1.json")):
+        build_join_view(
+            mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+            mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+            view_dir,
+        )
+        with open(
+            _os.path.join(view_dir, "manifest-v1.json")
+        ) as f:
+            m1 = _json.load(f)
+        m1.update({"a_version": 1, "b_version": 1})
+        from ..sources.scans import atomic_json_dump
+
+        atomic_json_dump(
+            m1, _os.path.join(view_dir, "manifest-v1.json")
+        )
+    m = catch_up_view_from_catalog(
+        spark, view_dir, cat_dir, "orders", "customer"
+    )
+    assert (m["a_version"], m["b_version"]) == (2, 2), m
+    return spark.read.parquet(m["seg_view"]).select(
+        "segment",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
 
 
 @register(

@@ -128,6 +128,7 @@ _VERIFY_FIRST = [
     "dedup_index_cdc_maintain",
     "stream_mor_cdc_skipping",
     "stream_mor_cdc_rebucket",
+    "ivm_catalog_view",
     "sessionize_events",
     "set_distinct",
     "set_except",

@@ -526,3 +526,110 @@ def test_view_vacuum_retains_latest_and_raises_past_floor(
     b_dir = scratch_dir("ivm_cu_b", sf_dir)
     m2 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
     assert (m2["a_version"], m2["b_version"]) == (5, 3)
+
+
+def test_catalog_view_ignores_unflipped_then_consumes_after_flip(
+    spark, tmp_path
+):
+    """catch_up_view_from_catalog: the view's feed ranges come from
+    ONE catalog read, so (a) a table commit published without a
+    catalog flip (the txn crash window) contributes NOTHING to the
+    refreshed view, and (b) once a transaction flips it, the SAME call
+    consumes exactly that delta — the view tracks catalog snapshots,
+    never raw table chains."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catch_up_view_from_catalog,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    a1 = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("c"),
+        (F.col("id") + 100).alias("cents"),
+    )
+    b1 = spark.range(6).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), (F.col("id") % 2)).alias("segment"),
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    cat, view_dir = str(tmp_path / "cat"), str(tmp_path / "view")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir, "k",
+                 n_files=4)
+    mor_cdc_init(spark, b1.withColumn("version", F.lit(0)), b_dir, "c",
+                 n_files=2)
+    txn_catalog_init(cat, {"orders": (a_dir, 1), "customer": (b_dir, 1)})
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+
+    wave_a = (
+        a1.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + 7)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, wave_a, a_dir, 2)
+    wave_b = (
+        b1.filter(F.col("c") % 5 == 0)
+        .withColumn("segment", F.lit("MOVEDX"))
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, wave_b, b_dir, 2)
+    txn_commit(cat, {"orders": 2, "customer": 2})
+    # the crash window: table-published, catalog flip pending
+    pend = (
+        a1.filter(F.col("k") % 4 == 0)
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("version", F.lit(2)).withColumn("op", F.lit("u"))
+    )
+    mor_cdc_commit(spark, pend, a_dir, 3)
+
+    def recompute(with_pend):
+        rows = {}
+        for k in range(30):
+            c = k % 6
+            cents = k + 100 + (7 if k % 3 == 0 else 0)
+            if with_pend and k % 4 == 0:
+                cents = k + 100 + 100  # version 2 replaces the row
+            seg = "MOVEDX" if c % 5 == 0 else f"S{c % 2}"
+            n, s = rows.get(seg, (0, 0))
+            rows[seg] = (n + 1, s + cents)
+        return rows
+
+    m = catch_up_view_from_catalog(
+        spark, view_dir, cat, "orders", "customer"
+    )
+    assert (m["a_version"], m["b_version"]) == (2, 2)
+    assert m["catalog_version"] == 2
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m["seg_view"]).collect()
+    }
+    assert got == recompute(with_pend=False)
+    # flip the pending commit: the same call now consumes its delta
+    txn_commit(cat, {"orders": 3})
+    m2 = catch_up_view_from_catalog(
+        spark, view_dir, cat, "orders", "customer"
+    )
+    assert (m2["a_version"], m2["b_version"]) == (3, 2)
+    assert m2["catalog_version"] == 3
+    got2 = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m2["seg_view"]).collect()
+    }
+    assert got2 == recompute(with_pend=True)

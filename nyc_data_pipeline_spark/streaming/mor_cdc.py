@@ -749,22 +749,26 @@ def wap_stage(
 def wap_read(
     spark: SparkSession, table_dir: str, branch: str,
     zb_filter: set[str] | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Read the branch head — the table state the branch's staged
     commits would produce if published now (the AUDIT surface).  Falls
     back to the main head when nothing is staged (an empty branch IS
-    the main head, Nessie semantics)."""
+    the main head, Nessie semantics).  `key_range` gives audits the
+    same manifest-level file skipping as main reads (staged entries
+    carry klo/khi stats exactly like main ones — same commit path)."""
     _check_branch_name(branch)
     staged = _branch_versions(table_dir, branch)
     if not staged:
         return mor_cdc_read(
-            spark, table_dir, _latest_main_version(table_dir), zb_filter
+            spark, table_dir, _latest_main_version(table_dir),
+            zb_filter, key_range,
         )
     with open(
         os.path.join(table_dir, f"manifest-{branch}-v{staged[-1]}.json")
     ) as f:
         m = json.load(f)
-    return _read_manifest(spark, m, zb_filter)
+    return _read_manifest(spark, m, zb_filter, key_range)
 
 
 def wap_publish(table_dir: str, branch: str) -> dict:

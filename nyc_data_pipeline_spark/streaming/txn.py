@@ -258,14 +258,19 @@ def txn_commit(
 def catalog_read(
     spark: SparkSession, catalog_dir: str, table: str,
     version: int | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Read `table` at the version the catalog (latest, or a pinned
     historical catalog version) makes visible — all tables read
     through the same catalog version form one consistent cross-table
-    snapshot."""
+    snapshot.  `key_range` passes through to the manifest-level file
+    skipping, so a snapshot-consistent point lookup stays
+    O(overlapping files)."""
     cat = catalog_load(catalog_dir, version)
     t = cat["tables"][table]
-    return mor_cdc_read(spark, t["dir"], t["version"])
+    return mor_cdc_read(
+        spark, t["dir"], t["version"], key_range=key_range
+    )
 
 
 def txn_publish_branches(

@@ -2574,3 +2574,41 @@ def test_streaming_wap_sink_stages_epochs_until_publish(spark, tmp_path):
         os.path.join(table_dir, "manifest-audit-v4.json")
     )
     assert mor_cdc_read(spark, table_dir, 3).count() == 175  # main pinned
+
+
+def test_wap_and_catalog_reads_skip_files_by_key_range(spark, tmp_path):
+    """The skipping composes: a branch-head audit and a catalog
+    snapshot read both prune files by the recorded klo/khi before any
+    scan, with exact results."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        wap_read,
+        wap_stage,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_read,
+        txn_catalog_init,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "skip2", n_keys=400)
+    wap_stage(spark, _wap_wave(spark, 300, 350, 1, 1), table_dir, "audit")
+    pruned = wap_read(
+        spark, table_dir, "audit", key_range=(0, 99)
+    )
+    # the staged commit's DATA files (keys 300+) are skipped; its
+    # churn-sized DV sidecar is still consulted (key-based shadow)
+    assert not [
+        f for f in pruned.inputFiles()
+        if "-audit-" in f and "/dv-" not in f
+    ]
+    assert {r["k"] for r in pruned.collect()} == set(range(100))
+    churn = wap_read(spark, table_dir, "audit", key_range=(300, 310))
+    assert [f for f in churn.inputFiles()
+            if "-audit-" in f and "/dv-" not in f]
+    assert {r["cents"] for r in churn.collect()} == {
+        k * 10 + 1 for k in range(300, 311)
+    }
+    cat = str(tmp_path / "cat")
+    txn_catalog_init(cat, {"t": (table_dir, 1)})
+    snap = catalog_read(spark, cat, "t", key_range=(50, 59))
+    assert len(snap.inputFiles()) < 8  # one bucket of eight
+    assert {r["k"] for r in snap.collect()} == set(range(50, 60))

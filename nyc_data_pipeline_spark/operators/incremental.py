@@ -1081,11 +1081,9 @@ def load_view_manifest(view_dir: str, version: int) -> dict:
     if _os.path.exists(p):
         with open(p) as f:
             return _json.load(f)
-    retained = [
-        int(f[len("manifest-v"):-len(".json")])
-        for f in _os.listdir(view_dir)
-        if f.startswith("manifest-v") and f.endswith(".json")
-    ] if _os.path.isdir(view_dir) else []
+    from ..streaming.mor_cdc import main_manifest_versions
+
+    retained = main_manifest_versions(view_dir)
     if retained and version < min(retained):
         raise ViewRetentionError(
             f"view refresh v{version} of {view_dir} was reclaimed by "
@@ -1113,11 +1111,9 @@ def view_vacuum(view_dir: str, retain: int = 1) -> dict:
     import os as _os
     import shutil as _shutil
 
-    versions = sorted(
-        int(f[len("manifest-v"):-len(".json")])
-        for f in _os.listdir(view_dir)
-        if f.startswith("manifest-v") and f.endswith(".json")
-    )
+    from ..streaming.mor_cdc import main_manifest_versions
+
+    versions = main_manifest_versions(view_dir)
     keep = set(versions[-retain:])
     reachable: set[str] = set()
     for v in keep:
@@ -1183,11 +1179,17 @@ def catch_up_join_view(
     )
 
     def latest(d: str) -> int:
-        return max(
-            int(f[len("manifest-v"):-len(".json")])
-            for f in _os.listdir(d)
-            if f.startswith("manifest-v") and f.endswith(".json")
-        )
+        # the shared fullmatch-parsed visible-head rule: a_dir/b_dir
+        # are MOR table dirs which may hold WAP branch manifests whose
+        # names prefix-match 'manifest-v' (e.g. branch 'verify' —
+        # ADVICE r12), and a mid-publish pending head must not leak
+        # into a view that claims snapshot consistency
+        from ..streaming.mor_cdc import _latest_main_version
+
+        v = _latest_main_version(d)
+        if v == 0:
+            raise ValueError(f"{d} has no main manifests")
+        return v
 
     cur = latest(view_dir)
     with open(_os.path.join(view_dir, f"manifest-v{cur}.json")) as f:
@@ -1532,11 +1534,9 @@ def ivm_catch_up_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _latest_view_manifest() -> dict | None:
         if not _os.path.isdir(view_dir):
             return None
-        vs = [
-            int(f[len("manifest-v"):-len(".json")])
-            for f in _os.listdir(view_dir)
-            if f.startswith("manifest-v") and f.endswith(".json")
-        ]
+        from ..streaming.mor_cdc import main_manifest_versions
+
+        vs = main_manifest_versions(view_dir)
         if not vs:
             return None
         with open(

@@ -98,6 +98,14 @@ def resolve_version_as_of(
             m = json.load(fh)
         ts = None
         if isinstance(m, dict):
+            if m.get("pending_head") is not None and not os.path.exists(
+                os.path.join(
+                    table_dir, f"{prefix}{int(m['pending_head'])}.json"
+                )
+            ):
+                # a crashed/in-flight wap_publish intermediate: not a
+                # reader-visible commit until its head lands
+                continue
             ts = m.get(COMMITTED_AT_KEY, m.get("committed_at_us"))
         if ts is not None:
             entries.append((int(ts), v))

@@ -207,6 +207,18 @@ def mor_cdc_init(
     }
     from ..sources.timetravel import commit_wallclock_us
 
+    # Stable FIELD IDS (Iceberg's rule, VERDICT r12 ask #4): every
+    # column gets an id at birth; reads resolve columns BY ID through
+    # the per-commit name map (`commit_cols`), so a rename is
+    # metadata-only (files keep their written names forever), a drop
+    # stops projecting without rewrites, and int->long / float->double
+    # widen on read via the schema's current type.
+    dtypes = dict(b.dtypes)
+    cols = [c for c in b.columns if c != "zb"]
+    schema = [
+        {"id": i + 1, "name": c, "type": dtypes[c]}
+        for i, c in enumerate(cols)
+    ]
     manifest = {
         "key": key,
         "bounds": [int(lo), int(hi)],
@@ -214,7 +226,9 @@ def mor_cdc_init(
         "version": 1,
         "files": files,
         "dvs": [],
-        "columns": [c for c in b.columns if c != "zb"],
+        "columns": cols,
+        "schema": schema,
+        "commit_cols": {"1": {str(f["id"]): f["name"] for f in schema}},
         "committed_at_us": commit_wallclock_us(None),
     }
     atomic_json_dump(manifest, os.path.join(table_dir, "manifest-v1.json"))
@@ -344,9 +358,14 @@ def mor_cdc_commit(
                 }
             )
     # Schema-evolution audit trail: the union of columns ever
-    # committed, plus which this commit added (add-column is the ONE
-    # evolution the read path supports — see mor_cdc_read; drops and
-    # renames need a rewrite, exactly as in Delta/Iceberg v1).
+    # committed, plus which this commit added.  When the chain carries
+    # field ids (`schema`), added columns get FRESH ids and this
+    # commit's name map is recorded, so later renames/drops/widens
+    # stay metadata-only (see mor_cdc_rename_column and friends);
+    # resolution of the batch's columns against the current schema is
+    # BY NAME at commit time (Iceberg's write-side rule — a stale
+    # producer still writing a renamed column's old name is adding a
+    # new column, loudly visible in `columns_added`).
     cols = [c for c in upserts.columns if c != "zb"]
     prev_cols = prev.get("columns", [])
     added = [c for c in cols if c not in prev_cols]
@@ -365,6 +384,20 @@ def mor_cdc_commit(
             prev.get("committed_at_us")
         ),
     }
+    if prev.get("schema") is not None:
+        dtypes = dict(upserts.dtypes)
+        schema = [dict(f) for f in prev["schema"]]
+        next_id = max((f["id"] for f in schema), default=0) + 1
+        for c in added:
+            schema.append(
+                {"id": next_id, "name": c, "type": dtypes.get(c, "string")}
+            )
+            next_id += 1
+        manifest["schema"] = schema
+        manifest["commit_cols"] = {
+            **prev.get("commit_cols", {}),
+            str(version): {str(f["id"]): f["name"] for f in schema},
+        }
     if added and prev_cols:
         manifest["columns_added"] = added
     if branch is not None:
@@ -494,7 +527,7 @@ def _read_manifest(
                 f"manifest v{version} lists no data files; cannot "
                 "derive a schema for an empty read"
             )
-        return (
+        empty = (
             spark.read.option(
                 "basePath", os.path.dirname(best["path"])
             )
@@ -502,6 +535,31 @@ def _read_manifest(
             .limit(0)
             .drop("zb")
         )
+        if m.get("schema") is not None:
+            # project the typed empty frame under the CURRENT schema
+            # (id-resolved names/types), same rule as the scan path
+            stored = m.get("commit_cols", {}).get(str(int(best["v"])))
+            empty = empty.select(
+                *[
+                    (
+                        F.col(sn).cast(f["type"])
+                        if (
+                            sn := (
+                                stored.get(str(f["id"]))
+                                if stored is not None
+                                else f["name"]
+                            )
+                        )
+                        is not None
+                        and sn in empty.columns
+                        else F.lit(None).cast(f["type"])
+                    ).alias(f["name"])
+                    for f in m["schema"]
+                ]
+            )
+        return empty
+    schema = m.get("schema")
+    commit_cols = m.get("commit_cols", {})
     rows = None
     for v, paths in sorted(by_commit.items()):
         # basePath = the commit's version directory, derived from the
@@ -511,6 +569,33 @@ def _read_manifest(
         piece = spark.read.option(
             "basePath", os.path.dirname(paths[0])
         ).parquet(*paths).withColumn("_commit", F.lit(int(v)))
+        if schema is not None:
+            # FIELD-ID resolution (VERDICT r12 ask #4): each commit's
+            # files are read under the NAME each field had when that
+            # commit wrote them (`commit_cols`), then aliased to the
+            # schema's CURRENT name and cast to its CURRENT type — a
+            # rename is pure metadata, a dropped field just stops
+            # being projected, and int->long / float->double widening
+            # happens here on read.  Fields younger than the commit
+            # (or written under a name the commit never had) surface
+            # as typed NULLs — the add-column rule, now id-keyed.
+            stored = commit_cols.get(str(int(v)))
+            sel = [F.col("zb"), F.col("_commit")]
+            for fld in schema:
+                sn = (
+                    stored.get(str(fld["id"]))
+                    if stored is not None
+                    else fld["name"]
+                )
+                if sn is not None and sn in piece.columns:
+                    sel.append(
+                        F.col(sn).cast(fld["type"]).alias(fld["name"])
+                    )
+                else:
+                    sel.append(
+                        F.lit(None).cast(fld["type"]).alias(fld["name"])
+                    )
+            piece = piece.select(*sel)
         # allowMissingColumns: a schema-evolution commit (column added
         # mid-stream) widens later files; rows from pre-evolution
         # commits read the added column as NULL — Iceberg/Delta
@@ -575,6 +660,147 @@ def _read_manifest(
     )
 
 
+# ---------------------------------------------------------------------------
+# Metadata-only schema evolution (VERDICT r12 ask #4).  The manifest's
+# `schema` carries stable field ids; each of these ops publishes a new
+# manifest version that changes ONLY the schema — zero data files are
+# read, moved, or rewritten, so at 100 TB a rename/drop/widen is one
+# JSON write.  Reads resolve every commit's files by id through
+# `commit_cols` (see _read_manifest), change feeds of these commits are
+# empty by definition (no row changed), and time travel BEFORE the
+# evolution sees the old names/types exactly as they were.
+# ---------------------------------------------------------------------------
+
+_WIDENINGS = {("int", "bigint"), ("float", "double")}
+_RESERVED_FIELDS = {"version"}  # the CDC change-version carrier
+
+
+def _evolve_schema_commit(
+    table_dir: str, mutate, evolution: dict
+) -> dict:
+    """Shared metadata-commit shell: load the head manifest, let
+    `mutate(schema, manifest)` edit the schema list in place, publish
+    the next version with files/dvs carried over untouched."""
+    version = _latest_main_version(table_dir)
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    if m.get("schema") is None:
+        raise ValueError(
+            f"{table_dir} predates field-id schemas; rename/drop/widen "
+            "need a compaction rewrite to adopt them (mor_cdc_compact "
+            "re-manifests under the current schema)"
+        )
+    schema = [dict(f) for f in m["schema"]]
+    mutate(schema, m)
+    from ..sources.timetravel import commit_wallclock_us
+
+    vnew = version + 1
+    manifest = {
+        **m,
+        "version": vnew,
+        "schema": schema,
+        "columns": [f["name"] for f in schema],
+        "evolution": evolution,
+        "committed_at_us": commit_wallclock_us(
+            m.get("committed_at_us")
+        ),
+    }
+    manifest.pop("columns_added", None)
+    manifest.pop("compacted_from", None)
+    # commits after this one write under the NEW names/types
+    manifest["commit_cols"] = {
+        **m.get("commit_cols", {}),
+        str(vnew): {str(f["id"]): f["name"] for f in schema},
+    }
+    atomic_json_dump(
+        manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
+    )
+    return manifest
+
+
+def _field_by_name(schema: list[dict], name: str) -> dict:
+    for f in schema:
+        if f["name"] == name:
+            return f
+    raise ValueError(
+        f"no column {name!r} in current schema "
+        f"{[f['name'] for f in schema]}"
+    )
+
+
+def mor_cdc_rename_column(table_dir: str, old: str, new: str) -> dict:
+    """Rename a column: the field keeps its id, every file keeps its
+    written name, reads alias id->new name.  Renaming the clustering
+    key also moves `manifest['key']` (routing bounds and per-file
+    key stats are name-free, so skipping survives the rename)."""
+
+    def mutate(schema: list[dict], m: dict) -> None:
+        if old in _RESERVED_FIELDS or new in _RESERVED_FIELDS:
+            raise ValueError(
+                f"'version' is the CDC change-version carrier and "
+                f"cannot be renamed (got {old!r} -> {new!r})"
+            )
+        if any(f["name"] == new for f in schema):
+            raise ValueError(
+                f"cannot rename {old!r} -> {new!r}: name in use"
+            )
+        _field_by_name(schema, old)["name"] = new
+        if m["key"] == old:
+            m["key"] = new
+
+    return _evolve_schema_commit(
+        table_dir, mutate, {"op": "rename", "from": old, "to": new}
+    )
+
+
+def mor_cdc_drop_column(table_dir: str, name: str) -> dict:
+    """Drop a column: its field id leaves the schema, so no commit's
+    copy of it is ever projected again — the files are untouched and
+    time travel to pre-drop versions still reads it.  A later re-add
+    of the same NAME is a fresh id and never resurrects old values
+    (the Iceberg drop/re-add rule)."""
+
+    def mutate(schema: list[dict], m: dict) -> None:
+        if name in _RESERVED_FIELDS:
+            raise ValueError("'version' cannot be dropped")
+        if m["key"] == name:
+            raise ValueError(
+                f"cannot drop the clustering key {name!r}"
+            )
+        schema.remove(_field_by_name(schema, name))
+
+    return _evolve_schema_commit(
+        table_dir, mutate, {"op": "drop", "column": name}
+    )
+
+
+def mor_cdc_widen_column(
+    table_dir: str, name: str, new_type: str
+) -> dict:
+    """Widen a column's type (int->bigint/long, float->double): reads
+    cast every commit's copy up to the new type; no file is
+    rewritten.  Narrowing or cross-family changes are rejected — they
+    would need a rewrite to be loss-free."""
+
+    def mutate(schema: list[dict], m: dict) -> None:
+        f = _field_by_name(schema, name)
+        canon = {"long": "bigint"}
+        cur = canon.get(f["type"], f["type"])
+        tgt = canon.get(new_type, new_type)
+        if (cur, tgt) not in _WIDENINGS:
+            raise ValueError(
+                f"cannot widen {name!r} {f['type']} -> {new_type}: only "
+                f"int->bigint and float->double are loss-free on read"
+            )
+        f["type"] = new_type
+
+    return _evolve_schema_commit(
+        table_dir, mutate, {"op": "widen", "column": name, "to": new_type}
+    )
+
+
 class MorCdcSink:
     """foreachBatch target committing each CDC micro-batch as one
     merge-on-read epoch (DV sidecar + appended files + manifest), with
@@ -607,15 +833,13 @@ class MorCdcSink:
         return {}
 
     def _latest_manifest_version(self) -> int:
-        vs = [
-            int(f[len("manifest-v"):-len(".json")])
-            for f in os.listdir(self.table_dir)
-            if f.startswith("manifest-v") and f.endswith(".json")
-        ]
+        # fullmatch-parsed main versions (never a branch manifest's
+        # name — ADVICE r12), via the shared visible-head rule
+        vs = [_latest_main_version(self.table_dir)]
         if self.branch is not None:
             # a branch sink stacks on its own staged head too
             vs += _branch_versions(self.table_dir, self.branch)
-        return max(vs, default=1)
+        return max(max(vs), 1)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if str(epoch_id) in self._read_ledger():
@@ -697,6 +921,53 @@ class MorCdcSink:
 
 _BRANCH_NAME_RE = r"[A-Za-z][A-Za-z0-9_]*"
 
+# Main-chain manifests are matched by FULL name, never by prefix: a
+# branch named 'verify' stages 'manifest-verify-v3.json', which
+# startswith('manifest-v') — prefix matching would feed 'erify-v3' to
+# int() and make the whole table unlistable while any such branch has
+# staged commits (ADVICE r12).  Every listing site goes through
+# `main_manifest_versions` / `_latest_main_version` below.
+import re as _re_mod
+
+_MAIN_MANIFEST_RE = _re_mod.compile(r"manifest-v(\d+)\.json")
+
+
+def main_manifest_versions(table_dir: str) -> list[int]:
+    """All main-chain manifest versions present on disk (ascending),
+    parsed with a fullmatch so WAP branch manifests of ANY legal
+    branch name — including ones starting with 'v' — never reach the
+    int() parse."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(table_dir)
+        if (m := _MAIN_MANIFEST_RE.fullmatch(f))
+    )
+
+
+def _has_branch_manifests(table_dir: str) -> bool:
+    return any(
+        f.startswith("manifest-")
+        and f.endswith(".json")
+        and not _MAIN_MANIFEST_RE.fullmatch(f)
+        for f in os.listdir(table_dir)
+    )
+
+
+def _is_visible_main(table_dir: str, version: int) -> bool:
+    """A main manifest is reader-visible unless it is a mid-publish
+    WAP intermediate (`pending_head` marker) whose head manifest has
+    not landed yet — see `wap_publish`'s atomicity contract."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    head = m.get("pending_head")
+    return head is None or os.path.exists(
+        os.path.join(table_dir, f"manifest-v{int(head)}.json")
+    )
+
 
 def _check_branch_name(branch: str) -> None:
     import re
@@ -712,12 +983,20 @@ def _check_branch_name(branch: str) -> None:
 
 
 def _latest_main_version(table_dir: str) -> int:
-    vs = [
-        int(f[len("manifest-v"):-len(".json")])
-        for f in os.listdir(table_dir)
-        if f.startswith("manifest-v") and f.endswith(".json")
-    ]
-    return max(vs, default=0)
+    """Reader-visible main head.  Fast path: the max fullmatch-parsed
+    version.  Only while branch manifests exist (a publish may be in
+    flight or crashed mid-way) can headless `pending_head`
+    intermediates be on disk — walk down past them so readers resolve
+    the last AUDITED state, never a state the gates didn't see."""
+    vs = main_manifest_versions(table_dir)
+    if not vs:
+        return 0
+    if not _has_branch_manifests(table_dir):
+        return vs[-1]
+    for v in reversed(vs):
+        if _is_visible_main(table_dir, v):
+            return v
+    return 0
 
 
 def _branch_versions(table_dir: str, branch: str) -> list[int]:
@@ -772,19 +1051,32 @@ def wap_read(
 
 
 def wap_publish(table_dir: str, branch: str) -> dict:
-    """Fast-forward main to the branch head: CAS-link each staged
-    manifest (branch fields stripped) to its main name in ascending
-    order, then remove the branch manifests.  Pure metadata — no data
+    """Fast-forward main to the branch head ATOMICALLY for readers:
+    the staged manifests (branch fields stripped) are CAS-linked to
+    their main names ascending, but every non-head manifest carries a
+    `pending_head` marker that keeps it INVISIBLE to the reader-head
+    rule (`_latest_main_version`) until the branch HEAD manifest — the
+    one audited state — lands.  A reader resolving latest therefore
+    sees the pre-publish base at every instant before the head link
+    and the full audited head after it, never an intermediate staged
+    state (ADVICE r12: the old per-version fast-forward exposed each
+    intermediate as latest for a window).  Pure metadata — no data
     file moves, so published readers resolve the very same staged
-    directories the audit read did.
+    directories the audit read did, and the per-version history
+    (time travel, change feeds) is fully intact once the head lands.
 
-    Requires main's head to still equal the branch base; a diverged
-    main (or a concurrent main writer racing a staged version number
-    mid-publish) raises the named `CommitConflictError`.  Each staged
-    manifest is a complete, valid table state, so a mid-publish race
-    leaves a consistent PREFIX published (those branch manifests are
-    consumed); the caller discards the stale remainder and restages it
-    from the new head — the same retry contract as the commit CAS."""
+    Concurrency: the FIRST link doubles as the fork-point CAS — a
+    concurrent main writer targets base+1 too, exactly one wins; if
+    the writer wins, nothing reader-visible was published here and
+    the named `CommitConflictError` tells the caller to restage from
+    the new head.  (While a publish is in flight, a concurrent
+    writer's own commit CAS keeps losing at base+1 and retries — the
+    window is O(#staged) link(2) calls.)  Crash-safety: branch
+    manifests are removed only AFTER the head lands, so re-running
+    `wap_publish` resumes — an already-linked pending manifest for
+    THIS branch is skipped, the head link completes the flip; a
+    crashed half-publish leaves readers on the base state and
+    `wap_discard` can still abandon it cleanly."""
     from ..sources.scans import atomic_json_publish_once
 
     _check_branch_name(branch)
@@ -804,6 +1096,7 @@ def wap_publish(table_dir: str, branch: str) -> dict:
             f"branch {branch!r} forked {table_dir} at v{base} but main "
             f"is at v{main_head}; discard and restage from the new head"
         )
+    head = staged[-1]
     published: list[int] = []
     for v in staged:
         bpath = os.path.join(table_dir, f"manifest-{branch}-v{v}.json")
@@ -811,21 +1104,40 @@ def wap_publish(table_dir: str, branch: str) -> dict:
             m = json.load(f)
         m.pop("branch", None)
         m.pop("branch_base", None)
+        if v != head:
+            # invisible to the reader-head rule until the head lands
+            m["pending_head"] = head
+            m["pending_branch"] = branch
+        mpath = os.path.join(table_dir, f"manifest-v{v}.json")
         try:
-            atomic_json_publish_once(
-                m, os.path.join(table_dir, f"manifest-v{v}.json")
-            )
+            atomic_json_publish_once(m, mpath)
         except FileExistsError:
+            with open(mpath) as f:
+                existing = json.load(f)
+            if (
+                existing.get("pending_branch") == branch
+                or existing == m
+            ):
+                # our own earlier (crashed or concurrent) publish of
+                # this same branch already linked v — resume past it
+                published.append(v)
+                continue
             raise CommitConflictError(
                 f"main v{v} of {table_dir} was published by a "
-                f"concurrent writer mid-publish; branch {branch!r} "
-                f"fast-forwarded a consistent prefix {published} — "
-                "discard the stale remainder and restage it from the "
-                "new head"
+                f"concurrent writer; branch {branch!r} published "
+                "nothing reader-visible — discard and restage from "
+                "the new head"
             ) from None
-        os.unlink(bpath)
         published.append(v)
-    return {"branch": branch, "published": published, "head": staged[-1]}
+    # head is live: readers flipped base -> head in that one link(2).
+    # Only now consume the branch manifests (crash-resume anchor).
+    for v in staged:
+        bpath = os.path.join(table_dir, f"manifest-{branch}-v{v}.json")
+        try:
+            os.unlink(bpath)
+        except FileNotFoundError:
+            pass  # a concurrent resume of the same publish beat us
+    return {"branch": branch, "published": published, "head": head}
 
 
 def wap_discard(table_dir: str, branch: str) -> dict:
@@ -835,12 +1147,26 @@ def wap_discard(table_dir: str, branch: str) -> dict:
     at or below base belong to main and are untouched), then remove
     the branch manifests themselves.  Reachability-safe against a
     crash mid-`wap_publish`: any directory a MAIN manifest references
-    (a published prefix re-uses the very same staged dirs) is never
-    deleted, so discarding the stale remainder of a half-published
-    branch cannot corrupt main."""
+    is never deleted, and the HEADLESS `pending_head` main manifests a
+    crashed publish left behind (invisible to readers — see
+    `wap_publish`) are unlinked here too, so a discard can never turn
+    them reader-visible by removing the branch manifests that kept
+    the head rule conservative.  Pendings whose head DID land are real
+    history and are kept."""
     import shutil
 
     _check_branch_name(branch)
+    # unlink this branch's headless mid-publish intermediates FIRST:
+    # once the branch manifests are gone the fast-path head rule would
+    # otherwise resolve one of them as latest (an unaudited state)
+    for v in main_manifest_versions(table_dir):
+        mp = os.path.join(table_dir, f"manifest-v{v}.json")
+        with open(mp) as f:
+            m = json.load(f)
+        if m.get("pending_branch") == branch and not os.path.exists(
+            os.path.join(table_dir, f"manifest-v{m['pending_head']}.json")
+        ):
+            os.unlink(mp)
     main_reachable: set[str] = set()
     for v in range(1, _latest_main_version(table_dir) + 1):
         mp = os.path.join(table_dir, f"manifest-v{v}.json")
@@ -1231,7 +1557,15 @@ def mor_cdc_compact(
         # compares commits within one between-compactions span, so
         # cross-spec zb values never meet.
         b = live.agg(F.min(key), F.max(key)).collect()[0]
-        lo, hi = int(b[0]), int(b[1])
+        if b[0] is None:
+            # every row deleted: there is no live key range to split.
+            # Keep the prior manifest's bounds (the rewrite still
+            # publishes a valid empty-table spec later epochs can
+            # route under) instead of TypeError-ing on int(None)
+            # (ADVICE r12).
+            lo, hi = m["bounds"]
+        else:
+            lo, hi = int(b[0]), int(b[1])
     vnew = version + 1
     vdir = os.path.join(table_dir, f"v{vnew}")
     routed = live.withColumn(
@@ -1249,6 +1583,16 @@ def mor_cdc_compact(
         .partitionBy("zb")
         .parquet(vdir)
     )
+    zdirs = [z for z in os.listdir(vdir) if z.startswith("zb=")]
+    if not zdirs:
+        # fully-emptied table: partitionBy wrote no zb= dirs, but the
+        # manifest must still list a schema-carrying file so reads of
+        # this (empty) version can type themselves (ADVICE r12 —
+        # int(None) was only the first failure on this path)
+        routed.drop("zb").limit(0).write.mode("overwrite").parquet(
+            os.path.join(vdir, "zb=0")
+        )
+        zdirs = ["zb=0"]
     stats = _zb_stats(
         spark.read.option("basePath", vdir).parquet(vdir), key
     )
@@ -1260,8 +1604,7 @@ def mor_cdc_compact(
                 **stats.get(z[len("zb="):], {}),
             }
         ]
-        for z in os.listdir(vdir)
-        if z.startswith("zb=")
+        for z in zdirs
     }
     dv = None
     if m["dvs"]:
@@ -1302,6 +1645,16 @@ def mor_cdc_compact(
             m.get("committed_at_us")
         ),
     }
+    if m.get("schema") is not None:
+        # the rewrite materialized CURRENT names/types: keep the field
+        # ids but reset the per-commit name maps to this one commit —
+        # compaction is what bounds commit_cols growth
+        manifest["schema"] = m["schema"]
+        manifest["commit_cols"] = {
+            str(vnew): {
+                str(f["id"]): f["name"] for f in m["schema"]
+            }
+        }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
     )
@@ -1536,6 +1889,105 @@ def stream_mor_cdc_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_mor_cdc_rename",
+    # Raw-table oracle replaying the EVOLUTION ALGEBRA: the one-shot
+    # keep-latest merge is computed as if no evolution ever happened
+    # (renames/drops/widens are metadata — they change no row), then
+    # projected under the FINAL schema: n_chars surfaces as `chars`
+    # BIGINT (renamed at v3, widened at v4), `lang` is gone (dropped
+    # at v6).  Any read-path leak — a rename that loses pre-rename
+    # file data, a widen that fails to cast some commit's files, a
+    # drop that keeps projecting — breaks the hash.
+    oracle="""
+    WITH merged AS (
+        SELECT * FROM (
+            SELECT doc_id, n_chars, 0 AS version, 'b' AS op
+            FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars + 1, 1, 'u'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars + 2, 2, 'u'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, n_chars, 3, 'd'
+            FROM documents WHERE doc_id % 4 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+           CAST(version AS INT) AS version
+    FROM merged WHERE op <> 'd'
+    """,
+)
+def stream_mor_cdc_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename/drop/widen schema evolution on the MOR manifest chain
+    (VERDICT r12 ask #4 — beyond the add-column `stream_mor_cdc_evolve`):
+    field ids make each a METADATA-ONLY commit.  Lifecycle: v1 init
+    (n_chars committed as INT to give the widen something to do), v2
+    same-schema upsert, v3 RENAME n_chars->chars, v4 WIDEN chars
+    int->bigint, v5 upsert written under the NEW name/type, v6 DROP
+    lang, v7 delete wave.  The final read resolves every commit's
+    files BY FIELD ID: v1/v2 files still store `n_chars` INT and are
+    aliased+cast on read; v5 files store `chars` BIGINT natively;
+    `lang` exists in every pre-v6 file yet is never projected.  Zero
+    data rewrites anywhere — at 100 TB each evolution step is one
+    JSON write.  Cross-evolution time travel, key rename with
+    key-range skipping, drop/re-add id freshness, and feed legs are
+    pinned in tests/test_streaming.py."""
+    table_dir = scratch_dir("mor_cdc_rename", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    if not os.path.exists(
+        os.path.join(table_dir, "manifest-v7.json")
+    ):
+        base = d.withColumn("version", F.lit(0))
+        mor_cdc_init(spark, base, table_dir, "doc_id")
+        mor_cdc_commit(
+            spark,
+            d.where(F.col("doc_id") % 3 == 0)
+            .withColumn("n_chars", (F.col("n_chars") + 1).cast("int"))
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u")),
+            table_dir,
+            2,
+        )
+        mor_cdc_rename_column(table_dir, "n_chars", "chars")
+        mor_cdc_widen_column(table_dir, "chars", "bigint")
+        mor_cdc_commit(
+            spark,
+            d.where(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") + 2).cast("bigint").alias("chars"),
+            )
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("u")),
+            table_dir,
+            5,
+        )
+        mor_cdc_drop_column(table_dir, "lang")
+        mor_cdc_commit(
+            spark,
+            d.where(F.col("doc_id") % 4 == 0)
+            .select("doc_id")
+            .withColumn("version", F.lit(3))
+            .withColumn("op", F.lit("d")),
+            table_dir,
+            7,
+        )
+    return mor_cdc_read(spark, table_dir, 7).select(
+        "doc_id",
+        F.col("chars").cast("bigint").alias("chars"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+@register(
     "stream_mor_cdc_rebucket",
     # Oracle: the SAME one-shot merge as stream_mor_cdc (partition-spec
     # evolution must be invisible to the logical state), plus two pins
@@ -1645,10 +2097,21 @@ def stream_mor_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mor_cdc_vacuum(table_dir: str, latest: int, retain: int = 1) -> dict:
+def mor_cdc_vacuum(
+    table_dir: str, latest: int, retain: int = 1,
+    floor: int | None = None,
+) -> dict:
     """VACUUM for the streaming-CDC table: expire manifests older than
     the newest `retain` and delete every data directory AND delete-
-    vector sidecar referenced by NO retained manifest.  Reachability
+    vector sidecar referenced by NO retained manifest.
+
+    `floor` refuses to reclaim any manifest version >= it, whatever
+    `retain` says — the coordination hook for tables that are members
+    of a transaction catalog: pass `catalog_table_floor(...)` (the
+    lowest version any RETAINED catalog snapshot references) and every
+    historical `catalog_read` keeps resolving; `txn_vacuum` drives
+    this automatically (VERDICT r12 ask #2 — the floor was
+    advisory-only before).  Reachability
     comes from the retained manifests alone — pure metadata + file
     ops, O(#files), never a table scan (the manifest_vacuum rule,
     sources/zonemap.py:1114, extended to DV sidecars: a compacted
@@ -1661,6 +2124,13 @@ def mor_cdc_vacuum(table_dir: str, latest: int, retain: int = 1) -> dict:
     import re as _re
     import shutil
 
+    if retain < 1:
+        # retain=0 would reclaim the head manifest itself, bricking
+        # every read (the catalog_vacuum rule, ADVICE r12)
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    if floor is not None:
+        # keep every version a retained catalog snapshot references
+        retain = max(retain, latest - int(floor) + 1)
     reachable_data: set[str] = set()
     reachable_dv: set[str] = set()
     roots = [
@@ -1886,7 +2356,9 @@ def mor_cdc_change_feed(
         (d["path"] for d in m["dvs"] if int(d["v"]) == version),
         os.path.join(table_dir, f"dv-v{version}"),
     )
-    if m.get("compacted_from") is not None and not os.path.isdir(dv_dir):
+    if (
+        m.get("compacted_from") is not None or m.get("evolution")
+    ) and not os.path.isdir(dv_dir):
         # OPTIMIZE commit: files rewritten, no logical row changes —
         # the feed is empty by definition (Delta CDF semantics for
         # compaction commits).  Typed via a limit(0) read of the
@@ -2004,9 +2476,26 @@ def mor_cdc_change_feed(
         )
     else:  # delete-only commit: no appended files
         post = None
-    pre = mor_cdc_read(
-        spark, table_dir, version - 1, zb_filter=churned
-    ).join(F.broadcast(dv_agg.select(key)), key, "left_semi")
+    pre = mor_cdc_read(spark, table_dir, version - 1, zb_filter=churned)
+    if m.get("schema") is not None:
+        # cross-evolution feeds: the v{N-1} read surfaces the names
+        # and types CURRENT AT v{N-1}; map them to THIS commit's
+        # schema by field id (rename) and cast (widen), so pre/post
+        # images line up even when the evolution sits between them
+        with open(prev_mpath) as f:
+            prev_m = json.load(f)
+        prev_names = {
+            f["id"]: f["name"] for f in prev_m.get("schema", [])
+        }
+        for fld in m["schema"]:
+            old = prev_names.get(fld["id"])
+            if old is not None and old != fld["name"]:
+                pre = pre.withColumnRenamed(old, fld["name"])
+            if fld["name"] in pre.columns:
+                pre = pre.withColumn(
+                    fld["name"], F.col(fld["name"]).cast(fld["type"])
+                )
+    pre = pre.join(F.broadcast(dv_agg.select(key)), key, "left_semi")
     # presence markers: classification must come from the JOIN itself,
     # not from null-ness of a payload column (a legitimately-nullable
     # first column would misclassify updates; ADVICE r10)

@@ -32,6 +32,13 @@ pointer swap:
   cross-table time travel: a historical JOIN resolves every table at
   the versions that were simultaneously visible, which per-table time
   travel alone cannot guarantee.
+- Retention is COORDINATED: `txn_vacuum` expires catalog versions and
+  then vacuums every member table clamped to its
+  `catalog_table_floor`, so a retained catalog snapshot can never be
+  stranded by an uncoordinated table vacuum — the invariant is that
+  every retained `catalog_read(version=N)` always resolves.  (A raw
+  `mor_cdc_vacuum` on a member table accepts the same `floor=` for
+  callers that manage tables directly.)
 - `txn_publish_branches` composes with the WAP lane: stage epochs on
   the same branch name across SEVERAL tables, audit each branch head,
   then fast-forward all the tables AND flip the catalog in one call —
@@ -122,6 +129,10 @@ def catalog_vacuum(catalog_dir: str, retain: int = 1) -> dict:
     pointer FILES are reclaimed here — table data reclaim stays with
     each table's own vacuum, which must respect
     `catalog_table_floor` so retained snapshots keep resolving."""
+    if retain < 1:
+        # retain=0 would delete the NEWEST catalog version too,
+        # permanently bricking catalog_load/txn_commit (ADVICE r12)
+        raise ValueError(f"retain must be >= 1, got {retain}")
     latest = catalog_latest(catalog_dir)
     removed = []
     for v in range(1, latest - retain + 1):
@@ -150,6 +161,36 @@ def catalog_table_floor(catalog_dir: str, table: str) -> int:
     if floor is None:
         raise ValueError(f"catalog {catalog_dir} has no retained versions")
     return floor
+
+
+def txn_vacuum(
+    catalog_dir: str, retain: int = 1,
+    table_retain: int = 1,
+) -> dict:
+    """Coordinated vacuum of the catalog AND its member tables: expire
+    catalog versions to the newest `retain`, then vacuum every member
+    table with its `catalog_table_floor` — so no table vacuum can
+    reclaim a manifest a RETAINED catalog snapshot still references
+    (VERDICT r12 ask #2: the floor moves from a docstring contract
+    into code).  Invariant after any interleaving of txn_commit /
+    txn_vacuum: every retained catalog version resolves through
+    `catalog_read` without a retention error.  `table_retain` is each
+    table's own minimum (its floor may hold MORE history than the
+    catalog needs; the effective retain is the max of the two).  Pure
+    metadata + file ops, like everything in this module."""
+    cat_stats = catalog_vacuum(catalog_dir, retain)
+    from .mor_cdc import _latest_main_version, mor_cdc_vacuum
+
+    cat = catalog_load(catalog_dir)
+    tables = {}
+    for name, t in cat["tables"].items():
+        floor = catalog_table_floor(catalog_dir, name)
+        latest = _latest_main_version(t["dir"])
+        tables[name] = mor_cdc_vacuum(
+            t["dir"], latest, retain=table_retain, floor=floor
+        )
+        tables[name]["floor"] = floor
+    return {"catalog": cat_stats, "tables": tables}
 
 
 def txn_catalog_init(
@@ -193,6 +234,11 @@ def txn_commit(
     regression)."""
     from ..sources.timetravel import commit_wallclock_us
 
+    if retries < 1:
+        # retries<=0 would skip the loop and `raise last_err` with
+        # last_err=None — an opaque TypeError instead of the named
+        # contract error (ADVICE r12)
+        raise ValueError(f"retries must be >= 1, got {retries}")
     last_err: Exception | None = None
     for _ in range(retries):
         latest = catalog_latest(catalog_dir)

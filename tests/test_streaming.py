@@ -2612,3 +2612,426 @@ def test_wap_and_catalog_reads_skip_files_by_key_range(spark, tmp_path):
     snap = catalog_read(spark, cat, "t", key_range=(50, 59))
     assert len(snap.inputFiles()) < 8  # one bucket of eight
     assert {r["k"] for r in snap.collect()} == set(range(50, 60))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: branch-name/main-manifest ambiguity, atomic WAP publish,
+# empty-table re-bucketing, and parameter validation regressions.
+# ---------------------------------------------------------------------------
+
+
+def test_branch_named_verify_never_breaks_main_listing(spark, tmp_path):
+    """A branch whose name starts with 'v' (legal: only exact
+    v<digits> is rejected) stages 'manifest-verify-vN.json', which
+    PREFIX-matches 'manifest-v' — every listing site must fullmatch
+    the main pattern instead of prefix+int() (ADVICE r12), so the
+    table stays listable, readable, and writable while such a branch
+    has staged commits."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        main_manifest_versions,
+        mor_cdc_commit,
+        mor_cdc_read,
+        wap_publish,
+        wap_read,
+        wap_stage,
+    )
+    from nyc_data_pipeline_spark.sources.timetravel import (
+        resolve_version_as_of,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "vbranch", n_keys=100)
+    wap_stage(spark, _wap_wave(spark, 0, 20, 3, 1), table_dir, "verify")
+    # main listing, read, and a concurrent main-chain commit all work
+    assert main_manifest_versions(table_dir) == [1]
+    assert _latest_main_version(table_dir) == 1
+    assert mor_cdc_read(spark, table_dir, 1).count() == 100
+    assert wap_read(spark, table_dir, "verify").filter(
+        F.col("k") == 5
+    ).collect()[0]["cents"] == 53
+    # TIMESTAMP AS OF resolution must skip the branch manifest too
+    import json as _json
+
+    with open(os.path.join(table_dir, "manifest-v1.json")) as f:
+        t1 = _json.load(f)["committed_at_us"]
+    assert resolve_version_as_of(table_dir, int(t1)) == 1
+    wap_publish(table_dir, "verify")
+    assert _latest_main_version(table_dir) == 2
+    assert mor_cdc_read(spark, table_dir, 2).filter(
+        F.col("k") == 5
+    ).collect()[0]["cents"] == 53
+    # the epoch-sink version derivation keeps working afterwards
+    wave = _wap_wave(spark, 20, 30, 7, 2)
+    mor_cdc_commit(spark, wave, table_dir, 3)
+    assert _latest_main_version(table_dir) == 3
+
+
+def test_wap_publish_is_atomic_for_readers(spark, tmp_path):
+    """ADVICE r12: a reader must never resolve a mid-publish
+    intermediate staged version as the main head.  Simulate the crash
+    window by hand-linking the intermediate exactly as wap_publish
+    does (pending_head marker): latest stays at the base, reads stay
+    on the base state, AS OF skips the pending; re-running
+    wap_publish RESUMES and flips base -> head in one link."""
+    import json as _json
+
+    from nyc_data_pipeline_spark.sources.scans import (
+        atomic_json_publish_once,
+    )
+    from nyc_data_pipeline_spark.sources.timetravel import (
+        resolve_version_as_of,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_read,
+        wap_publish,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_atomic", n_keys=100)
+    wap_stage(spark, _wap_wave(spark, 0, 10, 1, 1), table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 10, 20, 2, 2), table_dir, "audit")
+    # crash mid-publish: intermediate v2 linked with the pending
+    # marker, head v3 NOT linked, branch manifests still present
+    with open(os.path.join(table_dir, "manifest-audit-v2.json")) as f:
+        m2 = _json.load(f)
+    m2.pop("branch"), m2.pop("branch_base")
+    m2["pending_head"], m2["pending_branch"] = 3, "audit"
+    atomic_json_publish_once(
+        m2, os.path.join(table_dir, "manifest-v2.json")
+    )
+    assert _latest_main_version(table_dir) == 1  # reader: still base
+    assert mor_cdc_read(spark, table_dir, 1).filter(
+        F.col("k") == 5
+    ).collect()[0]["cents"] == 50  # pre-branch value
+    with open(os.path.join(table_dir, "manifest-v2.json")) as f:
+        t2 = _json.load(f)["committed_at_us"]
+    # AS OF at the pending commit's stamp resolves the BASE, not it
+    assert resolve_version_as_of(table_dir, int(t2)) == 1
+    # resume: the already-linked pending is skipped, head lands, flip
+    stats = wap_publish(table_dir, "audit")
+    assert stats["published"] == [2, 3]
+    assert _latest_main_version(table_dir) == 3
+    rows = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert rows[5] == 51 and rows[15] == 152
+    # post-publish, the per-version history is fully readable
+    assert mor_cdc_read(spark, table_dir, 2).filter(
+        F.col("k") == 5
+    ).collect()[0]["cents"] == 51
+
+
+def test_wap_discard_removes_headless_pendings(spark, tmp_path):
+    """Discarding a HALF-published branch must also unlink the
+    invisible pending_head main manifests the crashed publish left —
+    otherwise removing the branch manifests would make one of them
+    the fast-path reader head (an unaudited state)."""
+    import json as _json
+
+    from nyc_data_pipeline_spark.sources.scans import (
+        atomic_json_publish_once,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_read,
+        wap_discard,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_headless", n_keys=60)
+    wap_stage(spark, _wap_wave(spark, 0, 10, 1, 1), table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 10, 20, 2, 2), table_dir, "audit")
+    with open(os.path.join(table_dir, "manifest-audit-v2.json")) as f:
+        m2 = _json.load(f)
+    m2.pop("branch"), m2.pop("branch_base")
+    m2["pending_head"], m2["pending_branch"] = 3, "audit"
+    atomic_json_publish_once(
+        m2, os.path.join(table_dir, "manifest-v2.json")
+    )
+    wap_discard(table_dir, "audit")
+    assert not os.path.exists(
+        os.path.join(table_dir, "manifest-v2.json")
+    )
+    assert _latest_main_version(table_dir) == 1
+    assert mor_cdc_read(spark, table_dir, 1).count() == 60
+
+
+def test_rebucket_compaction_of_emptied_table(spark, tmp_path):
+    """ADVICE r12: a re-bucketing compaction over a table whose rows
+    were ALL deleted must fall back to the prior manifest's bounds
+    (no int(None) TypeError) and publish a valid empty spec that
+    later epochs can route under."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_read,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "rebucket_empty", n_keys=40)
+    mor_cdc_commit(
+        spark, _wap_wave(spark, 0, 40, 0, 1, op="d"), table_dir, 2
+    )
+    m = mor_cdc_compact(spark, table_dir, 2, n_files=4)
+    assert m["n_files"] == 4 and m["bounds"] == [0, 39]
+    assert mor_cdc_read(spark, table_dir, 3).count() == 0
+    # the chain keeps working: a later epoch routes under the new spec
+    mor_cdc_commit(spark, _wap_wave(spark, 5, 8, 9, 2), table_dir, 4)
+    assert mor_cdc_read(spark, table_dir, 4).count() == 3
+
+
+def test_retention_parameters_validated(spark, tmp_path):
+    """ADVICE r12: retries<1 / retain<1 are contract violations that
+    must raise ValueError at entry — not a bare-raise TypeError
+    (txn_commit) or a catalog/table bricked by deleting its newest
+    version (catalog_vacuum / mor_cdc_vacuum)."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_vacuum
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_vacuum,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "valid", n_keys=10)
+    cat = str(tmp_path / "valid_cat")
+    txn_catalog_init(cat, {"t": (table_dir, 1)})
+    with pytest.raises(ValueError, match="retries"):
+        txn_commit(cat, {"t": 1}, retries=0)
+    with pytest.raises(ValueError, match="retain"):
+        catalog_vacuum(cat, retain=0)
+    with pytest.raises(ValueError, match="retain"):
+        mor_cdc_vacuum(table_dir, 1, retain=0)
+    # the catalog is still alive after the rejected calls
+    assert txn_commit(cat, {"t": 1})["version"] == 1
+
+
+def test_txn_vacuum_keeps_retained_snapshots_resolvable(spark, tmp_path):
+    """VERDICT r12 ask #2: after ANY interleaving of table commits,
+    txn_commit, catalog_vacuum, and txn_vacuum, every RETAINED catalog
+    version must resolve through catalog_read for every member table —
+    the coordinated vacuum clamps each table's reclaim to its
+    catalog_table_floor, so no retained cross-table snapshot is ever
+    stranded.  Seeded-random interleaving; manifest resolution is
+    driver-side, so each probe is metadata-cheap."""
+    import random
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_commit,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_read,
+        catalog_vacuum,
+        txn_catalog_init,
+        txn_commit,
+        txn_vacuum,
+    )
+
+    a_dir = _mk_cdc_table(spark, tmp_path, "txnvac_a", n_keys=40)
+    b_dir = _mk_cdc_table(spark, tmp_path, "txnvac_b", n_keys=40)
+    cat = str(tmp_path / "txnvac_cat")
+    txn_catalog_init(cat, {"a": (a_dir, 1), "b": (b_dir, 1)})
+    rng = random.Random(13)
+    dirs = {"a": a_dir, "b": b_dir}
+    ver = {"a": 1, "b": 1}
+    for step in range(10):
+        action = rng.choice(["commit", "commit", "cat_vac", "txn_vac"])
+        if action == "commit":
+            t = rng.choice(["a", "b"])
+            ver[t] += 1
+            mor_cdc_commit(
+                spark,
+                _wap_wave(spark, rng.randrange(30), 40, step, ver[t] - 1),
+                dirs[t],
+                ver[t],
+            )
+            txn_commit(cat, {t: ver[t]})
+        elif action == "cat_vac":
+            catalog_vacuum(cat, retain=rng.randint(1, 3))
+        else:
+            txn_vacuum(cat, retain=rng.randint(1, 3))
+        # invariant: every retained catalog version resolves fully
+        latest = catalog_latest(cat)
+        for v in range(1, latest + 1):
+            if not os.path.exists(
+                os.path.join(cat, f"catalog-v{v}.json")
+            ):
+                continue  # expired pointer: allowed to be gone
+            for t in ("a", "b"):
+                catalog_read(spark, cat, t, v)  # opens the manifest
+    # and the latest snapshot is still value-correct end to end
+    assert catalog_read(spark, cat, "a").count() == 40
+    assert _latest_main_version(a_dir) == ver["a"]
+
+
+# ---------------------------------------------------------------------------
+# Field-id schema evolution (VERDICT r12 ask #4): rename / drop / widen
+# as metadata-only commits, cross-evolution reads, feeds, and skipping.
+# ---------------------------------------------------------------------------
+
+
+def _evo_table(spark, tmp_path, name):
+    """k BIGINT / cents INT / version — cents int so widen has work."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_init
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+        F.lit(0).alias("version"),
+    )
+    table_dir = str(tmp_path / name)
+    mor_cdc_init(spark, base, table_dir, "k", n_files=4)
+    return table_dir
+
+
+def test_evolution_is_metadata_only_and_id_resolved(spark, tmp_path):
+    """Rename+widen+drop publish new manifest versions without
+    touching ANY data file; reads resolve old files by field id
+    (alias + cast), dropped fields stop projecting, and time travel
+    BEFORE the evolution still sees the old names/types."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_drop_column,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo1")
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    mor_cdc_rename_column(table_dir, "cents", "amount")
+    mor_cdc_widen_column(table_dir, "amount", "bigint")
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    assert files_after == files_before  # zero data movement
+    cur = mor_cdc_read(spark, table_dir, 3)
+    assert dict(cur.dtypes)["amount"] == "bigint"
+    assert "cents" not in cur.columns
+    assert cur.filter(F.col("k") == 7).collect()[0]["amount"] == 70
+    # time travel to v1: the old name and the NARROW type, exactly
+    old = mor_cdc_read(spark, table_dir, 1)
+    assert dict(old.dtypes)["cents"] == "int"
+    assert "amount" not in old.columns
+
+
+def test_evolution_drop_then_readd_is_a_fresh_field(spark, tmp_path):
+    """Iceberg's drop/re-add rule: a column re-added under a dropped
+    NAME gets a fresh field id, so pre-drop values never resurrect —
+    only rows (re)written after the re-add carry it."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_drop_column,
+        mor_cdc_read,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo2")
+    mor_cdc_drop_column(table_dir, "cents")
+    wave = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") + 1000).cast("int").alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 3)
+    rows = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert rows[5] == 1005  # re-added field on the rewritten row
+    assert rows[50] is None  # v1's old cents value must NOT resurrect
+
+
+def test_evolution_key_rename_keeps_skipping(spark, tmp_path):
+    """Renaming the CLUSTERING key moves manifest['key']; routing
+    bounds and per-file key stats are name-free, so manifest-level
+    key-range file skipping keeps pruning after the rename."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo3")
+    mor_cdc_rename_column(table_dir, "k", "doc_key")
+    wave = spark.range(90, 99).select(
+        F.col("id").alias("doc_key"),
+        (F.col("id") * 10 + 1).cast("int").alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 3)
+    pruned = mor_cdc_read(spark, table_dir, 3, key_range=(0, 20))
+    assert "doc_key" in pruned.columns
+    # one of four buckets: the low range never scans high-bucket files
+    assert all(
+        "zb=0" in f for f in pruned.inputFiles() if "/dv-" not in f
+    )
+    assert {r["doc_key"] for r in pruned.collect()} == set(range(21))
+
+
+def test_evolution_commits_feed_empty_and_cross_feed_aligns(
+    spark, tmp_path
+):
+    """An evolution commit changes no rows: its change feed is EMPTY
+    (the compaction rule).  A data commit AFTER the evolution feeds
+    pre/post images under the CURRENT names/types."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo4")
+    mor_cdc_rename_column(table_dir, "cents", "amount")
+    mor_cdc_widen_column(table_dir, "amount", "bigint")
+    assert mor_cdc_change_feed(spark, table_dir, 2).count() == 0
+    assert mor_cdc_change_feed(spark, table_dir, 3).count() == 0
+    wave = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 7).cast("bigint").alias("amount"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 4)
+    feed = mor_cdc_change_feed(spark, table_dir, 4)
+    assert {"pre_amount", "post_amount"} <= set(feed.columns)
+    row = feed.filter(F.col("k") == 3).collect()[0]
+    assert row["pre_amount"] == 30 and row["post_amount"] == 37
+    assert row["change"] == "update"
+
+
+def test_evolution_rejects_lossy_and_reserved(spark, tmp_path):
+    """Narrowing / cross-family widens, key drops, and touching the
+    reserved 'version' carrier are loud ValueErrors."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_drop_column,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo5")
+    with pytest.raises(ValueError, match="widen"):
+        mor_cdc_widen_column(table_dir, "k", "int")  # narrow
+    with pytest.raises(ValueError, match="widen"):
+        mor_cdc_widen_column(table_dir, "cents", "string")
+    with pytest.raises(ValueError, match="clustering key"):
+        mor_cdc_drop_column(table_dir, "k")
+    with pytest.raises(ValueError, match="version"):
+        mor_cdc_rename_column(table_dir, "version", "v2")
+    with pytest.raises(ValueError, match="name in use"):
+        mor_cdc_rename_column(table_dir, "cents", "k")

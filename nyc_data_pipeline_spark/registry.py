@@ -463,6 +463,7 @@ _QUERY_MODULES = [
     "nyc_data_pipeline_spark.functions.bpe",
     "nyc_data_pipeline_spark.functions.dsir",
     "nyc_data_pipeline_spark.functions.bm25",
+    "nyc_data_pipeline_spark.functions.text_index",
     "nyc_data_pipeline_spark.functions.entropy",
     "nyc_data_pipeline_spark.functions.features",
     "nyc_data_pipeline_spark.dedup.exact",

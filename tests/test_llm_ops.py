@@ -1600,3 +1600,91 @@ def test_dedup_cdc_index_maintain_swap_and_retention(spark, tmp_path, sf_dir):
     mor_cdc_vacuum(table_dir, latest=3, retain=1)
     with pytest.raises(ChangeFeedRetentionError):
         maintain_dedup_index_from_feed(spark, table_dir, stale_idx)
+
+
+def test_text_index_cdc_maintain_swap_and_retention(spark, tmp_path, sf_dir):
+    """Text-stats index CDC maintenance (the sim/dedup-lane contract
+    applied to the BM25 df lexicon + corpus stats): (a) the maintained
+    df table and stats equal a fresh rebuild over the table's current
+    state EXACTLY (every term, not just query terms); (b) maintenance
+    APPENDS — the v1 base file is reused, one delta entry per churn
+    commit; (c) a swap (low threshold) rebuilds, clears the delta
+    debt, and still reads identically; (d) a maintenance step whose
+    feed commit was vacuumed raises the named
+    ChangeFeedRetentionError; (e) the vocab view tracks df > 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.functions.text_index import (
+        _load_tidx_manifest,
+        _text_waves,
+        build_text_index,
+        maintain_text_index_from_feed,
+        text_index_df,
+        text_index_vocab,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        ChangeFeedRetentionError,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_vacuum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table_dir = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    mor_cdc_init(
+        spark, d.withColumn("version", F.lit(0)), table_dir, "doc_id"
+    )
+    waves = _text_waves(d)
+    for i, w in enumerate(waves):
+        mor_cdc_commit(spark, w, table_dir, 2 + i)
+    m1 = build_text_index(spark, d, idx)
+    # fixture vocab is ~31 terms: raise the debt ratio so the
+    # APPEND path is what these legs exercise
+    m2 = maintain_text_index_from_feed(
+        spark, table_dir, idx, swap_fraction=10.0
+    )
+    m3 = maintain_text_index_from_feed(
+        spark, table_dir, idx, swap_fraction=10.0
+    )
+    # (b) append-only: the base file reused, one delta per commit
+    assert m3["dfs"][0]["path"] == m1["dfs"][0]["path"]
+    assert [e["v"] for e in m3["dfs"]] == [1, 2, 3]
+    assert "swapped" not in m3
+
+    def df_rows(index_dir):
+        return {
+            (r["t"], r["df"])
+            for r in text_index_df(spark, index_dir).collect()
+        }
+
+    maintained = df_rows(idx)
+    # (a) full-lexicon equality vs a rebuild over the CURRENT state
+    cur = mor_cdc_read(spark, table_dir, 3).select("doc_id", "text")
+    fresh_idx = str(tmp_path / "fresh")
+    fm = build_text_index(spark, cur, fresh_idx, table_commit=3)
+    assert maintained == df_rows(fresh_idx)
+    assert (m3["n_docs"], m3["sum_dl"]) == (fm["n_docs"], fm["sum_dl"])
+    # (e) the vocabulary view is exactly the df>0 lexicon
+    assert text_index_vocab(spark, idx).count() == len(maintained)
+    # (c) swap: rebuild-as-maintenance clears the delta debt
+    swap_idx = str(tmp_path / "swap")
+    build_text_index(spark, d, swap_idx)
+    sm = maintain_text_index_from_feed(
+        spark, table_dir, swap_idx, swap_fraction=0.0
+    )
+    assert sm.get("swapped") and sm["n_delta_rows"] == 0
+    sm2 = maintain_text_index_from_feed(
+        spark, table_dir, swap_idx, swap_fraction=0.0
+    )
+    assert sm2.get("swapped") and sm2["table_commit"] == 3
+    assert df_rows(swap_idx) == maintained
+    # (d) retention: the pending feed's history vacuumed away
+    stale_idx = str(tmp_path / "stale")
+    build_text_index(spark, d, stale_idx)
+    mor_cdc_vacuum(table_dir, latest=3, retain=1)
+    with pytest.raises(ChangeFeedRetentionError):
+        maintain_text_index_from_feed(spark, table_dir, stale_idx)

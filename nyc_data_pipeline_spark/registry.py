@@ -53,75 +53,22 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r12 window (positions 1-50), drained exactly as the r11
-    # verdict queued it (VERDICT r11 ask #1):
-    # -- position 1: ivm_catch_up_view — the r11 past-window addition,
-    # judge-replayed green in the r11 verdict, never driver-sampled.
-    # -- positions 2-49: the 15 remaining r5-era rows, then the oldest
-    # r5b/r6-era rows, age order (latest-verdict round, then name) —
-    # the pre-staged r12 queue from the r11 rotation; COVERAGE.md
-    # records the ledger.  After CORRECTNESS_r12 no registered query's
-    # latest official verdict is older than r6 (rotation converged).
-    # -- position 50: the single in-window r12 addition (cap <=1):
-    # sim_index_cdc_maintain (the ANN index maintained from the
-    # embeddings table's MOR CDC change feed, VERDICT r11 ask #4).
-    # ==== r13 queue (pre-staged, positions 51+): src_time_travel_ts
-    # (the r12 past-window addition) first, then r6-era rows in age
-    # order, with the 50 r11-window rows (freshest verdicts) last.
-    "ivm_catch_up_view",
-    "orders_pareto_topk_share",
-    "rollup_hierarchy_reuse",
-    "sample_train_split",
-    "sessions_strict_funnel",
-    "sim_matryoshka_recall",
-    "sink_compaction",
-    "sink_jdbc_roundtrip",
-    "sink_zorder_stats",
-    "sql_lateral_topn",
-    "sql_recursive_hierarchy",
-    "src_schema_evolution",
-    "src_text_scan",
-    "text_langid_audit",
-    "text_lm_novelty",
-    "window_gapfill_locf",
-    # (the 15 r5-era rows end here; oldest r5b/r6-era rows follow)
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats_moments",
-    "dq_duplicate_payments",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "graph_pagerank",
-    "join_asof_events",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_shuffle",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_range_tiers",
-    "order_limit_topk",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "ref_hourly_statistics",
-    "ref_kpi_summary",
-    "ref_partition_key",
-    "ref_trip_enrichment",
-    "ref_vendor_performance",
-    # -- position 50: the single in-window r12 addition
-    "sim_index_cdc_maintain",
-    # ==== r13 queue head: the r12 past-window additions (locally
-    # verified at sf0.001/0.01/0.1 on landing; judge-replay eligible)
+    # ==== r13 window (positions 1-50), drained exactly as the r12
+    # verdict queued it (VERDICT r12 ask #1):
+    # -- positions 1-7: the r12 past-window additions in landing
+    # order (judge-replayed green in the r12 verdict, never
+    # driver-sampled).
+    # -- positions 8-49: the 17 r6-era rows then the oldest r7-era
+    # rows, age order — the pre-staged queue from the r12 rotation;
+    # COVERAGE.md records the ledger.
+    # -- position 50: the single in-window r13 addition (cap <=1):
+    # stream_mor_cdc_rename (field-id rename/drop/widen schema
+    # evolution on the MOR chain, VERDICT r12 ask #4).
+    # ==== r14 queue (pre-staged, positions 51+): the two other r13
+    # additions first (text_index_cdc_maintain, ivm_view_txn_flip —
+    # locally verified at sf0.001/0.01/0.1 on landing), then the
+    # remaining aged rows, with the 50 r12-window rows (freshest
+    # verdicts) last.
     "src_time_travel_ts",
     "stream_mor_cdc_wap",
     "stream_mor_cdc_txn",
@@ -171,6 +118,9 @@ _VERIFY_FIRST = [
     "ml_feature_hashing",
     "mm_decode_features",
     "orders_abc_classes",
+    "stream_mor_cdc_rename",
+    "text_index_cdc_maintain",
+    "ivm_view_txn_flip",
     "orders_ohlc_monthly",
     "orders_pareto_skyline",
     "orders_rfm_quintiles",
@@ -346,8 +296,6 @@ _VERIFY_FIRST = [
     "order_global_rownum",
     "orders_rfm_segments",
     "ivm_join_view",
-    # ==== tail: the 50 r11-window rows (freshest official verdicts,
-    # CORRECTNESS_r11 — all green), rotated to the back
     "stream_mor_cdc_evolve",
     "stream_mor_cdc_vacuum",
     "sim_index_rebuild_swap",
@@ -398,6 +346,56 @@ _VERIFY_FIRST = [
     "orders_cohort_ltv",
     "orders_open_backlog",
     "ivm_stream_join_view",
+    "ivm_catch_up_view",
+    "orders_pareto_topk_share",
+    "rollup_hierarchy_reuse",
+    "sample_train_split",
+    "sessions_strict_funnel",
+    "sim_matryoshka_recall",
+    "sink_compaction",
+    "sink_jdbc_roundtrip",
+    "sink_zorder_stats",
+    "sql_lateral_topn",
+    "sql_recursive_hierarchy",
+    "src_schema_evolution",
+    "src_text_scan",
+    "text_langid_audit",
+    "text_lm_novelty",
+    "window_gapfill_locf",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats_moments",
+    "dq_duplicate_payments",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "graph_pagerank",
+    "join_asof_events",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_shuffle",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_tiers",
+    "order_limit_topk",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "ref_hourly_statistics",
+    "ref_kpi_summary",
+    "ref_partition_key",
+    "ref_trip_enrichment",
+    "ref_vendor_performance",
+    "sim_index_cdc_maintain",
 ]
 
 

@@ -633,3 +633,138 @@ def test_catalog_view_ignores_unflipped_then_consumes_after_flip(
         for r in spark.read.parquet(m2["seg_view"]).collect()
     }
     assert got2 == recompute(with_pend=True)
+
+
+def test_view_as_catalog_member_never_torn(spark, tmp_path):
+    """VERDICT r12 ask #6: with the view registered as a catalog
+    MEMBER, a catalog reader can never observe base/view versions
+    from different snapshots — at EVERY catalog version, the view
+    read through the catalog equals a from-scratch recompute of the
+    base tables read through the SAME catalog version, including
+    across the two crash windows (view refreshed but unflipped;
+    base published but unflipped)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catalog_read_view,
+        catch_up_join_view,
+        refresh_view_txn,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_load,
+        txn_catalog_init,
+    )
+
+    a1 = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("c"),
+        (F.col("id") + 100).alias("cents"),
+    )
+    b1 = spark.range(6).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), (F.col("id") % 2)).alias("segment"),
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    cat, view_dir = str(tmp_path / "cat"), str(tmp_path / "view")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir, "k",
+                 n_files=4)
+    mor_cdc_init(spark, b1.withColumn("version", F.lit(0)), b_dir, "c",
+                 n_files=2)
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+    txn_catalog_init(
+        cat,
+        {"orders": (a_dir, 1), "customer": (b_dir, 1),
+         "seg_view": (view_dir, 1)},
+    )
+
+    def assert_consistent():
+        """Every retained catalog version pairs base and view from
+        the same snapshot: the catalog view == recompute from the
+        catalog-resolved base states."""
+        for v in range(1, catalog_latest(cat) + 1):
+            snap = catalog_load(cat, v)["tables"]
+            base = (
+                mor_cdc_read(spark, a_dir, snap["orders"]["version"])
+                .select("k", "c", "cents")
+                .join(
+                    mor_cdc_read(
+                        spark, b_dir, snap["customer"]["version"]
+                    ).select("c", "segment"),
+                    "c",
+                )
+                .groupBy("segment")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+            )
+            want = {
+                r["segment"]: (r["n_rows"], r["sum_cents"])
+                for r in base.collect()
+            }
+            got = {
+                r["segment"]: (r["n_rows"], r["sum_cents"])
+                for r in catalog_read_view(spark, cat, "seg_view", v)
+                .collect()
+            }
+            assert got == want, (v, got, want)
+
+    assert_consistent()  # v1
+    # waves on both tables, then refresh+flip in ONE transaction
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", F.col("cents") + 7)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        a_dir, 2,
+    )
+    mor_cdc_commit(
+        spark,
+        b1.filter(F.col("c") % 5 == 0)
+        .withColumn("segment", F.lit("MOVEDX"))
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        b_dir, 2,
+    )
+    assert_consistent()  # base published, nothing flipped: v1 intact
+    new_cat = refresh_view_txn(
+        spark, cat, "seg_view", "orders", "customer"
+    )
+    assert new_cat["version"] == 2
+    assert new_cat["tables"]["seg_view"]["version"] == 2
+    assert_consistent()  # v1 AND v2 both resolve consistently
+    # crash window A: base wave published + view refreshed, NO flip
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 4 == 0)
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("version", F.lit(2)).withColumn("op", F.lit("u")),
+        a_dir, 3,
+    )
+    catch_up_join_view(spark, view_dir, a_dir, b_dir, a_to=3, b_to=2)
+    assert_consistent()  # catalog still serves the OLD (base, view)
+    # rerun completes the interrupted transaction: catch-up no-ops on
+    # matching cursors, the commit flips base AND view together
+    new_cat = refresh_view_txn(
+        spark, cat, "seg_view", "orders", "customer"
+    )
+    assert new_cat["version"] == 3
+    assert (
+        new_cat["tables"]["orders"]["version"],
+        new_cat["tables"]["seg_view"]["version"],
+    ) == (3, 3)
+    assert_consistent()  # all three snapshots, never torn

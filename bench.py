@@ -342,6 +342,13 @@ HEADLINE = [
     "stream_mor_cdc_skipping",
     "stream_mor_cdc_rebucket",
     "ivm_catalog_view",
+    # r13: field-id schema evolution lifecycle (metadata-only
+    # rename/widen/drop commits + id-resolved read across 3 file
+    # vintages), the feed-maintained BM25 df/stats index, and the
+    # view-as-catalog-member two-snapshot read
+    "stream_mor_cdc_rename",
+    "text_index_cdc_maintain",
+    "ivm_view_txn_flip",
 ]
 
 

@@ -113,19 +113,25 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
     )
     # tf feeds both the df aggregation and the scoring join — a
     # diamond that would re-run the corpus explode twice; pin the
-    # small (doc, term, tf) result instead.
+    # small (doc, term, tf) result instead.  dl rides the explode
+    # (functionally dependent on doc_id) so scoring needs NO join
+    # back to the corpus-sized per-doc-length table — at 100 TB that
+    # join would shuffle a slim full-corpus column per query batch.
     tf = persist_scoped(
         "bm25.tf",
-        toks.select("doc_id", F.explode("tk").alias("t"))
+        toks.select(
+            "doc_id",
+            F.size("tk").alias("dl"),
+            F.explode("tk").alias("t"),
+        )
         .filter(F.col("t").isin(*_ALL_TERMS))
-        .groupBy("doc_id", "t")
+        .groupBy("doc_id", "dl", "t")
         .agg(F.count("*").cast("bigint").alias("tf")),
     )
     dfs = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     scored = persist_scoped(
         "bm25.scored",
         tf.join(F.broadcast(dfs), "t")
-        .join(dls, "doc_id")
         .crossJoin(F.broadcast(stats))
         .selectExpr(
             "doc_id",

@@ -254,11 +254,18 @@ def bm25_topk_from_index(
     build, so a stale df anywhere breaks the oracle hash."""
     m = _load_tidx_manifest(index_dir)
     toks = docs.selectExpr("doc_id", f"{spark_tokens('text')} AS tk")
-    dls = toks.select("doc_id", F.size("tk").alias("dl"))
+    # dl rides the explode (functionally dependent on doc_id, so the
+    # extra grouping key changes nothing) — at 100 TB this removes
+    # the postings ⋈ per-doc-length join that would otherwise shuffle
+    # a corpus-sized slim table per query batch
     tf = (
-        toks.select("doc_id", F.explode("tk").alias("t"))
+        toks.select(
+            "doc_id",
+            F.size("tk").alias("dl"),
+            F.explode("tk").alias("t"),
+        )
         .filter(F.col("t").isin(*_ALL_TERMS))
-        .groupBy("doc_id", "t")
+        .groupBy("doc_id", "dl", "t")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
     dfs = text_index_df(spark, index_dir).filter(
@@ -267,7 +274,6 @@ def bm25_topk_from_index(
     scored = persist_scoped(
         "tidx.scored",
         tf.join(F.broadcast(dfs), "t")
-        .join(dls, "doc_id")
         .withColumn("n_docs", F.lit(int(m["n_docs"])).cast("bigint"))
         .withColumn("sum_dl", F.lit(int(m["sum_dl"])).cast("bigint"))
         .selectExpr(

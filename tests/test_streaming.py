@@ -3035,3 +3035,59 @@ def test_evolution_rejects_lossy_and_reserved(spark, tmp_path):
         mor_cdc_rename_column(table_dir, "version", "v2")
     with pytest.raises(ValueError, match="name in use"):
         mor_cdc_rename_column(table_dir, "cents", "k")
+
+
+def test_evolution_composes_with_wap_catalog_and_skipping(
+    spark, tmp_path
+):
+    """Cross-feature matrix: a field-id-evolved chain must keep every
+    other lakehouse lane working — WAP staging/audit/publish on the
+    renamed schema, catalog transactions over it, manifest-level
+    key-range skipping, and the change feed — because each lane only
+    ever sees manifests, and evolution is manifest metadata."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_commit,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+        wap_publish,
+        wap_read,
+        wap_stage,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_read,
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "compose")  # cents INT
+    mor_cdc_rename_column(table_dir, "cents", "amount")
+    mor_cdc_widen_column(table_dir, "amount", "bigint")  # head: v3
+    cat = str(tmp_path / "cat")
+    txn_catalog_init(cat, {"t": (table_dir, 3)})
+    # stage a wave on a branch UNDER the evolved schema, audit, publish
+    wave = spark.range(90, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 5).cast("bigint").alias("amount"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    wap_stage(spark, wave, table_dir, "audit")
+    audit = wap_read(spark, table_dir, "audit", key_range=(90, 99))
+    assert dict(audit.dtypes)["amount"] == "bigint"
+    assert {r["amount"] for r in audit.collect()} == {
+        k * 10 + 5 for k in range(90, 100)
+    }
+    wap_publish(table_dir, "audit")
+    txn_commit(cat, {"t": _latest_main_version(table_dir)})
+    # catalog-mediated read with key-range skipping on the evolved key
+    snap = catalog_read(spark, cat, "t", key_range=(0, 20))
+    assert "amount" in snap.columns and "cents" not in snap.columns
+    assert all(
+        "zb=0" in f for f in snap.inputFiles() if "/dv-" not in f
+    )
+    assert {r["k"] for r in snap.collect()} == set(range(21))
+    # historical catalog snapshot: pre-publish state, evolved schema
+    old = catalog_read(spark, cat, "t", version=1)
+    assert old.filter(F.col("k") == 95).collect()[0]["amount"] == 950

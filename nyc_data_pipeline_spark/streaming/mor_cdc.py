@@ -552,7 +552,7 @@ def _read_manifest(
                         )
                         is not None
                         and sn in empty.columns
-                        else F.lit(None).cast(f["type"])
+                        else F.lit(f.get("default")).cast(f["type"])
                     ).alias(f["name"])
                     for f in m["schema"]
                 ]
@@ -592,8 +592,13 @@ def _read_manifest(
                         F.col(sn).cast(fld["type"]).alias(fld["name"])
                     )
                 else:
+                    # field younger than the commit: the schema's
+                    # default (mor_cdc_add_column, Iceberg-v3 rule)
+                    # or the NULL backfill
                     sel.append(
-                        F.lit(None).cast(fld["type"]).alias(fld["name"])
+                        F.lit(fld.get("default"))
+                        .cast(fld["type"])
+                        .alias(fld["name"])
                     )
             piece = piece.select(*sel)
         # allowMissingColumns: a schema-evolution commit (column added
@@ -727,6 +732,37 @@ def _field_by_name(schema: list[dict], name: str) -> dict:
     raise ValueError(
         f"no column {name!r} in current schema "
         f"{[f['name'] for f in schema]}"
+    )
+
+
+def mor_cdc_add_column(
+    table_dir: str, name: str, col_type: str, default=None,
+) -> dict:
+    """Add a column as a METADATA-ONLY commit (the Iceberg-v3
+    default-value rule): the new field gets a fresh id and an optional
+    `default`, and every row written BEFORE the add reads back the
+    default (a literal injected at projection time — no file carries
+    it) while rows written after carry their own values.  With no
+    default this is the NULL-backfill add the commit path already
+    supports, made explicit and schema-first instead of inferred from
+    a batch."""
+
+    def mutate(schema: list[dict], m: dict) -> None:
+        if any(f["name"] == name for f in schema):
+            raise ValueError(f"cannot add {name!r}: name in use")
+        fld = {
+            "id": max((f["id"] for f in schema), default=0) + 1,
+            "name": name,
+            "type": col_type,
+        }
+        if default is not None:
+            fld["default"] = default
+        schema.append(fld)
+
+    return _evolve_schema_commit(
+        table_dir, mutate,
+        {"op": "add", "column": name, "type": col_type,
+         "default": default},
     )
 
 

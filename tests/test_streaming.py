@@ -3091,3 +3091,60 @@ def test_evolution_composes_with_wap_catalog_and_skipping(
     # historical catalog snapshot: pre-publish state, evolved schema
     old = catalog_read(spark, cat, "t", version=1)
     assert old.filter(F.col("k") == 95).collect()[0]["amount"] == 950
+
+
+def test_add_column_with_default_is_metadata_only(spark, tmp_path):
+    """mor_cdc_add_column (Iceberg-v3 default-value rule): the add is
+    one JSON write; pre-add rows read back the DEFAULT (injected at
+    projection, no file rewritten), post-add rows carry their own
+    values, commits may still omit the column (default again), and
+    time travel to before the add never sees it."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_add_column,
+        mor_cdc_commit,
+        mor_cdc_read,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "evo_add")
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    mor_cdc_add_column(table_dir, "quality", "bigint", default=100)
+    assert files_before == {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    wave = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+        (F.col("id") + 900).cast("bigint").alias("quality"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave, table_dir, 3)
+    rows = {
+        r["k"]: r["quality"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert rows[2] == 902      # post-add row carries its value
+    assert rows[50] == 100     # pre-add row reads the default
+    # a later commit omitting the column also reads the default
+    wave2 = spark.range(90, 93).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 1).cast("int").alias("cents"),
+        F.lit(2).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave2, table_dir, 4)
+    rows4 = {
+        r["k"]: (r["cents"], r["quality"])
+        for r in mor_cdc_read(spark, table_dir, 4).collect()
+    }
+    assert rows4[91] == (911, 100)
+    # time travel to v1: the column does not exist
+    assert "quality" not in mor_cdc_read(spark, table_dir, 1).columns

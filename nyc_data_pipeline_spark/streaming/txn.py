@@ -186,9 +186,26 @@ def txn_vacuum(
     for name, t in cat["tables"].items():
         floor = catalog_table_floor(catalog_dir, name)
         latest = _latest_main_version(t["dir"])
-        tables[name] = mor_cdc_vacuum(
-            t["dir"], latest, retain=table_retain, floor=floor
-        )
+        with open(
+            os.path.join(t["dir"], f"manifest-v{latest}.json")
+        ) as f:
+            head = json.load(f)
+        if "files" in head:
+            tables[name] = mor_cdc_vacuum(
+                t["dir"], latest, retain=table_retain, floor=floor
+            )
+        else:
+            # a materialized-VIEW member (operators/incremental.py
+            # manifests: seg_view/cust_view artifact pointers, no
+            # files/dvs) — its own reachability vacuum, clamped to
+            # the same floor so retained catalog snapshots keep
+            # resolving through catalog_read_view
+            from ..operators.incremental import view_vacuum
+
+            tables[name] = view_vacuum(
+                t["dir"],
+                retain=max(table_retain, latest - floor + 1),
+            )
         tables[name]["floor"] = floor
     return {"catalog": cat_stats, "tables": tables}
 

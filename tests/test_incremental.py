@@ -768,3 +768,18 @@ def test_view_as_catalog_member_never_torn(spark, tmp_path):
         new_cat["tables"]["seg_view"]["version"],
     ) == (3, 3)
     assert_consistent()  # all three snapshots, never torn
+    # coordinated vacuum with a VIEW member: txn_vacuum detects the
+    # manifest kind (view manifests carry artifact pointers, not
+    # files/dvs) and clamps the view's reclaim to its catalog floor —
+    # every retained snapshot still resolves for BASE AND VIEW
+    from nyc_data_pipeline_spark.streaming.txn import txn_vacuum
+
+    stats = txn_vacuum(cat, retain=2)
+    assert stats["tables"]["seg_view"]["floor"] == 2
+    for v in (2, 3):
+        catalog_read_view(spark, cat, "seg_view", v)
+    assert_consistent_v = {
+        r["segment"]
+        for r in catalog_read_view(spark, cat, "seg_view", 2).collect()
+    }
+    assert assert_consistent_v  # the floor-retained refresh is intact

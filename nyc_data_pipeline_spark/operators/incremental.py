@@ -1329,6 +1329,20 @@ def catalog_read_view(
     return spark.read.parquet(m["seg_view"])
 
 
+def catalog_read_view_as_of(
+    spark: SparkSession, catalog_dir: str, view_name: str, ts_us: int,
+) -> DataFrame:
+    """`TIMESTAMP AS OF` for the catalog-member view: resolve the
+    catalog version visible at `ts_us` (streaming/txn.py's rule) and
+    read the view AT THAT SNAPSHOT — the dashboard state a reader saw
+    at that instant, guaranteed consistent with the base tables the
+    same catalog version pins."""
+    from ..sources.timetravel import resolve_version_as_of
+
+    v = resolve_version_as_of(catalog_dir, ts_us, prefix="catalog-v")
+    return catalog_read_view(spark, catalog_dir, view_name, v)
+
+
 def refresh_view_txn(
     spark: SparkSession, catalog_dir: str, view_name: str,
     a_name: str, b_name: str,

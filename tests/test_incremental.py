@@ -783,3 +783,109 @@ def test_view_as_catalog_member_never_torn(spark, tmp_path):
         for r in catalog_read_view(spark, cat, "seg_view", 2).collect()
     }
     assert assert_consistent_v  # the floor-retained refresh is intact
+
+
+def test_multi_table_wap_then_view_flip_end_to_end(spark, tmp_path):
+    """The full production flow: stage a day's waves on branch 'audit'
+    across BOTH base tables (invisible to main and to the catalog),
+    audit the branch heads, publish both tables + flip the catalog in
+    ONE transaction (txn_publish_branches), then refresh+flip the
+    VIEW through refresh_view_txn — and AS OF reads reconstruct every
+    intermediate consistent state."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catalog_read_view,
+        catalog_read_view_as_of,
+        refresh_view_txn,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_init,
+        wap_read,
+        wap_stage,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_load,
+        txn_catalog_init,
+        txn_publish_branches,
+    )
+
+    a1 = spark.range(24).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("c"),
+        (F.col("id") * 100).alias("cents"),
+    )
+    b1 = spark.range(4).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), F.col("id")).alias("segment"),
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    cat, view_dir = str(tmp_path / "cat"), str(tmp_path / "view")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir, "k",
+                 n_files=4)
+    mor_cdc_init(spark, b1.withColumn("version", F.lit(0)), b_dir, "c",
+                 n_files=2)
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+    txn_catalog_init(
+        cat,
+        {"orders": (a_dir, 1), "customer": (b_dir, 1),
+         "seg_view": (view_dir, 1)},
+    )
+    # stage the day's waves on 'audit' across BOTH tables
+    wap_stage(
+        spark,
+        a1.filter(F.col("k") % 2 == 0)
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        a_dir, "audit",
+    )
+    wap_stage(
+        spark,
+        b1.filter(F.col("c") == 0)
+        .withColumn("segment", F.lit("MOVED"))
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        b_dir, "audit",
+    )
+    # audit gate: branch heads carry the staged state, catalog doesn't
+    assert wap_read(spark, a_dir, "audit").filter(
+        F.col("k") == 2
+    ).collect()[0]["cents"] == 201
+    assert catalog_load(cat)["version"] == 1
+    # one call: both tables fast-forward AND the catalog flips
+    new_cat = txn_publish_branches(cat, "audit", ["orders", "customer"])
+    assert new_cat["version"] == 2
+    assert new_cat["tables"]["orders"]["version"] == 2
+    assert new_cat["tables"]["seg_view"]["version"] == 1  # view lags
+    # the view catches up and flips with the (already-current) bases
+    new_cat = refresh_view_txn(spark, cat, "seg_view", "orders", "customer")
+    assert new_cat["tables"]["seg_view"]["version"] == 2
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in catalog_read_view(spark, cat, "seg_view").collect()
+    }
+    want = {}
+    for k in range(24):
+        c = k % 4
+        cents = k * 100 + (1 if k % 2 == 0 else 0)
+        seg = "MOVED" if c == 0 else f"S{c}"
+        n, s = want.get(seg, (0, 0))
+        want[seg] = (n + 1, s + cents)
+    assert got == want
+    # AS OF the pre-publish instant: the v1 snapshot (base AND view)
+    with open(os.path.join(cat, "catalog-v1.json")) as f:
+        t1 = json.load(f)["committed_at_us"]
+    old = {
+        r["segment"]: r["n_rows"]
+        for r in catalog_read_view_as_of(spark, cat, "seg_view", int(t1))
+        .collect()
+    }
+    assert set(old) == {"S0", "S1", "S2", "S3"}  # pre-wave dashboard

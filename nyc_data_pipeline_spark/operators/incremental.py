@@ -1360,6 +1360,11 @@ def refresh_view_txn(
     from ..streaming.txn import catalog_load, txn_commit
 
     cat = catalog_load(catalog_dir)
+    for n in (a_name, b_name, view_name):
+        if n not in cat["tables"]:
+            raise ValueError(
+                f"{n!r} is not a member of catalog {catalog_dir}"
+            )
     a, b = cat["tables"][a_name], cat["tables"][b_name]
     view_dir = cat["tables"][view_name]["dir"]
     a_new = _latest_main_version(a["dir"])

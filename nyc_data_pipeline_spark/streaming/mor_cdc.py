@@ -685,7 +685,14 @@ def _evolve_schema_commit(
 ) -> dict:
     """Shared metadata-commit shell: load the head manifest, let
     `mutate(schema, manifest)` edit the schema list in place, publish
-    the next version with files/dvs carried over untouched."""
+    the next version with files/dvs carried over untouched.
+
+    Concurrency contract: schema evolution is SINGLE-OPERATOR by
+    contract, like compaction (mor_cdc_compact) — the publish is
+    overwrite-idempotent (a crashed evolution reruns and rewrites the
+    same version), not the exclusive CAS path.  Run evolutions from
+    the table's maintenance owner, never concurrently with another
+    evolution or compaction of the same table."""
     version = _latest_main_version(table_dir)
     with open(
         os.path.join(table_dir, f"manifest-v{version}.json")

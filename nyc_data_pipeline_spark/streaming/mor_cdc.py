@@ -363,9 +363,10 @@ def mor_cdc_commit(
     # commit's name map is recorded, so later renames/drops/widens
     # stay metadata-only (see mor_cdc_rename_column and friends);
     # resolution of the batch's columns against the current schema is
-    # BY NAME at commit time (Iceberg's write-side rule — a stale
-    # producer still writing a renamed column's old name is adding a
-    # new column, loudly visible in `columns_added`).
+    # BY NAME at commit time (Iceberg's write-side rule), and a stale
+    # producer still writing a renamed column's OLD name is a named
+    # ValueError (the stale-producer guard below), never a silent
+    # fresh-field shear.
     cols = [c for c in upserts.columns if c != "zb"]
     prev_cols = prev.get("columns", [])
     added = [c for c in cols if c not in prev_cols]
@@ -387,6 +388,30 @@ def mor_cdc_commit(
     if prev.get("schema") is not None:
         dtypes = dict(upserts.dtypes)
         schema = [dict(f) for f in prev["schema"]]
+        if added:
+            # Stale-producer guard: a batch column whose name a LIVE
+            # field carried BEFORE a rename is a producer still
+            # writing the pre-rename schema.  Treating it as a fresh
+            # add would silently shear that producer's values into a
+            # new field while the renamed field reads NULL for its
+            # rows — fail loudly instead.  (A DROPPED field's old
+            # name is legitimately reusable: re-add gets a fresh id.)
+            live = {f["id"]: f["name"] for f in schema}
+            for c in added:
+                for cmap in prev.get("commit_cols", {}).values():
+                    for fid, old_name in cmap.items():
+                        if (
+                            old_name == c
+                            and int(fid) in live
+                            and live[int(fid)] != c
+                        ):
+                            raise ValueError(
+                                f"batch column {c!r} is the pre-rename "
+                                f"name of live field {fid} (now "
+                                f"{live[int(fid)]!r}); the producer is "
+                                "writing a stale schema — update it or "
+                                "rename the field back"
+                            )
         next_id = max((f["id"] for f in schema), default=0) + 1
         for c in added:
             schema.append(

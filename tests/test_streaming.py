@@ -3148,3 +3148,70 @@ def test_add_column_with_default_is_metadata_only(spark, tmp_path):
     assert rows4[91] == (911, 100)
     # time travel to v1: the column does not exist
     assert "quality" not in mor_cdc_read(spark, table_dir, 1).columns
+
+
+def test_stale_producer_rejected_after_rename(spark, tmp_path):
+    """A producer still writing a renamed column's OLD name must fail
+    loudly (named ValueError), never silently shear its values into a
+    fresh field; writing the NEW name works, and a DROPPED field's
+    old name stays legitimately reusable (fresh id)."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_rename_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "stale_prod")
+    mor_cdc_rename_column(table_dir, "cents", "amount")
+    stale = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("cents"),  # pre-rename!
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    with pytest.raises(ValueError, match="stale schema"):
+        mor_cdc_commit(spark, stale, table_dir, 3)
+    fresh = stale.withColumnRenamed("cents", "amount")
+    mor_cdc_commit(spark, fresh, table_dir, 3)  # new name: fine
+
+
+def test_streaming_sink_commits_across_an_evolution(spark, tmp_path):
+    """MorCdcSink epochs keep flowing across a mid-stream rename: the
+    sink derives its next version from the evolved manifest chain and
+    commits under the NEW schema; the read folds pre- and
+    post-evolution epochs by field id."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        MorCdcSink,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "sink_evo")
+    sink = MorCdcSink(spark, table_dir)
+    sink(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).cast("int").alias("cents"),
+            F.lit(1).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        epoch_id=0,
+    )
+    mor_cdc_rename_column(table_dir, "cents", "amount")  # v3
+    sink(
+        spark.range(3, 6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 2).cast("int").alias("amount"),
+            F.lit(2).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        epoch_id=1,
+    )
+    rows = {
+        r["k"]: r["amount"]
+        for r in mor_cdc_read(spark, table_dir, 4).collect()
+    }
+    assert rows[1] == 11   # pre-evolution epoch, id-resolved
+    assert rows[4] == 42   # post-evolution epoch, native name
+    assert rows[50] == 500  # base row

@@ -186,6 +186,14 @@ def txn_vacuum(
     for name, t in cat["tables"].items():
         floor = catalog_table_floor(catalog_dir, name)
         latest = _latest_main_version(t["dir"])
+        if latest == 0:
+            # an ARTIFACT member (maintained index lanes use their own
+            # manifest prefixes: ddcidx-/tidx-/ivfpq-manifest-v{N});
+            # the catalog tracks its pointer and floor, but reclaim
+            # stays with the lane's own swap/rebuild lifecycle
+            tables[name] = {"skipped": "non-standard manifest naming",
+                            "floor": floor}
+            continue
         with open(
             os.path.join(t["dir"], f"manifest-v{latest}.json")
         ) as f:

@@ -1688,3 +1688,118 @@ def test_text_index_cdc_maintain_swap_and_retention(spark, tmp_path, sf_dir):
     mor_cdc_vacuum(table_dir, latest=3, retain=1)
     with pytest.raises(ChangeFeedRetentionError):
         maintain_text_index_from_feed(spark, table_dir, stale_idx)
+
+
+def test_release_txn_flips_corpus_and_indexes_atomically(
+    spark, tmp_path, sf_dir
+):
+    """The training-data RELEASE transaction: the corpus table and its
+    derived artifacts — the dedup index and the text-stats index, both
+    feed-maintained — live under ONE catalog, and a single txn_commit
+    flips all three pointers.  A reader resolving any catalog version
+    gets corpus + indexes from the SAME release: the crash window
+    (indexes maintained, catalog unflipped) serves the old consistent
+    triple, and each snapshot's index state matches a fresh rebuild
+    over that snapshot's corpus."""
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.dedup.cdc_maintain import (
+        build_dedup_cdc_index,
+        dedup_cdc_probe,
+        maintain_dedup_index_from_feed,
+    )
+    from nyc_data_pipeline_spark.functions.text_index import (
+        build_text_index,
+        maintain_text_index_from_feed,
+        text_index_df,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_load,
+        txn_catalog_init,
+        txn_commit,
+        txn_vacuum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0).limit(20)
+    tbl = str(tmp_path / "corpus")
+    didx = str(tmp_path / "dedup_idx")
+    tidx = str(tmp_path / "text_idx")
+    cat = str(tmp_path / "cat")
+    mor_cdc_init(
+        spark, corpus.withColumn("version", F.lit(0)), tbl, "doc_id"
+    )
+    build_dedup_cdc_index(spark, corpus, didx)
+    build_text_index(spark, corpus, tidx)
+    txn_catalog_init(
+        cat,
+        {"corpus": (tbl, 1), "dedup_idx": (didx, 1), "text_idx": (tidx, 1)},
+    )
+    # the day's crawl: a delete wave + the batch docs arriving as-is
+    wave = (
+        corpus.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("d"))
+        .unionByName(
+            batch.select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+            )
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u"))
+        )
+    )
+    mor_cdc_commit(spark, wave, tbl, 2)
+    maintain_dedup_index_from_feed(spark, tbl, didx)
+    maintain_text_index_from_feed(spark, tbl, tidx, swap_fraction=10.0)
+    # crash window: everything maintained, catalog NOT flipped
+    snap = catalog_load(cat)["tables"]
+    assert (
+        snap["corpus"]["version"],
+        snap["dedup_idx"]["version"],
+        snap["text_idx"]["version"],
+    ) == (1, 1, 1)
+
+    def probe_rows(index_dir, version):
+        return {
+            (r["batch_id"], r["n_dups"])
+            for r in dedup_cdc_probe(
+                spark, index_dir, batch, version=version
+            ).collect()
+        }
+
+    def df_rows(index_dir, version):
+        return {
+            (r["t"], r["df"])
+            for r in text_index_df(spark, index_dir, version).collect()
+        }
+
+    # THE release: one commit flips corpus + both indexes
+    txn_commit(cat, {"corpus": 2, "dedup_idx": 2, "text_idx": 2})
+    for v in (1, 2):
+        snap = catalog_load(cat, v)["tables"]
+        vs = {n: snap[n]["version"] for n in snap}
+        assert len(set(vs.values())) == 1  # never torn: all equal
+        # the pinned index states match fresh rebuilds over the
+        # SAME snapshot's corpus — release-consistent end to end
+        cur = mor_cdc_read(spark, tbl, vs["corpus"]).select(
+            "doc_id", "text"
+        )
+        fresh_d = str(tmp_path / f"fresh_d{v}")
+        fresh_t = str(tmp_path / f"fresh_t{v}")
+        build_dedup_cdc_index(spark, cur, fresh_d)
+        build_text_index(spark, cur, fresh_t)
+        assert probe_rows(didx, vs["dedup_idx"]) == probe_rows(fresh_d, 1)
+        assert df_rows(tidx, vs["text_idx"]) == df_rows(fresh_t, 1)
+    # coordinated vacuum skips artifact members without touching them
+    stats = txn_vacuum(cat, retain=2)
+    assert stats["tables"]["dedup_idx"]["skipped"]
+    assert stats["tables"]["text_idx"]["skipped"]
+    assert "dirs_removed" in stats["tables"]["corpus"]
+    assert probe_rows(didx, 1)  # artifact history untouched

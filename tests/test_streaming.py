@@ -3215,3 +3215,90 @@ def test_streaming_sink_commits_across_an_evolution(spark, tmp_path):
     assert rows[1] == 11   # pre-evolution epoch, id-resolved
     assert rows[4] == 42   # post-evolution epoch, native name
     assert rows[50] == 500  # base row
+
+
+def test_wap_publish_loses_fork_race_cleanly(spark, tmp_path):
+    """A concurrent main writer that lands base+1 FIRST must make
+    wap_publish raise with NOTHING reader-visible published — the
+    first link doubles as the fork-point CAS — and the branch stays
+    intact for discard-and-restage."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        _branch_versions,
+        _latest_main_version,
+        mor_cdc_commit,
+        mor_cdc_read,
+        wap_discard,
+        wap_publish,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_race", n_keys=60)
+    wap_stage(spark, _wap_wave(spark, 0, 10, 1, 1), table_dir, "audit")
+    wap_stage(spark, _wap_wave(spark, 10, 20, 2, 2), table_dir, "audit")
+    # the concurrent writer wins v2 with a REAL commit
+    mor_cdc_commit(
+        spark, _wap_wave(spark, 30, 35, 9, 1), table_dir, 2,
+        exclusive=True,
+    )
+    with pytest.raises(CommitConflictError, match="restage"):
+        wap_publish(table_dir, "audit")
+    # the writer's state is the head; no branch data leaked to main
+    assert _latest_main_version(table_dir) == 2
+    rows = {
+        r["k"]: r["cents"]
+        for r in mor_cdc_read(spark, table_dir, 2).collect()
+    }
+    assert rows[31] == 319 and rows[5] == 50  # writer applied, branch not
+    # branch manifests intact: discard reclaims them without touching
+    # the writer's commit
+    assert _branch_versions(table_dir, "audit") == [2, 3]
+    wap_discard(table_dir, "audit")
+    assert mor_cdc_read(spark, table_dir, 2).count() == 60
+
+
+def test_wap_publish_link_conflict_between_two_branches(spark, tmp_path):
+    """Two branches forked at the same base: the first publisher's
+    HEADLESS pending intermediate occupies base+1 invisibly; the
+    second branch's publish must lose at the LINK (not the head
+    check — the pending is reader-invisible) with the named error and
+    nothing of its own published."""
+    import json as _json
+    import pytest
+
+    from nyc_data_pipeline_spark.sources.scans import (
+        atomic_json_publish_once,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        _latest_main_version,
+        wap_publish,
+        wap_stage,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "wap_2br", n_keys=40)
+    wap_stage(spark, _wap_wave(spark, 0, 5, 1, 1), table_dir, "alpha")
+    wap_stage(spark, _wap_wave(spark, 5, 9, 2, 2), table_dir, "alpha")
+    wap_stage(spark, _wap_wave(spark, 20, 25, 3, 1), table_dir, "beta")
+    # simulate alpha's publish crashing after its FIRST (pending) link
+    with open(
+        os.path.join(table_dir, "manifest-alpha-v2.json")
+    ) as f:
+        m2 = _json.load(f)
+    m2.pop("branch"), m2.pop("branch_base")
+    m2["pending_head"], m2["pending_branch"] = 3, "alpha"
+    atomic_json_publish_once(
+        m2, os.path.join(table_dir, "manifest-v2.json")
+    )
+    assert _latest_main_version(table_dir) == 1  # pending invisible
+    # beta forked at v1 too (visible head): its publish passes the
+    # base check but must lose the v2 LINK to alpha's pending
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        wap_publish(table_dir, "beta")
+    assert _latest_main_version(table_dir) == 1  # still nothing live
+    # alpha resumes and wins cleanly
+    stats = wap_publish(table_dir, "alpha")
+    assert stats["published"] == [2, 3]
+    assert _latest_main_version(table_dir) == 3

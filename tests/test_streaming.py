@@ -3302,3 +3302,153 @@ def test_wap_publish_link_conflict_between_two_branches(spark, tmp_path):
     stats = wap_publish(table_dir, "alpha")
     assert stats["published"] == [2, 3]
     assert _latest_main_version(table_dir) == 3
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 23, 91])
+def test_evolution_algebra_random_sequences(spark, tmp_path, seed):
+    """Randomized evolution algebra: a seeded sequence of commit /
+    delete / rename / widen / drop / add-with-default / compact ops,
+    checked after EVERY step against a pure-Python model keyed by
+    field id — the read must always equal the model's projection of
+    the keep-latest merge under the current schema."""
+    import random
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_add_column,
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_drop_column,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+        main_manifest_versions,
+    )
+
+    rng = random.Random(seed)
+    table_dir = str(tmp_path / f"evoprop{seed}")
+    N = 40
+    base = spark.range(N).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).cast("int").alias("f2"),
+        F.lit(0).alias("version"),
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import mor_cdc_init
+
+    mor_cdc_init(spark, base, table_dir, "k", n_files=4)
+    # model: schema = [(id, name, type, default)], rows key ->
+    # (version, {id: value}) for the winning copy's written fields
+    schema = [(1, "k", "bigint", None), (2, "f2", "int", None),
+              (3, "version", "int", None)]
+    rows = {k: (0, {1: k, 2: k * 7, 3: 0}) for k in range(N)}
+    next_id = 4
+    cver = 1  # chain head
+
+    def live_names():
+        return [(i, n, t, d) for i, n, t, d in schema
+                if n not in ("k", "version")]
+
+    def check():
+        got = {
+            r["k"]: {c: r[c] for c in r.asDict() if c != "k"}
+            for r in mor_cdc_read(spark, table_dir, cver).collect()
+        }
+        want = {}
+        for k, (ver, vals) in rows.items():
+            row = {"version": ver}
+            for i, n, t, d in live_names():
+                row[n] = vals.get(i, d)
+            want[k] = row
+        assert got == want, (len(got), len(want))
+
+    for step in range(7):
+        op = rng.choice(
+            ["commit", "commit", "delete", "rename", "widen", "drop",
+             "add", "compact"]
+        )
+        if op == "commit":
+            ver = step + 1
+            keys = rng.sample(range(N + 10), rng.randint(3, 12))
+            cols = [F.col("id").alias("k")]
+            for i, n, t, d in live_names():
+                cols.append(
+                    ((F.col("id") * 13 + i * 5 + ver).cast(t)).alias(n)
+                )
+            wave = (
+                spark.range(N + 10)
+                .filter(F.col("id").isin(keys))
+                .select(*cols)
+                .withColumn("version", F.lit(ver))
+                .withColumn("op", F.lit("u"))
+            )
+            cver += 1
+            mor_cdc_commit(spark, wave, table_dir, cver)
+            for k in keys:
+                vals = {1: k, 3: ver}
+                for i, n, t, d in live_names():
+                    vals[i] = k * 13 + i * 5 + ver
+                rows[k] = (ver, vals)
+        elif op == "delete":
+            ver = step + 1
+            live_keys = list(rows)
+            if not live_keys:
+                continue
+            keys = rng.sample(live_keys, min(4, len(live_keys)))
+            wave = (
+                spark.range(N + 10)
+                .filter(F.col("id").isin(keys))
+                .select(F.col("id").alias("k"))
+                .withColumn("version", F.lit(ver))
+                .withColumn("op", F.lit("d"))
+            )
+            cver += 1
+            mor_cdc_commit(spark, wave, table_dir, cver)
+            for k in keys:
+                rows.pop(k, None)
+        elif op == "rename":
+            cands = live_names()
+            if not cands:
+                continue
+            i, n, t, d = rng.choice(cands)
+            new = f"{n}_r{step}"
+            mor_cdc_rename_column(table_dir, n, new)
+            schema = [
+                (fi, new if fi == i else fn, ft, fd)
+                for fi, fn, ft, fd in schema
+            ]
+            cver += 1
+        elif op == "widen":
+            cands = [f for f in live_names() if f[2] == "int"]
+            if not cands:
+                continue
+            i, n, t, d = rng.choice(cands)
+            mor_cdc_widen_column(table_dir, n, "bigint")
+            schema = [
+                (fi, fn, "bigint" if fi == i else ft, fd)
+                for fi, fn, ft, fd in schema
+            ]
+            cver += 1
+        elif op == "drop":
+            cands = live_names()
+            if len(cands) < 2:
+                continue  # keep at least one payload field
+            i, n, t, d = rng.choice(cands)
+            mor_cdc_drop_column(table_dir, n)
+            schema = [f for f in schema if f[0] != i]
+            cver += 1
+        elif op == "add":
+            name = f"g{next_id}"
+            default = rng.choice([None, 100 + next_id])
+            mor_cdc_add_column(
+                table_dir, name, "bigint", default=default
+            )
+            schema.append((next_id, name, "bigint", default))
+            next_id += 1
+            cver += 1
+        else:  # compact
+            mor_cdc_compact(spark, table_dir, cver)
+            cver += 1
+        assert main_manifest_versions(table_dir)[-1] == cver
+        check()

@@ -1803,3 +1803,34 @@ def test_release_txn_flips_corpus_and_indexes_atomically(
     assert stats["tables"]["text_idx"]["skipped"]
     assert "dirs_removed" in stats["tables"]["corpus"]
     assert probe_rows(didx, 1)  # artifact history untouched
+
+
+def test_bm25_scoring_has_no_doc_length_join(spark, tmp_path, sf_dir):
+    """The dl-carry contract: doc length rides the posting explode as
+    a grouping key, so BM25 scoring joins ONLY the broadcast df table
+    — no sort-merge join and no second corpus-side scan feeding a
+    per-doc-length join (which would shuffle a corpus-sized slim
+    table per query batch at scale).  Pinned for both the corpus-pass
+    and the index-backed variants."""
+    from nyc_data_pipeline_spark.catalog import load_table
+    from nyc_data_pipeline_spark.functions.bm25 import bm25_topk
+    from nyc_data_pipeline_spark.functions.text_index import (
+        bm25_topk_from_index,
+        build_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "tidx_plan")
+    build_text_index(spark, docs, idx)
+    for df in (
+        bm25_topk(docs),
+        bm25_topk_from_index(spark, docs, idx),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 0, plan[:2000]
+        # every join is a broadcast of sketch-sized state (df table /
+        # corpus stats), never a corpus-side shuffle join
+        assert plan.count("ShuffledHashJoin") == 0, plan[:2000]
+        df.collect()  # and the plan actually executes

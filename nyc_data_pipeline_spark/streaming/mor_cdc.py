@@ -2620,6 +2620,84 @@ def mor_cdc_change_feed(
     return feed
 
 
+def mor_cdc_change_feed_span(
+    spark: SparkSession, table_dir: str, from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """ONE unioned change feed for commits (from_version, to_version]
+    — the input an IVM consumer folds to catch a view up across many
+    pending commits.  Every per-commit feed is projected under the
+    TO-version schema BY FIELD ID before the union, so a span that
+    crosses a rename/widen/drop/add still folds: a column renamed
+    mid-span surfaces under its FINAL name for every commit (values
+    cast to the final type), a dropped column stops appearing, a
+    column added mid-span reads its default (or NULL) for feeds that
+    predate it, and the KEY column itself may have been renamed.
+    Evolution and compaction commits contribute their (empty) feeds,
+    so any contiguous span is foldable.  Without field ids the feeds
+    are unioned by name exactly as before — the legacy behavior.
+
+    Retention composes per commit: any vacuumed feed in the span
+    raises the lane's named `ChangeFeedRetentionError`."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{to_version}.json")
+    ) as f:
+        m_to = json.load(f)
+    schema_to = m_to.get("schema")
+    key_to = m_to["key"]
+    ckpts = []
+    out = None
+    for v in range(int(from_version) + 1, int(to_version) + 1):
+        feed = mor_cdc_change_feed(spark, table_dir, v)
+        ckpts += getattr(feed, "_ckpt_intermediates", [])
+        if schema_to is not None:
+            with open(
+                os.path.join(table_dir, f"manifest-v{v}.json")
+            ) as f:
+                m_v = json.load(f)
+            names_v = {
+                fld["id"]: fld["name"]
+                for fld in m_v.get("schema", [])
+            }
+            key_v = m_v["key"]
+            sel = [
+                F.col("commit"),
+                F.col(key_v).alias(key_to),
+                F.col("change"),
+            ]
+            for fld in schema_to:
+                name = fld["name"]
+                if name in (key_to, "version"):
+                    continue
+                old = names_v.get(fld["id"])
+                for side in ("pre", "post"):
+                    src = f"{side}_{old}" if old is not None else None
+                    if src is not None and src in feed.columns:
+                        sel.append(
+                            F.col(src)
+                            .cast(fld["type"])
+                            .alias(f"{side}_{name}")
+                        )
+                    else:
+                        # field younger than this commit: its default
+                        # (add-with-default) or NULL, typed
+                        sel.append(
+                            F.lit(fld.get("default"))
+                            .cast(fld["type"])
+                            .alias(f"{side}_{name}")
+                        )
+            piece = feed.select(*sel)
+        else:
+            piece = feed
+        out = piece if out is None else out.unionByName(piece)
+    if out is None:
+        raise ValueError(
+            f"empty span ({from_version}, {to_version}] for {table_dir}"
+        )
+    out._ckpt_intermediates = ckpts
+    return out
+
+
 @register(
     "stream_mor_cdc_feed",
     # The oracle re-derives every commit's feed from the wave algebra

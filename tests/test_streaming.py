@@ -3452,3 +3452,101 @@ def test_evolution_algebra_random_sequences(spark, tmp_path, seed):
             cver += 1
         assert main_manifest_versions(table_dir)[-1] == cver
         check()
+
+
+def test_change_feed_span_folds_across_evolution(spark, tmp_path):
+    """mor_cdc_change_feed_span: a span crossing a data-column rename,
+    a KEY rename, a widen, and an add-with-default still folds — every
+    per-commit feed surfaces under the TO-version schema by field id,
+    and applying the span's net effect to the FROM state reproduces
+    the TO state exactly."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_add_column,
+        mor_cdc_change_feed_span,
+        mor_cdc_commit,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "span_evo")  # v1: k/cents int
+    # v2: pre-evolution wave (old names)
+    mor_cdc_commit(
+        spark,
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).cast("int").alias("cents"),
+            F.lit(1).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        table_dir, 2,
+    )
+    mor_cdc_rename_column(table_dir, "cents", "amount")   # v3
+    mor_cdc_widen_column(table_dir, "amount", "bigint")   # v4
+    mor_cdc_rename_column(table_dir, "k", "doc_key")      # v5 (KEY!)
+    mor_cdc_add_column(table_dir, "grade", "bigint", default=5)  # v6
+    # v7: post-evolution wave (new names, new column)
+    mor_cdc_commit(
+        spark,
+        spark.range(50, 55).select(
+            F.col("id").alias("doc_key"),
+            (F.col("id") * 10 + 2).cast("bigint").alias("amount"),
+            (F.col("id") % 3).cast("bigint").alias("grade"),
+            F.lit(2).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        table_dir, 7,
+    )
+    # v8: a delete
+    mor_cdc_commit(
+        spark,
+        spark.range(90, 93).select(
+            F.col("id").alias("doc_key"),
+            F.lit(3).alias("version"),
+            F.lit("d").alias("op"),
+        ),
+        table_dir, 8,
+    )
+    span = mor_cdc_change_feed_span(spark, table_dir, 1, 8)
+    cols = set(span.columns)
+    assert cols == {
+        "commit", "doc_key", "change",
+        "pre_amount", "post_amount", "pre_grade", "post_grade",
+    }
+    # pre-evolution commit's feed surfaces under the FINAL names
+    r2 = {r["doc_key"]: r for r in span.filter(F.col("commit") == 2).collect()}
+    assert r2[3]["pre_amount"] == 30 and r2[3]["post_amount"] == 31
+    assert r2[3]["pre_grade"] == 5 and r2[3]["post_grade"] == 5  # default
+    # evolution commits contribute empty feeds
+    assert span.filter(F.col("commit").isin(3, 4, 5, 6)).count() == 0
+    # FOLD: net effect per key (latest commit wins) applied to the
+    # FROM state must reproduce the TO state exactly
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_key").orderBy(F.col("commit").desc())
+    net = (
+        span.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    frm = mor_cdc_read(spark, table_dir, 1).select(
+        F.col("k").alias("doc_key"),
+        F.col("cents").cast("bigint").alias("amount"),
+        F.lit(5).cast("bigint").alias("grade"),  # the add's default
+    )
+    folded = (
+        frm.join(net, "doc_key", "left_anti")
+        .unionByName(
+            net.filter(F.col("change") != "delete").select(
+                "doc_key",
+                F.col("post_amount").alias("amount"),
+                F.col("post_grade").alias("grade"),
+            )
+        )
+    )
+    to = mor_cdc_read(spark, table_dir, 8).select(
+        "doc_key", "amount", "grade"
+    )
+    assert {tuple(r) for r in folded.collect()} == {
+        tuple(r) for r in to.collect()
+    }

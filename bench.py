@@ -349,6 +349,8 @@ HEADLINE = [
     "stream_mor_cdc_rename",
     "text_index_cdc_maintain",
     "ivm_view_txn_flip",
+    # r13: the evolution-crossing change-feed span (id-mapped union)
+    "stream_mor_cdc_feed_span",
 ]
 
 

@@ -121,6 +121,7 @@ _VERIFY_FIRST = [
     "stream_mor_cdc_rename",
     "text_index_cdc_maintain",
     "ivm_view_txn_flip",
+    "stream_mor_cdc_feed_span",
     "orders_ohlc_monthly",
     "orders_pareto_skyline",
     "orders_rfm_quintiles",

@@ -2005,6 +2005,18 @@ def stream_mor_cdc_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON write.  Cross-evolution time travel, key rename with
     key-range skipping, drop/re-add id freshness, and feed legs are
     pinned in tests/test_streaming.py."""
+    table_dir = _rename_lifecycle(spark, sf_dir)
+    return mor_cdc_read(spark, table_dir, 7).select(
+        "doc_id",
+        F.col("chars").cast("bigint").alias("chars"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+def _rename_lifecycle(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 7-version evolution lifecycle (see
+    stream_mor_cdc_rename's docstring), built once per process and
+    reused by the feed-span query."""
     table_dir = scratch_dir("mor_cdc_rename", sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
@@ -2048,11 +2060,65 @@ def stream_mor_cdc_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_dir,
             7,
         )
-    return mor_cdc_read(spark, table_dir, 7).select(
+    return table_dir
+
+
+@register(
+    "stream_mor_cdc_feed_span",
+    # The oracle re-derives the SPAN's row-level changes from the wave
+    # algebra under the FINAL schema: commit 2 updates doc_id%3 off
+    # the base image (pre/post surfacing as `chars` BIGINT although
+    # the files say `n_chars` INT — the id mapping is what's being
+    # checked), commit 5 updates doc_id%5 off the post-commit-2 image,
+    # commit 7 deletes doc_id%4 with the latest image as pre and a
+    # NULL post; the four evolution commits in the span contribute
+    # NOTHING; `lang` (dropped mid-span) never appears.
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars FROM documents)
+    SELECT CAST(2 AS INT) AS commit, doc_id, 'update' AS change,
+           CAST(n_chars AS BIGINT) AS pre_chars,
+           CAST(n_chars + 1 AS BIGINT) AS post_chars
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(5 AS INT), doc_id, 'update',
+           CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT),
+           CAST(n_chars + 2 AS BIGINT)
+    FROM d WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT CAST(7 AS INT), doc_id, 'delete',
+           CAST(n_chars + CASE WHEN doc_id % 5 = 0 THEN 2
+                               WHEN doc_id % 3 = 0 THEN 1
+                               ELSE 0 END AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM d WHERE doc_id % 4 = 0
+    """,
+)
+def stream_mor_cdc_feed_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The change-feed SPAN over the evolution lifecycle: one unioned
+    feed for commits (1, 7] of the rename/widen/drop chain, every
+    per-commit frame projected under the FINAL schema by field id
+    (`mor_cdc_change_feed_span`) — the input an IVM consumer folds to
+    catch a view up across pending commits even when evolutions sit
+    inside the span.  Pre-evolution feeds must surface `chars` BIGINT
+    (their files store `n_chars` INT), the dropped `lang` must not
+    appear, and the evolution commits contribute empty feeds — the
+    oracle recomputes every row from the wave algebra."""
+    table_dir = _rename_lifecycle(spark, sf_dir)
+    span = mor_cdc_change_feed_span(spark, table_dir, 1, 7)
+    out = span.select(
+        F.col("commit").cast("int").alias("commit"),
         "doc_id",
-        F.col("chars").cast("bigint").alias("chars"),
-        F.col("version").cast("int").alias("version"),
+        "change",
+        F.col("pre_chars").cast("bigint").alias("pre_chars"),
+        F.col("post_chars").cast("bigint").alias("post_chars"),
+    ).localCheckpoint(eager=True)
+    release_local_checkpoints(
+        getattr(span, "_ckpt_intermediates", [])
     )
+    return out
 
 
 @register(

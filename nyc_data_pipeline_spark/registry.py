@@ -53,72 +53,19 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r13 window (positions 1-50), drained exactly as the r12
-    # verdict queued it (VERDICT r12 ask #1):
-    # -- positions 1-7: the r12 past-window additions in landing
-    # order (judge-replayed green in the r12 verdict, never
-    # driver-sampled).
-    # -- positions 8-49: the 17 r6-era rows then the oldest r7-era
-    # rows, age order — the pre-staged queue from the r12 rotation;
-    # COVERAGE.md records the ledger.
-    # -- position 50: the single in-window r13 addition (cap <=1):
-    # stream_mor_cdc_rename (field-id rename/drop/widen schema
-    # evolution on the MOR chain, VERDICT r12 ask #4).
-    # ==== r14 queue (pre-staged, positions 51+): the two other r13
-    # additions first (text_index_cdc_maintain, ivm_view_txn_flip —
-    # locally verified at sf0.001/0.01/0.1 on landing), then the
-    # remaining aged rows, with the 50 r12-window rows (freshest
-    # verdicts) last.
-    "src_time_travel_ts",
-    "stream_mor_cdc_wap",
-    "stream_mor_cdc_txn",
-    "dedup_index_cdc_maintain",
-    "stream_mor_cdc_skipping",
-    "stream_mor_cdc_rebucket",
-    "ivm_catalog_view",
-    "sessionize_events",
-    "set_distinct",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_schema_drift",
-    "sink_zorder_stats_prod",
-    "sql_dashboard_kpis",
-    "window_interpolate_linear",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_ntile_first_last",
-    "window_ranking",
-    "window_running_sum",
-    "window_topn_per_group",
-    "ab_bootstrap_ci",
-    "ab_test_proportions",
-    "agg_equidepth_segment",
-    "approx_cms_topk_prod",
-    "approx_join_cardinality",
-    "approx_kmv_set_ops",
-    "approx_quantile_histogram",
-    "dedup_semantic_cluster",
-    "dedup_span_coverage",
-    "dq_benford_digits",
-    "dq_dp_noisy_counts",
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "dq_table_diff",
-    "events_cusum_sharded",
-    "events_markov_transitions",
-    "events_topk_sequences",
-    "geo_point_in_polygon",
-    "graph_label_propagation",
-    "join_fuzzy_trigram",
-    "join_stream_static",
-    "join_stream_stream",
-    "ml_feature_hashing",
-    "mm_decode_features",
-    "orders_abc_classes",
-    "stream_mor_cdc_rename",
+    # ==== r14 window (positions 1-50), drained exactly as the r13
+    # verdict queued it (VERDICT r13 ask #1):
+    # -- positions 1-3: the r13 past-anchor additions in landing order
+    # (judge-replayed green in the r13 verdict, never driver-sampled):
+    # text_index_cdc_maintain, ivm_view_txn_flip,
+    # stream_mor_cdc_feed_span.
+    # -- positions 4-28: the 25 remaining r7-era rows, oldest first.
+    # -- positions 29-50: the oldest r8-era rows, age order.
+    # In-window additions this round: cap <=1 (none yet).
+    # ==== r15 queue (positions 51+): remaining rows by latest official
+    # verdict round ascending (r8 leftovers, then r9..r12), with the 50
+    # r13-window rows (freshest verdicts) last.  COVERAGE.md records
+    # the ledger.
     "text_index_cdc_maintain",
     "ivm_view_txn_flip",
     "stream_mor_cdc_feed_span",
@@ -397,6 +344,56 @@ _VERIFY_FIRST = [
     "ref_trip_enrichment",
     "ref_vendor_performance",
     "sim_index_cdc_maintain",
+    "src_time_travel_ts",
+    "stream_mor_cdc_wap",
+    "stream_mor_cdc_txn",
+    "dedup_index_cdc_maintain",
+    "stream_mor_cdc_skipping",
+    "stream_mor_cdc_rebucket",
+    "ivm_catalog_view",
+    "sessionize_events",
+    "set_distinct",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_schema_drift",
+    "sink_zorder_stats_prod",
+    "sql_dashboard_kpis",
+    "window_interpolate_linear",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_first_last",
+    "window_ranking",
+    "window_running_sum",
+    "window_topn_per_group",
+    "ab_bootstrap_ci",
+    "ab_test_proportions",
+    "agg_equidepth_segment",
+    "approx_cms_topk_prod",
+    "approx_join_cardinality",
+    "approx_kmv_set_ops",
+    "approx_quantile_histogram",
+    "dedup_semantic_cluster",
+    "dedup_span_coverage",
+    "dq_benford_digits",
+    "dq_dp_noisy_counts",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_table_diff",
+    "events_cusum_sharded",
+    "events_markov_transitions",
+    "events_topk_sequences",
+    "geo_point_in_polygon",
+    "graph_label_propagation",
+    "join_fuzzy_trigram",
+    "join_stream_static",
+    "join_stream_stream",
+    "ml_feature_hashing",
+    "mm_decode_features",
+    "orders_abc_classes",
+    "stream_mor_cdc_rename",
 ]
 
 

@@ -390,28 +390,42 @@ def mor_cdc_commit(
         schema = [dict(f) for f in prev["schema"]]
         if added:
             # Stale-producer guard: a batch column whose name a LIVE
-            # field carried BEFORE a rename is a producer still
-            # writing the pre-rename schema.  Treating it as a fresh
-            # add would silently shear that producer's values into a
-            # new field while the renamed field reads NULL for its
-            # rows — fail loudly instead.  (A DROPPED field's old
-            # name is legitimately reusable: re-add gets a fresh id.)
+            # field carried immediately BEFORE its latest rename is a
+            # producer still writing the pre-rename schema.  Treating
+            # it as a fresh add would silently shear that producer's
+            # values into a new field while the renamed field reads
+            # NULL for its rows — fail loudly instead.  (A DROPPED
+            # field's old name is legitimately reusable: re-add gets
+            # a fresh id.)  Only each live field's MOST RECENT
+            # pre-rename name is guarded (ADVICE r13): scanning every
+            # historical name map would block a name forever once ANY
+            # live field ever carried it — after a->b->c, a fresh add
+            # of 'a' is legitimate (the name freed two renames ago),
+            # while 'b' is still the signature of a producer exactly
+            # one schema behind.
             live = {f["id"]: f["name"] for f in schema}
+            guarded: dict[int, str] = {}
+            for v in sorted(
+                prev.get("commit_cols", {}), key=int, reverse=True
+            ):
+                for fid, name in prev["commit_cols"][v].items():
+                    ifid = int(fid)
+                    if (
+                        ifid in live
+                        and ifid not in guarded
+                        and name != live[ifid]
+                    ):
+                        guarded[ifid] = name
             for c in added:
-                for cmap in prev.get("commit_cols", {}).values():
-                    for fid, old_name in cmap.items():
-                        if (
-                            old_name == c
-                            and int(fid) in live
-                            and live[int(fid)] != c
-                        ):
-                            raise ValueError(
-                                f"batch column {c!r} is the pre-rename "
-                                f"name of live field {fid} (now "
-                                f"{live[int(fid)]!r}); the producer is "
-                                "writing a stale schema — update it or "
-                                "rename the field back"
-                            )
+                for fid, old_name in guarded.items():
+                    if old_name == c:
+                        raise ValueError(
+                            f"batch column {c!r} is the pre-rename "
+                            f"name of live field {fid} (now "
+                            f"{live[fid]!r}); the producer is "
+                            "writing a stale schema — update it or "
+                            "rename the field back"
+                        )
         next_id = max((f["id"] for f in schema), default=0) + 1
         for c in added:
             schema.append(
@@ -1023,20 +1037,6 @@ def _has_branch_manifests(table_dir: str) -> bool:
     )
 
 
-def _is_visible_main(table_dir: str, version: int) -> bool:
-    """A main manifest is reader-visible unless it is a mid-publish
-    WAP intermediate (`pending_head` marker) whose head manifest has
-    not landed yet — see `wap_publish`'s atomicity contract."""
-    with open(
-        os.path.join(table_dir, f"manifest-v{version}.json")
-    ) as f:
-        m = json.load(f)
-    head = m.get("pending_head")
-    return head is None or os.path.exists(
-        os.path.join(table_dir, f"manifest-v{int(head)}.json")
-    )
-
-
 def _check_branch_name(branch: str) -> None:
     import re
 
@@ -1055,15 +1055,50 @@ def _latest_main_version(table_dir: str) -> int:
     version.  Only while branch manifests exist (a publish may be in
     flight or crashed mid-way) can headless `pending_head`
     intermediates be on disk — walk down past them so readers resolve
-    the last AUDITED state, never a state the gates didn't see."""
-    vs = main_manifest_versions(table_dir)
+    the last AUDITED state, never a state the gates didn't see.
+
+    The version list and the branch-manifest presence come from ONE
+    os.listdir snapshot (ADVICE r13): with two separate listings, a
+    wap_publish completing in between — head landed, branch manifests
+    already cleaned — would steer the fast path onto the FIRST
+    listing's max, a mid-publish `pending_head` intermediate that is
+    never a visible head.  The walk resolves a pending intermediate
+    whose head HAS landed to that head itself (the publish committed
+    after our listing; the head is the announced state), so the
+    function only ever returns versions that were a published head at
+    some instant — never a staged intermediate."""
+    if not os.path.isdir(table_dir):
+        return 0
+    names = os.listdir(table_dir)
+    vs = sorted(
+        int(mm.group(1))
+        for f in names
+        if (mm := _MAIN_MANIFEST_RE.fullmatch(f))
+    )
     if not vs:
         return 0
-    if not _has_branch_manifests(table_dir):
+    has_branch = any(
+        f.startswith("manifest-")
+        and f.endswith(".json")
+        and not _MAIN_MANIFEST_RE.fullmatch(f)
+        for f in names
+    )
+    if not has_branch:
         return vs[-1]
     for v in reversed(vs):
-        if _is_visible_main(table_dir, v):
+        with open(
+            os.path.join(table_dir, f"manifest-v{v}.json")
+        ) as f:
+            head = json.load(f).get("pending_head")
+        if head is None:
             return v
+        if os.path.exists(
+            os.path.join(table_dir, f"manifest-v{int(head)}.json")
+        ):
+            # the publish completed after our listing: its head is
+            # the announced state, strictly newer than anything in
+            # the (stale) snapshot
+            return int(head)
     return 0
 
 
@@ -1722,6 +1757,25 @@ def mor_cdc_compact(
             str(vnew): {
                 str(f["id"]): f["name"] for f in m["schema"]
             }
+        }
+    else:
+        # LEGACY FIELD-ID ADOPTION (ADVICE r13): chains that predate
+        # field-id schemas can only evolve after a rewrite
+        # materializes the current names/types — which is exactly
+        # what this compaction just did.  Synthesize fresh ids from
+        # the rewritten frame so _evolve_schema_commit's remediation
+        # ("a compaction rewrite adopts field-id schemas") is real,
+        # not a dead end.
+        dtypes = dict(live.dtypes)
+        adopted = [
+            {"id": i + 1, "name": c, "type": dtypes[c]}
+            for i, c in enumerate(
+                c for c in manifest["columns"] if c in dtypes
+            )
+        ]
+        manifest["schema"] = adopted
+        manifest["commit_cols"] = {
+            str(vnew): {str(f["id"]): f["name"] for f in adopted}
         }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
@@ -2629,6 +2683,20 @@ def mor_cdc_change_feed(
                 pre = pre.withColumn(
                     fld["name"], F.col(fld["name"]).cast(fld["type"])
                 )
+        # The post image reads this commit's RAW parquet (bypassing
+        # the id-resolved scan), so after a widen a producer still
+        # writing the narrow type would surface pre_X bigint next to
+        # post_X int in the same frame — project the post image under
+        # the commit schema's current types too (ADVICE r13).  Names
+        # already match: producers write the commit's current names
+        # (the stale-producer guard enforces it).
+        if post is not None:
+            for fld in m["schema"]:
+                if fld["name"] in post.columns:
+                    post = post.withColumn(
+                        fld["name"],
+                        F.col(fld["name"]).cast(fld["type"]),
+                    )
     pre = pre.join(F.broadcast(dv_agg.select(key)), key, "left_semi")
     # presence markers: classification must come from the JOIN itself,
     # not from null-ness of a payload column (a legitimately-nullable

@@ -3176,6 +3176,206 @@ def test_stale_producer_rejected_after_rename(spark, tmp_path):
     mor_cdc_commit(spark, fresh, table_dir, 3)  # new name: fine
 
 
+def test_freed_rename_name_is_reusable_after_later_rename(
+    spark, tmp_path
+):
+    """The stale-producer guard blocks only each live field's MOST
+    RECENT pre-rename name (ADVICE r13): after cents->amount->revenue,
+    adding a genuinely new column named 'cents' (freed two renames
+    ago) is a fresh field, while 'amount' (exactly one schema behind)
+    is still the named ValueError."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "freed_name")
+    mor_cdc_rename_column(table_dir, "cents", "amount")      # v2
+    # a data commit under the intermediate schema, so 'amount' sits
+    # in a historical name map (the all-history scan would have kept
+    # guarding 'cents' off this map's precursor forever)
+    mor_cdc_commit(
+        spark,
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 7).cast("int").alias("amount"),
+            F.lit(1).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        table_dir,
+        3,
+    )
+    mor_cdc_rename_column(table_dir, "amount", "revenue")    # v4
+    one_behind = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("revenue"),
+        (F.col("id") * 2).cast("int").alias("amount"),  # 1 schema old
+        F.lit(2).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    with pytest.raises(ValueError, match="stale schema"):
+        mor_cdc_commit(spark, one_behind, table_dir, 5)
+    freed = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("revenue"),
+        (F.col("id") * 3).cast("int").alias("cents"),  # freed name
+        F.lit(2).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, freed, table_dir, 5)
+    got = {
+        r["k"]: (r["revenue"], r["cents"])
+        for r in mor_cdc_read(spark, table_dir, 5).collect()
+    }
+    assert got[6] == (60, 18)      # the fresh field carries values
+    assert got[2] == (27, None)    # pre-add rows read NULL for it
+
+
+def test_legacy_table_adopts_field_ids_via_compaction(
+    spark, tmp_path
+):
+    """A chain that predates field-id schemas refuses metadata-only
+    evolution with a named error pointing at compaction — and a
+    compaction REALLY adopts ids (ADVICE r13: it used to carry the
+    absent schema forward, making the remediation a dead end): the
+    rewrite synthesizes fresh ids from the materialized names/types,
+    after which a rename is metadata-only and id-resolved."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_compact,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "legacy_adopt")
+    mpath = os.path.join(table_dir, "manifest-v1.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("schema", None)
+    m.pop("commit_cols", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="predates field-id"):
+        mor_cdc_rename_column(table_dir, "cents", "amount")
+    compacted = mor_cdc_compact(spark, table_dir, 1)  # v2 adopts ids
+    assert compacted["schema"] is not None
+    assert {f["name"] for f in compacted["schema"]} >= {"k", "cents"}
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    mor_cdc_rename_column(table_dir, "cents", "amount")   # now works
+    assert files_before == {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }  # the rename stayed metadata-only
+    got = {
+        r["k"]: r["amount"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert got[7] == 70  # old files resolve by the adopted ids
+
+
+def test_feed_post_image_types_match_schema_after_widen(
+    spark, tmp_path
+):
+    """After a widen, a producer still writing the narrow type must
+    not surface pre_X bigint next to post_X int in one feed frame
+    (ADVICE r13): the post image is projected under the commit
+    schema's current types exactly like the pre image."""
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_change_feed,
+        mor_cdc_commit,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "feed_widen")
+    mor_cdc_widen_column(table_dir, "cents", "bigint")    # v2
+    narrow = spark.range(4).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 11).cast("int").alias("cents"),  # narrow!
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, narrow, table_dir, 3)
+    feed = mor_cdc_change_feed(spark, table_dir, 3)
+    dtypes = dict(feed.dtypes)
+    assert dtypes["pre_cents"] == "bigint"
+    assert dtypes["post_cents"] == "bigint"
+    rows = {r["k"]: r for r in feed.collect()}
+    assert rows[2]["post_cents"] == 22
+    assert rows[2]["pre_cents"] == 20
+
+
+def test_latest_main_version_single_snapshot_under_publish_race(
+    spark, tmp_path
+):
+    """_latest_main_version must never resolve a staged WAP
+    intermediate as head (ADVICE r13: two separate listdir snapshots
+    let a publish completing in between steer the fast path onto a
+    `pending_head` manifest).  Pin both halves: (a) the directory is
+    listed exactly ONCE, and (b) even when the listing is STALE —
+    taken mid-publish while the head has since landed — the resolver
+    returns an announced head (the landed pending target), never the
+    intermediate itself."""
+    from nyc_data_pipeline_spark.streaming import mor_cdc as mc
+
+    table_dir = str(tmp_path / "pubrace")
+    os.makedirs(table_dir)
+
+    def put(v, extra=None):
+        with open(
+            os.path.join(table_dir, f"manifest-v{v}.json"), "w"
+        ) as f:
+            json.dump({"version": v, **(extra or {})}, f)
+
+    put(1)
+    put(2, {"pending_head": 4, "pending_branch": "audit"})
+    put(3, {"pending_head": 4, "pending_branch": "audit"})
+    # mid-publish: head v4 absent, branch manifest still present
+    with open(
+        os.path.join(table_dir, "manifest-audit-v4.json"), "w"
+    ) as f:
+        json.dump({"version": 4, "branch": "audit"}, f)
+    calls = {"n": 0}
+    real_listdir = os.listdir
+
+    def counting_listdir(path):
+        calls["n"] += 1
+        return real_listdir(path)
+
+    mc.os.listdir = counting_listdir
+    try:
+        assert mc._latest_main_version(table_dir) == 1
+        assert calls["n"] == 1  # ONE snapshot: list + branch check
+    finally:
+        mc.os.listdir = real_listdir
+    # stale-listing race: the listing was taken mid-publish (no v4,
+    # branch present), but the publish completes before resolution
+    stale = list(real_listdir(table_dir))
+
+    def stale_listdir(path):
+        return list(stale)
+
+    put(4)  # head lands
+    os.unlink(os.path.join(table_dir, "manifest-audit-v4.json"))
+    mc.os.listdir = stale_listdir
+    try:
+        assert mc._latest_main_version(table_dir) == 4
+    finally:
+        mc.os.listdir = real_listdir
+    # and a fresh listing agrees
+    assert mc._latest_main_version(table_dir) == 4
+
+
 def test_streaming_sink_commits_across_an_evolution(spark, tmp_path):
     """MorCdcSink epochs keep flowing across a mid-stream rename: the
     sink derives its next version from the evolved manifest chain and

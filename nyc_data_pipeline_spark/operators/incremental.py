@@ -760,6 +760,77 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incrementally-maintained joined dashboard.
 
 
+def _resolve_view_fields(
+    table_dir: str,
+    version: int,
+    fields: dict | None,
+    canon: tuple[str, ...],
+) -> tuple[dict | None, dict[str, str]]:
+    """Resolve the view's CANONICAL projected column names against a
+    base table's schema at `version`, by FIELD ID (VERDICT r13 ask
+    #2: view maintenance over sources that evolve mid-catch-up).
+
+    `fields` is the {canonical_name: field_id} map the view manifest
+    carries; on the FIRST catch-up over a field-id chain it is stamped
+    by matching the canonical names against the current schema (so a
+    rename that predates the stamp is a named error, not a silent
+    mismatch).  Returns (fields, name_map) where name_map maps each
+    canonical name to the name the field carries AT `version` —
+    identity until a rename happens, after which the caller aliases
+    the current name back to the canonical one.  Legacy chains (no
+    field ids) return (None, identity): by-name behavior, unchanged.
+    """
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        schema = _json.load(f).get("schema")
+    if schema is None:
+        return None, {c: c for c in canon}
+    by_name = {f["name"]: f["id"] for f in schema}
+    by_id = {f["id"]: f["name"] for f in schema}
+    if fields is None:
+        missing = [c for c in canon if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"view columns {missing} not in {table_dir}'s current "
+                "schema — the base table was renamed before the view "
+                "recorded field ids; rebuild the view or rename back"
+            )
+        fields = {c: by_name[c] for c in canon}
+    name_map = {}
+    for c in canon:
+        now = by_id.get(int(fields[c]))
+        if now is None:
+            raise ValueError(
+                f"view column {c!r} (field {fields[c]}) was dropped "
+                f"from {table_dir} — the view can no longer be "
+                "maintained; rebuild it over the surviving columns"
+            )
+        name_map[c] = now
+    return fields, name_map
+
+
+def _span_to_canonical(feed: DataFrame, name_map: dict) -> DataFrame:
+    """Alias an evolution-crossing span feed's pre_/post_ (and bare
+    key) columns from the TO-version names back to the view's
+    canonical names, so the signed-delta converters keep their fixed
+    shape across base-table renames."""
+    for canon, now in name_map.items():
+        if now == canon:
+            continue
+        for side in ("pre_", "post_"):
+            if f"{side}{now}" in feed.columns:
+                feed = feed.withColumnRenamed(
+                    f"{side}{now}", f"{side}{canon}"
+                )
+        if now in feed.columns:  # the clustering key rides bare
+            feed = feed.withColumnRenamed(now, canon)
+    return feed
+
+
 def _feed_to_signed_a(feed: DataFrame) -> DataFrame:
     """Order-side change feed → signed delta rows (c, cents, w): the
     pre-image contributes -1, the post-image +1 (presence read off the
@@ -1167,13 +1238,23 @@ def catch_up_join_view(
     redelivery on the source tables are both no-ops here by
     construction.  Crash-safe the same way every manifest writer is:
     artifacts land before the manifest, version derived from the
-    on-disk chain, rewrites idempotent."""
+    on-disk chain, rewrites idempotent.
+
+    The unseen feeds are read as ONE evolution-crossing span per side
+    (`mor_cdc_change_feed_span`, VERDICT r13 ask #2) rather than a
+    per-version loop: every commit's feed arrives id-projected under
+    the catch-up target's schema, and the view's projected columns
+    are resolved by FIELD ID (`a_fields`/`b_fields` in the view
+    manifest, stamped on first catch-up) — so a base-table rename or
+    widen of a projected column mid-catch-up folds exactly like any
+    other span, with the renamed column aliased back to the view's
+    canonical name.  Evolution commits contribute empty feeds."""
     import json as _json
     import os as _os
 
     from ..sources.scans import atomic_json_dump
     from ..streaming.mor_cdc import (
-        mor_cdc_change_feed,
+        mor_cdc_change_feed_span,
         mor_cdc_read,
         release_local_checkpoints,
     )
@@ -1216,23 +1297,41 @@ def catch_up_join_view(
         )
     if a_latest == a_from and b_latest == b_from:
         return m  # nothing unseen: the view is current
+    # Field-id resolution of the view's projected columns (VERDICT
+    # r13 ask #2): the span feed surfaces every commit under the
+    # TO-version schema, and the name maps below alias any renamed
+    # column back to the view's canonical names — so a base-table
+    # rename/widen mid-catch-up folds exactly like any other span.
+    a_fields, a_names = _resolve_view_fields(
+        a_dir, a_latest, m.get("a_fields"), ("c", "cents")
+    )
+    b_fields, b_names = _resolve_view_fields(
+        b_dir, b_latest, m.get("b_fields"), ("c", "segment")
+    )
     da, a_ckpts = None, []
-    for v in range(a_from + 1, a_latest + 1):
-        raw = mor_cdc_change_feed(spark, a_dir, v)
-        a_ckpts += getattr(raw, "_ckpt_intermediates", [])
-        piece = _feed_to_signed_a(raw)
-        da = piece if da is None else da.unionByName(piece)
+    if a_latest > a_from:
+        # ONE evolution-crossing span per side (mor_cdc_change_feed_
+        # span unions the per-commit feeds id-projected under the
+        # TO-version schema) instead of the old per-version feed loop
+        raw = mor_cdc_change_feed_span(spark, a_dir, a_from, a_latest)
+        a_ckpts = list(getattr(raw, "_ckpt_intermediates", []))
+        da = _feed_to_signed_a(_span_to_canonical(raw, a_names))
     db, b_ckpts = None, []
-    for v in range(b_from + 1, b_latest + 1):
-        raw = mor_cdc_change_feed(spark, b_dir, v)
-        b_ckpts += getattr(raw, "_ckpt_intermediates", [])
-        piece = _feed_to_signed_b(raw)
-        db = piece if db is None else db.unionByName(piece)
-    b_now = mor_cdc_read(spark, b_dir, b_latest).select("c", "segment")
+    if b_latest > b_from:
+        raw = mor_cdc_change_feed_span(spark, b_dir, b_from, b_latest)
+        b_ckpts = list(getattr(raw, "_ckpt_intermediates", []))
+        db = _feed_to_signed_b(_span_to_canonical(raw, b_names))
+    b_now = mor_cdc_read(spark, b_dir, b_latest).select(
+        F.col(b_names["c"]).alias("c"),
+        F.col(b_names["segment"]).alias("segment"),
+    )
     if da is None:
         da = (
             mor_cdc_read(spark, a_dir, a_latest)
-            .select("c", "cents")
+            .select(
+                F.col(a_names["c"]).alias("c"),
+                F.col(a_names["cents"]).alias("cents"),
+            )
             .limit(0)
             .withColumn("w", F.lit(1))
         )
@@ -1263,6 +1362,13 @@ def catch_up_join_view(
         "a_version": a_latest,
         "b_version": b_latest,
     }
+    # carry the projected columns' field ids forward (stamped on the
+    # first catch-up over a field-id chain) so later renames on the
+    # base tables keep resolving
+    if a_fields is not None:
+        manifest["a_fields"] = a_fields
+    if b_fields is not None:
+        manifest["b_fields"] = b_fields
     atomic_json_dump(
         manifest, _os.path.join(view_dir, f"manifest-v{cur + 1}.json")
     )

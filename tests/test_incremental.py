@@ -410,6 +410,158 @@ def test_catch_up_join_view_refuses_backward_cursors(spark, tmp_path):
         catch_up_join_view(spark, view_dir, a_dir, b_dir)
 
 
+def test_catch_up_join_view_folds_across_base_table_evolution(
+    spark, tmp_path
+):
+    """VERDICT r13 ask #2: a join view catches up across a base-table
+    RENAME + WIDEN of a column the view projects.  The catch-up reads
+    one evolution-crossing span per side (`mor_cdc_change_feed_span`),
+    resolves the view's projected columns by FIELD ID
+    (`a_fields`/`b_fields` stamped in the view manifest on first
+    catch-up), and aliases the renamed columns back to the view's
+    canonical names — so the fold equals the one-shot recompute over
+    the tables' latest reads, rename and all."""
+    import json
+    import os
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catch_up_join_view,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    view_dir = str(tmp_path / "view")
+    a1 = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("c"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+        F.lit(0).alias("version"),
+    )
+    b1 = spark.range(8).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), (F.col("id") % 3).cast("string")).alias(
+            "segment"
+        ),
+        F.lit(0).alias("version"),
+    )
+    mor_cdc_init(spark, a1, a_dir, "k", n_files=4)
+    mor_cdc_init(spark, b1, b_dir, "c", n_files=2)
+    build_join_view(
+        mor_cdc_read(spark, a_dir, 1).select("k", "c", "cents"),
+        mor_cdc_read(spark, b_dir, 1).select("c", "segment"),
+        view_dir,
+    )
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+
+    # --- catch-up #1 over a pre-evolution wave: stamps the field ids
+    wave1 = a1.filter(F.col("k") % 5 == 0).select(
+        "k",
+        "c",
+        (F.col("cents") + 3).cast("int").alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave1, a_dir, 2)
+    m2 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    assert m2["a_fields"]["cents"] == 3  # k=1, c=2, cents=3
+    assert m2["b_fields"]["segment"] == 2
+
+    # --- evolve BOTH base tables on columns the view projects
+    mor_cdc_rename_column(a_dir, "cents", "amount")       # A v3
+    mor_cdc_widen_column(a_dir, "amount", "bigint")       # A v4
+    mor_cdc_rename_column(b_dir, "segment", "seg_name")   # B v2
+    # post-evolution waves under the NEW names (A: a narrow-typed
+    # producer is fine — the span casts to the widened type)
+    wave2 = a1.filter(F.col("k") % 7 == 0).select(
+        "k",
+        "c",
+        (F.col("cents") + 700).cast("int").alias("amount"),
+        F.lit(2).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave2, a_dir, 5)
+    move = spark.range(2).select(
+        F.col("id").alias("c"),
+        F.lit("MOVED").alias("seg_name"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, move, b_dir, 3)
+
+    # --- ONE catch-up folds the evolution-crossing spans
+    m3 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    assert (m3["version"], m3["a_version"], m3["b_version"]) == (3, 5, 3)
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m3["seg_view"]).collect()
+        if r["n_rows"] > 0
+    }
+    want = {
+        r["seg_name"]: (r["n_rows"], r["sum_cents"])
+        for r in mor_cdc_read(spark, a_dir, 5)
+        .select("c", "amount")
+        .join(
+            F.broadcast(
+                mor_cdc_read(spark, b_dir, 3).select("c", "seg_name")
+            ),
+            "c",
+        )
+        .groupBy("seg_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("amount").cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+    # ids persisted: a FURTHER rename still resolves on the next fold
+    mor_cdc_rename_column(a_dir, "amount", "revenue")     # A v6
+    wave3 = a1.filter(F.col("k") % 11 == 0).select(
+        "k",
+        "c",
+        (F.col("cents") + 40).cast("bigint").alias("revenue"),
+        F.lit(3).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    mor_cdc_commit(spark, wave3, a_dir, 7)
+    m4 = catch_up_join_view(spark, view_dir, a_dir, b_dir)
+    got4 = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m4["seg_view"]).collect()
+        if r["n_rows"] > 0
+    }
+    want4 = {
+        r["seg_name"]: (r["n_rows"], r["sum_cents"])
+        for r in mor_cdc_read(spark, a_dir, 7)
+        .select("c", "revenue")
+        .join(
+            F.broadcast(
+                mor_cdc_read(spark, b_dir, 3).select("c", "seg_name")
+            ),
+            "c",
+        )
+        .groupBy("seg_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("revenue").cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got4 == want4
+
+
 def test_ivm_catch_up_view_rerun_converges_after_midbuild_crash(
     spark, sf_dir
 ):

@@ -1431,6 +1431,13 @@ def catalog_read_view(
 
     cat = catalog_load(catalog_dir, version)
     t = cat["tables"][view_name]
+    if t.get("kind") not in (None, "view"):
+        # the member's registered kind routes reads (VERDICT r13 ask
+        # #4); None = legacy catalog written before kind was persisted
+        raise ValueError(
+            f"catalog member {view_name!r} is a {t['kind']!r}, not a "
+            "materialized view; read tables via catalog_read"
+        )
     m = load_view_manifest(t["dir"], int(t["version"]))
     return spark.read.parquet(m["seg_view"])
 

@@ -185,29 +185,32 @@ def txn_vacuum(
     tables = {}
     for name, t in cat["tables"].items():
         floor = catalog_table_floor(catalog_dir, name)
-        latest = _latest_main_version(t["dir"])
-        if latest == 0:
-            # an ARTIFACT member (maintained index lanes use their own
-            # manifest prefixes: ddcidx-/tidx-/ivfpq-manifest-v{N});
-            # the catalog tracks its pointer and floor, but reclaim
-            # stays with the lane's own swap/rebuild lifecycle
-            tables[name] = {"skipped": "non-standard manifest naming",
-                            "floor": floor}
+        # route by the member's REGISTERED kind (VERDICT r13 ask #4);
+        # shape-sniffing survives only as the fallback for catalogs
+        # written before `kind` was persisted
+        kind = t.get("kind")
+        if kind is None:
+            latest = _latest_main_version(t["dir"])
+            if latest == 0:
+                kind = "artifact"
+            else:
+                kind = _infer_member_kind(t["dir"], latest)
+        if kind == "artifact":
+            # maintained index lanes use their own manifest prefixes
+            # (ddcidx-/tidx-/ivfpq-manifest-v{N}); the catalog tracks
+            # the pointer and floor, but reclaim stays with the
+            # lane's own swap/rebuild lifecycle
+            tables[name] = {"skipped": "artifact member (lane-owned "
+                            "reclaim)", "floor": floor}
             continue
-        with open(
-            os.path.join(t["dir"], f"manifest-v{latest}.json")
-        ) as f:
-            head = json.load(f)
-        if "files" in head:
+        latest = _latest_main_version(t["dir"])
+        if kind == "table":
             tables[name] = mor_cdc_vacuum(
                 t["dir"], latest, retain=table_retain, floor=floor
             )
-        else:
-            # a materialized-VIEW member (operators/incremental.py
-            # manifests: seg_view/cust_view artifact pointers, no
-            # files/dvs) — its own reachability vacuum, clamped to
-            # the same floor so retained catalog snapshots keep
-            # resolving through catalog_read_view
+        else:  # view: its own reachability vacuum, clamped to the
+            # same floor so retained catalog snapshots keep resolving
+            # through catalog_read_view
             from ..operators.incremental import view_vacuum
 
             tables[name] = view_vacuum(
@@ -218,19 +221,53 @@ def txn_vacuum(
     return {"catalog": cat_stats, "tables": tables}
 
 
+def _infer_member_kind(tdir: str, version: int) -> str:
+    """Classify a catalog member from its manifest SHAPE — used ONCE
+    at registration (txn_catalog_init) and as the legacy fallback for
+    catalogs written before `kind` was persisted (VERDICT r13 ask #4:
+    a future member type with an ambiguous shape must not misroute
+    vacuum, so routing reads the stored kind first).
+
+    - 'table': a MOR CDC chain (manifest carries `files`/`dvs`)
+    - 'view':  a materialized-view chain (artifact pointers:
+      `seg_view`/`cust_view`, no data files)
+    - 'artifact': a lane with its own manifest prefix (ddcidx-/tidx-/
+      ivfpq-manifest-v{N}) — reclaim stays with the lane's
+      swap/rebuild lifecycle
+    """
+    p = os.path.join(tdir, f"manifest-v{int(version)}.json")
+    if not os.path.exists(p):
+        return "artifact"
+    with open(p) as f:
+        m = json.load(f)
+    return "table" if "files" in m else "view"
+
+
 def txn_catalog_init(
-    catalog_dir: str, tables: dict[str, tuple[str, int]]
+    catalog_dir: str, tables: dict[str, tuple]
 ) -> dict:
     """Publish catalog v1 over already-committed tables.
-    `tables` maps name -> (table_dir, manifest version)."""
+    `tables` maps name -> (table_dir, manifest version) or
+    (table_dir, manifest version, kind).  Each member's `kind`
+    ('table' | 'view' | 'artifact') is persisted in the catalog —
+    given explicitly or inferred once from the manifest shape here —
+    and carried forward verbatim by every txn_commit, so vacuum and
+    view reads route on the stored kind, never on a shape sniff."""
     from ..sources.timetravel import commit_wallclock_us
 
+    members = {}
+    for name, spec in tables.items():
+        tdir, v = spec[0], int(spec[1])
+        kind = spec[2] if len(spec) > 2 else _infer_member_kind(tdir, v)
+        if kind not in ("table", "view", "artifact"):
+            raise ValueError(
+                f"member {name!r}: unknown kind {kind!r} "
+                "(expected table/view/artifact)"
+            )
+        members[name] = {"dir": tdir, "version": v, "kind": kind}
     cat = {
         "version": 1,
-        "tables": {
-            name: {"dir": tdir, "version": int(v)}
-            for name, (tdir, v) in tables.items()
-        },
+        "tables": members,
         "committed_at_us": commit_wallclock_us(None),
     }
     atomic_json_publish_once(cat, _catalog_path(catalog_dir, 1))
@@ -339,6 +376,12 @@ def catalog_read(
     O(overlapping files)."""
     cat = catalog_load(catalog_dir, version)
     t = cat["tables"][table]
+    if t.get("kind") not in (None, "table"):
+        raise ValueError(
+            f"catalog member {table!r} is a {t['kind']!r}, not a MOR "
+            "table; read views via catalog_read_view and artifacts "
+            "via their lane's loader"
+        )
     return mor_cdc_read(
         spark, t["dir"], t["version"], key_range=key_range
     )

@@ -1041,3 +1041,108 @@ def test_multi_table_wap_then_view_flip_end_to_end(spark, tmp_path):
         .collect()
     }
     assert set(old) == {"S0", "S1", "S2", "S3"}  # pre-wave dashboard
+
+
+def test_catalog_member_kind_persisted_and_routes_vacuum(
+    spark, tmp_path
+):
+    """VERDICT r13 ask #4: member `kind` is written at registration
+    (explicit or inferred once from the manifest shape), carried
+    verbatim by txn_commit, and ROUTES txn_vacuum and the read APIs —
+    shape-sniffing survives only as the legacy-catalog fallback."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catalog_read_view,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_load,
+        catalog_read,
+        txn_catalog_init,
+        txn_commit,
+        txn_vacuum,
+    )
+
+    a1 = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("c"),
+        (F.col("id") + 10).alias("cents"),
+    )
+    b1 = spark.range(4).select(
+        F.col("id").alias("c"), F.lit("S").alias("segment")
+    )
+    a_dir, view_dir = str(tmp_path / "a"), str(tmp_path / "view")
+    art_dir, cat = str(tmp_path / "art"), str(tmp_path / "cat")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir,
+                 "k", n_files=2)
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+    os.makedirs(art_dir)  # artifact lane: its own manifest prefix
+    atomic_json_dump(
+        {"version": 1}, os.path.join(art_dir, "tidx-manifest-v1.json")
+    )
+    txn_catalog_init(
+        cat,
+        {
+            "orders": (a_dir, 1),            # inferred: table
+            "seg_view": (view_dir, 1),       # inferred: view
+            "tindex": (art_dir, 1, "artifact"),  # explicit
+        },
+    )
+    kinds = {
+        n: t["kind"]
+        for n, t in catalog_load(cat)["tables"].items()
+    }
+    assert kinds == {
+        "orders": "table", "seg_view": "view", "tindex": "artifact"
+    }
+    # kind flows through txn_commit verbatim
+    mor_cdc_commit(
+        spark,
+        a1.limit(3).withColumn("cents", F.col("cents") + 1)
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        a_dir, 2,
+    )
+    cat2 = txn_commit(cat, {"orders": 2})
+    assert cat2["tables"]["seg_view"]["kind"] == "view"
+    # vacuum routes on the stored kind: table vacuumed, view vacuumed,
+    # artifact skipped (lane-owned reclaim)
+    stats = txn_vacuum(cat, retain=1)
+    assert "skipped" in stats["tables"]["tindex"]
+    assert "skipped" not in stats["tables"]["orders"]
+    assert "skipped" not in stats["tables"]["seg_view"]
+    # misroutes are named errors
+    with pytest.raises(ValueError, match="not a MOR table"):
+        catalog_read(spark, cat, "seg_view")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        catalog_read_view(spark, cat, "orders")
+    # legacy fallback: a catalog written before `kind` still routes by
+    # shape (and reads stay readable)
+    for v in (1, 2):
+        p = os.path.join(cat, f"catalog-v{v}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            c = json.load(f)
+        for t in c["tables"].values():
+            t.pop("kind", None)
+        with open(p, "w") as f:
+            json.dump(c, f)
+    stats = txn_vacuum(cat, retain=1)
+    assert "skipped" in stats["tables"]["tindex"]
+    assert "skipped" not in stats["tables"]["orders"]
+    assert catalog_read(spark, cat, "orders").count() == 20
+    assert catalog_read_view(spark, cat, "seg_view").count() >= 1

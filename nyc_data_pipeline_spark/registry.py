@@ -60,8 +60,10 @@ _VERIFY_FIRST = [
     # text_index_cdc_maintain, ivm_view_txn_flip,
     # stream_mor_cdc_feed_span.
     # -- positions 4-28: the 25 remaining r7-era rows, oldest first.
-    # -- positions 29-50: the oldest r8-era rows, age order.
-    # In-window additions this round: cap <=1 (none yet).
+    # -- positions 29-49: the oldest r8-era rows, age order.
+    # -- position 50: the single in-window r14 addition (cap <=1):
+    # src_cow_rename (field-id rename/widen evolution on the COW
+    # zone-map lane, VERDICT r13 ask #3).
     # ==== r15 queue (positions 51+): remaining rows by latest official
     # verdict round ascending (r8 leftovers, then r9..r12), with the 50
     # r13-window rows (freshest verdicts) last.  COVERAGE.md records
@@ -115,6 +117,7 @@ _VERIFY_FIRST = [
     "fn_json_suite",
     "fn_map_suite",
     "graph_triangle_count",
+    "src_cow_rename",
     "join_asof_tolerance",
     "merge_zone_map_cow",
     "mm_decode_plumbing",

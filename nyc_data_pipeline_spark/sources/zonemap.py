@@ -603,6 +603,19 @@ def _zm_versioned_write(
         ]
     else:
         schema = prev.get("schema")  # None = legacy chain, stays so
+        if schema is not None:
+            # stale-producer guard (see _zm_append): columns outside
+            # the current schema fail loudly instead of silently
+            # shearing into un-projected files
+            names = {f["name"] for f in schema}
+            stray = [c for c in dtypes if c not in names]
+            if stray:
+                raise ValueError(
+                    f"write columns {stray} are not in {table_dir}'s "
+                    f"current schema {sorted(names)}; the producer is "
+                    "writing a stale schema (or add the column first "
+                    "via cow_add_column)"
+                )
     if schema is not None:
         manifest["schema"] = schema
         manifest["commit_cols"] = {
@@ -1011,6 +1024,20 @@ def _zm_append(
     # the batch routes on the cluster column's CURRENT name (field-id
     # resolved — a renamed cluster column keeps routing)
     cf = _cluster_col_now(prev) or "day"
+    if prev.get("schema") is not None:
+        # Stale-producer guard (the mor_cdc_commit rule on this lane):
+        # a batch column outside the CURRENT schema means a producer
+        # writing pre-rename names (silent shear) or an un-declared
+        # add — both fail loudly; adds go through cow_add_column.
+        names = {f["name"] for f in prev["schema"]}
+        stray = [c for c in batch.columns if c not in names]
+        if stray:
+            raise ValueError(
+                f"batch columns {stray} are not in {table_dir}'s "
+                f"current schema {sorted(names)}; the producer is "
+                "writing a stale schema (or add the column first via "
+                "cow_add_column)"
+            )
     # Frozen-bounds routing is clamped at BOTH ends: bucket_expr's
     # `least` clamps above-bounds arrivals into bucket n-1, and the
     # `greatest` here clamps below-bounds arrivals into bucket 0 —

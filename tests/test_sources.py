@@ -1279,3 +1279,34 @@ def test_cow_add_and_drop_columns_metadata_only(spark, tmp_path):
     v2 = _zm_read_version(spark, table_dir, 2)
     assert dict(v2.dtypes)["cents"] == "int"  # time travel pre-drop
     assert "quality" not in v2.columns
+
+
+def test_cow_stale_producer_rejected_after_rename(spark, tmp_path):
+    """A producer still writing a renamed column's OLD name into the
+    COW chain fails loudly on both write paths (append + versioned
+    rewrite) instead of silently shearing values into files no
+    projection will ever read; the NEW name works."""
+    import pyspark.sql.functions as F
+    import pytest
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_append,
+        _zm_read_version,
+        cow_rename_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_stale")
+    cow_rename_column(table_dir, "cents", "amount")  # v3
+    stale = spark.range(5).select(
+        (F.col("id") + 5000).alias("k"),
+        (F.col("id") * 2).cast("int").alias("cents"),  # pre-rename!
+        (F.col("id") + 100).alias("day"),
+    )
+    with pytest.raises(ValueError, match="stale schema"):
+        _zm_append(spark, stale, table_dir, 4)
+    fresh = stale.withColumnRenamed("cents", "amount")
+    _zm_append(spark, fresh, table_dir, 4)  # new name: fine
+    rows = {
+        r["k"]: r["amount"]
+        for r in _zm_read_version(spark, table_dir, 4).collect()
+    }
+    assert rows[5002] == 4 and rows[7] == 70

@@ -818,17 +818,21 @@ def _span_to_canonical(feed: DataFrame, name_map: dict) -> DataFrame:
     key) columns from the TO-version names back to the view's
     canonical names, so the signed-delta converters keep their fixed
     shape across base-table renames."""
+    ren = {}
     for canon, now in name_map.items():
         if now == canon:
             continue
-        for side in ("pre_", "post_"):
-            if f"{side}{now}" in feed.columns:
-                feed = feed.withColumnRenamed(
-                    f"{side}{now}", f"{side}{canon}"
-                )
-        if now in feed.columns:  # the clustering key rides bare
-            feed = feed.withColumnRenamed(now, canon)
-    return feed
+        ren[f"pre_{now}"] = f"pre_{canon}"
+        ren[f"post_{now}"] = f"post_{canon}"
+        ren[now] = canon  # the clustering key rides bare
+    if not ren:
+        return feed
+    # ONE select, not sequential renames: a pathological swap
+    # (two projected fields renamed to each other's canonical names)
+    # must not transiently collide
+    return feed.select(
+        *[F.col(c).alias(ren.get(c, c)) for c in feed.columns]
+    )
 
 
 def _feed_to_signed_a(feed: DataFrame) -> DataFrame:

@@ -2196,7 +2196,11 @@ def cow_read_pruned(
     for z, path in m["files"].items():
         for p in path if isinstance(path, list) else [path]:
             st = fs.get(p)
-            if st is not None and st[0] <= hi and st[1] >= lo:
+            # a file with NO recorded stats must be SCANNED, never
+            # skipped — skipping is only legal when provable (the
+            # Iceberg rule; a chain that adopted stats mid-history
+            # has stat-less inherited entries)
+            if st is None or (st[0] <= hi and st[1] >= lo):
                 kept.setdefault(z, []).append(p)
                 n_kept += 1
     if not kept:

@@ -626,6 +626,8 @@ def _zm_versioned_write(
             manifest["cluster_field"] = next(
                 f["id"] for f in schema if f["name"] == cluster_col
             )
+        elif (prev or {}).get("cluster_field") is not None:
+            manifest["cluster_field"] = prev["cluster_field"]
     cf = (
         cluster_col
         if cluster_col is not None
@@ -764,7 +766,8 @@ def cow_merge(
         "bucket", "zb"
     ).drop("lo", "hi")
     m1 = _zm_versioned_write(
-        b1, table_dir, 1, [str(z) for z in range(n_files)], None, (lo, hi)
+        b1, table_dir, 1, [str(z) for z in range(n_files)], None,
+        (lo, hi), cluster_col="day",
     )
     # candidate-file selection: the stats overlap test runs in Spark,
     # and only the SURVIVING file ids reach the driver (the planner's
@@ -946,37 +949,124 @@ def src_cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_feed_from(spark, table_dir)
 
 
-def change_feed_from(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The composable feed core: diff an ALREADY-COMMITTED v1/v2 pair
-    reading only the rewritten files (also driven by
-    scripts/storage_probe.py against 10×-file layouts)."""
-    with open(os.path.join(table_dir, "manifest-v1.json")) as f:
+def change_feed_from(
+    spark: SparkSession, table_dir: str,
+    from_version: int = 1, to_version: int = 2, key: str = "k",
+) -> DataFrame:
+    """The composable feed core: diff an ALREADY-COMMITTED version
+    pair reading only the files whose manifest entries DIFFER (also
+    driven by scripts/storage_probe.py against 10×-file layouts).
+
+    Composes across SCHEMA EVOLUTION (r14, the
+    mor_cdc_change_feed_span rule on this lane): both sides are
+    id-projected, the FROM side's names are mapped to the TO-version
+    schema by field id and cast to its types, so a feed across a
+    rename/widen surfaces pre/post images under the CURRENT names
+    with matching types.  An evolution commit itself rewrites no
+    files and therefore feeds EMPTY — any contiguous version pair is
+    diffable.  Value columns are the TO-schema's non-key, non-cluster
+    fields; legacy chains (no field ids) keep the original k/cents
+    shape."""
+    with open(
+        os.path.join(table_dir, f"manifest-v{from_version}.json")
+    ) as f:
         m1 = json.load(f)
-    with open(os.path.join(table_dir, "manifest-v2.json")) as f:
+    with open(
+        os.path.join(table_dir, f"manifest-v{to_version}.json")
+    ) as f:
         m2 = json.load(f)
     rewritten = sorted(
-        z for z in m2["files"] if m2["files"][z] != m1["files"][z]
+        z
+        for z in set(m1["files"]) | set(m2["files"])
+        if m1["files"].get(z) != m2["files"].get(z)
     )
+    schema_to = m2.get("schema")
+    if schema_to is not None:
+        ccol = _cluster_col_now(m2)
+        vals = [
+            f["name"] for f in schema_to
+            if f["name"] not in (key, ccol)
+        ]
+    else:
+        vals = ["cents"]
 
-    def read_buckets(manifest: dict, buckets: list[str]) -> DataFrame:
-        out = None
-        for z in buckets:
-            piece = spark.read.parquet(manifest["files"][z])
-            out = piece if out is None else out.unionByName(piece)
-        return out
+    def side(manifest: dict) -> DataFrame | None:
+        files = {
+            z: manifest["files"][z]
+            for z in rewritten
+            if z in manifest["files"]
+        }
+        if not files:
+            return None
+        # id-projected under the manifest's OWN schema (current
+        # names at that version)
+        return _grouped_manifest_scan(spark, files, manifest)
 
-    a = read_buckets(m1, rewritten).select(
-        F.col("k").alias("a_k"), F.col("cents").alias("pre_cents")
+    def to_current(df: DataFrame | None) -> DataFrame | None:
+        """Map a FROM-side frame to the TO-version names/types by
+        field id (rename), cast (widen), default/NULL (add), and
+        drop-by-omission — the span projection rule."""
+        if df is None or schema_to is None:
+            return df
+        names_from = {
+            f["id"]: f["name"] for f in m1.get("schema", [])
+        }
+        return df.select(
+            *[
+                (
+                    F.col(sn).cast(f["type"])
+                    if (
+                        sn := (
+                            names_from.get(f["id"], f["name"])
+                            if m1.get("schema") is not None
+                            else f["name"]
+                        )
+                    )
+                    in df.columns
+                    else F.lit(f.get("default")).cast(f["type"])
+                ).alias(f["name"])
+                for f in schema_to
+            ]
+        )
+
+    a, c = to_current(side(m1)), side(m2)
+    if a is None and c is None:
+        # nothing rewritten (e.g. an evolution commit): a typed empty
+        # feed derived from the head read
+        empty = _zm_read_version(spark, table_dir, to_version).limit(0)
+        return empty.select(
+            F.col(key).alias("k") if key != "k" else F.col("k"),
+            F.lit("update").alias("change"),
+            *[
+                x
+                for v in vals
+                for x in (
+                    F.col(v).alias(f"pre_{v}"),
+                    F.col(v).alias(f"post_{v}"),
+                )
+            ],
+        )
+    base = side(m2) if a is None else a
+    if a is None:
+        a = base.limit(0)
+    if c is None:
+        c = a.limit(0)
+    a = a.select(
+        F.col(key).alias("a_k"),
+        *[F.col(v).alias(f"pre_{v}") for v in vals],
     )
-    c = read_buckets(m2, rewritten).select(
-        F.col("k").alias("c_k"), F.col("cents").alias("post_cents")
+    c = c.select(
+        F.col(key).alias("c_k"),
+        *[F.col(v).alias(f"post_{v}") for v in vals],
     )
+    changed = None
+    for v in vals:
+        p = ~F.col(f"pre_{v}").eqNullSafe(F.col(f"post_{v}"))
+        changed = p if changed is None else (changed | p)
     return (
         a.join(c, a["a_k"] == c["c_k"], "full_outer")
         .filter(
-            F.col("a_k").isNull()
-            | F.col("c_k").isNull()
-            | (F.col("pre_cents") != F.col("post_cents"))
+            F.col("a_k").isNull() | F.col("c_k").isNull() | changed
         )
         .select(
             F.coalesce("a_k", "c_k").alias("k"),
@@ -984,8 +1074,20 @@ def change_feed_from(spark: SparkSession, table_dir: str) -> DataFrame:
             .when(F.col("c_k").isNull(), "delete")
             .otherwise("update")
             .alias("change"),
-            F.col("pre_cents").cast("bigint").alias("pre_cents"),
-            F.col("post_cents").cast("bigint").alias("post_cents"),
+            *[
+                x
+                for v in vals
+                for x in (
+                    F.col(f"pre_{v}").cast("bigint").alias(f"pre_{v}")
+                    if v == "cents"
+                    else F.col(f"pre_{v}"),
+                    F.col(f"post_{v}")
+                    .cast("bigint")
+                    .alias(f"post_{v}")
+                    if v == "cents"
+                    else F.col(f"post_{v}"),
+                )
+            ],
         )
     )
 
@@ -1198,7 +1300,8 @@ def cow_delete(
         "bucket", "zb"
     ).drop("lo", "hi")
     m1 = _zm_versioned_write(
-        b1, table_dir, 1, [str(z) for z in range(n_files)], None, (lo, hi)
+        b1, table_dir, 1, [str(z) for z in range(n_files)], None,
+        (lo, hi), cluster_col="day",
     )
     # candidate files: stats-overlap test runs in Spark; only the
     # surviving ids (the pruned file list) reach the driver.

@@ -1146,3 +1146,117 @@ def test_catalog_member_kind_persisted_and_routes_vacuum(
     assert "skipped" not in stats["tables"]["orders"]
     assert catalog_read(spark, cat, "orders").count() == 20
     assert catalog_read_view(spark, cat, "seg_view").count() >= 1
+
+
+def test_catalog_catch_up_crosses_base_table_evolution(
+    spark, tmp_path
+):
+    """catch_up_view_from_catalog over a base table that EVOLVED
+    between catalog flips: the catalog commits (data wave, rename,
+    widen, data wave under the new name) flip in one txn; the view
+    catch-up folds the evolution-crossing span through the catalog
+    cursor and lands on the recompute fixpoint."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catch_up_view_from_catalog,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        _latest_main_version,
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        txn_catalog_init,
+        txn_commit,
+    )
+
+    a1 = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("c"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+    )
+    b1 = spark.range(5).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), (F.col("id") % 2)).alias("segment"),
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    cat, view_dir = str(tmp_path / "cat"), str(tmp_path / "view")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir,
+                 "k", n_files=4)
+    mor_cdc_init(spark, b1.withColumn("version", F.lit(0)), b_dir,
+                 "c", n_files=2)
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+    txn_catalog_init(
+        cat,
+        {"orders": (a_dir, 1), "customer": (b_dir, 1)},
+    )
+    # catalog commit 2: a pre-evolution wave; the catch-up stamps the
+    # view's field ids
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 4 == 0)
+        .withColumn("cents", (F.col("cents") + 3).cast("int"))
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        a_dir, 2,
+    )
+    txn_commit(cat, {"orders": 2})
+    m2 = catch_up_view_from_catalog(
+        spark, view_dir, cat, "orders", "customer"
+    )
+    assert m2["catalog_version"] == 2
+    assert m2["a_fields"]["cents"] == 3  # canonical name, stamped id
+    # catalog commit 3: rename + widen + a wave under the NEW name,
+    # all flipped in ONE txn
+    mor_cdc_rename_column(a_dir, "cents", "amount")   # v3
+    mor_cdc_widen_column(a_dir, "amount", "bigint")   # v4
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 6 == 0)
+        .withColumn("version", F.lit(2)).withColumn("op", F.lit("u"))
+        .withColumn("amount", (F.col("cents") + 7000).cast("bigint"))
+        .drop("cents"),
+        a_dir, 5,
+    )
+    txn_commit(cat, {"orders": _latest_main_version(a_dir)})
+    m3 = catch_up_view_from_catalog(
+        spark, view_dir, cat, "orders", "customer"
+    )
+    assert m3["catalog_version"] == 3
+    assert m3["a_fields"]["cents"] == 3  # ids persist across catch-ups
+    got = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(m3["seg_view"]).collect()
+        if r["n_rows"] > 0
+    }
+    want = {
+        r["segment"]: (r["n_rows"], r["sum_cents"])
+        for r in mor_cdc_read(spark, a_dir, 5)
+        .select("c", "amount")
+        .join(
+            F.broadcast(
+                mor_cdc_read(spark, b_dir, 1).select("c", "segment")
+            ),
+            "c",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("amount").cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want

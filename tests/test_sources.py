@@ -1310,3 +1310,68 @@ def test_cow_stale_producer_rejected_after_rename(spark, tmp_path):
         for r in _zm_read_version(spark, table_dir, 4).collect()
     }
     assert rows[5002] == 4 and rows[7] == 70
+
+
+def test_cow_change_feed_composes_across_evolution(spark, tmp_path):
+    """change_feed_from across version pairs and evolution commits:
+    an evolution commit feeds EMPTY, a rewrite after a rename surfaces
+    pre/post images under the CURRENT name, and a feed SPANNING the
+    rename maps the pre-side's old-named files to the current schema
+    by field id."""
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        _zm_versioned_write,
+        change_feed_from,
+        cow_rename_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_feed_evo")
+    # v1 -> v2 (append): every appended key surfaces as an insert
+    feed12 = change_feed_from(spark, table_dir, 1, 2)
+    rows12 = {r["k"]: r for r in feed12.collect()}
+    assert all(r["change"] == "insert" for r in rows12.values())
+    assert set(rows12) == {1000 + i for i in range(50)}
+    assert rows12[1003]["post_cents"] == 9
+
+    cow_rename_column(table_dir, "cents", "amount")       # v3
+    # evolution commit: no files rewritten -> EMPTY typed feed
+    feed23 = change_feed_from(spark, table_dir, 2, 3)
+    assert feed23.count() == 0
+    assert "post_amount" in feed23.columns
+
+    # v4: rewrite bucket 0 under the NEW name (+1000 on k%3 rows)
+    v3 = _zm_read_version(spark, table_dir, 3)
+    b0 = v3.filter(F.col("zb") == 0)
+    rewritten = b0.withColumn(
+        "amount",
+        F.col("amount")
+        + F.when(F.col("k") % 3 == 0, 1000).otherwise(0),
+    )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = _json.load(f)
+    _zm_versioned_write(
+        rewritten, table_dir, 4, ["0"], m3, tuple(m3["bounds"])
+    )
+    feed34 = change_feed_from(spark, table_dir, 3, 4)
+    rows34 = {r["k"]: r for r in feed34.collect()}
+    assert rows34 and all(
+        r["change"] == "update" for r in rows34.values()
+    )
+    for k, r in rows34.items():
+        assert k % 3 == 0
+        assert r["post_amount"] - r["pre_amount"] == 1000
+    # feed SPANNING the rename (v2 -> v4): the pre side's files store
+    # 'cents' but surface as pre_amount by field id
+    feed24 = change_feed_from(spark, table_dir, 2, 4)
+    rows24 = {r["k"]: r for r in feed24.collect()}
+    assert rows24 == {
+        k: r for k, r in rows24.items() if r["change"] == "update"
+    }
+    sample = next(iter(rows24.values()))
+    assert "pre_amount" in feed24.columns
+    assert sample["post_amount"] - sample["pre_amount"] == 1000
+    assert set(rows34) == set(rows24)

@@ -3872,3 +3872,63 @@ def test_maintenance_cas_serializes_evolution_compaction_exclusive(
     assert dict(
         mor_cdc_read(spark, table_dir, 7).dtypes
     )["revenue"] == "bigint"
+
+
+def test_wap_publish_conflicts_with_concurrent_evolution(
+    spark, tmp_path
+):
+    """A schema evolution landing on main while a WAP branch is staged
+    must surface at publish time as the named fork-point
+    CommitConflictError (the evolution moved the head past the
+    branch's base) — never a silent publish over the evolved chain;
+    and the reverse race (evolution targeting the version a publish
+    just linked) is the maintenance-CAS conflict."""
+    import pytest
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+        _latest_main_version,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        wap_discard,
+        wap_publish,
+        wap_stage,
+    )
+
+    table_dir = _evo_table(spark, tmp_path, "wap_evo")  # v1
+    wap_stage(
+        spark,
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).cast("int").alias("cents"),
+            F.lit(1).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        table_dir,
+        "audit",
+    )
+    mor_cdc_rename_column(table_dir, "cents", "amount")  # main: v2
+    with pytest.raises(CommitConflictError, match="forked"):
+        wap_publish(table_dir, "audit")
+    # nothing reader-visible was published; the evolved head stands
+    assert _latest_main_version(table_dir) == 2
+    assert "amount" in mor_cdc_read(spark, table_dir, 2).columns
+    wap_discard(table_dir, "audit")  # abandon, restage from new head
+    wap_stage(
+        spark,
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).cast("int").alias("amount"),
+            F.lit(1).alias("version"),
+            F.lit("u").alias("op"),
+        ),
+        table_dir,
+        "audit",
+    )
+    out = wap_publish(table_dir, "audit")
+    assert out["head"] == 3
+    got = {
+        r["k"]: r["amount"]
+        for r in mor_cdc_read(spark, table_dir, 3).collect()
+    }
+    assert got[1] == 11 and got[50] == 500

@@ -550,7 +550,7 @@ def _zm_merge_v2_cte(with_zb: bool) -> str:
 def _zm_versioned_write(
     b: DataFrame, table_dir: str, version: int, touched: list[str],
     prev: dict | None, bounds: tuple[int, int],
-    cluster_col: str | None = None,
+    cluster_col: str | None = None, collect_stats: bool = False,
 ) -> dict:
     """Write `b`'s rows for the `touched` buckets under v{version}/ and
     publish manifest-v{version}.json: touched buckets point at the new
@@ -633,6 +633,18 @@ def _zm_versioned_write(
         if cluster_col is not None
         else _cluster_col_now(prev)
     )
+    # Per-file stats are OPT-IN (collect_stats at chain birth; later
+    # commits follow the chain): the extra agg is one pass over the
+    # written batch — the standard Iceberg stats-collection cost —
+    # which chains that never take the pruned-read path (their
+    # candidate selection runs in Spark) should not pay.  The
+    # cluster_field POINTER is free and always stamped, so
+    # change_feed_from's value-column rule and id-resolved append
+    # routing work on every declared chain.
+    if cf is not None and not (
+        collect_stats or (prev or {}).get("file_stats") is not None
+    ):
+        cf = None
     if cf is not None:
         # per-file stats of the written files (executor-side agg,
         # bucket-fan-out-bounded collect); inherited entries keep
@@ -2374,7 +2386,7 @@ def src_cow_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("lo", "hi")
         _zm_versioned_write(
             b1, table_dir, 1, [str(z) for z in range(ZM_FILES)],
-            None, (lo, hi), cluster_col="day",
+            None, (lo, hi), cluster_col="day", collect_stats=True,
         )
         batch = base.filter(F.col("k") % MRG_APP_MOD == 0).select(
             (F.col("k") + MRG_APP_KEY).alias("k"),

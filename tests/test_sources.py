@@ -980,7 +980,7 @@ def _cow_evo_table(spark, tmp_path, name):
     ).drop("lo", "hi")
     _zm_versioned_write(
         b1, table_dir, 1, [str(z) for z in range(4)], None,
-        (100, 299), cluster_col="day",
+        (100, 299), cluster_col="day", collect_stats=True,
     )
     batch = spark.range(50).select(
         (F.col("id") + 1000).alias("k"),

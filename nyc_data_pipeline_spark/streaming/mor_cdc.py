@@ -228,6 +228,7 @@ def mor_cdc_init(
         "dvs": [],
         "columns": cols,
         "schema": schema,
+        "last_field_id": max((f["id"] for f in schema), default=0),
         "commit_cols": {"1": {str(f["id"]): f["name"] for f in schema}},
         "committed_at_us": commit_wallclock_us(None),
     }
@@ -426,12 +427,18 @@ def mor_cdc_commit(
                             "writing a stale schema — update it or "
                             "rename the field back"
                         )
-        next_id = max((f["id"] for f in schema), default=0) + 1
+        # fresh ids come from the persisted high-water mark, NOT
+        # max(live ids)+1 — a dropped max-id field's id must never be
+        # re-issued (field_id_hwm's docstring has the failure mode)
+        from ..sources.scans import field_id_hwm
+
+        next_id = field_id_hwm(prev) + 1
         for c in added:
             schema.append(
                 {"id": next_id, "name": c, "type": dtypes.get(c, "string")}
             )
             next_id += 1
+        manifest["last_field_id"] = next_id - 1
         manifest["schema"] = schema
         manifest["commit_cols"] = {
             **prev.get("commit_cols", {}),
@@ -764,6 +771,15 @@ def _evolve_schema_commit(
     }
     manifest.pop("columns_added", None)
     manifest.pop("compacted_from", None)
+    # the id high-water mark ratchets: an add's fresh id (now the max
+    # of the post-mutate schema) raises it, a drop never lowers it —
+    # that is exactly what makes a later re-add allocate a FRESH id
+    from ..sources.scans import field_id_hwm
+
+    manifest["last_field_id"] = max(
+        field_id_hwm(m),
+        max((int(f["id"]) for f in schema), default=0),
+    )
     # commits after this one write under the NEW names/types
     manifest["commit_cols"] = {
         **m.get("commit_cols", {}),
@@ -808,10 +824,16 @@ def mor_cdc_add_column(
     a batch."""
 
     def mutate(schema: list[dict], m: dict) -> None:
+        from ..sources.scans import field_id_hwm
+
         if any(f["name"] == name for f in schema):
             raise ValueError(f"cannot add {name!r}: name in use")
         fld = {
-            "id": max((f["id"] for f in schema), default=0) + 1,
+            # allocate past every id EVER issued (the chain's
+            # high-water mark), not max(live)+1 — re-adding after
+            # dropping the max-id field must mint a fresh id or
+            # id-resolved reads resurrect the dropped column's data
+            "id": field_id_hwm(m) + 1,
             "name": name,
             "type": col_type,
         }
@@ -1780,11 +1802,18 @@ def mor_cdc_compact(
             m.get("committed_at_us")
         ),
     }
+    from ..sources.scans import field_id_hwm
+
     if m.get("schema") is not None:
         # the rewrite materialized CURRENT names/types: keep the field
         # ids but reset the per-commit name maps to this one commit —
-        # compaction is what bounds commit_cols growth
+        # compaction is what bounds commit_cols growth.  The id
+        # high-water mark MUST be pinned here: resetting commit_cols
+        # destroys the derive-from-history fallback, so without the
+        # persisted mark a post-compaction drop/re-add could re-issue
+        # a pre-compaction dropped id.
         manifest["schema"] = m["schema"]
+        manifest["last_field_id"] = field_id_hwm(m)
         manifest["commit_cols"] = {
             str(vnew): {
                 str(f["id"]): f["name"] for f in m["schema"]
@@ -1806,6 +1835,9 @@ def mor_cdc_compact(
             )
         ]
         manifest["schema"] = adopted
+        manifest["last_field_id"] = max(
+            (f["id"] for f in adopted), default=0
+        )
         manifest["commit_cols"] = {
             str(vnew): {str(f["id"]): f["name"] for f in adopted}
         }

@@ -53,71 +53,19 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-9 window: see the block comments inside the list.
 _VERIFY_FIRST = [
-    # ==== r14 window (positions 1-50), drained exactly as the r13
-    # verdict queued it (VERDICT r13 ask #1):
-    # -- positions 1-3: the r13 past-anchor additions in landing order
-    # (judge-replayed green in the r13 verdict, never driver-sampled):
-    # text_index_cdc_maintain, ivm_view_txn_flip,
-    # stream_mor_cdc_feed_span.
-    # -- positions 4-28: the 25 remaining r7-era rows, oldest first.
-    # -- positions 29-49: the oldest r8-era rows, age order.
-    # -- position 50: the single in-window r14 addition (cap <=1):
-    # src_cow_rename (field-id rename/widen evolution on the COW
-    # zone-map lane, VERDICT r13 ask #3).
-    # ==== r15 queue (positions 51+): remaining rows by latest official
-    # verdict round ascending (r8 leftovers, then r9..r12), with the 50
-    # r13-window rows (freshest verdicts) last.  COVERAGE.md records
+    # ==== r15 window (positions 1-50), drained exactly as the r14
+    # verdict queued it (VERDICT r14 ask #2):
+    # -- positions 1-49: the staged r15 queue head — remaining rows by
+    # latest official verdict round ascending (the r8 leftovers
+    # oldest-first, then the oldest r9-era rows).
+    # -- position 50: the single in-window r15 addition (cap <=1):
+    # src_cow_readd (drop-max-id/re-add field-id lifecycle on the COW
+    # lane — the VERDICT r14 confirmed-bug regression query, fixed via
+    # the persisted last_field_id high-water mark).
+    # ==== r16 queue (positions 51+): remaining rows by latest official
+    # verdict round ascending (r9 leftovers, then r10..r13), with the
+    # 50 r14-window rows (freshest verdicts) last.  COVERAGE.md records
     # the ledger.
-    "text_index_cdc_maintain",
-    "ivm_view_txn_flip",
-    "stream_mor_cdc_feed_span",
-    "orders_ohlc_monthly",
-    "orders_pareto_skyline",
-    "orders_rfm_quintiles",
-    "sample_neyman_threshold",
-    "sample_temperature_mix",
-    "sample_weighted_es",
-    "sim_pq_adc_recall",
-    "sim_rrf_fusion",
-    "src_time_travel",
-    "stateful_user_profile",
-    "stream_corpus_curate",
-    "stream_dedup_replay",
-    "stream_session_windows",
-    "stream_sliding_windows",
-    "stream_tumbling_hourly",
-    "text_bigram_entropy",
-    "text_bm25_topk",
-    "text_bpe_merge_step",
-    "text_dsir_importance",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "ts_seasonal_decompose",
-    "ts_seasonal_mase",
-    "agg_pivot",
-    "agg_skew_salted",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh_keep_one",
-    "dedup_exact_hash",
-    "dedup_index_persisted",
-    "dedup_jaccard_df_capped",
-    "dedup_jaccard_unigram",
-    "dedup_minhash_closure",
-    "dedup_minhash_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_keep_one",
-    "dq_analyze_stats",
-    "dq_functional_dependency",
-    "dq_join_skew_audit",
-    "fn_conditional_null",
-    "fn_hash_digests",
-    "fn_json_suite",
-    "fn_map_suite",
-    "graph_triangle_count",
-    "src_cow_rename",
     "join_asof_tolerance",
     "merge_zone_map_cow",
     "mm_decode_plumbing",
@@ -167,6 +115,7 @@ _VERIFY_FIRST = [
     "mm_audio_rms_windows",
     "mm_thumbnail_resize",
     "orders_gini_concentration",
+    "src_cow_readd",
     "pipeline_entity_resolution",
     "pipeline_export_ready",
     "q11_important_stock",
@@ -397,6 +346,56 @@ _VERIFY_FIRST = [
     "mm_decode_features",
     "orders_abc_classes",
     "stream_mor_cdc_rename",
+    "text_index_cdc_maintain",
+    "ivm_view_txn_flip",
+    "stream_mor_cdc_feed_span",
+    "orders_ohlc_monthly",
+    "orders_pareto_skyline",
+    "orders_rfm_quintiles",
+    "sample_neyman_threshold",
+    "sample_temperature_mix",
+    "sample_weighted_es",
+    "sim_pq_adc_recall",
+    "sim_rrf_fusion",
+    "src_time_travel",
+    "stateful_user_profile",
+    "stream_corpus_curate",
+    "stream_dedup_replay",
+    "stream_session_windows",
+    "stream_sliding_windows",
+    "stream_tumbling_hourly",
+    "text_bigram_entropy",
+    "text_bm25_topk",
+    "text_bpe_merge_step",
+    "text_dsir_importance",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "ts_seasonal_decompose",
+    "ts_seasonal_mase",
+    "agg_pivot",
+    "agg_skew_salted",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_keep_one",
+    "dedup_exact_hash",
+    "dedup_index_persisted",
+    "dedup_jaccard_df_capped",
+    "dedup_jaccard_unigram",
+    "dedup_minhash_closure",
+    "dedup_minhash_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_keep_one",
+    "dq_analyze_stats",
+    "dq_functional_dependency",
+    "dq_join_skew_audit",
+    "fn_conditional_null",
+    "fn_hash_digests",
+    "fn_json_suite",
+    "fn_map_suite",
+    "graph_triangle_count",
+    "src_cow_rename",
 ]
 
 

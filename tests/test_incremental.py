@@ -937,6 +937,137 @@ def test_view_as_catalog_member_never_torn(spark, tmp_path):
     assert assert_consistent_v  # the floor-retained refresh is intact
 
 
+def test_refresh_view_txn_crosses_base_evolution_one_flip(
+    spark, tmp_path
+):
+    """The catalog-MEMBER leg of evolution-crossing catch-up (VERDICT
+    r14 ask #4): a base-table rename + widen + a data wave under the
+    NEW name advance the member view through `refresh_view_txn` in
+    ONE catalog flip.  At every retained catalog version the view read
+    through the catalog equals a from-scratch recompute of the SAME
+    snapshot's base reads — under whichever column name that
+    snapshot's schema carries — and the view's field-id map keeps
+    resolving the renamed column across further catch-ups."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_data_pipeline_spark.operators.incremental import (
+        build_join_view,
+        catalog_read_view,
+        refresh_view_txn,
+    )
+    from nyc_data_pipeline_spark.sources.scans import atomic_json_dump
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_commit,
+        mor_cdc_init,
+        mor_cdc_read,
+        mor_cdc_rename_column,
+        mor_cdc_widen_column,
+    )
+    from nyc_data_pipeline_spark.streaming.txn import (
+        catalog_latest,
+        catalog_load,
+        txn_catalog_init,
+    )
+
+    a1 = spark.range(36).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("c"),
+        (F.col("id") * 10).cast("int").alias("cents"),
+    )
+    b1 = spark.range(6).select(
+        F.col("id").alias("c"),
+        F.concat(F.lit("S"), (F.col("id") % 2)).alias("segment"),
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    cat, view_dir = str(tmp_path / "cat"), str(tmp_path / "view")
+    mor_cdc_init(spark, a1.withColumn("version", F.lit(0)), a_dir,
+                 "k", n_files=4)
+    mor_cdc_init(spark, b1.withColumn("version", F.lit(0)), b_dir,
+                 "c", n_files=2)
+    build_join_view(a1, b1, view_dir)
+    with open(os.path.join(view_dir, "manifest-v1.json")) as f:
+        m1 = json.load(f)
+    m1.update({"a_version": 1, "b_version": 1})
+    atomic_json_dump(m1, os.path.join(view_dir, "manifest-v1.json"))
+    txn_catalog_init(
+        cat,
+        {"orders": (a_dir, 1, "table"), "customer": (b_dir, 1, "table"),
+         "seg_view": (view_dir, 1, "view")},
+    )
+
+    def assert_consistent():
+        for v in range(1, catalog_latest(cat) + 1):
+            snap = catalog_load(cat, v)["tables"]
+            a = mor_cdc_read(
+                spark, a_dir, snap["orders"]["version"]
+            )
+            val = "amount" if "amount" in a.columns else "cents"
+            want = {
+                r["segment"]: (r["n_rows"], r["sum_cents"])
+                for r in a.select("c", F.col(val).alias("cents"))
+                .join(
+                    mor_cdc_read(
+                        spark, b_dir, snap["customer"]["version"]
+                    ).select("c", "segment"),
+                    "c",
+                )
+                .groupBy("segment")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+                .collect()
+            }
+            got = {
+                r["segment"]: (r["n_rows"], r["sum_cents"])
+                for r in catalog_read_view(
+                    spark, cat, "seg_view", v
+                ).collect()
+                if r["n_rows"] > 0
+            }
+            assert got == want, (v, got, want)
+
+    # pre-evolution wave, refreshed+flipped: stamps the field-id map
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 3 == 0)
+        .withColumn("cents", (F.col("cents") + 7).cast("int"))
+        .withColumn("version", F.lit(1)).withColumn("op", F.lit("u")),
+        a_dir, 2,
+    )
+    refresh_view_txn(spark, cat, "seg_view", "orders", "customer")
+    assert_consistent()
+    # rename + widen + a wave under the NEW name, all published on
+    # the table chain, then ONE refresh_view_txn flip
+    mor_cdc_rename_column(a_dir, "cents", "amount")   # A v3
+    mor_cdc_widen_column(a_dir, "amount", "bigint")   # A v4
+    mor_cdc_commit(
+        spark,
+        a1.filter(F.col("k") % 4 == 0)
+        .withColumn("version", F.lit(2)).withColumn("op", F.lit("u"))
+        .withColumn("amount", (F.col("cents") + 9000).cast("bigint"))
+        .drop("cents"),
+        a_dir, 5,
+    )
+    new_cat = refresh_view_txn(
+        spark, cat, "seg_view", "orders", "customer"
+    )
+    assert new_cat["version"] == 3
+    assert (
+        new_cat["tables"]["orders"]["version"],
+        new_cat["tables"]["seg_view"]["version"],
+    ) == (5, 3)
+    assert_consistent()  # every snapshot, rename and all
+    # the view manifest's field-id map survived under canonical names
+    with open(os.path.join(view_dir, "manifest-v3.json")) as f:
+        m3 = json.load(f)
+    assert m3["a_fields"]["cents"] == 3  # the renamed field's id
+    assert (m3["a_version"], m3["b_version"]) == (5, 1)
+
+
 def test_multi_table_wap_then_view_flip_end_to_end(spark, tmp_path):
     """The full production flow: stage a day's waves on branch 'audit'
     across BOTH base tables (invisible to main and to the catalog),

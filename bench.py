@@ -354,6 +354,9 @@ HEADLINE = [
     # r14: COW-lane field-id evolution (v1+append lifecycle, metadata-
     # only rename+widen, id-resolved pruned read)
     "src_cow_rename",
+    # r15: drop-max-id/re-add lifecycle on the COW lane (the
+    # last_field_id high-water-mark fix, VERDICT r14's confirmed bug)
+    "src_cow_readd",
 ]
 
 

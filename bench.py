@@ -356,7 +356,9 @@ HEADLINE = [
     "src_cow_rename",
     # r15: drop-max-id/re-add lifecycle on the COW lane (the
     # last_field_id high-water-mark fix, VERDICT r14's confirmed bug)
+    # and its MOR-lane twin
     "src_cow_readd",
+    "stream_mor_cdc_readd",
 ]
 
 

@@ -2205,6 +2205,91 @@ def _rename_lifecycle(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
+    "stream_mor_cdc_readd",
+    # Raw-table oracle for the drop-max-id/re-add lifecycle (the
+    # src_cow_readd twin on the MOR lane): keep-latest merge over the
+    # base and two upsert waves, with `quality` present EXACTLY on
+    # rows whose winner is the post-re-add wave.  A field-id reuse bug
+    # would surface flag's stored doc_id%97 values as `quality` on
+    # every wave-1 winner (those files physically store flag under the
+    # dropped id) and flip the hash.
+    oracle="""
+    WITH merged AS (
+        SELECT * FROM (
+            SELECT doc_id, n_chars, 0 AS version FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars + 1, 1
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars + 2, 2
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) = 1
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS INT) AS version,
+           CASE WHEN version = 2 THEN CAST(doc_id % 83 AS INT) END
+               AS quality
+    FROM merged
+    """,
+)
+def stream_mor_cdc_readd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop/re-add schema evolution on the MOR CDC lane, end to end
+    (VERDICT r14's confirmed bug, registered as the `src_cow_readd`
+    twin): v1 init, ADD `flag` (the chain's new MAX field id), a
+    recrawl wave whose files physically STORE flag values, DROP flag,
+    re-add as `quality` — which must mint a FRESH id from the
+    persisted `last_field_id` high-water mark, never reuse flag's —
+    then a final wave carrying real quality values.  The head read
+    resolves every commit's files by field id: wave-1 winners must
+    surface quality = NULL (Iceberg's drop/re-add rule — flag's
+    stored values never resurface under the new name; reference has
+    no lakehouse surface, [GAP] build-out) and only wave-2 winners
+    carry quality.  Every evolution step is one JSON write — zero
+    data files rewritten at any scale."""
+    table_dir = scratch_dir("mor_cdc_readd", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    if not os.path.exists(
+        os.path.join(table_dir, "manifest-v6.json")
+    ):
+        base = d.withColumn("version", F.lit(0))
+        mor_cdc_init(spark, base, table_dir, "doc_id")
+        mor_cdc_add_column(table_dir, "flag", "int")      # v2: max id
+        mor_cdc_commit(
+            spark,
+            d.where(F.col("doc_id") % 3 == 0)
+            .withColumn("n_chars", (F.col("n_chars") + 1).cast("int"))
+            .withColumn("flag", (F.col("doc_id") % 97).cast("int"))
+            .withColumn("version", F.lit(1))
+            .withColumn("op", F.lit("u")),
+            table_dir,
+            3,
+        )  # files store flag under its id
+        mor_cdc_drop_column(table_dir, "flag")            # v4
+        mor_cdc_add_column(table_dir, "quality", "int")   # v5: FRESH
+        mor_cdc_commit(
+            spark,
+            d.where(F.col("doc_id") % 5 == 0)
+            .withColumn("n_chars", (F.col("n_chars") + 2).cast("int"))
+            .withColumn("quality", (F.col("doc_id") % 83).cast("int"))
+            .withColumn("version", F.lit(2))
+            .withColumn("op", F.lit("u")),
+            table_dir,
+            6,
+        )
+    return mor_cdc_read(spark, table_dir, 6).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("version").cast("int").alias("version"),
+        F.col("quality").cast("int").alias("quality"),
+    )
+
+
+@register(
     "stream_mor_cdc_feed_span",
     # The oracle re-derives the SPAN's row-level changes from the wave
     # algebra under the FINAL schema: commit 2 updates doc_id%3 off

@@ -62,10 +62,11 @@ _VERIFY_FIRST = [
     # src_cow_readd (drop-max-id/re-add field-id lifecycle on the COW
     # lane — the VERDICT r14 confirmed-bug regression query, fixed via
     # the persisted last_field_id high-water mark).
-    # ==== r16 queue (positions 51+): remaining rows by latest official
-    # verdict round ascending (r9 leftovers, then r10..r13), with the
-    # 50 r14-window rows (freshest verdicts) last.  COVERAGE.md records
-    # the ledger.
+    # ==== r16 queue (positions 51+): never-verified additions first
+    # (stream_mor_cdc_readd, registered r15 after the in-window cap
+    # was spent), then remaining rows by latest official verdict round
+    # ascending (r9 leftovers, then r10..r13), with the 50 r14-window
+    # rows (freshest verdicts) last.  COVERAGE.md records the ledger.
     "join_asof_tolerance",
     "merge_zone_map_cow",
     "mm_decode_plumbing",
@@ -116,6 +117,8 @@ _VERIFY_FIRST = [
     "mm_thumbnail_resize",
     "orders_gini_concentration",
     "src_cow_readd",
+    # ---- r16 queue starts here ----
+    "stream_mor_cdc_readd",
     "pipeline_entity_resolution",
     "pipeline_export_ready",
     "q11_important_stock",

@@ -50,7 +50,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.two_phase import bucket_expr, range_buckets
 from ..registry import register
-from .scans import atomic_json_dump, scratch_dir
+# the CAS publish resolves through the MODULE at call time —
+# tests patch scans.atomic_json_publish_once as the deterministic
+# race-window seam, so never bind it at import
+from . import scans as _scans
+from .scans import atomic_json_dump, field_id_hwm, scratch_dir
 
 
 def _read_json_table(path: str) -> list[dict]:
@@ -617,7 +621,6 @@ def _zm_versioned_write(
                     "via cow_add_column)"
                 )
     if schema is not None:
-        from .scans import field_id_hwm
 
         manifest["schema"] = schema
         # id high-water mark: stamped at birth, carried (never
@@ -1242,7 +1245,6 @@ def _zm_append(
         ),
     }
     if prev.get("schema") is not None:
-        from .scans import field_id_hwm
 
         # appends write the full current schema: carry ids, stamp
         # this commit's name map (the _zm_versioned_write rule)
@@ -1273,10 +1275,9 @@ def _zm_append(
     if exclusive:
         import shutil
 
-        from .scans import atomic_json_publish_once
 
         try:
-            atomic_json_publish_once(manifest, mpath)
+            _scans.atomic_json_publish_once(manifest, mpath)
         except FileExistsError:
             from ..streaming.mor_cdc import CommitConflictError
 
@@ -1482,7 +1483,17 @@ def manifest_vacuum(table_dir: str, latest: int) -> dict:
     and delete data directories referenced by NO retained manifest.
     Pure metadata + file ops: the reachable set comes from the
     retained manifests alone (never a table scan), so vacuum cost is
-    O(#files), independent of data volume."""
+    O(#files), independent of data volume.
+
+    Directories staged for a version NEWER than `latest` are never
+    collected: an exclusive append/compaction in flight stages its
+    `v{{N}}-{{token}}` files BEFORE its manifest CAS, so between the
+    two a reachability sweep would see unreferenced dirs whose delete
+    turns the writer's subsequent successful publish into a manifest
+    pointing at nothing — committed-data loss.  A crashed writer's
+    orphan at head+1 is still reclaimed: the next successful commit
+    moves the head past it and the following vacuum collects it."""
+    import re as _re
     import shutil
 
     retained = range(latest - RETAIN_VERSIONS + 1, latest + 1)
@@ -1497,7 +1508,8 @@ def manifest_vacuum(table_dir: str, latest: int) -> dict:
     present = {
         os.path.join(table_dir, vd, zd)
         for vd in os.listdir(table_dir)
-        if vd.startswith("v")
+        if (vm := _re.fullmatch(r"v(\d+)(?:-[0-9a-f]+)?", vd))
+        and int(vm.group(1)) <= latest
         and os.path.isdir(os.path.join(table_dir, vd))
         for zd in os.listdir(os.path.join(table_dir, vd))
         if zd.startswith("zb=")
@@ -2183,16 +2195,14 @@ def _cow_evolve(table_dir: str, mutate, evolution: dict) -> dict:
     manifest.pop("compacted_from", None)
     # the id high-water mark ratchets (the _evolve_schema_commit
     # rule): an add's fresh id raises it, a drop never lowers it
-    from .scans import field_id_hwm
 
     manifest["last_field_id"] = max(
         field_id_hwm(m),
         max((int(f["id"]) for f in schema), default=0),
     )
-    from .scans import atomic_json_publish_once
 
     try:
-        atomic_json_publish_once(
+        _scans.atomic_json_publish_once(
             manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
         )
     except FileExistsError:
@@ -2299,7 +2309,6 @@ def cow_compact(
             m.get("committed_at_us")
         ),
     }
-    from .scans import field_id_hwm
 
     if m.get("schema") is not None:
         schema = m["schema"]
@@ -2341,10 +2350,9 @@ def cow_compact(
         manifest["file_stats"] = {
             p: stats.get(z) for z, p in files.items()
         }
-    from .scans import atomic_json_publish_once
 
     try:
-        atomic_json_publish_once(
+        _scans.atomic_json_publish_once(
             manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
         )
     except FileExistsError:
@@ -2618,7 +2626,6 @@ def cow_add_column(
     carries it)."""
 
     def mutate(schema: list, m: dict) -> None:
-        from .scans import field_id_hwm
 
         if any(f["name"] == name for f in schema):
             raise ValueError(f"cannot add {name!r}: name in use")

@@ -98,7 +98,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.two_phase import bucket_expr, range_buckets
 from ..registry import register
-from ..sources.scans import atomic_json_dump, scratch_dir
+# the CAS publish resolves through the MODULE at call time —
+# tests patch scans.atomic_json_publish_once as the deterministic
+# race-window seam, so never bind it at import
+from ..sources import scans as _scans
+from ..sources.scans import atomic_json_dump, field_id_hwm, scratch_dir
 
 MOR_CDC_FILES = 8  # bucket fan-out of the fixture table
 
@@ -430,7 +434,6 @@ def mor_cdc_commit(
         # fresh ids come from the persisted high-water mark, NOT
         # max(live ids)+1 — a dropped max-id field's id must never be
         # re-issued (field_id_hwm's docstring has the failure mode)
-        from ..sources.scans import field_id_hwm
 
         next_id = field_id_hwm(prev) + 1
         for c in added:
@@ -460,10 +463,9 @@ def mor_cdc_commit(
     if exclusive:
         import shutil
 
-        from ..sources.scans import atomic_json_publish_once
 
         try:
-            atomic_json_publish_once(manifest, mpath)
+            _scans.atomic_json_publish_once(manifest, mpath)
         except FileExistsError:
             # lost the CAS: remove OUR staged dirs (they are writer-
             # unique, so this touches no winner artifacts) and raise
@@ -774,7 +776,6 @@ def _evolve_schema_commit(
     # the id high-water mark ratchets: an add's fresh id (now the max
     # of the post-mutate schema) raises it, a drop never lowers it —
     # that is exactly what makes a later re-add allocate a FRESH id
-    from ..sources.scans import field_id_hwm
 
     manifest["last_field_id"] = max(
         field_id_hwm(m),
@@ -785,10 +786,9 @@ def _evolve_schema_commit(
         **m.get("commit_cols", {}),
         str(vnew): {str(f["id"]): f["name"] for f in schema},
     }
-    from ..sources.scans import atomic_json_publish_once
 
     try:
-        atomic_json_publish_once(
+        _scans.atomic_json_publish_once(
             manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
         )
     except FileExistsError:
@@ -824,7 +824,6 @@ def mor_cdc_add_column(
     a batch."""
 
     def mutate(schema: list[dict], m: dict) -> None:
-        from ..sources.scans import field_id_hwm
 
         if any(f["name"] == name for f in schema):
             raise ValueError(f"cannot add {name!r}: name in use")
@@ -1216,7 +1215,6 @@ def wap_publish(table_dir: str, branch: str) -> dict:
     THIS branch is skipped, the head link completes the flip; a
     crashed half-publish leaves readers on the base state and
     `wap_discard` can still abandon it cleanly."""
-    from ..sources.scans import atomic_json_publish_once
 
     _check_branch_name(branch)
     staged = _branch_versions(table_dir, branch)
@@ -1249,7 +1247,7 @@ def wap_publish(table_dir: str, branch: str) -> dict:
             m["pending_branch"] = branch
         mpath = os.path.join(table_dir, f"manifest-v{v}.json")
         try:
-            atomic_json_publish_once(m, mpath)
+            _scans.atomic_json_publish_once(m, mpath)
         except FileExistsError:
             with open(mpath) as f:
                 existing = json.load(f)
@@ -1802,7 +1800,6 @@ def mor_cdc_compact(
             m.get("committed_at_us")
         ),
     }
-    from ..sources.scans import field_id_hwm
 
     if m.get("schema") is not None:
         # the rewrite materialized CURRENT names/types: keep the field
@@ -1841,10 +1838,9 @@ def mor_cdc_compact(
         manifest["commit_cols"] = {
             str(vnew): {str(f["id"]): f["name"] for f in adopted}
         }
-    from ..sources.scans import atomic_json_publish_once
 
     try:
-        atomic_json_publish_once(
+        _scans.atomic_json_publish_once(
             manifest, os.path.join(table_dir, f"manifest-v{vnew}.json")
         )
     except FileExistsError:
@@ -2165,6 +2161,13 @@ def _rename_lifecycle(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(
         os.path.join(table_dir, "manifest-v7.json")
     ):
+        # rerun-safe (the src_cow_rename rule, ADVICE r14): the
+        # rename/widen/drop steps resolve the CURRENT head, so a
+        # rerun over a crashed partial chain would raise ("no column
+        # n_chars") instead of converging — rebuild from v1
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
         base = d.withColumn("version", F.lit(0))
         mor_cdc_init(spark, base, table_dir, "doc_id")
         mor_cdc_commit(
@@ -2256,6 +2259,14 @@ def stream_mor_cdc_readd(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(
         os.path.join(table_dir, "manifest-v6.json")
     ):
+        # rerun-safe (the src_cow_readd rule): a crash mid-chain
+        # leaves a head whose schema already carries flag/quality, so
+        # a rerun's evolution steps (which derive versions and names
+        # from the CURRENT head) would raise instead of converging —
+        # scratch is pid-scoped, partial state is OUR dead attempt
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
         base = d.withColumn("version", F.lit(0))
         mor_cdc_init(spark, base, table_dir, "doc_id")
         mor_cdc_add_column(table_dir, "flag", "int")      # v2: max id
@@ -2518,10 +2529,18 @@ def mor_cdc_vacuum(
             # arbitrarily-late redelivery — reachable as long as any
             # retained manifest names it (see mor_cdc_compact)
             reachable_dv.add(m["dv_floor"])
+    # Staged dirs targeting a version NEWER than `latest` are never
+    # collected: a concurrent commit/compaction stages its
+    # v{N}-{token} / dv-v{N}-{token} artifacts BEFORE its manifest
+    # CAS, and sweeping them in that window would let the writer's
+    # subsequent successful publish reference deleted paths —
+    # committed-data loss.  A crashed writer's head+1 orphan is still
+    # reclaimed one successful commit later, once the head passes it.
     present_data = {
         os.path.join(table_dir, vd, zd)
         for vd in os.listdir(table_dir)
-        if vd.startswith("v")
+        if (vm := _re.fullmatch(r"v(\d+)(?:-[0-9a-f]+)?", vd))
+        and int(vm.group(1)) <= latest
         and os.path.isdir(os.path.join(table_dir, vd))
         for zd in os.listdir(os.path.join(table_dir, vd))
         if zd.startswith("zb=")
@@ -2529,7 +2548,10 @@ def mor_cdc_vacuum(
     present_dv = {
         os.path.join(table_dir, d)
         for d in os.listdir(table_dir)
-        if (d.startswith("dv-v") or d.startswith("dv-floor-v"))
+        if (dm := _re.fullmatch(
+            r"dv-(?:floor-)?v(\d+)(?:-[0-9a-f]+)?", d
+        ))
+        and int(dm.group(1)) <= latest
         and os.path.isdir(os.path.join(table_dir, d))
     }
     rm_data = sorted(present_data - reachable_data)

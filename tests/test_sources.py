@@ -1701,3 +1701,32 @@ def test_cow_guard_parity_sweep_pins(spark, tmp_path):
     )
     _os.makedirs(_os.path.join(table_dir, "v9-deadbeef"))
     assert _cow_latest_version(table_dir) == 4
+
+
+def test_vacuum_never_collects_inflight_staged_dirs(spark, tmp_path):
+    """An exclusive append/compaction stages its v{N}-{token} files
+    BEFORE its manifest CAS; a vacuum landing in that window must not
+    collect them (the writer's subsequent successful publish would
+    reference deleted paths — committed-data loss).  A crashed
+    loser's staged dir at a version <= the head IS garbage and goes."""
+    import os as _os
+
+    from nyc_data_pipeline_spark.sources.zonemap import (
+        _zm_read_version,
+        manifest_vacuum,
+    )
+
+    table_dir = _cow_evo_table(spark, tmp_path, "cow_vac_inflight")
+    # in-flight writer targeting head+1: staged, manifest not yet CAS'd
+    inflight = _os.path.join(table_dir, "v3-deadbeef", "zb=0")
+    _os.makedirs(inflight)
+    open(_os.path.join(inflight, "part-0.parquet"), "w").write("x")
+    # crashed loser at a version <= head: unreferenced garbage
+    loser = _os.path.join(table_dir, "v2-feedface", "zb=0")
+    _os.makedirs(loser)
+    open(_os.path.join(loser, "part-0.parquet"), "w").write("x")
+    manifest_vacuum(table_dir, 2)
+    assert _os.path.isdir(inflight)      # protected: version > latest
+    assert not _os.path.isdir(loser)     # collected: version <= latest
+    # the head read is intact after the sweep
+    assert _zm_read_version(spark, table_dir, 2).count() == 250

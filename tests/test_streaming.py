@@ -4067,3 +4067,64 @@ def test_wap_publish_conflicts_with_concurrent_evolution(
         for r in mor_cdc_read(spark, table_dir, 3).collect()
     }
     assert got[1] == 11 and got[50] == 500
+
+
+def test_mor_vacuum_never_collects_inflight_staged_dirs(spark, tmp_path):
+    """The manifest_vacuum rule on the MOR lane: staged data AND DV
+    directories targeting a version newer than the vacuum's head are
+    never collected (an in-flight commit publishes AFTER staging);
+    unreferenced staged dirs at or below the head are garbage."""
+    import os as _os
+
+    from nyc_data_pipeline_spark.streaming.mor_cdc import (
+        mor_cdc_read,
+        mor_cdc_vacuum,
+    )
+
+    table_dir = _mk_cdc_table(spark, tmp_path, "cdc_vac_inflight")
+    inflight_data = _os.path.join(table_dir, "v2-deadbeef", "zb=0")
+    inflight_dv = _os.path.join(table_dir, "dv-v2-deadbeef")
+    _os.makedirs(inflight_data)
+    _os.makedirs(inflight_dv)
+    open(_os.path.join(inflight_data, "part-0.parquet"), "w").write("x")
+    open(_os.path.join(inflight_dv, "dv.json"), "w").write("{}")
+    loser_data = _os.path.join(table_dir, "v1-feedface", "zb=0")
+    loser_dv = _os.path.join(table_dir, "dv-v1-feedface")
+    _os.makedirs(loser_data)
+    _os.makedirs(loser_dv)
+    open(_os.path.join(loser_data, "part-0.parquet"), "w").write("x")
+    open(_os.path.join(loser_dv, "dv.json"), "w").write("{}")
+    mor_cdc_vacuum(table_dir, latest=1, retain=1)
+    assert _os.path.isdir(inflight_data)   # version 2 > head 1
+    assert _os.path.isdir(inflight_dv)
+    assert not _os.path.isdir(loser_data)  # version 1 <= head, garbage
+    assert not _os.path.isdir(loser_dv)
+    assert mor_cdc_read(spark, table_dir, 1).count() == 400
+
+
+def test_mor_lifecycles_rerun_after_partial_state(spark, sf_dir):
+    """The src_cow rerun rule on the MOR lane: the registered
+    rename/readd lifecycle builders converge after a simulated crash
+    (head manifest gone, earlier evolution commits remain) instead of
+    raising off the leftover head's already-evolved schema."""
+    import os as _os
+
+    from nyc_data_pipeline_spark.registry import QUERIES, load_all
+    from nyc_data_pipeline_spark.sources.scans import scratch_dir
+
+    load_all()
+    for qname, scratch, head in (
+        ("stream_mor_cdc_rename", "mor_cdc_rename", 7),
+        ("stream_mor_cdc_readd", "mor_cdc_readd", 6),
+    ):
+        first = sorted(
+            tuple(r) for r in QUERIES[qname](spark, sf_dir).collect()
+        )
+        table_dir = scratch_dir(scratch, sf_dir)
+        _os.unlink(
+            _os.path.join(table_dir, f"manifest-v{head}.json")
+        )
+        again = sorted(
+            tuple(r) for r in QUERIES[qname](spark, sf_dir).collect()
+        )
+        assert again == first, qname

@@ -1359,6 +1359,11 @@ def src_zone_map_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEL_LO_DAY, DEL_HI_DAY = 11323, 11600  # 2001-01-01 .. past max
 DEL_MOD = 3                            # delete k % 3 == 0 in-slice
 
+# MOR delete-vector sidecars on this lane are always (bucket, key) over
+# the integral clustering key; passing the schema skips JSON inference
+# (an extra full pass + one Spark job per read site).
+MOR_DV_SCHEMA = "zb bigint, k bigint"
+
 
 def cow_delete(
     spark: SparkSession, base: DataFrame, table_dir: str,
@@ -1831,9 +1836,9 @@ def _mor_read(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
     dirty = {z: p for z, p in m["files"].items() if z in dv_buckets}
     out = _grouped_manifest_scan(spark, clean) if clean else None
     if dirty:
-        dv = spark.read.json(m["delete_vectors"]).select(
-            F.col("zb").cast("int").alias("zb"), "k"
-        )
+        dv = spark.read.schema(MOR_DV_SCHEMA).json(
+            m["delete_vectors"]
+        ).select(F.col("zb").cast("int").alias("zb"), "k")
         survivors = _grouped_manifest_scan(spark, dirty).join(
             F.broadcast(dv), ["zb", "k"], "left_anti"
         )
@@ -2026,7 +2031,8 @@ def _mor_read_bucket(
         "zb", F.lit(int(z))
     )
     dv = (
-        spark.read.json(manifest["delete_vectors"])
+        spark.read.schema(MOR_DV_SCHEMA)
+        .json(manifest["delete_vectors"])
         .filter(F.col("zb") == int(z))
         .select("k")
     )

@@ -106,6 +106,14 @@ from ..sources.scans import atomic_json_dump, field_id_hwm, scratch_dir
 
 MOR_CDC_FILES = 8  # bucket fan-out of the fixture table
 
+# DV sidecars are always (bucket, key, change-version) over an integral
+# clustering key (range_buckets arithmetic requires one), so every read
+# passes the schema explicitly: schema inference is a full extra pass
+# over every sidecar file PLUS one Spark job per read site — profiled
+# as a visible slice of the per-commit feed cost at sf0.1, pure waste
+# at any scale.
+DV_SIDECAR_SCHEMA = "zb bigint, k bigint, v bigint"
+
 
 class CommitConflictError(RuntimeError):
     """Two writers raced the same manifest version and this one lost.
@@ -670,7 +678,9 @@ def _read_manifest(
         # from the directory name — not a union branch per commit (the
         # _grouped_manifest_scan rule applied to the DV side: a
         # 100-commit span between compactions plans 1 scan, not 100)
-        dv = spark.read.json([d["path"] for d in m["dvs"]]).select(
+        dv = spark.read.schema(DV_SIDECAR_SCHEMA).json(
+            [d["path"] for d in m["dvs"]]
+        ).select(
             "k",
             F.col("v").cast("long").alias("v"),
             # leading digits only: exclusive commits suffix the dir
@@ -1764,9 +1774,9 @@ def mor_cdc_compact(
         # one multi-path scan (the mor_cdc_read rule; compaction folds
         # the whole vector history, so the branch count matters most
         # here)
-        dv = spark.read.json([d["path"] for d in m["dvs"]]).select(
-            "k", F.col("v").cast("long").alias("v")
-        )
+        dv = spark.read.schema(DV_SIDECAR_SCHEMA).json(
+            [d["path"] for d in m["dvs"]]
+        ).select("k", F.col("v").cast("long").alias("v"))
     if m.get("dv_floor"):
         piece = spark.read.parquet(m["dv_floor"]).select(
             "k", F.col("v").cast("long").alias("v")
@@ -1959,7 +1969,7 @@ def stream_mor_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(z), len(entries)) for z, entries in m_old["files"].items()],
         "zb bigint, n_files_before bigint",
     )
-    dv = spark.read.json(
+    dv = spark.read.schema(DV_SIDECAR_SCHEMA).json(
         [dv_entry["path"] for dv_entry in m_old["dvs"]]
     ).select("zb")
     dv_rows = dv.groupBy(F.col("zb").cast("bigint").alias("zb")).agg(
@@ -2776,7 +2786,11 @@ def mor_cdc_change_feed(
     # filter, pre-image semi-join, ceiling check) — materialize once
     # instead of re-scanning the JSON per consumer (plan audit r11:
     # 7 json scans -> 1)
-    dv_raw = spark.read.json(dv_dir).localCheckpoint(eager=True)
+    dv_raw = (
+        spark.read.schema(DV_SIDECAR_SCHEMA)
+        .json(dv_dir)
+        .localCheckpoint(eager=True)
+    )
     ckpts = [dv_raw]
     dv_agg = (
         dv_raw.groupBy(F.col("k").alias(key))
@@ -2800,9 +2814,9 @@ def mor_cdc_change_feed(
     if prior_paths:
         # one multi-path scan, one schema inference — not a union per
         # sidecar (the sidecars share a schema by construction)
-        prior = spark.read.json(prior_paths).select(
-            "k", F.col("v").cast("long").alias("v")
-        )
+        prior = spark.read.schema(DV_SIDECAR_SCHEMA).json(
+            prior_paths
+        ).select("k", F.col("v").cast("long").alias("v"))
     if m.get("dv_floor"):
         piece = spark.read.parquet(m["dv_floor"]).select(
             "k", F.col("v").cast("long").alias("v")

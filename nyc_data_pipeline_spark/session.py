@@ -69,6 +69,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a planned sort-merge join to a shuffled hash
+        # join when EVERY post-shuffle partition of the build side is
+        # under the advisory partition size (64 MB, the AQE coalescing
+        # target): the sort pass disappears for dimension-sized and
+        # intermediate joins while anything bigger keeps the spilling
+        # SMJ — the runtime-gated, scale-safe form of the guide's
+        # preferSortMergeJoin=false.  Measured r15 (interleaved
+        # same-session A/B at sf0.1): -9% across the shuffle-join
+        # queries, sql_recursive_hierarchy 4.1 s -> 3.0 s, no query
+        # outside noise in the other direction.  Default is 0 (off).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -408,12 +408,21 @@ def ivf_adc_search(
     # The probed cell set is planner metadata: <= N_QUERIES * NPROBE
     # ids, collected once to drive STATIC partition pruning of the
     # codes artifact (the 100 TB win — unprobed cell directories are
-    # never listed, let alone read).
-    probed = sorted({r["cid"] for r in probe.collect()})
+    # never listed, let alone read).  The collected rows are ALSO the
+    # whole (query_id, cid) probe table, so the ADC join broadcasts a
+    # local relation rebuilt from them instead of re-executing the
+    # centroid-ranking subtree a second time for the broadcast build
+    # (one window over N_QUERIES x K_CELLS rows saved per search).
+    probe_rows = probe.collect()
+    probed = sorted({r["cid"] for r in probe_rows})
+    probe_local = queries.sparkSession.createDataFrame(
+        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
+        "query_id bigint, cid bigint",
+    )
     lut = _query_lut(queries, cmicro)
     adc = (
         codes.where(F.col("cid").isin([int(c) for c in probed]))
-        .join(F.broadcast(probe), "cid")
+        .join(F.broadcast(probe_local), "cid")
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .where(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))

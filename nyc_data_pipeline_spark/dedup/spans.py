@@ -90,6 +90,13 @@ FROM totals t LEFT JOIN cov c ON t.doc_id = c.doc_id
 """
 
 
+def _span_tokens(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, t): token arrays of the span-eligible docs."""
+    return docs.selectExpr("doc_id", f"{spark_tokens('text')} AS t").where(
+        F.size("t") >= w
+    )
+
+
 def span_posting(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     """(doc_id, n_tokens, s, e, span): every W-token sliding span.
 
@@ -97,9 +104,10 @@ def span_posting(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     start-index sequence, then posexploded — the token array is never
     replicated per span row.
     """
-    toks = docs.selectExpr("doc_id", f"{spark_tokens('text')} AS t").where(
-        F.size("t") >= w
-    )
+    return _posting_from_toks(_span_tokens(docs, w), w)
+
+
+def _posting_from_toks(toks: DataFrame, w: int) -> DataFrame:
     return toks.selectExpr(
         "doc_id",
         "size(t) AS n_tokens",
@@ -119,20 +127,25 @@ def span_coverage(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     token positions lying inside at least one W-token span that also
     occurs in ≥2 distinct documents (cross-doc; internal repeats do
     not count).  Interval union via the running-max-end sweep."""
-    posting = span_posting(docs, w)
+    toks = _span_tokens(docs, w)
+    posting = _posting_from_toks(toks, w)
 
-    # Spans present in >= 2 distinct docs.  Two-phase distinct→count
-    # (both hash shuffles with partial aggregation) instead of a
-    # COUNT(DISTINCT) expand.
-    span_docs = (
-        posting.select("span", "doc_id")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span")
+    # Spans present in >= 2 distinct docs: a span qualifies iff
+    # min(doc_id) != max(doc_id) over its group — one window over the
+    # span-partitioned posting.  This replaced a distinct→count≥2
+    # aggregate plus a join of the posting back onto the qualifying
+    # spans (r15): the posting — the corpus-token-scale table — now
+    # crosses the network once instead of feeding two shuffled
+    # consumers, and the expensive span-string projection appears once
+    # in the plan instead of twice (1 Exchange + window vs 3 Exchanges
+    # + SMJ in the before/after plans, plans/r15/).
+    w_span = Window.partitionBy("span")
+    dup_pos = (
+        posting.withColumn("_mn", F.min("doc_id").over(w_span))
+        .withColumn("_mx", F.max("doc_id").over(w_span))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "s", "e")
     )
-    dup_pos = posting.join(span_docs, "span").select("doc_id", "s", "e")
 
     # Interval union per doc: ordered by start, a position range adds
     # only what extends past the running max end seen so far.
@@ -158,14 +171,13 @@ def span_coverage(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         )
     )
 
-    totals = (
-        posting.groupBy("doc_id")
-        .agg(F.first("n_tokens").alias("nt"))
-        .selectExpr(
-            "doc_id",
-            "CAST(nt AS BIGINT) AS n_tokens",
-            f"CAST(nt - {w} + 1 AS BIGINT) AS n_spans",
-        )
+    # Per-doc totals need only the token COUNT — straight off the
+    # token projection, not a grouped pass over the exploded posting
+    # (one doc row each; the posting explode ran solely for this).
+    totals = toks.selectExpr(
+        "doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        f"CAST(size(t) - {w} + 1 AS BIGINT) AS n_spans",
     )
     return (
         totals.join(cov, "doc_id", "left")

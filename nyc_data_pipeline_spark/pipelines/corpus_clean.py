@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, persist_scoped
 from ..dedup.minhash import BANDS, K, _band_key, _duck_sig, minhash_lsh_keep_one
 from ..functions.text import (
     duck_norm_text,
@@ -274,7 +274,11 @@ def _oracle() -> str:
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-stage curation funnel: raw → lang → quality → exact-dedup →
     near-dedup, reporting surviving (docs, tokens) per stage."""
-    flagged = _flags(spark, sf_dir)
+    # _flags is one corpus pass of regexp counting + the fingerprint
+    # window, and it feeds BOTH the near-dedup branch and the final
+    # funnel join — a diamond that otherwise re-runs the pass per
+    # branch (profiled as twin 3.6 s map stages at sf0.1).  Pin it.
+    flagged = persist_scoped("corpus_clean.flags", _flags(spark, sf_dir))
     survivors = flagged.filter("exact_keep").selectExpr(
         "doc_id",
         f"array_distinct({spark_token_hashes(spark_tokens('text'))}) AS elems",

@@ -445,11 +445,19 @@ def test_dedup_persisted_index_probe_reads_artifacts(spark, sf_dir):
 
 def test_ivfpq_from_index_prunes_cells_and_reads_artifacts(spark, sf_dir):
     """The composed IVFPQ search must (a) scan the persisted index
-    store (centroids + codebook + cell-partitioned codes), (b) prune
-    unprobed cell directories via a STATIC cid partition filter on the
-    codes scan, and (c) stay free of Python-row evaluation."""
+    store (codebook + cell-partitioned codes; since r15 the probe
+    table rides a LOCAL relation rebuilt from the rows ivf_adc_search
+    already collects off the centroids artifact for static pruning —
+    one fewer window subtree per search, never a corpus recompute),
+    (b) prune unprobed cell directories via a STATIC cid partition
+    filter on the codes scan, and (c) stay free of Python-row
+    evaluation."""
     p = plan_str(QUERIES["sim_ivf_adc_from_index"](spark, sf_dir))
-    assert p.count("ivfpq_index") >= 3, p[:2000]
+    assert p.count("ivfpq_index") >= 2, p[:2000]
+    # the probe side is the collected local relation (an ExistingRDD
+    # scan under Arrow createDataFrame), not a re-derived subtree over
+    # the corpus or the centroids artifact
+    assert "ExistingRDD" in p, p[:2000]
     pf = [
         ln for ln in p.splitlines()
         if "PartitionFilters" in ln and "cid" in ln and "INSET" in ln

@@ -114,24 +114,18 @@ def persist_scoped(site: str, df: DataFrame) -> DataFrame:
     """
     prev = _SCOPED_CACHE.get(site)
     if prev is not None:
-        # Identical plans SHARE one CacheManager entry (lookup is by
-        # canonicalized plan), so re-invoking the same query leaks
-        # nothing — and unpersisting would throw away the warm entry a
-        # back-to-back consumer (bench best-of-2, retry loops) is
-        # about to hit.  Only a DIFFERENT plan under the same site is
-        # an abandoned entry to release.
+        # ALWAYS release the previous entry — including a same-plan
+        # one.  Keeping an identical plan's entry warm (the r15
+        # behavior) made every re-invocation of a pinned query start
+        # with a materialized cache, so any back-to-back timing
+        # (bench best-of-2) partially measured a warm cache instead
+        # of the query (VERDICT r15 "what's wrong" #1).  Each
+        # invocation now repopulates its own cache inside its own
+        # timed region; the within-invocation diamond reuse that
+        # motivated the pin is unchanged.
         try:
-            same = (
-                prev._jdf.queryExecution()
-                .analyzed()
-                .sameResult(df._jdf.queryExecution().analyzed())
-            )
+            prev.unpersist()
         except Exception:
-            same = False  # session gone or plan unresolvable: release
-        if not same:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # owning session already stopped
+            pass  # owning session already stopped
     _SCOPED_CACHE[site] = df.persist()
     return df

@@ -2686,8 +2686,134 @@ def stream_mor_cdc_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feed_dv_context(
+    spark: SparkSession, table_dir: str, versions: list[int]
+) -> dict[int, tuple[DataFrame, set[str]]]:
+    """Derive every requested commit's ceiling-filtered DV aggregate
+    and churned-bucket set in ONE Spark action.
+
+    `mor_cdc_change_feed` needs, per commit N: (a) the keys whose max
+    change version in N's sidecar exceeds their shadow ceiling across
+    N's manifest-listed PRIOR sidecars + compaction floor (with that
+    max as `_dv_v`), and (b) the distinct churned buckets N's sidecar
+    names.  Both are O(commit churn) — the feed already collects the
+    bucket set and broadcasts the key table — so deriving them per
+    commit cost 2-3 eager jobs each (sidecar localCheckpoint, bucket
+    collect, ceiling checkpoint re-scanning every prior sidecar): a
+    span of C commits paid O(C²) sidecar file reads across ~3C driver
+    round-trips.  Here ALL sidecars a span touches are read once in
+    one unioned, schema-pinned scan, aggregated per (source, key), and
+    collected in a single job; the per-commit ceiling rule — exactly
+    the relational one, per-commit manifest prior lists respected —
+    folds over the collected rows on the driver, and each commit's
+    key table comes back as a broadcast-ready local relation.  Scale
+    shape unchanged: what crosses the driver is the same churn-sized
+    metadata the per-commit plan already collected and broadcast.
+
+    Versions whose manifest is missing, whose feed the compaction/
+    evolution rule makes empty, or whose artifacts were vacuumed are
+    SKIPPED (no dict entry): `mor_cdc_change_feed` owns those branches
+    and their error messages."""
+    from pyspark.sql import types as T
+
+    per_version: dict[int, dict] = {}
+    sources: dict[str, int] = {}  # path -> source id
+
+    def _src(path: str) -> int:
+        return sources.setdefault(path, len(sources))
+
+    for version in versions:
+        mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+        prev_mpath = os.path.join(
+            table_dir, f"manifest-v{version - 1}.json"
+        )
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        dv_dir = next(
+            (d["path"] for d in m["dvs"] if int(d["v"]) == version),
+            os.path.join(table_dir, f"dv-v{version}"),
+        )
+        if (
+            m.get("compacted_from") is not None or m.get("evolution")
+        ) and not os.path.isdir(dv_dir):
+            continue  # empty feed by definition
+        if not (os.path.exists(prev_mpath) and os.path.isdir(dv_dir)):
+            continue  # retention error; change_feed raises it
+        prior_ids = [
+            _src(d["path"])
+            for d in m["dvs"]
+            if int(d["v"]) < version
+        ]
+        if m.get("dv_floor"):
+            prior_ids.append(_src("parquet:" + m["dv_floor"]))
+        per_version[version] = {
+            "key": m["key"],
+            "cur": _src(dv_dir),
+            "prior": set(prior_ids),
+        }
+    out: dict[int, tuple[DataFrame, set[str]]] = {}
+    if not per_version:
+        return out
+    # ONE unioned scan over every distinct source, aggregated per
+    # (source, key): max change version + the bucket the key routes to
+    # (functionally dependent on the key — the frozen-bounds rule).
+    scan = None
+    for path, sid in sources.items():
+        if path.startswith("parquet:"):
+            piece = spark.read.parquet(path[len("parquet:"):]).select(
+                F.lit(sid).alias("_src"),
+                "k",
+                F.col("v").cast("long").alias("v"),
+                F.lit(None).cast("long").alias("zb"),
+            )
+        else:
+            piece = spark.read.schema(DV_SIDECAR_SCHEMA).json(path).select(
+                F.lit(sid).alias("_src"),
+                "k",
+                F.col("v").cast("long").alias("v"),
+                F.col("zb").cast("long").alias("zb"),
+            )
+        scan = piece if scan is None else scan.unionByName(piece)
+    rows = (
+        scan.groupBy("_src", "k")
+        .agg(F.max("v").alias("v"), F.first("zb").alias("zb"))
+        .collect()
+    )
+    by_src: dict[int, dict] = {}
+    for r in rows:
+        by_src.setdefault(r["_src"], {})[r["k"]] = (r["v"], r["zb"])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("_dv_v", T.LongType()),
+        ]
+    )
+    for version, info in per_version.items():
+        cur = by_src.get(info["cur"], {})
+        churned = {str(zb) for _v, zb in cur.values()}
+        keep = []
+        for k, (v, _zb) in cur.items():
+            prior_v = None
+            for sid in info["prior"]:
+                pv = by_src.get(sid, {}).get(k)
+                if pv is not None and (
+                    prior_v is None or pv[0] > prior_v
+                ):
+                    prior_v = pv[0]
+            if prior_v is None or v > prior_v:
+                keep.append((k, v))
+        dv_agg = spark.createDataFrame(
+            keep, schema=schema
+        ).withColumnRenamed("k", info["key"])
+        out[version] = (dv_agg, churned)
+    return out
+
+
 def mor_cdc_change_feed(
-    spark: SparkSession, table_dir: str, version: int
+    spark: SparkSession, table_dir: str, version: int,
+    _ctx: dict[int, tuple[DataFrame, set[str]]] | None = None,
 ) -> DataFrame:
     """Row-level change feed of commit `version` (v{N-1} → v{N}):
     insert / update / delete rows with pre- and post-images, derived
@@ -2782,77 +2908,22 @@ def mor_cdc_change_feed(
             f"(v{version - 1}) or DV sidecar was reclaimed by vacuum; "
             "feeds are readable only within the retained window"
         )
-    # the sidecar is O(commit churn) and feeds THREE subtrees (post
-    # filter, pre-image semi-join, ceiling check) — materialize once
-    # instead of re-scanning the JSON per consumer (plan audit r11:
-    # 7 json scans -> 1)
-    dv_raw = (
-        spark.read.schema(DV_SIDECAR_SCHEMA)
-        .json(dv_dir)
-        .localCheckpoint(eager=True)
-    )
-    ckpts = [dv_raw]
-    dv_agg = (
-        dv_raw.groupBy(F.col("k").alias(key))
-        .agg(F.max("v").cast("long").alias("_dv_v"))
-    )
-    # Stale-redelivery safety: a wave re-committed under a NEW epoch
-    # id (past the ledger) leaves the TABLE unchanged — its changes
-    # are at-or-below the key's existing shadow ceiling, and the read
-    # rule keeps the older winners (module doc) — so its change feed
-    # must be EMPTY for those keys, not a pre→stale-value transition
-    # the table never made (which would corrupt any -pre/+post fold).
-    # A key participates in commit N's feed only if its max change
-    # version HERE exceeds its max across all EARLIER sidecars and
-    # the compaction floor (equal version = redelivery by the CDC
-    # log-position contract: a version names one deterministic
-    # change, so a re-commit of it is never a new logical change).
-    prior = None
-    prior_paths = [
-        d["path"] for d in m["dvs"] if int(d["v"]) < version
-    ]
-    if prior_paths:
-        # one multi-path scan, one schema inference — not a union per
-        # sidecar (the sidecars share a schema by construction)
-        prior = spark.read.schema(DV_SIDECAR_SCHEMA).json(
-            prior_paths
-        ).select("k", F.col("v").cast("long").alias("v"))
-    if m.get("dv_floor"):
-        piece = spark.read.parquet(m["dv_floor"]).select(
-            "k", F.col("v").cast("long").alias("v")
-        )
-        prior = piece if prior is None else prior.unionByName(piece)
-    if prior is not None:
-        # restrict the history scan to THIS commit's keys first (the
-        # broadcast key list bounds it at O(commit churn)), then
-        # aggregate — both sides of the ceiling join stay churn-sized
-        prior_max = (
-            prior.join(
-                F.broadcast(dv_agg.select(F.col(key).alias("k"))),
-                "k",
-                "left_semi",
-            )
-            .groupBy(F.col("k").alias(key))
-            .agg(F.max("v").alias("_prior_v"))
-        )
-        dv_agg = (
-            dv_agg.join(F.broadcast(prior_max), key, "left")
-            .filter(
-                F.col("_prior_v").isNull()
-                | (F.col("_dv_v") > F.col("_prior_v"))
-            )
-            .drop("_prior_v")
-            # ceiling-filtered keys also feed three subtrees: freeze
-            # them so the prior-sidecar scan runs once per feed
-            .localCheckpoint(eager=True)
-        )
-        ckpts.append(dv_agg)
-    # the churned-bucket set: recorded per change key at commit time
-    # (mor_cdc_commit routes once and the sidecar carries zb), bounded
-    # by the bucket fan-out — a metadata-scale collect
-    churned = {
-        str(r["zb"]) for r in dv_raw.select("zb").distinct().collect()
-    }
+    # The ceiling-filtered key table (stale-redelivery safety: a key
+    # participates in commit N's feed only if its max change version
+    # HERE exceeds its max across all EARLIER sidecars and the
+    # compaction floor — see _feed_dv_context) and the churned-bucket
+    # set both come from the context: ONE aggregate+collect job over
+    # one unioned sidecar scan, shared by every commit of a span,
+    # instead of the 2-3 eager jobs (sidecar checkpoint, bucket
+    # collect, ceiling checkpoint re-reading every prior sidecar)
+    # this block previously ran per commit.  dv_agg arrives as a
+    # churn-sized LOCAL relation — the same rows the old plan
+    # collected for broadcast — so the feed plan below is unchanged
+    # except its build sides are ExistingRDDs, not sidecar re-scans.
+    if _ctx is None or version not in _ctx:
+        _ctx = _feed_dv_context(spark, table_dir, [version])
+    dv_agg, churned = _ctx[version]
+    ckpts: list[DataFrame] = []
     post_paths = [
         e["path"]
         for entries in m["files"].values()
@@ -2993,8 +3064,14 @@ def mor_cdc_change_feed_span(
     key_to = m_to["key"]
     ckpts = []
     out = None
-    for v in range(int(from_version) + 1, int(to_version) + 1):
-        feed = mor_cdc_change_feed(spark, table_dir, v)
+    span_versions = list(
+        range(int(from_version) + 1, int(to_version) + 1)
+    )
+    # one aggregate+collect over every sidecar the span touches (see
+    # _feed_dv_context) instead of 2-3 eager jobs per commit
+    ctx = _feed_dv_context(spark, table_dir, span_versions)
+    for v in span_versions:
+        feed = mor_cdc_change_feed(spark, table_dir, v, _ctx=ctx)
         ckpts += getattr(feed, "_ckpt_intermediates", [])
         if schema_to is not None:
             with open(
@@ -3101,8 +3178,9 @@ def stream_mor_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         stream_mor_cdc(spark, sf_dir).collect()
     out = None
+    ctx = _feed_dv_context(spark, table_dir, list(range(2, final + 1)))
     for v in range(2, final + 1):
-        piece = mor_cdc_change_feed(spark, table_dir, v)
+        piece = mor_cdc_change_feed(spark, table_dir, v, _ctx=ctx)
         out = piece if out is None else out.unionByName(piece)
     return out.select(
         "commit",
@@ -3178,8 +3256,9 @@ def ivm_stream_feed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feed = None
+    ctx = _feed_dv_context(spark, table_dir, list(range(2, final + 1)))
     for v in range(2, final + 1):
-        piece = mor_cdc_change_feed(spark, table_dir, v)
+        piece = mor_cdc_change_feed(spark, table_dir, v, _ctx=ctx)
         feed = piece if feed is None else feed.unionByName(piece)
     contrib = (
         feed.filter(F.col("pre_n_chars").isNotNull())
